@@ -1,0 +1,54 @@
+"""Keep-latest-per-key deduplication (ranking-window dedup).
+
+Generalizes the reference's dedup-to-latest (W1/A6:
+``row_number() over partitionBy(claim_id) orderBy(received_date DESC,
+ingestion_timestamp DESC)`` then keep rn==1,
+``silver/silver_rx_claims_load.py:159-179``) to arbitrary keys and
+tiebreakers.
+
+Scale notes: the window forces exactly one hash-shuffle on the key — the
+minimum possible for exact dedup.  For skewed keys AQE's skew handling does
+not apply to windows, so callers with a known hot key should pre-salt; for
+the common "latest by timestamp" case ``max_by`` aggregation (also provided)
+does a partial map-side reduction and shuffles only one row per key per
+input partition — strictly less shuffle IO than the window at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    rank_col: str = "_dedup_rn",
+) -> DataFrame:
+    """Exactly one row per key: first under ``order_by`` (pass descending
+    columns for latest-wins).  Tiebreakers should make the order total —
+    the reference uses (received_date DESC, ingestion_timestamp DESC)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) == 1)
+        .drop(rank_col)
+    )
+
+
+def latest_by(
+    df: DataFrame, keys: Sequence[str], ts_col: str, payload_cols: Sequence[str]
+) -> DataFrame:
+    """Shuffle-lean alternative: ``max_by(struct(payload), ts)`` per key.
+
+    Partial-aggregates map-side (one candidate row per key per partition
+    crosses the wire) — preferred at very large scale when the full row
+    can be reconstructed from ``payload_cols``.  Ties on ``ts_col`` are
+    broken arbitrarily; use :func:`keep_latest` when a total order matters.
+    """
+    packed = F.struct(*[F.col(c) for c in payload_cols])
+    agg = df.groupBy(*keys).agg(F.max_by(packed, F.col(ts_col)).alias("_latest"))
+    return agg.select(*keys, "_latest.*")

@@ -1,0 +1,92 @@
+"""Declarative data-quality rule engine (tag → split → quarantine).
+
+Re-expresses the reference's 5-rule tag-don't-drop validator
+(``apply_data_quality_rules``, ``silver/silver_rx_claims_load.py:65-135``)
+as a general rule registry.  A rule is ``(name, pass-predicate Column)``;
+failures accumulate into an ``array<string>`` reasons column and set
+``dq_status`` to FAIL (``silver/silver_rx_claims_load.py:130-133``), after
+which FAIL rows are quarantined and PASS rows continue
+(``silver/silver_rx_claims_load.py:213-227``).
+
+Implementation is pure Catalyst (no UDFs): one ``array_compact(array(...))``
+expression evaluates every rule in a single projection — Catalyst collapses
+it into one codegen stage, so adding rules costs no extra passes.  The
+reference's as-written accumulation (``coalesce(col, lit([])) + [reason]``,
+``silver/silver_rx_claims_load.py:87``) is invalid PySpark; this implements
+the documented intent (SURVEY.md §0.2).
+
+At 100 TB: tagging is a narrow map-side transformation — no shuffle; the
+PASS/FAIL split is two complementary filters over one cached scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PASS = "PASS"
+FAIL = "FAIL"
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named pass-predicate: rows where ``predicate`` is not true fail.
+
+    Null predicate results count as failures (defensive: a null-valued
+    comparison means the rule could not positively pass).  Mirrors R1-R5
+    dimensions (completeness/validity/consistency) named at
+    ``silver/silver_rx_claims_load.py:70-74``.
+    """
+
+    name: str
+    predicate: Column
+
+
+def completeness(*cols: str) -> list[Rule]:
+    """R1-style rules: one per required column (loop-generated, mirroring
+    ``silver/silver_rx_claims_load.py:81-89``)."""
+    return [Rule(f"missing_{c}", F.col(c).isNotNull()) for c in cols]
+
+
+def apply_rules(
+    df: DataFrame,
+    rules: list[Rule],
+    reasons_col: str = "dq_failure_reasons",
+    status_col: str = "dq_status",
+) -> DataFrame:
+    """Tag every row with accumulated failure reasons + PASS/FAIL status.
+
+    Reasons array is null when all rules pass (reference keeps the column
+    null-initialized, ``silver/silver_rx_claims_load.py:78``); order of
+    reasons == registry order, deterministically.
+    """
+    if not rules:
+        return df.withColumn(reasons_col, F.lit(None).cast("array<string>")).withColumn(
+            status_col, F.lit(PASS)
+        )
+    tagged = F.array_compact(
+        F.array(
+            *[
+                F.when(~r.predicate.eqNullSafe(F.lit(True)), F.lit(r.name))
+                for r in rules
+            ]
+        )
+    )
+    return df.withColumn(
+        reasons_col, F.when(F.size(tagged) > 0, tagged)
+    ).withColumn(
+        status_col,
+        F.when(F.col(reasons_col).isNotNull(), F.lit(FAIL)).otherwise(F.lit(PASS)),
+    )
+
+
+def split_by_status(
+    df: DataFrame, status_col: str = "dq_status"
+) -> tuple[DataFrame, DataFrame]:
+    """(pass_df, fail_df) — two complementary filters over one plan
+    (``silver/silver_rx_claims_load.py:213-214``).  Caller should cache the
+    tagged frame when materializing both branches (fixes the reference's
+    double-execution inefficiency, SURVEY.md §3.2 step 5)."""
+    return df.filter(F.col(status_col) == PASS), df.filter(F.col(status_col) == FAIL)

@@ -1,0 +1,3 @@
+from azure_databricks_lakehouse_spark.sources.catalog import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]
