@@ -48,7 +48,9 @@ def latest_by(
     crosses the wire) — preferred at very large scale when the full row
     can be reconstructed from ``payload_cols``.  Ties on ``ts_col`` are
     broken arbitrarily; use :func:`keep_latest` when a total order matters.
+    Key columns are excluded from the packed payload so the unpacked
+    result never carries duplicate columns.
     """
-    packed = F.struct(*[F.col(c) for c in payload_cols])
+    packed = F.struct(*[F.col(c) for c in payload_cols if c not in set(keys)])
     agg = df.groupBy(*keys).agg(F.max_by(packed, F.col(ts_col)).alias("_latest"))
     return agg.select(*keys, "_latest.*")

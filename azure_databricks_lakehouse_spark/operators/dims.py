@@ -67,15 +67,45 @@ def add_surrogate_key(df: DataFrame, name: str, business_key: str | None = None)
 
     The reference uses ``monotonically_increasing_id``
     (``gold/gold_rx_claims_load.py:108,142,207``) — non-deterministic across
-    runs.  When ``business_key`` is given we instead use a dense
-    ``row_number`` over it: stable, testable, and reproducible (SURVEY.md
-    §7.3).  The mii variant is kept for parity when no key exists.
+    runs.  When ``business_key`` is given we instead assign a dense 1..N
+    key in ``business_key`` order: stable, testable, and reproducible
+    (SURVEY.md §7.3).  The mii variant is kept for parity when no key
+    exists.
 
-    Note the single-partition window is fine for dimension-sized inputs;
-    for billion-row facts prefer ``monotonically_increasing_id`` (no
-    shuffle) or ``zipWithIndex``-style keys.
+    Scale: a plain ``Window.orderBy(key)`` with no partition would funnel
+    the whole table through one task.  Instead we range-partition on the
+    key, rank *within* each partition (parallel local sorts), and add a
+    per-partition offset computed from a tiny partition-count frame — the
+    classic zipWithIndex shape, expressed declaratively.  Duplicate
+    business keys get arbitrary-but-dense numbering; pass a unique key.
     """
     if business_key is None:
         return df.withColumn(name, F.monotonically_increasing_id())
-    w = Window.orderBy(business_key)
-    return df.withColumn(name, F.row_number().over(w).cast("long"))
+    ranged = df.repartitionByRange(business_key).withColumn(
+        "_sk_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_sk_pid").orderBy(business_key)
+    ranked = ranged.withColumn("_sk_rn", F.row_number().over(local_w))
+    # partition-count frame: #rows == #partitions, so the unpartitioned
+    # running-sum window below is over a frame of trivial size.
+    offsets = (
+        ranked.groupBy("_sk_pid")
+        .agg(F.count(F.lit(1)).alias("_sk_cnt"))
+        .withColumn(
+            "_sk_offset",
+            F.coalesce(
+                F.sum("_sk_cnt").over(
+                    Window.orderBy("_sk_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_sk_pid", "_sk_offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_sk_pid")
+        .withColumn(name, (F.col("_sk_offset") + F.col("_sk_rn")).cast("long"))
+        .drop("_sk_pid", "_sk_rn", "_sk_offset")
+    )

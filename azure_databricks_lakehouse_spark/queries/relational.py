@@ -2,8 +2,14 @@
 
 Every query exercises specific reference operators (cited per function) on
 the driver's TPC-H-ish tables.  Aggregates use exact-decimal summation
-(``functions/numeric.py``) so Spark and the DuckDB oracle agree
-bit-for-bit regardless of partitioning/accumulation order.
+(``functions/numeric.py``): raw double columns are cast to decimal *before*
+any arithmetic, so Spark and the DuckDB oracle agree bit-for-bit regardless
+of partitioning/accumulation order (casting derived doubles is the trap —
+see the numeric module doc).
+
+Binding is lazy: each query loads only the tables it touches
+(``sources/catalog.bind``), so no unrelated table can fail a query and no
+unnecessary metadata work happens at a large catalog.
 
 Column names are aliased identically in the DataFrame code and the oracle
 SQL — the driver's comparator sorts columns by name before hashing.
@@ -13,10 +19,16 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_databricks_lakehouse_spark.functions.numeric import dec_sum, dec_sum_sql
+from azure_databricks_lakehouse_spark.functions.numeric import (
+    RATE,
+    dec,
+    dec_sum,
+    dec_sum_sql,
+    sum_double,
+)
 from azure_databricks_lakehouse_spark.operators.dedup import keep_latest
 from azure_databricks_lakehouse_spark.operators.dims import (
     build_date_dim,
@@ -24,24 +36,39 @@ from azure_databricks_lakehouse_spark.operators.dims import (
     month_name_expr,
 )
 from azure_databricks_lakehouse_spark.queries import QuerySpec
-from azure_databricks_lakehouse_spark.sources.catalog import register_views
+from azure_databricks_lakehouse_spark.sources.catalog import bind
+
+# Shared exact-decimal measure fragments (see numeric.py module doc):
+# cast the raw columns, then multiply — both engines do exact decimal
+# arithmetic on identical operands.
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(15,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(6,2)))"
+)
+_CHARGE_SQL = f"{_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(6,2)))"
+
+
+def _disc_price() -> F.Column:
+    return dec("l_extendedprice") * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+
+
+def _charge() -> F.Column:
+    return _disc_price() * (F.lit(1).cast(RATE) + dec("l_tax", RATE))
 
 
 # --- q01: flagship — grouped aggregates over the fact (A5/A3, agg tables
 #     reconstructed from gold/gold_rx_claims_load.py:237-245 + :10 imports) ---
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
-    li = t["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    t = bind(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            dec_sum(disc_price).alias("sum_disc_price"),
-            dec_sum(charge).alias("sum_charge"),
+            sum_double(_disc_price()).alias("sum_disc_price"),
+            sum_double(_charge()).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
@@ -54,8 +81,8 @@ _Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {dec_sum_sql('l_quantity')} AS sum_qty,
        {dec_sum_sql('l_extendedprice')} AS sum_base_price,
-       {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order,
        {dec_sum_sql('l_quantity')} / COUNT(*) AS avg_qty,
        {dec_sum_sql('l_extendedprice')} / COUNT(*) AS avg_price
@@ -68,7 +95,7 @@ ORDER BY l_returnflag, l_linestatus
 
 # --- q02: predicate pushdown surface — P4/P5/P8/P9 filters -----------------
 def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "part")
     return (
         t["part"]
         .filter(
@@ -93,7 +120,7 @@ WHERE p_size IN (5, 10, 15, 20, 25)
 
 # --- q03: star-schema multi-way join (J1-J4 shape, broadcast dims J5) ------
 def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -102,7 +129,7 @@ def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            sum_double(_disc_price()).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .orderBy("r_name", "n_name")
@@ -111,7 +138,7 @@ def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q03_SQL = f"""
 SELECT r_name, n_name,
-       {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -125,7 +152,7 @@ ORDER BY r_name, n_name
 
 # --- q04: generated date dimension + role-playing date joins (S5/J3/J4/F2) -
 def q04_date_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "lineitem", "orders")
     dim = build_date_dim(spark, "1995-01-01", "2002-12-31").select("date_key", "date_value")
     ship_dim = dim.select(
         F.col("date_key").alias("ship_date_key"), F.col("date_value").alias("ship_dv")
@@ -166,7 +193,7 @@ GROUP BY 1, 2
 
 # --- q05: keep-latest dedup via ranking window (W1/A6) ---------------------
 def q05_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "events")
     deduped = keep_latest(
         t["events"],
         keys=["user_id", "event_type"],
@@ -188,7 +215,7 @@ FROM (
 
 # --- q06: watermark-style incremental filter (ST1/A1/A2) -------------------
 def q06_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "events")
     ev = t["events"]
     # scalar high-water mark to the driver, re-injected as a literal —
     # exactly the reference's watermark pattern
@@ -218,7 +245,7 @@ ORDER BY event_type
 
 # --- q07: chained conditionals + coalesce + month-name (P6/P7/F6) ----------
 def q07_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "orders")
     return t["orders"].select(
         "o_orderkey",
         F.when(F.col("o_totalprice") < 50000, "small")
@@ -250,7 +277,7 @@ FROM orders
 
 # --- q08: string standardization (F1-shape: trim/upper + friends) ----------
 def q08_string_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "customer")
     return t["customer"].select(
         "c_custkey",
         F.upper(F.trim(F.col("c_name"))).alias("name_std"),
@@ -276,7 +303,7 @@ FROM customer
 
 # --- q09: date-part extraction + yyyymmdd date key (F2/F5) -----------------
 def q09_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
     return t["orders"].select(
         "o_orderkey",
@@ -307,16 +334,17 @@ FROM orders
 
 # --- q10: distinct / count-distinct (A4) -----------------------------------
 def q10_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
-    seg = t["customer"].select("c_mktsegment").distinct().count()
-    return (
-        t["orders"]
-        .agg(
-            F.countDistinct("o_custkey").alias("n_customers_with_orders"),
-            F.countDistinct(F.to_date("o_orderdate")).alias("n_order_dates"),
-        )
-        .withColumn("n_segments", F.lit(seg).cast("long"))
+    # One declarative plan: the 1-row segment count cross-joins the 1-row
+    # order aggregate (Catalyst: BroadcastNestedLoopJoin of two singleton
+    # aggregates).  No driver-side action inside the builder — at 100 TB a
+    # collect here would serialize the query build on a full table scan.
+    t = bind(spark, sf_dir, "orders", "customer")
+    order_counts = t["orders"].agg(
+        F.countDistinct("o_custkey").alias("n_customers_with_orders"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("n_order_dates"),
     )
+    seg_count = t["customer"].agg(F.countDistinct("c_mktsegment").alias("n_segments"))
+    return order_counts.crossJoin(seg_count)
 
 
 _Q10_SQL = """
@@ -329,12 +357,8 @@ FROM orders
 
 # --- q11: top-k per group via ranking window (W1 generalization) -----------
 def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
-    joined = t["orders"].join(
-        t["customer"], F.col("o_custkey") == F.col("c_custkey")
-    )
-    from pyspark.sql import Window
-
+    t = bind(spark, sf_dir, "orders", "customer")
+    joined = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -359,7 +383,7 @@ FROM (
 
 # --- q12: global top-k (orderBy + limit, §2.7) ------------------------------
 def q12_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "orders")
     return (
         t["orders"]
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -378,7 +402,7 @@ LIMIT 100
 
 # --- q13: semi/anti joins (§2.4 extension surface) --------------------------
 def q13_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "customer", "orders")
     cust, orders = t["customer"], t["orders"]
     cond = F.col("c_custkey") == F.col("o_custkey")
     with_orders = (
@@ -405,7 +429,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
 
 # --- q14: rollup aggregation (§2.5 extension: df.rollup) --------------------
 def q14_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "customer", "nation", "region")
     joined = (
         t["customer"]
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -434,7 +458,7 @@ ORDER BY r_name, n_name
 
 # --- q15: pivot (§2.5 extension: df.pivot) -----------------------------------
 def q15_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_views(spark, sf_dir)
+    t = bind(spark, sf_dir, "lineitem")
     return (
         t["lineitem"]
         .groupBy("l_returnflag")

@@ -4,7 +4,11 @@ Reference parity: the reference configures Delta session extensions at
 ``bronze/bronze_rx_claims_load.py:11-15``.  This engine runs on OSS Spark;
 Delta extensions are applied only when ``delta-spark`` is importable
 (gated — the test container ships plain Spark 4.x, where the lakehouse
-table layer falls back to Parquet-native tables, see ``sources/tables.py``).
+table layer falls back to Parquet-native tables, ``sources/tables.py``).
+
+Note: ``spark.driver.memory`` (like any spark.driver.* conf) only applies
+when this factory creates the first JVM; on an already-running session the
+builder config is silently ignored.
 
 Scale stance: AQE on (runtime re-plan, skew-join splitting, post-shuffle
 coalesce) so the same declarative plans survive a 1000-executor / 100 TB
@@ -57,6 +61,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) parquet columns (the corpus `events.ts`) read as
+        # long nanos instead of erroring; sources/catalog.load_table converts.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -2,10 +2,24 @@
 
 Reference parity: catalog-table scans (S4, ``spark.table`` at
 ``silver/silver_rx_claims_load.py:35``) and path scans (S3).  Here the
-"catalog" is the driver-generated parquet directory; ``register_views``
-makes every table SQL-visible the way the reference registers Delta paths
-with ``CREATE TABLE ... USING DELTA LOCATION`` (S9,
+"catalog" is the driver-generated parquet directory; ``bind`` makes the
+tables a query actually touches SQL-visible, the way the reference
+registers Delta paths with ``CREATE TABLE ... USING DELTA LOCATION`` (S9,
 ``bronze/bronze_rx_claims_load.py:77``).
+
+Scale + robustness stance: binding is **lazy and per-table**.  A query
+over ``part`` never opens ``events``; one unreadable table can never take
+down unrelated queries, and at a 100 TB catalog you only pay metadata cost
+for tables in the plan.
+
+The ``events`` table needs special handling: its parquet ``ts`` column is
+``TIMESTAMP(NANOS)``, which Spark 4.x refuses to read natively
+(PARQUET_TYPE_ILLEGAL).  We read it with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (``ts`` arrives as a long
+nanosecond count) and convert with exact integer division to microseconds
+— ``timestamp_micros(ts div 1000)`` — which truncates toward zero exactly
+like DuckDB's nanos→micros read, so oracles agree to the microsecond.
+(Float division would round half the rows up by 1µs.)
 """
 
 from __future__ import annotations
@@ -13,6 +27,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -27,20 +42,55 @@ TABLES = (
     "embeddings",
 )
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one corpus table; Catalyst prunes/pushes into it."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        prev = spark.conf.get(_NANOS_CONF, "false")
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set(_NANOS_CONF, prev)
+        # nanos-long -> microsecond timestamp; `div` is exact integer
+        # division (truncation), matching DuckDB's native nanos read.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def bind(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load + register exactly the tables a query uses (lazy binding).
+
+    Returns name -> DataFrame and registers each as a temp view so SQL
+    surfaces see the same relations.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every corpus table as a temp view; returns the DataFrames."""
+    """Register every *readable* corpus table as a temp view.
+
+    Convenience for exploration; per-table failures are skipped so one
+    poisoned file never blocks unrelated tables.  Queries should prefer
+    :func:`bind` with an explicit table list.
+    """
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        try:
+            df = load_table(spark, sf_dir, name)
+        except Exception:  # noqa: BLE001 - skip-and-continue by design
+            continue
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
