@@ -28,13 +28,22 @@ def all_queries() -> dict[str, QuerySpec]:
         claims_dq,
         dedup_ops,
         events_ops,
+        lakehouse_ops,
         relational,
         text_ops,
         vector_ops,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, claims_dq, events_ops, text_ops, dedup_ops, vector_ops):
+    for mod in (
+        relational,
+        claims_dq,
+        lakehouse_ops,
+        events_ops,
+        text_ops,
+        dedup_ops,
+        vector_ops,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,3 +1,9 @@
-from azure_databricks_lakehouse_spark.sources.catalog import TABLES, load_table, register_views
+from azure_databricks_lakehouse_spark.sources.catalog import (
+    TABLES,
+    bind,
+    load_table,
+    register_views,
+)
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = ["TABLES", "bind", "load_table", "register_views", "ParquetTable", "is_table"]

@@ -1,0 +1,136 @@
+"""Parquet-native table layer tests: create/append/overwrite, MERGE upsert
+idempotency (``gold/gold_rx_claims_load.py:216-221`` +
+``bronze_silver_gold/readme.md:68-70``), time travel, schema evolution,
+OPTIMIZE, VACUUM, partition-pruned MERGE."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k int, part string, v string")
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _as_dict(df):
+    return {r["k"]: (r["part"], r["v"]) for r in df.collect()}
+
+
+def test_create_and_probe(spark, root):
+    assert not is_table(root)
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    assert is_table(root)
+    assert _as_dict(t.read()) == {1: ("a", "x")}
+    with pytest.raises(FileExistsError):
+        ParquetTable.create(spark, root, _rows(spark, [(2, "a", "y")]))
+
+
+def test_append_and_overwrite_versions(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.append(_rows(spark, [(2, "b", "y")]))
+    assert _as_dict(t.read()) == {1: ("a", "x"), 2: ("b", "y")}
+    t.overwrite(_rows(spark, [(9, "z", "w")]))
+    assert _as_dict(t.read()) == {9: ("z", "w")}
+    # time travel (D5): every prior version still readable
+    assert _as_dict(t.read(version=0)) == {1: ("a", "x")}
+    assert _as_dict(t.read(version=1)) == {1: ("a", "x"), 2: ("b", "y")}
+    ops = [c.operation for c in t.history()]
+    assert ops == ["CREATE", "APPEND", "OVERWRITE"]
+
+
+def test_merge_upsert_semantics(spark, root):
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "old"), (2, "a", "keep")])
+    )
+    t.merge(_rows(spark, [(1, "a", "new"), (3, "b", "ins")]), on=["k"])
+    assert _as_dict(t.read()) == {1: ("a", "new"), 2: ("a", "keep"), 3: ("b", "ins")}
+
+
+def test_merge_idempotent_rerun(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "old")]))
+    src = _rows(spark, [(1, "a", "new"), (2, "b", "ins")])
+    t.merge(src, on=["k"])
+    once = sorted(t.read().collect())
+    t.merge(src, on=["k"])  # re-run: the medallion idempotency guarantee
+    assert sorted(t.read().collect()) == once
+    assert t.read().count() == 2
+
+
+def test_partition_pruned_merge_leaves_files_untouched(spark, root):
+    df = _rows(spark, [(1, "p1", "a"), (2, "p2", "b"), (3, "p3", "c")])
+    t = ParquetTable.create(spark, root, df, partition_by=["part"])
+    before = {f for f in t._manifest()["files"]}
+    # key includes the partition column -> pruned rewrite
+    t.merge(_rows(spark, [(2, "p2", "B!")]), on=["k", "part"])
+    after = {f for f in t._manifest()["files"]}
+    untouched_before = {f for f in before if "part=p2" not in f}
+    assert untouched_before <= after  # p1/p3 files carried by reference
+    assert not any("part=p2" in f for f in before & after)  # p2 rewritten
+    assert _as_dict(t.read()) == {1: ("p1", "a"), 2: ("p2", "B!"), 3: ("p3", "c")}
+
+
+def test_schema_evolution_append(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    wide = _rows(spark, [(2, "b", "y")]).withColumn("extra", F.lit(7))
+    with pytest.raises(ValueError):
+        t.append(wide)  # evolution must be opted into (D4 mergeSchema)
+    t.append(wide, merge_schema=True)
+    got = {r["k"]: r["extra"] for r in t.read().collect()}
+    assert got == {1: None, 2: 7}
+
+
+def test_optimize_compacts_and_preserves_data(spark, root):
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(i, "a", f"v{i}") for i in range(20)]).repartition(8)
+    )
+    assert len(t._manifest()["files"]) > 1
+    t.optimize(target_file_mb=1024)
+    assert len(t._manifest()["files"]) == 1
+    assert t.read().count() == 20
+    assert [c.operation for c in t.history()][-1] == "OPTIMIZE"
+
+
+def test_zorder_clusters_by_column(spark, root):
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("a").alias("part"),
+        (F.col("id") % 97).cast("string").alias("v"),
+    )
+    t = ParquetTable.create(spark, root, df.repartition(6))
+    t.optimize(target_file_mb=1, zorder_by=["k"])
+    assert t.read().count() == 1000
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(1000))
+
+
+def test_vacuum_removes_old_versions(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.overwrite(_rows(spark, [(2, "b", "y")]))
+    old_files = set(t._manifest(0)["files"])
+    removed = t.vacuum(keep_versions=1)
+    assert removed == len(old_files)
+    data_root = os.path.join(root, "data")
+    on_disk = {
+        os.path.relpath(os.path.join(d, f), data_root)
+        for d, _s, fs in os.walk(data_root)
+        for f in fs
+    }
+    assert on_disk == set(t._manifest()["files"])
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)  # beyond the retention horizon
+    assert _as_dict(t.read()) == {2: ("b", "y")}
+
+
+def test_register_view(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.register("tbl_view")
+    assert spark.sql("SELECT v FROM tbl_view").collect()[0]["v"] == "x"
