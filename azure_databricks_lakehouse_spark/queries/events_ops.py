@@ -1,5 +1,149 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time operators over the ``events`` stream table.
 
+The reference's incremental surface is batch watermarking (ST1,
+``silver/silver_rx_claims_load.py:29-63``) with streaming documented as the
+evolution path (``README.md:20,63``); event-time windows are the natural
+extension (SURVEY.md §2.9).  These queries implement the batch-queryable
+half of that surface — the same expressions run under Structured Streaming
+(``streaming/jobs.py``) with ``withWatermark`` bounding state.
+
+The ``events.ts`` column arrives as parquet TIMESTAMP(NANOS); see
+``sources/catalog.load_table`` for the nanos→micros read that keeps Spark
+and DuckDB in exact agreement.
+
+Oracle robustness: bucket/session timestamps are surfaced as **epoch
+seconds** (``unix_timestamp`` / ``epoch()``), which are absolute and
+session-timezone-independent — raw timestamp columns shift with the
+driver session's timezone in the pandas bridge.
+
+Scale notes: the tumbling-window rollup is one hash aggregate (window
+start is a derived grouping key — no shuffle beyond the agg); the JSON
+extraction is a pure projection (Spark's ``from_json`` is codegen'd, no
+Python); sessionization shuffles once on ``user_id`` and re-uses that
+partitioning for both window functions (lag + running sum) and the final
+per-session aggregate — Catalyst plans a single Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.functions.numeric import dec_sum, dec_sum_sql
 from azure_databricks_lakehouse_spark.queries import QuerySpec
+from azure_databricks_lakehouse_spark.sources.catalog import bind
 
-QUERIES: dict[str, QuerySpec] = {}
+_SESSION_GAP_S = 1800  # 30 min
+
+
+# --- q21: tumbling-window aggregation (event-time windows, §2.9 ext) -------
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_Q21_SQL = f"""
+SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dec_sum_sql('"value"')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- q22: JSON props extraction (from_json over MapType-ish payload) -------
+def q22_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        t["events"]
+        .select(k.alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+
+
+_Q22_SQL = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_bucket,
+       COUNT(*) AS n_events,
+       {dec_sum_sql('"value"')} AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+# --- q23: sessionization (lag + running-sum analytic windows, ST5 ext) -----
+def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(order)
+    new_session = F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_session = t["events"].select(
+        "user_id",
+        "event_id",
+        epoch.alias("ts_epoch"),
+        F.sum(new_session).over(running).alias("session_seq"),
+    )
+    return with_session.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_epoch").alias("session_start"),
+        (F.max("ts_epoch") - F.min("ts_epoch")).alias("duration_s"),
+    )
+
+
+_Q23_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, ts_epoch,
+         CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts_epoch,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts_epoch) AS session_start,
+       MAX(ts_epoch) - MIN(ts_epoch) AS duration_s
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q21_tumbling_window": QuerySpec(q21_tumbling_window, _Q21_SQL),
+    "q22_props_json": QuerySpec(q22_props_json, _Q22_SQL),
+    "q23_sessionize": QuerySpec(q23_sessionize, _Q23_SQL),
+}
