@@ -1,5 +1,263 @@
-"""Placeholder — populated in a later milestone."""
+"""Fuzzy/exact document deduplication (LLM-pipeline surface).
+
+Three dedup families over ``documents``, each fully oracle-checked:
+
+- **Exact dedup** (q27): md5 fingerprint of normalized text → cluster,
+  canonical id = min(doc_id).  One hash-shuffle on the fingerprint — the
+  minimum for exact dedup at any scale.
+- **MinHash-banded LSH + n-gram Jaccard verify** (q28): 3-token shingles →
+  4 one-hash bands (band key = min over shingles of ``md5(band|shingle)``)
+  → candidate pairs join **on band keys only** (never all-pairs) → exact
+  Jaccard on shingle sets filters to ≥ 0.5.  The band join is the LSH
+  guarantee: candidate volume is driven by true similarity, and the plan
+  contains no cartesian product.  All hashing is ``md5`` on strings —
+  bit-identical in Spark and DuckDB, so the oracle verifies the *entire*
+  approximate pipeline, not just the final filter.
+- **SimHash** (q29): 16-bit portable simhash — per-token hash from the
+  first 4 hex chars of ``md5(token)`` decoded via ``strpos`` nibble
+  arithmetic (no engine-specific bit intrinsics), per-bit signed sums,
+  sign → fingerprint.  Hamming-near docs land on equal/close fingerprints.
+
+The corpus has no duplicates (500/500 distinct texts), so each query
+first derives a variant corpus — exact copies for ``doc_id % 13 == 0``,
+head-truncated near-copies for ``doc_id % 11 == 0`` — with identical
+expressions in both engines.
+
+Scale notes: shingling/minhashing is a pure projection.  The LSH
+candidate join shuffles on (band, minhash) — skew only if a band key is
+degenerate (e.g. empty docs; the corpus min length is 10 tokens).  The
+Jaccard verify joins shingle arrays only for candidate pairs; at 100 TB
+you would swap the array-intersect for a grouped count over exploded
+(pair, shingle) rows, which is the same shuffle key.  SimHash is explode
+→ one hash aggregate with map-side partial sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.queries import QuerySpec
+from azure_databricks_lakehouse_spark.sources.catalog import bind
 
-QUERIES: dict[str, QuerySpec] = {}
+_N_BANDS = 4
+_JACCARD_MIN = 0.5
+_SIM_BITS = 16
+
+
+def _norm(col: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _variant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (%13) ∪ head-truncated near-copies (%11)."""
+    t = bind(spark, sf_dir, "documents")
+    base = t["documents"].select("doc_id", _norm(F.col("text")).alias("text"))
+    exact = base.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    near = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, F.size(toks) - 3), " ").alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+_CORPUS_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000, text FROM base WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(
+           list_slice(string_split(text, ' '), 4, len(string_split(text, ' '))),
+           ' ')
+  FROM base WHERE doc_id % 11 = 0
+)
+"""
+
+
+# --- q27: exact dedup (hash-groupBy clusters, keep-min canonical) ----------
+def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _variant_corpus(spark, sf_dir)
+    return (
+        corpus.select("doc_id", F.md5("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_Q27_SQL = f"""
+{_CORPUS_SQL}
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies,
+       list_sort(list(doc_id)) AS member_ids
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
+# --- q28: MinHash-banded LSH candidates + exact n-gram Jaccard -------------
+def _shingles(text: Column) -> Column:
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+list_distinct(list_transform(
+  generate_series(1, len(string_split(text, ' ')) - 2),
+  i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+))
+"""
+
+
+def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _variant_corpus(spark, sf_dir).filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    sh = corpus.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_min(
+                            F.transform(
+                                F.col("sh"),
+                                lambda s, _b=b: F.md5(F.concat(F.lit(f"{_b}|"), s)),
+                            )
+                        ).alias("mh"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.mh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+_Q28_SQL = f"""
+{_CORPUS_SQL},
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+),
+bands AS (
+  SELECT doc_id, b.band,
+         list_min(list_transform(sh, s -> md5(band::VARCHAR || '|' || s))) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range({_N_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.sh, sb.sh))
+           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           AS jaccard
+  FROM cand
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {_JACCARD_MIN}
+"""
+
+
+# --- q29: SimHash fingerprints (portable nibble arithmetic) ----------------
+_HEX = "0123456789abcdef"
+
+
+def q29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _variant_corpus(spark, sf_dir)
+    tok = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.md5("tok")
+    # 16-bit token hash from the first 4 md5 hex chars, decoded without
+    # engine-specific bit intrinsics (strpos is 1-based in both engines).
+    val = sum(
+        (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1) * (16 ** (3 - i))
+        for i in range(4)
+    )
+    tok = tok.select("doc_id", val.alias("hv"))
+    aggs = [
+        F.sum(
+            F.when((F.col("hv") / (2**j)).cast("long") % 2 == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIM_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*aggs)
+    simhash = sum(
+        F.when(F.col(f"b{j}") > 0, 2**j).otherwise(0) for j in range(_SIM_BITS)
+    )
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    nib = " + ".join(
+        f"(strpos('{_HEX}', substr(md5(tok), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN CAST(floor(hv / {2**j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_SIM_BITS)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(_SIM_BITS)
+    )
+    return f"""
+{_CORPUS_SQL},
+tok AS (
+  SELECT doc_id, {nib} AS hv
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+),
+bits AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM bits
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q27_exact_dedup": QuerySpec(q27_exact_dedup, _Q27_SQL),
+    "q28_minhash_lsh_pairs": QuerySpec(q28_minhash_lsh_pairs, _Q28_SQL),
+    "q29_simhash": QuerySpec(q29_simhash, _simhash_sql()),
+}

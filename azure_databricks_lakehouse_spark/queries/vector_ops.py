@@ -1,5 +1,238 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (LLM-pipeline surface).
+
+Three oracle-checked operators:
+
+- **Brute-force cosine top-k** (q30) — the exactness baseline: query set
+  broadcast against the corpus, cosine in double, ``row_number`` top-k per
+  query.  Output is (query, neighbor, rank) — ids, not floats — so the
+  oracle hash cannot be tripped by last-ULP float formatting.
+- **Hyperplane-LSH bucketed ANN** (q31) — the scale path: a 4-bit
+  random-hyperplane signature buckets vectors; candidates join **on the
+  bucket key only** (no all-pairs), then exact cosine ranks within the
+  bucket.  Hyperplane components are ±1 derived from ``md5(j|i)`` parity
+  — deterministic, dimension-agnostic, and bit-identical in both engines,
+  so the oracle verifies the whole approximate pipeline.
+- **ANN recall** (q32) — joins the two: per query, how many of the true
+  top-k the LSH variant recovered.  Integer output; the standard eval
+  op for any ANN index.
+
+Numeric determinism: ``float`` components are widened to double before
+any arithmetic (widening is exact); dot products are sequential left
+folds in both engines (Spark ``F.aggregate`` == DuckDB ``list_sum``,
+verified), so cosines agree bit-for-bit and rankings cannot diverge.
+
+Scale notes: norms are precomputed per row (projection) before any join.
+The brute-force path broadcasts only the query set — corpus never
+shuffles; at 1000 executors it is a map-side scan.  The LSH path shuffles
+on the 4-bit bucket (tune bits to data volume: candidates per bucket ~
+N/2^bits); per-(i,j) md5 hashing inside the signature would be hoisted to
+a broadcast literal matrix in a production build — kept in-plan here so
+the operator stays dimension-agnostic with zero driver actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.queries import QuerySpec
+from azure_databricks_lakehouse_spark.sources.catalog import bind
 
-QUERIES: dict[str, QuerySpec] = {}
+_TOP_K = 5
+_N_PLANES = 4
+_HEX = "0123456789abcdef"
+_QUERY_MOD = 50  # vec_id % 50 == 0 -> the query set
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    return df.select(
+        "vec_id",
+        emb_d.alias("emb"),
+        F.sqrt(_fold_sum(F.transform(emb_d, lambda x: x * x))).alias("norm"),
+    )
+
+
+_NORM_SQL = """
+SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+FROM embeddings
+"""
+
+
+def _cosine(a_emb: Column, b_emb: Column, a_norm: Column, b_norm: Column) -> Column:
+    dot = _fold_sum(F.zip_with(a_emb, b_emb, lambda x, y: x * y))
+    return dot / (a_norm * b_norm)
+
+
+_COSINE_SQL = (
+    "list_sum(list_transform(generate_series(1, len(q.emb)),"
+    " k -> q.emb[k] * c.emb[k])) / (q.norm * c.norm)"
+)
+
+
+# --- q30: brute-force cosine top-k (exact baseline) ------------------------
+def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "embeddings")
+    vecs = _with_norm(t["embeddings"])
+    q = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
+    c = vecs.alias("c")
+    sim = _cosine(F.col("q.emb"), F.col("c.emb"), F.col("q.norm"), F.col("c.norm"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+_Q30_SQL = f"""
+WITH vecs AS ({_NORM_SQL}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COSINE_SQL} AS sim
+  FROM vecs q JOIN vecs c ON q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+# --- q31: hyperplane-LSH bucketed ANN --------------------------------------
+def _bucket(emb: Column) -> Column:
+    """4-bit signature: bit j = sign of <emb, h_j>, h_j[i] = ±1 from
+    md5(j|i) first-nibble parity."""
+    def make_sign(j: int):
+        def sign(x: Column, i: Column) -> Column:
+            parity = (
+                F.instr(
+                    F.lit(_HEX),
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}|"), i.cast("string"))), 1, 1
+                    ),
+                )
+                - 1
+            ) % 2
+            return x * F.when(parity == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+        return sign
+
+    total = F.lit(0)
+    for j in range(_N_PLANES):
+        dot_j = _fold_sum(F.transform(emb, make_sign(j)))
+        total = total + F.when(dot_j > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return total
+
+
+def _bucket_sql() -> str:
+    bits = []
+    for j in range(_N_PLANES):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len(emb)), k -> emb[k] * "
+            f"CASE WHEN (strpos('{_HEX}', substr(md5('{j}|' || (k-1)::VARCHAR), 1, 1)) - 1) % 2 = 1 "
+            f"THEN 1.0 ELSE -1.0 END))"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {2**j} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def q31_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "embeddings")
+    vecs = _with_norm(t["embeddings"]).withColumn("bucket", _bucket(F.col("emb")))
+    q = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
+    c = vecs.alias("c")
+    sim = _cosine(F.col("q.emb"), F.col("c.emb"), F.col("q.norm"), F.col("c.norm"))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _q31_sql() -> str:
+    return f"""
+WITH vecs0 AS ({_NORM_SQL}),
+vecs AS (SELECT *, {_bucket_sql()} AS bucket FROM vecs0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COSINE_SQL} AS sim
+  FROM vecs q JOIN vecs c
+    ON q.vec_id % {_QUERY_MOD} = 0 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+# --- q32: ANN recall vs the exact baseline ---------------------------------
+def q32_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q30_cosine_topk(spark, sf_dir).alias("e")
+    approx = q31_lsh_ann_topk(spark, sf_dir).alias("a")
+    hit = F.when(F.col("a.neighbor_id").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            approx,
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(hit).alias("n_recalled"),
+        )
+    )
+
+
+def _q32_sql() -> str:
+    return f"""
+WITH exact AS ({_Q30_SQL}),
+approx AS ({_q31_sql()})
+SELECT e.query_id AS query_id,
+       COUNT(*) AS k,
+       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_recalled
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q30_cosine_topk": QuerySpec(q30_cosine_topk, _Q30_SQL),
+    "q31_lsh_ann_topk": QuerySpec(q31_lsh_ann_topk, _q31_sql()),
+    "q32_ann_recall": QuerySpec(q32_ann_recall, _q32_sql()),
+}
