@@ -1,0 +1,216 @@
+"""Gold star-schema build: conformed dims, 4-way fact join, MERGE, aggregates.
+
+Reference parity — ``gold/gold_rx_claims_load.py``:
+
+- dim_date generated distributed (``:36-48`` builds it in a driver loop;
+  here ``operators/dims.build_date_dim`` uses ``sequence+explode`` — S5 at
+  scale) with yyyymmdd date_key intent (``:51``, F2) and calendar
+  attributes (``:50-72``, F5/F6).
+- dim_member / dim_provider: SCD1 projections with surrogate keys
+  (``:94-108``, ``:130-142``).  Surrogate keys are stable dense ranks over
+  the business key (``operators/dims.add_surrogate_key``) instead of
+  ``monotonically_increasing_id`` — deterministic across runs, so re-built
+  dims don't churn the fact's foreign keys.
+- fact: 4 left equi-joins (J1-J4, ``:167-187``) with explicitly broadcast
+  dims (J5) — two of them role-playing date joins disambiguated by
+  pre-join aliasing; derived measure ``billed - paid`` (P12, ``:199``).
+- D3 MERGE upsert on (claim_id, claim_line_number) (``:211-230``).
+- A5 aggregation tables (``:237-245``, truncated in the reference —
+  reconstructed from its sum/count/avg/max imports at ``:10``).
+
+Scale: dims are broadcast (small by construction); the fact build
+shuffles only for the silver scan's partitioning, and the aggregate
+tables are single hash aggregates with map-side partials.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.operators.dims import (
+    add_surrogate_key,
+    build_date_dim,
+    date_key_expr,
+)
+from azure_databricks_lakehouse_spark.pipelines.paths import LakehousePaths
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
+
+
+@dataclass(frozen=True)
+class GoldResult:
+    n_fact: int
+    n_dim_member: int
+    n_dim_provider: int
+    n_dim_date: int
+
+
+def _write(spark: SparkSession, root: str, df: DataFrame, partition_by=None) -> None:
+    if is_table(root):
+        ParquetTable.for_path(spark, root).overwrite(df)
+    else:
+        ParquetTable.create(spark, root, df, partition_by=partition_by)
+
+
+def build_dim_date(
+    spark: SparkSession, paths: LakehousePaths, start: str, end: str
+) -> DataFrame:
+    dim = build_date_dim(spark, start, end)
+    _write(spark, paths.dim_date, dim)
+    return ParquetTable.for_path(spark, paths.dim_date).read()
+
+
+def build_dim_member(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
+    """SCD1 member dim (``gold/gold_rx_claims_load.py:87-108``; the pattern
+    doc says SCD2 at ``bronze_silver_gold/readme.md:56`` — code wins,
+    SURVEY.md §7.3)."""
+    members = ParquetTable.for_path(spark, paths.silver_members).read()
+    dim = add_surrogate_key(
+        members.select(
+            F.col("member_id").alias("member_key"),
+            "first_name",
+            "last_name",
+            "date_of_birth",
+            "gender",
+            "zip_code",
+            "plan_type",
+        ),
+        "member_sk",
+        business_key="member_key",
+    ).withColumn("dim_created_timestamp", F.current_timestamp())
+    _write(spark, paths.dim_member, dim)
+    return ParquetTable.for_path(spark, paths.dim_member).read()
+
+
+def build_dim_provider(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
+    providers = ParquetTable.for_path(spark, paths.silver_providers).read()
+    dim = add_surrogate_key(
+        providers.select(
+            F.col("provider_id").alias("provider_key"),
+            "provider_name",
+            "npi",
+            "specialty",
+            "facility_type",
+            "address_state",
+            "network_status",
+        ),
+        "provider_sk",
+        business_key="provider_key",
+    ).withColumn("dim_created_timestamp", F.current_timestamp())
+    _write(spark, paths.dim_provider, dim)
+    return ParquetTable.for_path(spark, paths.dim_provider).read()
+
+
+def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
+    """4-way star join + derived measure + MERGE
+    (``gold/gold_rx_claims_load.py:154-232``)."""
+    claims = ParquetTable.for_path(spark, paths.silver_claims).read()
+    dim_member = ParquetTable.for_path(spark, paths.dim_member).read()
+    dim_provider = ParquetTable.for_path(spark, paths.dim_provider).read()
+    dim_date = ParquetTable.for_path(spark, paths.dim_date).read()
+
+    # Pre-join projections: dims cut to (join key, surrogate) before the
+    # join — the reference does this manually (:169,:174,:179,:184);
+    # role-playing date dims get aliased keys to stay unambiguous (J3/J4).
+    m = F.broadcast(dim_member.select("member_key", "member_sk"))
+    p = F.broadcast(dim_provider.select("provider_key", "provider_sk"))
+    d_served = F.broadcast(
+        dim_date.select(
+            F.col("date_value").alias("service_date_value"),
+            F.col("date_key").alias("service_date_key"),
+        )
+    )
+    d_received = F.broadcast(
+        dim_date.select(
+            F.col("date_value").alias("received_date_value"),
+            F.col("date_key").alias("received_date_key"),
+        )
+    )
+
+    fact = (
+        claims.join(m, claims.member_id == m.member_key, "left")
+        .join(p, claims.provider_id == p.provider_key, "left")
+        .join(d_served, claims.service_date == d_served.service_date_value, "left")
+        .join(
+            d_received,
+            claims.received_date == d_received.received_date_value,
+            "left",
+        )
+        .select(
+            "claim_id",
+            "claim_line_number",
+            "member_sk",
+            "provider_sk",
+            "service_date_key",
+            "received_date_key",
+            "service_date",
+            "procedure_code",
+            "diagnosis_code",
+            "billed_amount",
+            "allowed_amount",
+            "paid_amount",
+            (F.col("billed_amount") - F.col("paid_amount")).alias(
+                "member_liability"
+            ),
+            "place_of_service",
+            "claim_type",
+        )
+        .withColumn("gold_created_timestamp", F.current_timestamp())
+    )
+
+    if is_table(paths.fact_claims):
+        ParquetTable.for_path(spark, paths.fact_claims).merge(
+            fact, on=["claim_id", "claim_line_number"]
+        )
+    else:
+        ParquetTable.create(
+            spark, paths.fact_claims, fact, partition_by=["service_date_key"]
+        )
+    return ParquetTable.for_path(spark, paths.fact_claims).read().count()
+
+
+def build_aggregation_tables(spark: SparkSession, paths: LakehousePaths) -> None:
+    """A5 gold aggregates (reconstructed tail,
+    ``gold/gold_rx_claims_load.py:237-245`` + imports at ``:10``)."""
+    fact = ParquetTable.for_path(spark, paths.fact_claims).read()
+    by_provider = fact.groupBy("provider_sk").agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.sum("billed_amount").alias("total_billed"),
+        F.sum("paid_amount").alias("total_paid"),
+        (F.sum("billed_amount") / F.count(F.lit(1)))
+        .cast("decimal(18,2)")
+        .alias("avg_billed"),
+        F.max("service_date").alias("latest_service_date"),
+    )
+    _write(spark, paths.agg_by_provider, by_provider)
+
+    by_month = fact.groupBy(
+        (date_key_expr(F.col("service_date")) / 100).cast("int").alias("service_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.sum("billed_amount").alias("total_billed"),
+        F.sum("member_liability").alias("total_member_liability"),
+    )
+    _write(spark, paths.agg_by_month, by_month)
+
+
+def build(
+    spark: SparkSession,
+    paths: LakehousePaths,
+    date_dim_start: str = "2020-01-01",
+    date_dim_end: str = "2030-12-31",
+) -> GoldResult:
+    """Full Gold run: dims → fact MERGE → aggregate tables."""
+    dim_date = build_dim_date(spark, paths, date_dim_start, date_dim_end)
+    dim_member = build_dim_member(spark, paths)
+    dim_provider = build_dim_provider(spark, paths)
+    n_fact = build_fact(spark, paths)
+    build_aggregation_tables(spark, paths)
+    return GoldResult(
+        n_fact=n_fact,
+        n_dim_member=dim_member.count(),
+        n_dim_provider=dim_provider.count(),
+        n_dim_date=dim_date.count(),
+    )
