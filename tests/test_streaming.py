@@ -1,0 +1,131 @@
+"""Structured Streaming tests: file-source ingestion, watermarked windowed
+aggregation, streaming dedup, checkpointed foreachBatch MERGE with
+restart/exactly-once semantics (ST2-ST5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+from azure_databricks_lakehouse_spark.streaming import (
+    dedup_stream,
+    read_file_stream,
+    tumbling_counts,
+    write_stream_to_table,
+)
+
+_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, m), u, et, v) for i, m, u, et, v in rows],
+        _SCHEMA,
+    )
+
+
+def _run(query):
+    query.awaitTermination(120)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    return {
+        "src": src,
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_windowed_agg_stream(spark, dirs):
+    _events(
+        spark,
+        [
+            (1, 0, 1, "click", 1.0),
+            (2, 5, 1, "click", 2.0),
+            (3, 12, 2, "view", 3.0),
+        ],
+    ).write.mode("append").parquet(dirs["src"])
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    q = write_stream_to_table(
+        tumbling_counts(stream),
+        dirs["out"],
+        dirs["ckpt"],
+        merge_on=["window_start", "event_type"],
+        output_mode="update",
+    )
+    _run(q)
+    got = {
+        (r["window_start"].minute, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ParquetTable.for_path(spark, dirs["out"]).read().collect()
+    }
+    assert got == {(0, "click"): (2, 3.0), (10, "view"): (1, 3.0)}
+
+
+def test_dedup_stream_drops_duplicates(spark, dirs):
+    _events(
+        spark,
+        [
+            (1, 0, 1, "click", 1.0),
+            (1, 0, 1, "click", 1.0),  # exact duplicate arrival
+            (2, 5, 2, "view", 2.0),
+        ],
+    ).write.mode("append").parquet(dirs["src"])
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    q = write_stream_to_table(
+        dedup_stream(stream, keys=["event_id"]), dirs["out"], dirs["ckpt"]
+    )
+    _run(q)
+    out = ParquetTable.for_path(spark, dirs["out"]).read()
+    assert out.count() == 2
+    assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+
+def test_checkpoint_restart_exactly_once(spark, dirs):
+    _events(spark, [(1, 0, 1, "click", 1.0)]).write.mode("append").parquet(
+        dirs["src"]
+    )
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    _run(write_stream_to_table(stream, dirs["out"], dirs["ckpt"]))
+    assert ParquetTable.for_path(spark, dirs["out"]).read().count() == 1
+
+    # restart with the same checkpoint and no new files: nothing re-emitted
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    _run(write_stream_to_table(stream, dirs["out"], dirs["ckpt"]))
+    assert ParquetTable.for_path(spark, dirs["out"]).read().count() == 1
+
+    # new file lands -> only the delta is processed on the next run
+    _events(spark, [(2, 1, 1, "view", 2.0)]).write.mode("append").parquet(
+        dirs["src"]
+    )
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    _run(write_stream_to_table(stream, dirs["out"], dirs["ckpt"]))
+    out = ParquetTable.for_path(spark, dirs["out"]).read()
+    assert out.count() == 2
+    assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+
+def test_streaming_merge_upserts(spark, dirs):
+    _events(spark, [(1, 0, 1, "click", 1.0)]).write.mode("append").parquet(
+        dirs["src"]
+    )
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    _run(write_stream_to_table(stream, dirs["out"], dirs["ckpt"], merge_on=["event_id"]))
+
+    # re-send event 1 with a corrected value + a new event
+    _events(spark, [(1, 0, 1, "click", 9.0), (3, 2, 2, "view", 3.0)]).write.mode(
+        "append"
+    ).parquet(dirs["src"])
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    _run(write_stream_to_table(stream, dirs["out"], dirs["ckpt"], merge_on=["event_id"]))
+
+    out = ParquetTable.for_path(spark, dirs["out"]).read()
+    assert out.count() == 2  # events 1 (updated) and 3
+    got = {r["event_id"]: r["value"] for r in out.collect()}
+    assert got == {1: 9.0, 3: 3.0}
