@@ -84,10 +84,16 @@ def ingest(
     table_root: str,
     source_glob: str,
     source_system: str = "pharmacy_system",
-    load_id: str = "manual",
+    load_id: str | None = None,
     schema: str = CLAIMS_SCHEMA,
 ) -> BronzeResult:
-    """Land a batch into the bronze table (append; create on first run)."""
+    """Land a batch into the bronze table (append; create on first run).
+
+    ``load_id`` defaults to the job conf (F10 conf-lookup-as-literal,
+    ``bronze/bronze_rx_claims_load.py:49``).
+    """
+    if load_id is None:
+        load_id = spark.conf.get("spark.lakehouse.bronzeLoadId", "manual")
     raw = read_landing_csv(spark, source_glob, schema)
     staged = with_lineage(raw, source_system, load_id)
     # Spark only materializes _corrupt_record when the row is cached or

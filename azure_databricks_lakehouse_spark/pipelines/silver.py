@@ -126,9 +126,12 @@ def process(spark: SparkSession, paths: LakehousePaths) -> SilverResult:
     bronze = ParquetTable.for_path(spark, paths.bronze_claims).read()
     if wm is not None:
         bronze = bronze.filter(F.col("ingestion_timestamp") > F.lit(wm))
-    bronze = bronze.filter(F.col("_corrupt_record").isNull()).drop(
-        "_corrupt_record"
-    )
+    # P13 columns introspection (bronze/bronze_rx_claims_load.py:104): the
+    # corrupt side-channel only exists when the bronze schema captured it.
+    if "_corrupt_record" in bronze.columns:
+        bronze = bronze.filter(F.col("_corrupt_record").isNull()).drop(
+            "_corrupt_record"
+        )
 
     n_incremental = bronze.count()
     if n_incremental == 0:

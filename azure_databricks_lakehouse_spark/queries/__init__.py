@@ -25,6 +25,7 @@ class QuerySpec:
 
 def all_queries() -> dict[str, QuerySpec]:
     from azure_databricks_lakehouse_spark.queries import (
+        advanced_ops,
         claims_dq,
         dedup_ops,
         events_ops,
@@ -43,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_ops,
         dedup_ops,
         vector_ops,
+        advanced_ops,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,71 @@
+"""Plan-shape regression tests: scale discipline pinned per headline query
+— broadcasts present, filters pushed to scans, no cartesian products
+anywhere in the corpus (SURVEY.md §4 discipline, judged at 100 TB)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from azure_databricks_lakehouse_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    physical_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_no_cartesian_anywhere(spark, sf_dir, queries):
+    for name, fn in queries.items():
+        assert_no_cartesian(fn(spark, sf_dir))
+
+
+def test_q01_filter_pushdown(spark, sf_dir, queries):
+    df = queries["q01_pricing_summary"](spark, sf_dir)
+    assert_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_q03_broadcasts_small_dims(spark, sf_dir, queries):
+    assert_broadcast_join(queries["q03_star_join_revenue"](spark, sf_dir), 2)
+
+
+def test_q04_broadcasts_generated_date_dim(spark, sf_dir, queries):
+    assert_broadcast_join(queries["q04_date_dim_join"](spark, sf_dir), 2)
+
+
+def test_q12_uses_take_ordered(spark, sf_dir, queries):
+    # global top-k must not materialize a global sort
+    plan = physical_plan(queries["q12_global_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q26_topk_and_partial_agg(spark, sf_dir, queries):
+    plan = physical_plan(queries["q26_token_frequency"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_q28_lsh_join_not_allpairs(spark, sf_dir, queries):
+    # the candidate join must key on (band, minhash) — equi-join, and the
+    # plan must contain no cartesian/unconditioned NLJ anywhere
+    df = queries["q28_minhash_lsh_pairs"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "mh" in plan and ("Join" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q30_broadcasts_query_side_only(spark, sf_dir, queries):
+    # brute-force cosine: query set broadcast; corpus side stays a scan
+    assert_broadcast_join(queries["q30_cosine_topk"](spark, sf_dir), 1)
+
+
+def test_events_scan_prunes_columns(spark, sf_dir, queries):
+    plan = physical_plan(queries["q21_tumbling_window"](spark, sf_dir))
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "event_id" not in scan and "props" not in scan  # unused columns pruned
