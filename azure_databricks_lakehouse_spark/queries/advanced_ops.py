@@ -129,7 +129,95 @@ ASOF LEFT JOIN clicks c
 """
 
 
+# --- q35: bounded range join (event pairs within 60 s, same user) ----------
+def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate self-join: Catalyst plans the user_id
+    equi-key as the join key and evaluates the time-band as a join
+    condition — one key shuffle, no cartesian.  The 60 s band bounds the
+    per-key output; at 100 TB you would additionally bucket by coarse
+    time (join on (user, epoch div 60) ± 1) to bound the per-key compare
+    set — unnecessary at this density."""
+    t = bind(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    gap = F.col("b.ts_epoch") - F.col("a.ts_epoch")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (gap >= -60)
+            & (gap <= 60),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            gap.alias("gap_s"),
+        )
+    )
+
+
+_Q35_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+  FROM events
+)
+SELECT a.user_id AS user_id,
+       a.event_id AS event_a,
+       b.event_id AS event_b,
+       b.ts_epoch - a.ts_epoch AS gap_s
+FROM ev a JOIN ev b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts_epoch - a.ts_epoch BETWEEN -60 AND 60
+"""
+
+
+# --- q36: deterministic hash split (train/val/test over documents) ---------
+_HEX = "0123456789abcdef"
+
+
+def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data staple: a stable md5-bucket split — assignment
+    depends only on the id (survives reshuffles, re-runs, and corpus
+    growth), computed as a pure projection (no shuffle, no RNG state).
+    Bucket = first two md5 hex nibbles (0..255): <204 train (~80%),
+    <230 val (~10%), else test."""
+    t = bind(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    )
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    return t["documents"].select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+_Q36_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM hashed
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q33_grouping_sets": QuerySpec(q33_grouping_sets, _Q33_SQL),
     "q34_asof_join": QuerySpec(q34_asof_join, _Q34_SQL),
+    "q35_range_join": QuerySpec(q35_range_join, _Q35_SQL),
+    "q36_hash_split": QuerySpec(q36_hash_split, _Q36_SQL),
 }

@@ -6,7 +6,10 @@ Three dedup families over ``documents``, each fully oracle-checked:
   canonical id = min(doc_id).  One hash-shuffle on the fingerprint — the
   minimum for exact dedup at any scale.
 - **MinHash-banded LSH + n-gram Jaccard verify** (q28): 3-token shingles →
-  4 one-hash bands (band key = min over shingles of ``md5(band|shingle)``)
+  one ``md5`` per shingle whose eight 4-hex-char slices are eight
+  independent minhash functions → 4 bands of r=2 rows (band key =
+  concat of two slice-minima; collision probability J², which keeps
+  buckets small even when a popular shingle carries the minimal hash)
   → candidate pairs join **on band keys only** (never all-pairs) → exact
   Jaccard on shingle sets filters to ≥ 0.5.  The band join is the LSH
   guarantee: candidate volume is driven by true similarity, and the plan
@@ -135,19 +138,31 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")) >= 3
     )
     sh = corpus.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    bands = sh.select(
+    # One md5 per shingle; the digest's eight disjoint 4-hex-char slices
+    # are eight independent minhash functions.  Bands take r=2 rows each:
+    # band key = concat of two slice-minima, so a pair shares a band with
+    # probability J^2, not J — this is what keeps bucket sizes sane when
+    # one *popular* shingle happens to carry the globally minimal hash
+    # (with r=1 every document containing it lands in a single mega-bucket
+    # and the candidate join degenerates toward all-pairs).
+    hashed = sh.select("doc_id", F.transform("sh", F.md5).alias("hx"))
+
+    def slice_min(i: int) -> F.Column:
+        # NB: a `lambda h, _i=i` default would be read by PySpark as a
+        # two-arg (element, index) lambda — close over i instead.
+        def _slice(h: F.Column) -> F.Column:
+            return F.substring(h, i * 4 + 1, 4)
+
+        return F.array_min(F.transform(F.col("hx"), _slice))
+
+    bands = hashed.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.array_min(
-                            F.transform(
-                                F.col("sh"),
-                                lambda s, _b=b: F.md5(F.concat(F.lit(f"{_b}|"), s)),
-                            )
-                        ).alias("mh"),
+                        F.concat(slice_min(2 * b), slice_min(2 * b + 1)).alias("mh"),
                     )
                     for b in range(_N_BANDS)
                 ]
@@ -182,10 +197,14 @@ sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh
   FROM corpus WHERE len(string_split(text, ' ')) >= 3
 ),
+hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hx FROM sh
+),
 bands AS (
   SELECT doc_id, b.band,
-         list_min(list_transform(sh, s -> md5(band::VARCHAR || '|' || s))) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range({_N_BANDS})) AS band) b
+         list_min(list_transform(hx, h -> substr(h, band * 8 + 1, 4)))
+           || list_min(list_transform(hx, h -> substr(h, band * 8 + 5, 4))) AS mh
+  FROM hashed CROSS JOIN (SELECT unnest(range({_N_BANDS})) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
