@@ -39,6 +39,42 @@ def keep_latest(
     )
 
 
+def keep_latest_salted(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by_cols: Sequence[str],
+    descending: bool = True,
+    salt_mod: int = 16,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-resistant exact dedup: two bounded shuffles instead of one hot
+    one.
+
+    A single window shuffle sends *every* row of a hot key to one task —
+    AQE's skew splitting does not apply to windows, so one pathological
+    key (the classic null/default-id skew) serializes the stage.  Here
+    rows first dedup within (keys, salt) — salt derived deterministically
+    from ``salt_src`` (default: the first order column), so the reduction
+    is reproducible — leaving at most ``salt_mod`` candidates per key,
+    then a second, trivially small window picks the global winner.
+
+    Equivalent to :func:`keep_latest` ordered by ``order_by_cols``
+    (all descending or all ascending); total order required for
+    determinism, as ever.
+    """
+    cols = [F.col(c) for c in order_by_cols]
+    order = [c.desc() for c in cols] if descending else [c.asc() for c in cols]
+    salt = F.pmod(
+        F.xxhash64(F.col(salt_src or order_by_cols[0])), F.lit(salt_mod)
+    ).alias("_dedup_salt")
+    within = keep_latest(
+        df.withColumn("_dedup_salt", salt),
+        [*keys, "_dedup_salt"],
+        order,
+    )
+    return keep_latest(within, keys, order).drop("_dedup_salt")
+
+
 def latest_by(
     df: DataFrame, keys: Sequence[str], ts_col: str, payload_cols: Sequence[str]
 ) -> DataFrame:

@@ -142,8 +142,90 @@ GROUP BY user_id, session_seq
 """
 
 
+# --- q37: native session windows (F.session_window vs gaps-and-islands) ----
+_GAP_US = _SESSION_GAP_S * 1_000_000
+
+
+def q37_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session-window operator; the oracle re-derives the
+    same sessions with gaps-and-islands SQL in exact microseconds
+    (session_window merges while the next event starts strictly before
+    last_ts + gap, i.e. a new session opens at gap >= 30 min)."""
+    t = bind(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+_Q37_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN gap_us IS NULL OR gap_us >= {_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+# --- q38: approx-distinct sketch (HLL) with an accuracy bound --------------
+def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketches differ across engines, so the oracle checks the
+    *contract*: the exact cardinalities (hash-compared) plus a boolean
+    asserting Spark's approx_count_distinct landed within 10% (rsd=0.02;
+    at these cardinalities the sketch is effectively exact)."""
+    t = bind(spark, sf_dir, "events")
+    approx_u = F.approx_count_distinct("user_id", rsd=0.02)
+    exact_u = F.count_distinct("user_id")
+    return t["events"].agg(
+        exact_u.alias("exact_users"),
+        F.count_distinct("event_type").alias("exact_types"),
+        (
+            F.abs(approx_u.cast("double") - exact_u.cast("double"))
+            / exact_u.cast("double")
+            <= 0.1
+        ).alias("approx_within_10pct"),
+    )
+
+
+_Q38_SQL = """
+SELECT COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT event_type) AS exact_types,
+       TRUE AS approx_within_10pct
+FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q21_tumbling_window": QuerySpec(q21_tumbling_window, _Q21_SQL),
     "q22_props_json": QuerySpec(q22_props_json, _Q22_SQL),
     "q23_sessionize": QuerySpec(q23_sessionize, _Q23_SQL),
+    "q37_session_window": QuerySpec(q37_session_window, _Q37_SQL),
+    "q38_approx_distinct": QuerySpec(q38_approx_distinct, _Q38_SQL),
 }

@@ -60,3 +60,21 @@ def test_idempotent(spark):
     once = keep_latest(df, ["k"], [F.col("ingested").desc()])
     twice = keep_latest(once, ["k"], [F.col("ingested").desc()])
     assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_salted_matches_unsalted(spark):
+    from azure_databricks_lakehouse_spark.operators.dedup import keep_latest_salted
+
+    # hot key: one k value carries most rows
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 == 0, F.col("id").cast("string"))
+        .otherwise(F.lit("HOT"))
+        .alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 7 % 5000).alias("v"),
+    )
+    plain = keep_latest(df, ["k"], [F.col("seq").desc()])
+    salted = keep_latest_salted(df, ["k"], ["seq"], salt_mod=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.select(*plain.columns).collect())
+    )
