@@ -36,6 +36,10 @@ from azure_databricks_lakehouse_spark.operators.dims import (
     date_key_expr,
 )
 from azure_databricks_lakehouse_spark.pipelines.paths import LakehousePaths
+from azure_databricks_lakehouse_spark.pipelines.watermarks import (
+    append_watermark,
+    last_watermark,
+)
 from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
 
 
@@ -105,8 +109,18 @@ def build_dim_provider(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
 
 def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
     """4-way star join + derived measure + MERGE
-    (``gold/gold_rx_claims_load.py:154-232``)."""
+    (``gold/gold_rx_claims_load.py:154-232``).
+
+    Incremental: only silver rows updated since the gold watermark join
+    and merge (the MERGE makes replays idempotent; the watermark makes
+    steady-state runs proportional to the delta, not the table — at
+    100 TB re-joining seven years of facts nightly is the bug)."""
+    wm = last_watermark(spark, paths, "gold_fact_rx_claims")
     claims = ParquetTable.for_path(spark, paths.silver_claims).read()
+    if wm is not None:
+        claims = claims.filter(F.col("silver_updated_timestamp") > F.lit(wm))
+    if is_table(paths.fact_claims) and claims.isEmpty():
+        return ParquetTable.for_path(spark, paths.fact_claims).read().count()
     dim_member = ParquetTable.for_path(spark, paths.dim_member).read()
     dim_provider = ParquetTable.for_path(spark, paths.dim_provider).read()
     dim_date = ParquetTable.for_path(spark, paths.dim_date).read()
@@ -168,6 +182,9 @@ def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
         ParquetTable.create(
             spark, paths.fact_claims, fact, partition_by=["service_date_key"]
         )
+    new_wm = claims.agg(F.max("silver_updated_timestamp")).first()[0]
+    if new_wm is not None:
+        append_watermark(spark, paths, "gold_fact_rx_claims", new_wm)
     return ParquetTable.for_path(spark, paths.fact_claims).read().count()
 
 

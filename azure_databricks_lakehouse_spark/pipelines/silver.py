@@ -41,6 +41,10 @@ from azure_databricks_lakehouse_spark.operators.dq import (
     split_by_status,
 )
 from azure_databricks_lakehouse_spark.pipelines.paths import LakehousePaths
+from azure_databricks_lakehouse_spark.pipelines.watermarks import (
+    append_watermark,
+    last_watermark,
+)
 from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
 
 _CPT = "^[0-9]{5}$"
@@ -55,31 +59,6 @@ class SilverResult:
     n_fail: int
     n_upserted: int
     watermark: datetime | None
-
-
-def last_watermark(spark: SparkSession, paths: LakehousePaths, table: str):
-    """A2 filtered max over the control table
-    (``silver/silver_rx_claims_load.py:29-43``); None -> full load."""
-    if not is_table(paths.watermarks):
-        return None
-    wm = ParquetTable.for_path(spark, paths.watermarks).read()
-    return (
-        wm.filter(F.col("table_name") == table)
-        .agg(F.max("watermark_ts"))
-        .first()[0]
-    )
-
-
-def _append_watermark(
-    spark: SparkSession, paths: LakehousePaths, table: str, ts
-) -> None:
-    row = spark.createDataFrame(
-        [(table, ts)], "table_name STRING, watermark_ts TIMESTAMP"
-    ).withColumn("updated_at", F.current_timestamp())
-    if is_table(paths.watermarks):
-        ParquetTable.for_path(spark, paths.watermarks).append(row)
-    else:
-        ParquetTable.create(spark, paths.watermarks, row)
 
 
 def cleanse_and_standardize(df: DataFrame) -> DataFrame:
@@ -167,7 +146,7 @@ def process(spark: SparkSession, paths: LakehousePaths) -> SilverResult:
             ParquetTable.create(spark, paths.silver_claims, deduped)
 
         new_wm = bronze.agg(F.max("ingestion_timestamp")).first()[0]
-        _append_watermark(spark, paths, "silver_rx_claims", new_wm)
+        append_watermark(spark, paths, "silver_rx_claims", new_wm)
         return SilverResult(n_incremental, n_pass, n_fail, n_pass, new_wm)
     finally:
         tagged.unpersist()

@@ -215,9 +215,41 @@ FROM hashed
 """
 
 
+# --- q40: set operators (INTERSECT / EXCEPT cohort analysis) ---------------
+def q40_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer retention cohorts via set algebra: INTERSECT (active in
+    both years) and EXCEPT (churned after 1995).  Spark's
+    ``intersect``/``subtract`` are the distinct set ops matching SQL
+    INTERSECT/EXCEPT; each plans as an aggregate + join, not a full
+    materialized distinct per side."""
+    t = bind(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_custkey", F.year(F.to_date("o_orderdate")).alias("y")
+    )
+    y95 = o.filter(F.col("y") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.col("y") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).select("o_custkey", F.lit("both").alias("cohort"))
+    churned = y95.subtract(y96).select(
+        "o_custkey", F.lit("only_1995").alias("cohort")
+    )
+    return both.unionByName(churned)
+
+
+_Q40_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'both' AS cohort
+FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS cohort
+FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q33_grouping_sets": QuerySpec(q33_grouping_sets, _Q33_SQL),
     "q34_asof_join": QuerySpec(q34_asof_join, _Q34_SQL),
     "q35_range_join": QuerySpec(q35_range_join, _Q35_SQL),
     "q36_hash_split": QuerySpec(q36_hash_split, _Q36_SQL),
+    "q40_set_ops": QuerySpec(q40_set_ops, _Q40_SQL),
 }

@@ -104,7 +104,34 @@ def q20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q20_SQL = _TARGET_SQL
 
 
+# --- q39: CSV round-trip scan (S1 header schema + S2 PERMISSIVE capture) ---
+def q39_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lands the region table as CSV, re-reads it with an explicit schema
+    in PERMISSIVE mode with a corrupt-record side column (the Bronze
+    ingest contract, ``bronze/bronze_rx_claims_load.py:37-42``), and
+    returns the parsed rows — the oracle reads the same data straight
+    from parquet, so the CSV writer/parser round-trip (quoting, escapes,
+    header) is what's being verified."""
+    t = bind(spark, sf_dir, "region")
+    root = _scratch(sf_dir, "csv_scan")
+    t["region"].write.option("header", "true").mode("overwrite").csv(root)
+    parsed = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("r_regionkey INT, r_name STRING, _corrupt_record STRING")
+        .csv(root)
+    )
+    return parsed.filter(F.col("_corrupt_record").isNull()).select(
+        "r_regionkey", "r_name"
+    )
+
+
+_Q39_SQL = "SELECT r_regionkey, r_name FROM region"
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q19_merge_upsert": QuerySpec(q19_merge_upsert, _Q19_SQL),
     "q20_time_travel": QuerySpec(q20_time_travel, _Q20_SQL),
+    "q39_csv_scan": QuerySpec(q39_csv_scan, _Q39_SQL),
 }

@@ -139,6 +139,13 @@ def test_full_medallion_flow(spark, lake, tmp_path):
     # --- Gold idempotent re-run -------------------------------------------
     gres2 = gold.build(spark, lake, "2024-01-01", "2024-12-31")
     assert gres2.n_fact == 4
+    # no new silver rows -> the fact merge is skipped entirely (gold
+    # watermark), so the fact table's history stays at its CREATE commit
+    fact_ops = [
+        c.operation
+        for c in ParquetTable.for_path(spark, lake.fact_claims).history()
+    ]
+    assert fact_ops == ["CREATE"]
 
     # --- Day 2 incremental -------------------------------------------------
     bronze.ingest(
@@ -160,6 +167,12 @@ def test_full_medallion_flow(spark, lake, tmp_path):
     assert float(
         fact.filter(F.col("claim_id") == "C004").first()["paid_amount"]
     ) == 9.99
+    # day-2 delta arrived as an incremental MERGE, not a rebuild
+    fact_ops = [
+        c.operation
+        for c in ParquetTable.for_path(spark, lake.fact_claims).history()
+    ]
+    assert fact_ops == ["CREATE", "MERGE"]
 
 
 def test_surrogate_keys_stable_across_rebuilds(spark, lake, tmp_path):
