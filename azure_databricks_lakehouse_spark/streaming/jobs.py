@@ -47,11 +47,20 @@ from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_tab
 
 
 def read_file_stream(
-    spark: SparkSession, path: str, schema: str, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """ST4: stream new files under ``path`` (schema must be explicit —
-    streaming sources don't infer)."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    streaming sources don't infer).  ``max_files_per_trigger`` bounds the
+    micro-batch (availableNow then drains the backlog in several
+    batches — how tests exercise cross-batch state)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def tumbling_counts(

@@ -129,3 +129,31 @@ def test_streaming_merge_upserts(spark, dirs):
     assert out.count() == 2  # events 1 (updated) and 3
     got = {r["event_id"]: r["value"] for r in out.collect()}
     assert got == {1: 9.0, 3: 3.0}
+
+
+def test_stateful_running_totals_across_batches(spark, dirs):
+    from azure_databricks_lakehouse_spark.streaming.stateful import running_totals
+
+    # two files + maxFilesPerTrigger=1 -> two micro-batches in one
+    # availableNow run; state must carry batch 1 into batch 2
+    _events(spark, [(1, 0, 7, "click", 1.0), (2, 1, 8, "view", 2.0)]).coalesce(
+        1
+    ).write.mode("append").parquet(dirs["src"])
+    _events(spark, [(3, 2, 7, "click", 4.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["src"])
+
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA, max_files_per_trigger=1)
+    q = write_stream_to_table(
+        running_totals(stream),
+        dirs["out"],
+        dirs["ckpt"],
+        merge_on=["user_id"],
+        output_mode="update",
+    )
+    _run(q)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in ParquetTable.for_path(spark, dirs["out"]).read().collect()
+    }
+    assert got == {7: (2, 5.0), 8: (1, 2.0)}
