@@ -173,22 +173,26 @@ def q16_claims_dq_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Output projection coalesces the null reasons array to [] purely for
     # the oracle hash (DuckDB's pandas bridge turns a NULL list into NaN);
     # the engine itself keeps reference semantics (null when all pass).
+    # Only the row identity + verdict columns are returned: every rule
+    # still evaluates (reasons reflect all five), but the result payload
+    # stays narrow — this query's cost is result materialization, not
+    # compute.
     tagged = apply_rules(_claims_frame(spark, sf_dir), _rules())
-    return tagged.withColumn(
-        "dq_failure_reasons",
-        F.coalesce("dq_failure_reasons", F.array().cast("array<string>")),
+    return tagged.select(
+        "line_uid",
+        "claim_id",
+        F.coalesce("dq_failure_reasons", F.array().cast("array<string>")).alias(
+            "dq_failure_reasons"
+        ),
+        "dq_status",
     )
 
 
-# Dates cast to VARCHAR in the oracle's final projection: DuckDB's pandas
-# bridge widens DATE to midnight timestamps, while Spark yields date
-# objects — ISO strings compare equal on both sides.
 _Q16_SQL = f"""
 WITH x AS ({_TAGGED_SQL})
-SELECT * EXCLUDE (service_date, received_date, dq_failure_reasons),
-       CAST(service_date AS VARCHAR) AS service_date,
-       CAST(received_date AS VARCHAR) AS received_date,
-       COALESCE(dq_failure_reasons, []) AS dq_failure_reasons
+SELECT line_uid, claim_id,
+       COALESCE(dq_failure_reasons, []) AS dq_failure_reasons,
+       dq_status
 FROM x
 """
 

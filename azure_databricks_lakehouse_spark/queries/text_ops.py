@@ -118,8 +118,89 @@ LIMIT 50
 """
 
 
+# --- q41: training-data prep capstone (dedup → filter → split) -------------
+_HEX = "0123456789abcdef"
+
+
+def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-ingest pipeline in one plan: exact dedup (keep min doc_id
+    per content fingerprint) → language/quality gate (stopword ratio +
+    length) → deterministic hash split → per-split corpus stats.  Runs
+    over the duplicated variant corpus so the dedup stage has real work.
+
+    One window shuffle (fingerprint dedup) + one final aggregate; the
+    filters and split assignment ride along as projections.
+    """
+    from pyspark.sql import Window
+
+    from azure_databricks_lakehouse_spark.queries.dedup_ops import _variant_corpus
+
+    corpus = _variant_corpus(spark, sf_dir)
+    canonical = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    )
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    return (
+        corpus.withColumn("canonical", canonical)
+        .filter(F.col("doc_id") == F.col("canonical"))
+        .withColumn("n_tokens", n_tokens)
+        .filter((F.col("n_tokens") >= 30) & (n_stop / F.col("n_tokens") >= 0.05))
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _q41_sql() -> str:
+    from azure_databricks_lakehouse_spark.queries.dedup_ops import _CORPUS_SQL
+
+    stop_list = ", ".join("'" + s + "'" for s in _STOPWORDS)
+    return f"""
+{_CORPUS_SQL},
+deduped AS (
+  SELECT doc_id, text
+  FROM (
+    SELECT doc_id, text,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+    FROM corpus
+  ) WHERE doc_id = canonical
+),
+scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), t -> t IN ({stop_list}))) AS n_stop
+  FROM deduped
+),
+gated AS (
+  SELECT doc_id, n_tokens,
+         (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           AS bucket
+  FROM scored
+  WHERE n_tokens >= 30 AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
+)
+SELECT CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens
+FROM gated
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q24_doc_token_stats": QuerySpec(q24_doc_token_stats, _Q24_SQL),
     "q25_lang_quality": QuerySpec(q25_lang_quality, _Q25_SQL),
     "q26_token_frequency": QuerySpec(q26_token_frequency, _Q26_SQL),
+    "q41_training_data_prep": QuerySpec(q41_training_data_prep, _q41_sql()),
 }
