@@ -130,8 +130,26 @@ def q39_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q39_SQL = "SELECT r_regionkey, r_name FROM region"
 
 
+# --- q42: JSON scan (S12 other-format sources) -----------------------------
+def q42_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lands nation as JSON-lines and re-reads it with an explicit schema
+    (S12, ``bronze/bronze_rx_claims_load.py:36`` documents JSON landing
+    sources).  Explicit schema, as at Bronze: inference on JSON is a
+    whole extra pass over 100 TB."""
+    t = bind(spark, sf_dir, "nation")
+    root = _scratch(sf_dir, "json_scan")
+    t["nation"].write.mode("overwrite").json(root)
+    return spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"
+    ).json(root)
+
+
+_Q42_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q19_merge_upsert": QuerySpec(q19_merge_upsert, _Q19_SQL),
     "q20_time_travel": QuerySpec(q20_time_travel, _Q20_SQL),
     "q39_csv_scan": QuerySpec(q39_csv_scan, _Q39_SQL),
+    "q42_json_scan": QuerySpec(q42_json_scan, _Q42_SQL),
 }

@@ -231,8 +231,63 @@ GROUP BY e.query_id
 """
 
 
+# --- q43: grouped-map Pandas op (per-label representative vector) ----------
+def q43_label_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas`` grouped-map: per label, the id of the
+    largest-norm vector (tie → smaller id) plus the group size — the
+    grouped-map shape a per-cluster reducer (centroid/medoid pick) uses.
+    Arrow ships each label's group to one Python worker; output is ids
+    and counts, so float formatting can't trip the oracle.  DuckDB
+    re-derives the same argmax relationally."""
+    import pandas as pd
+
+    t = bind(spark, sf_dir, "embeddings")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        norms = pdf["embedding"].map(
+            lambda v: float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2)))
+        )
+        ranked = pdf.assign(_norm=norms).sort_values(
+            ["_norm", "vec_id"], ascending=[False, True]
+        )
+        top = ranked.iloc[0]
+        return pd.DataFrame(
+            {
+                "label": [int(top["label"])],
+                "rep_vec_id": [int(top["vec_id"])],
+                "n_vectors": [len(pdf)],
+            }
+        )
+
+    return (
+        t["embeddings"]
+        .groupBy("label")
+        .applyInPandas(pick, "label int, rep_vec_id long, n_vectors long")
+    )
+
+
+_Q43_SQL = """
+WITH normed AS (
+  SELECT label, vec_id,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+                    vec_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY label) AS n_vectors
+  FROM embeddings
+)
+SELECT label, vec_id AS rep_vec_id, n_vectors
+FROM normed WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_cosine_topk": QuerySpec(q30_cosine_topk, _Q30_SQL),
     "q31_lsh_ann_topk": QuerySpec(q31_lsh_ann_topk, _q31_sql()),
     "q32_ann_recall": QuerySpec(q32_ann_recall, _q32_sql()),
+    "q43_label_argmax": QuerySpec(q43_label_argmax, _Q43_SQL),
 }
