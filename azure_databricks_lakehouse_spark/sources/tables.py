@@ -110,6 +110,7 @@ class ParquetTable:
             partition_by=list(partition_by or ()),
             operation="CREATE",
             merged_schema=False,
+            stats=_file_stats(os.path.join(root, _DATA_DIR), files),
         )
         return cls(spark, root)
 
@@ -166,6 +167,55 @@ class ParquetTable:
         (``CREATE TABLE ... USING DELTA LOCATION`` intent)."""
         self.read(version).createOrReplaceTempView(name)
 
+    def scan(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read: prune files whose footer min/max for
+        ``col`` cannot overlap [lo, hi], then apply the exact filter.
+
+        This is Delta-style file skipping rebuilt on manifest stats: after
+        OPTIMIZE(zorder_by=[col]) each file covers a narrow range of the
+        clustering key, so a selective scan opens a fraction of the files
+        — the read-side payoff the reference's Z-ORDER guidance is about
+        (``bronze_silver_gold/readme.md:107-108``).  Files without stats
+        for ``col`` are always read; correctness never depends on stats.
+        """
+        m = self._manifest(version)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            rng = stats.get(f, {}).get(col)
+            if rng is not None:
+                fmin, fmax = rng
+                if lo is not None and fmax < lo:
+                    continue
+                if hi is not None and fmin > hi:
+                    continue
+            keep.append(f)
+        if not keep:
+            df = self.spark.createDataFrame(
+                [], schema=_schema_from_json(self.spark, m["schema"])
+            )
+        else:
+            reader = self.spark.read.option(
+                "basePath", os.path.join(self.root, _DATA_DIR)
+            )
+            if m.get("merged_schema"):
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(
+                *[os.path.join(self.root, _DATA_DIR, f) for f in keep]
+            )
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return df.filter(pred)
+
     # -- write paths --------------------------------------------------------
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
@@ -181,6 +231,7 @@ class ParquetTable:
                 "pass merge_schema=True to evolve"
             )
         files = _write_files(df, self.root, m["partition_by"])
+        data_root = os.path.join(self.root, _DATA_DIR)
         return _commit(
             self.root,
             version=m["version"] + 1,
@@ -189,6 +240,7 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation="APPEND",
             merged_schema=bool(new_cols) or m.get("merged_schema", False),
+            stats={**m.get("stats", {}), **_file_stats(data_root, files)},
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -204,6 +256,7 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation="OVERWRITE",
             merged_schema=False,
+            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
         )
 
     def merge(self, source: DataFrame, on: Sequence[str]) -> int:
@@ -252,6 +305,8 @@ class ParquetTable:
             *source.columns
         ).unionByName(source)
         files = _write_files(merged, self.root, part_cols)
+        data_root = os.path.join(self.root, _DATA_DIR)
+        old_stats = m.get("stats", {})
         return _commit(
             self.root,
             version=m["version"] + 1,
@@ -260,6 +315,10 @@ class ParquetTable:
             partition_by=part_cols,
             operation="MERGE",
             merged_schema=m.get("merged_schema", False),
+            stats={
+                **{f: old_stats[f] for f in carried if f in old_stats},
+                **_file_stats(data_root, files),
+            },
         )
 
     # -- maintenance --------------------------------------------------------
@@ -268,6 +327,7 @@ class ParquetTable:
         self,
         target_file_mb: int = 128,
         zorder_by: Sequence[str] | None = None,
+        n_files: int | None = None,
     ) -> int:
         """D6/D7 parity: compact small files toward ``target_file_mb`` and
         optionally cluster by ``zorder_by`` columns.  True Z-ordering
@@ -278,11 +338,12 @@ class ParquetTable:
         (``bronze_silver_gold/readme.md:107-108``)."""
         m = self._manifest()
         df = self.read()
-        total_bytes = sum(
-            os.path.getsize(os.path.join(self.root, _DATA_DIR, f))
-            for f in m["files"]
-        )
-        n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        if n_files is None:
+            total_bytes = sum(
+                os.path.getsize(os.path.join(self.root, _DATA_DIR, f))
+                for f in m["files"]
+            )
+            n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         if zorder_by:
             df = df.repartitionByRange(n_files, *zorder_by).sortWithinPartitions(
                 *zorder_by
@@ -298,6 +359,7 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation="OPTIMIZE",
             merged_schema=m.get("merged_schema", False),
+            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
         )
 
     def vacuum(self, keep_versions: int = 1) -> int:
@@ -375,6 +437,50 @@ def _write_files(df: DataFrame, root: str, part_cols: Sequence[str]) -> list[str
     return sorted(rels)
 
 
+def _file_stats(data_root: str, rels: list[str]) -> dict[str, dict]:
+    """Per-file column min/max from the parquet footers (no data read).
+
+    The same metadata Delta mines for data skipping: footer row-group
+    statistics, aggregated to file level, for numeric/string leaf
+    columns.  Stats are advisory — a column absent from a file's stats
+    simply never prunes that file.
+    """
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # stats become a no-op, reads stay correct
+        return {}
+
+    out: dict[str, dict] = {}
+    for rel in rels:
+        meta = pq.ParquetFile(os.path.join(data_root, rel)).metadata
+        cols: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                try:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                except Exception:  # noqa: BLE001 - stats unsupported for type
+                    continue
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(lo, (int, float, str)):
+                    continue
+                name = col.path_in_schema
+                if name in cols:
+                    cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+                else:
+                    cols[name] = [lo, hi]
+        out[rel] = cols
+    return out
+
+
 def _commit(
     root: str,
     version: int,
@@ -383,6 +489,7 @@ def _commit(
     partition_by: list[str],
     operation: str,
     merged_schema: bool,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """Atomically publish a manifest version (write-temp + rename — the
     commit point, mirroring Delta's `_delta_log` JSON commit)."""
@@ -394,6 +501,7 @@ def _commit(
         "schema": schema,
         "partition_by": partition_by,
         "merged_schema": merged_schema,
+        "stats": stats or {},
     }
     final = _manifest_path(root, version)
     if os.path.exists(final):

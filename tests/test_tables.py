@@ -134,3 +134,34 @@ def test_register_view(spark, root):
     t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
     t.register("tbl_view")
     assert spark.sql("SELECT v FROM tbl_view").collect()[0]["v"] == "x"
+
+
+def test_data_skipping_scan(spark, root):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("p").alias("part"),
+        (F.col("id") % 7).cast("string").alias("v"),
+    )
+    t = ParquetTable.create(spark, root, df.repartition(8))
+    t.optimize(zorder_by=["k"], n_files=8)  # cluster k into ranged files
+    n_files = len(t._manifest()["files"])
+    assert n_files > 1
+
+    narrow = t.scan("k", lo=100, hi=120)
+    assert sorted(r["k"] for r in narrow.collect()) == list(range(100, 121))
+    # footer-stats pruning: the selective scan opens a strict subset of files
+    assert len(narrow.inputFiles()) < n_files
+
+    # stats are advisory only: an unclustered column still scans correctly
+    assert t.scan("v", lo="3", hi="3").count() == 10_000 // 7 + (1 if 10_000 % 7 > 3 else 0)
+
+
+def test_scan_empty_range(spark, root):
+    from pyspark.sql import functions as F
+
+    t = ParquetTable.create(
+        spark, root, spark.range(5).select(F.col("id").alias("k"))
+    )
+    assert t.scan("k", lo=100).count() == 0
