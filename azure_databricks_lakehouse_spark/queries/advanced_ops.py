@@ -246,10 +246,95 @@ FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
 """
 
 
+# --- q44: analytic window breadth (lead/lag, dense_rank, ntile, frames) ----
+def q44_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window family beyond W1's row_number (SURVEY.md §2.6
+    lists frames/lag/lead as absent from the reference): per-customer
+    order sequence with gap-to-previous, next-order lookahead, an exact
+    running spend (decimal sum over a rows frame — order-insensitive
+    cross-engine), value dense_rank, and spend quartiles.  All five share
+    ONE customer-key shuffle; Catalyst stacks the window operators over a
+    single Exchange+Sort."""
+    t = bind(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    seq = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    frame = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("price").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(seq).alias("order_seq"),
+        F.datediff(F.col("od"), F.lag("od").over(seq)).alias("days_since_prev"),
+        F.lead("o_orderkey").over(seq).alias("next_orderkey"),
+        F.sum("price").over(frame).cast("double").alias("running_spend"),
+        F.dense_rank().over(by_price).alias("spend_rank"),
+        F.ntile(4).over(by_price).alias("spend_quartile"),
+    )
+
+
+_Q44_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS od,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       row_number() OVER seq AS order_seq,
+       date_diff('day', lag(od) OVER seq, od) AS days_since_prev,
+       lead(o_orderkey) OVER seq AS next_orderkey,
+       CAST(SUM(price) OVER (
+         PARTITION BY o_custkey ORDER BY od, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend,
+       dense_rank() OVER by_price AS spend_rank,
+       ntile(4) OVER by_price AS spend_quartile
+FROM o
+WINDOW seq AS (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+       by_price AS (PARTITION BY o_custkey ORDER BY price DESC, o_orderkey)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q33_grouping_sets": QuerySpec(q33_grouping_sets, _Q33_SQL),
     "q34_asof_join": QuerySpec(q34_asof_join, _Q34_SQL),
     "q35_range_join": QuerySpec(q35_range_join, _Q35_SQL),
     "q36_hash_split": QuerySpec(q36_hash_split, _Q36_SQL),
     "q40_set_ops": QuerySpec(q40_set_ops, _Q40_SQL),
+    "q44_window_analytics": QuerySpec(q44_window_analytics, _Q44_SQL),
 }
+
+
+# --- q45: exact grouped percentiles (continuous interpolation) -------------
+def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (sort-based, linear interpolation —
+    verified bit-identical to DuckDB's quantile_cont).  Exact percentile
+    is a full sort per group; at 100 TB prefer approx_percentile's
+    KLL/GK sketch unless the contract demands exactness."""
+    t = bind(spark, sf_dir, "orders")
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+
+
+_Q45_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q45_percentiles"] = QuerySpec(q45_percentiles, _Q45_SQL)
