@@ -172,6 +172,15 @@ def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
             "claim_type",
         )
         .withColumn("gold_created_timestamp", F.current_timestamp())
+        # Partition by month, not the daily date_key: day-grain hive
+        # partitioning multiplies partition count ~30x for no pruning
+        # benefit (file-level min/max stats already skip within a month),
+        # and at high day-cardinality the write path and the metastore
+        # both degrade.  Same correction SURVEY.md §0.3 applies to the
+        # reference's bronze timestamp partitioning.
+        .withColumn(
+            "service_month", (F.col("service_date_key") / 100).cast("int")
+        )
     )
 
     if is_table(paths.fact_claims):
@@ -180,7 +189,7 @@ def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
         )
     else:
         ParquetTable.create(
-            spark, paths.fact_claims, fact, partition_by=["service_date_key"]
+            spark, paths.fact_claims, fact, partition_by=["service_month"]
         )
     new_wm = claims.agg(F.max("silver_updated_timestamp")).first()[0]
     if new_wm is not None:

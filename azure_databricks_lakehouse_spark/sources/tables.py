@@ -414,6 +414,15 @@ def _write_files(df: DataFrame, root: str, part_cols: Sequence[str]) -> list[str
     """
     commit_id = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f"_staging_{commit_id}")
+    if part_cols:
+        # Cluster rows by partition value first: otherwise every write
+        # task opens a file in every partition and an N-task x P-partition
+        # write shatters into N*P small files (the classic dynamic
+        # partition write explosion).  REBALANCE (AQE) both coalesces
+        # small partition groups and *splits* skewed ones, so a
+        # single-day ingest still writes in parallel while a 100-month
+        # fact lands ~one file per partition.
+        df = df.hint("rebalance", *part_cols)
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
