@@ -216,6 +216,76 @@ class ParquetTable:
             pred = pred & (F.col(col) <= F.lit(hi))
         return df.filter(pred)
 
+    # -- DML ---------------------------------------------------------------
+
+    def delete(self, condition) -> int:
+        """Delta-DML parity: ``DELETE WHERE condition``.
+
+        File-pruned rewrite: only files that *may* contain matching rows
+        (``condition`` evaluated against each file's footer stats when it
+        is a simple range on a stats column — callers can pre-prune via
+        :meth:`scan`) are rewritten without the matching rows; here we
+        keep it simple and correct by rewriting the full snapshot minus
+        matches, which the REBALANCE write keeps parallel.  Old files
+        remain for time travel until VACUUM.
+        """
+        m = self._manifest()
+        remaining = self.read().filter(~F.coalesce(condition, F.lit(False)))
+        files = _write_files(remaining, self.root, m["partition_by"])
+        return _commit(
+            self.root,
+            version=m["version"] + 1,
+            files=files,
+            schema=m["schema"],
+            partition_by=m["partition_by"],
+            operation="DELETE",
+            merged_schema=m.get("merged_schema", False),
+            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+        )
+
+    def update(self, condition, assignments: dict) -> int:
+        """Delta-DML parity: ``UPDATE SET col = expr WHERE condition``.
+
+        ``assignments`` maps column name -> Column expression; rows not
+        matching ``condition`` pass through unchanged.
+        """
+        m = self._manifest()
+        df = self.read()
+        cond = F.coalesce(condition, F.lit(False))
+        for col_name, expr in assignments.items():
+            df = df.withColumn(
+                col_name, F.when(cond, expr).otherwise(F.col(col_name))
+            )
+        files = _write_files(df, self.root, m["partition_by"])
+        return _commit(
+            self.root,
+            version=m["version"] + 1,
+            files=files,
+            schema=m["schema"],
+            partition_by=m["partition_by"],
+            operation="UPDATE",
+            merged_schema=m.get("merged_schema", False),
+            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+        )
+
+    def restore(self, version: int) -> int:
+        """Delta-parity ``RESTORE TABLE ... TO VERSION AS OF``: publish a
+        new commit that references the old version's files verbatim —
+        O(1) rollback, no data copied, and the rolled-back-from history
+        stays intact."""
+        old = self._manifest(version)
+        cur = self._manifest()
+        return _commit(
+            self.root,
+            version=cur["version"] + 1,
+            files=old["files"],
+            schema=old["schema"],
+            partition_by=old["partition_by"],
+            operation="RESTORE",
+            merged_schema=old.get("merged_schema", False),
+            stats=old.get("stats", {}),
+        )
+
     # -- write paths --------------------------------------------------------
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:

@@ -165,3 +165,34 @@ def test_scan_empty_range(spark, root):
         spark, root, spark.range(5).select(F.col("id").alias("k"))
     )
     assert t.scan("k", lo=100).count() == 0
+
+
+def test_delete_dml(spark, root):
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")])
+    )
+    t.delete(F.col("k") == 2)
+    assert _as_dict(t.read()) == {1: ("a", "x"), 3: ("c", "z")}
+    # deleted rows still visible via time travel
+    assert len(_as_dict(t.read(version=0))) == 3
+    # null-valued condition deletes nothing
+    t.delete(F.lit(None).cast("boolean"))
+    assert t.read().count() == 2
+
+
+def test_update_dml(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")]))
+    t.update(F.col("k") == 1, {"v": F.lit("X!")})
+    assert _as_dict(t.read()) == {1: ("a", "X!"), 2: ("b", "y")}
+    assert [c.operation for c in t.history()] == ["CREATE", "UPDATE"]
+
+
+def test_restore(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.overwrite(_rows(spark, [(2, "b", "y")]))
+    t.restore(0)
+    assert _as_dict(t.read()) == {1: ("a", "x")}
+    ops = [c.operation for c in t.history()]
+    assert ops == ["CREATE", "OVERWRITE", "RESTORE"]
+    # the rolled-back-from state is still reachable
+    assert _as_dict(t.read(version=1)) == {2: ("b", "y")}
