@@ -1,0 +1,40 @@
+"""Cross-engine-deterministic hashing primitives.
+
+Every approximate operator in the engine (MinHash LSH, SimHash,
+hyperplane ANN, hash splits) needs hash values that are bit-identical in
+Spark and the DuckDB oracle.  The only hash both engines share is
+``md5`` over strings, so integers are derived from its hex digits via
+``strpos``-style nibble decoding — 1-based, lowercase hex, identical
+semantics in both engines.  Each helper ships its SQL twin; call sites
+must use the pair, never re-derive one side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def hex_nibble(hex_col: Column, pos: int) -> Column:
+    """Value 0..15 of the 1-based ``pos``-th hex digit of ``hex_col``."""
+    return F.instr(F.lit(HEX_DIGITS), F.substring(hex_col, pos, 1)) - 1
+
+
+def hex_nibble_sql(hex_expr: str, pos: int) -> str:
+    """ANSI/DuckDB twin of :func:`hex_nibble`."""
+    return f"(strpos('{HEX_DIGITS}', substr({hex_expr}, {pos}, 1)) - 1)"
+
+
+def md5_bucket(col: Column) -> Column:
+    """Stable bucket 0..255 from the first md5 byte of ``col``'s string
+    form — the deterministic split/sampling primitive (assignment depends
+    only on the value: survives reshuffles, re-runs, corpus growth)."""
+    h = F.md5(col.cast("string"))
+    return hex_nibble(h, 1) * 16 + hex_nibble(h, 2)
+
+
+def md5_bucket_sql(expr: str) -> str:
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    return f"({hex_nibble_sql(h, 1)} * 16 + {hex_nibble_sql(h, 2)})"

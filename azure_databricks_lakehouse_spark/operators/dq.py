@@ -82,6 +82,53 @@ def apply_rules(
     )
 
 
+# Claims validation constants (silver/silver_rx_claims_load.py:26-27):
+# CPT is five digits, HCPCS a letter plus four digits.
+CPT_PATTERN = "^[0-9]{5}$"
+HCPCS_PATTERN = "^[A-Z][0-9]{4}$"
+
+_CLAIMS_REQUIRED = (
+    "claim_id",
+    "member_id",
+    "provider_id",
+    "service_date",
+    "received_date",
+)
+
+
+def claims_rules(
+    as_of: Column | None = None,
+    required: tuple[str, ...] = _CLAIMS_REQUIRED,
+) -> list[Rule]:
+    """The reference's R1-R5 registry
+    (``silver/silver_rx_claims_load.py:65-135``), shared by the Silver
+    pipeline and the oracle-checked claims queries so the two can never
+    drift.
+
+    ``as_of`` parameterizes R2's "not in the future" bound: the pipeline
+    passes nothing (current_date, the reference semantics), oracle
+    queries pass a fixed literal (deterministic cross-engine).
+    """
+    bound = F.current_date() if as_of is None else as_of
+    return [
+        *completeness(*required),
+        Rule("service_date_in_future", F.col("service_date") <= bound),
+        Rule(
+            "service_after_received", F.col("service_date") <= F.col("received_date")
+        ),
+        Rule(
+            "invalid_procedure_code",
+            F.col("procedure_code").rlike(CPT_PATTERN)
+            | F.col("procedure_code").rlike(HCPCS_PATTERN),
+        ),
+        # R5: positive only when present (silver:120-127) — nulls pass.
+        Rule(
+            "nonpositive_billed_amount",
+            F.col("billed_amount").isNull() | (F.col("billed_amount") > 0),
+        ),
+    ]
+
+
 def split_by_status(
     df: DataFrame, status_col: str = "dq_status"
 ) -> tuple[DataFrame, DataFrame]:

@@ -55,7 +55,24 @@ def apply_scd2(
     tracked_cols: Sequence[str],
     as_of: str,
 ) -> dict[str, int]:
-    """Apply an update batch as SCD Type 2; returns change counts."""
+    """Apply an update batch as SCD Type 2; returns change counts.
+
+    The batch must carry one row per business key — duplicate keys would
+    open multiple concurrent versions (two ``is_current`` rows) and
+    corrupt every later apply, so they are rejected up front.
+    """
+    dupes = (
+        updates.groupBy(business_key)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dupes:
+        raise ValueError(
+            f"updates batch has duplicate {business_key} values "
+            f"(e.g. {dupes[0][0]!r}); dedup the batch (keep_latest) first"
+        )
     if not is_table(table_root):
         ParquetTable.create(spark, table_root, _versioned(updates, as_of))
         return {"inserted": updates.count(), "versioned": 0, "unchanged": 0}

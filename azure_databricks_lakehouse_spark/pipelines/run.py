@@ -37,7 +37,21 @@ def run_all(
     date_dim_end: str = "2030-12-31",
 ) -> dict:
     """Bronze ingest → Silver transform → Gold build; returns run stats."""
+    from azure_databricks_lakehouse_spark.sources.tables import is_table
+
     paths = LakehousePaths(root)
+    # Fail fast with a actionable message: Gold's dims need the reference
+    # tables, either already in the lake or supplied to this run.
+    for label, supplied, table_root in (
+        ("--members", members_path, paths.silver_members),
+        ("--providers", providers_path, paths.silver_providers),
+    ):
+        if not supplied and not is_table(table_root):
+            raise ValueError(
+                f"{table_root} does not exist and {label} was not given; "
+                "Gold dimensions need the reference table from one of them"
+            )
+
     bres = bronze.ingest(spark, paths.bronze_claims, landing_glob, load_id=load_id)
     sres = silver.process(spark, paths)
     if members_path:

@@ -37,7 +37,7 @@ from azure_databricks_lakehouse_spark.operators.dedup import keep_latest
 from azure_databricks_lakehouse_spark.operators.dq import (
     Rule,
     apply_rules,
-    completeness,
+    claims_rules,
     split_by_status,
 )
 from azure_databricks_lakehouse_spark.pipelines.paths import LakehousePaths
@@ -47,8 +47,6 @@ from azure_databricks_lakehouse_spark.pipelines.watermarks import (
 )
 from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
 
-_CPT = "^[0-9]{5}$"
-_HCPCS = "^[A-Z][0-9]{4}$"
 _KEYS = ["claim_id", "claim_line_number"]
 
 
@@ -77,25 +75,16 @@ def cleanse_and_standardize(df: DataFrame) -> DataFrame:
     )
 
 
-def claims_rules() -> list[Rule]:
-    """R1-R5 (``silver/silver_rx_claims_load.py:65-135``), registry order."""
+def pipeline_rules() -> list[Rule]:
+    """R1-R5 (shared registry, ``operators/dq.claims_rules``) plus a
+    merge-safety rule: ``claim_line_number`` is half the silver MERGE key,
+    and a null key never matches the upsert's equi anti-join — every
+    incremental re-send would duplicate the row.  A non-numeric line
+    number (null after the int cast) is therefore quarantined, not
+    merged."""
     return [
-        *completeness(
-            "claim_id", "member_id", "provider_id", "service_date", "received_date"
-        ),
-        Rule("service_date_in_future", F.col("service_date") <= F.current_date()),
-        Rule(
-            "service_after_received", F.col("service_date") <= F.col("received_date")
-        ),
-        Rule(
-            "invalid_procedure_code",
-            F.col("procedure_code").rlike(_CPT) | F.col("procedure_code").rlike(_HCPCS),
-        ),
-        # R5: positive only when present (silver:120-127)
-        Rule(
-            "nonpositive_billed_amount",
-            F.col("billed_amount").isNull() | (F.col("billed_amount") > 0),
-        ),
+        *claims_rules(),
+        Rule("missing_claim_line_number", F.col("claim_line_number").isNotNull()),
     ]
 
 
@@ -116,7 +105,7 @@ def process(spark: SparkSession, paths: LakehousePaths) -> SilverResult:
     if n_incremental == 0:
         return SilverResult(0, 0, 0, 0, wm)
 
-    tagged = apply_rules(cleanse_and_standardize(bronze), claims_rules()).cache()
+    tagged = apply_rules(cleanse_and_standardize(bronze), pipeline_rules()).cache()
     try:
         passed, failed = split_by_status(tagged)
         n_fail = failed.count()
@@ -125,7 +114,17 @@ def process(spark: SparkSession, paths: LakehousePaths) -> SilverResult:
                 "quarantined_at", F.current_timestamp()
             )
             if is_table(paths.quarantine):
-                ParquetTable.for_path(spark, paths.quarantine).append(quarantined)
+                # Idempotent replay: a re-run of the same bronze delta
+                # (e.g. after a failure before the watermark advanced)
+                # first clears rows from the same load batches, so the
+                # quarantine never accumulates duplicates.
+                batch_ids = [
+                    r[0]
+                    for r in failed.select("bronze_load_id").distinct().collect()
+                ]
+                qt = ParquetTable.for_path(spark, paths.quarantine)
+                qt.delete(F.col("bronze_load_id").isin(batch_ids))
+                qt.append(quarantined)
             else:
                 ParquetTable.create(spark, paths.quarantine, quarantined)
 

@@ -49,15 +49,3 @@ def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
             raise AssertionError(
                 f"filter {frag!r} not pushed to any scan; pushed lists:\n{blob}"
             )
-
-
-def assert_single_partition_windows(df: DataFrame, allowed: int = 0) -> None:
-    """Fail when more than ``allowed`` window operators run without a
-    partition spec (the whole-table-through-one-task smell)."""
-    plan = physical_plan(df)
-    n = 0
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition()" in line.replace(" ", ""):
-            n += 1
-    if n > allowed:
-        raise AssertionError(f"{n} unpartitioned window(s) in plan:\n{plan}")

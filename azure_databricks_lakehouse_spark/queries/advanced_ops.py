@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.functions.hashing import (
+    md5_bucket,
+    md5_bucket_sql,
+)
 from azure_databricks_lakehouse_spark.queries import QuerySpec
 from azure_databricks_lakehouse_spark.sources.catalog import bind
 
@@ -177,20 +181,14 @@ FROM ev a JOIN ev b
 
 
 # --- q36: deterministic hash split (train/val/test over documents) ---------
-_HEX = "0123456789abcdef"
-
-
 def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data staple: a stable md5-bucket split — assignment
     depends only on the id (survives reshuffles, re-runs, and corpus
     growth), computed as a pure projection (no shuffle, no RNG state).
-    Bucket = first two md5 hex nibbles (0..255): <204 train (~80%),
-    <230 val (~10%), else test."""
+    Bucket = first md5 byte (0..255, functions/hashing.md5_bucket):
+    <204 train (~80%), <230 val (~10%), else test."""
     t = bind(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
-        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    )
+    bucket = md5_bucket(F.col("doc_id"))
     split = (
         F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
     )
@@ -201,10 +199,7 @@ def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q36_SQL = f"""
 WITH hashed AS (
-  SELECT doc_id,
-         (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-           + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-           AS bucket
+  SELECT doc_id, {md5_bucket_sql('doc_id')} AS bucket
   FROM documents
 )
 SELECT doc_id, bucket,

@@ -31,15 +31,18 @@ from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.functions.numeric import dec_sum, dec_sum_sql
 from azure_databricks_lakehouse_spark.operators.dq import (
-    Rule,
+    CPT_PATTERN as _CPT,
+)
+from azure_databricks_lakehouse_spark.operators.dq import (
+    HCPCS_PATTERN as _HCPCS,
+)
+from azure_databricks_lakehouse_spark.operators.dq import (
     apply_rules,
-    completeness,
+    claims_rules,
 )
 from azure_databricks_lakehouse_spark.queries import QuerySpec
 from azure_databricks_lakehouse_spark.sources.catalog import bind
 
-_CPT = "^[0-9]{5}$"
-_HCPCS = "^[A-Z][0-9]{4}$"
 _AS_OF = "2000-06-01"  # deterministic stand-in for current_timestamp (R2)
 
 
@@ -121,22 +124,14 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 
 
 def _rules() -> list[Rule]:
-    """R1-R5 in reference registry order (silver:81-127)."""
-    return [
-        *completeness("claim_id", "member_id", "service_date", "received_date"),
-        Rule("service_date_in_future", F.col("service_date") <= F.lit(_AS_OF).cast("date")),
-        Rule(
-            "service_after_received", F.col("service_date") <= F.col("received_date")
-        ),
-        Rule(
-            "invalid_procedure_code",
-            F.col("procedure_code").rlike(_CPT) | F.col("procedure_code").rlike(_HCPCS),
-        ),
-        Rule(
-            "nonpositive_billed_amount",
-            F.col("billed_amount").isNull() | (F.col("billed_amount") > 0),
-        ),
-    ]
+    """R1-R5 from the shared registry (``operators/dq.claims_rules`` —
+    the same list the Silver pipeline applies), with a fixed ``as_of``
+    and the derived frame's required-column subset (it carries no
+    provider_id)."""
+    return claims_rules(
+        as_of=F.lit(_AS_OF).cast("date"),
+        required=("claim_id", "member_id", "service_date", "received_date"),
+    )
 
 
 # SQL twin of apply_rules over the claims CTE: one CASE per rule, nulls

@@ -119,9 +119,6 @@ LIMIT 50
 
 
 # --- q41: training-data prep capstone (dedup → filter → split) -------------
-_HEX = "0123456789abcdef"
-
-
 def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-ingest pipeline in one plan: exact dedup (keep min doc_id
     per content fingerprint) → language/quality gate (stopword ratio +
@@ -140,10 +137,9 @@ def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
-        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    )
+    from azure_databricks_lakehouse_spark.functions.hashing import md5_bucket
+
+    bucket = md5_bucket(F.col("doc_id"))
     split = (
         F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
     )
@@ -161,8 +157,10 @@ def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q41_sql() -> str:
+    from azure_databricks_lakehouse_spark.functions.hashing import md5_bucket_sql
     from azure_databricks_lakehouse_spark.queries.dedup_ops import _CORPUS_SQL
 
+    bucket_sql = md5_bucket_sql("doc_id")
     stop_list = ", ".join("'" + s + "'" for s in _STOPWORDS)
     return f"""
 {_CORPUS_SQL},
@@ -181,10 +179,7 @@ scored AS (
   FROM deduped
 ),
 gated AS (
-  SELECT doc_id, n_tokens,
-         (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-           + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-           AS bucket
+  SELECT doc_id, n_tokens, {bucket_sql} AS bucket
   FROM scored
   WHERE n_tokens >= 30 AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
 )

@@ -347,22 +347,38 @@ class ParquetTable:
         part_cols = m["partition_by"]
         pruned = bool(part_cols) and set(part_cols) <= set(keys)
         target = self.read()
+        extra = set(target.columns) - set(source.columns)
+        if extra:
+            # whenMatchedUpdateAll replaces whole rows: a source missing
+            # target columns would silently drop them from carried rows.
+            raise ValueError(
+                f"merge source is missing target columns {sorted(extra)}; "
+                "align schemas (or evolve the source) before merging"
+            )
 
         if pruned:
             # Source partitions are typically few (e.g. days in a batch):
             # collect their values (scalar metadata, not row data) and
             # split target files by whether their partition is touched.
+            # Comparison happens in hive-directory space: parsed dir
+            # values are URL-unescaped and source values rendered the way
+            # Spark renders them (true/false, __HIVE_DEFAULT_PARTITION__
+            # for null) so escaping/typing can never misclassify a
+            # touched partition as untouched.
             touched = [
                 tuple(r) for r in source.select(*part_cols).distinct().collect()
             ]
-            touched_set = {tuple(str(v) for v in t) for t in touched}
+            touched_set = {tuple(_hive_value(v) for v in t) for t in touched}
             keep_files, rewrite_files = [], []
             for f in m["files"]:
                 pv = _partition_values(f, part_cols)
                 (rewrite_files if pv in touched_set else keep_files).append(f)
             if rewrite_files:
                 base = os.path.join(self.root, _DATA_DIR)
-                target = self.spark.read.option("basePath", base).parquet(
+                reader = self.spark.read.option("basePath", base)
+                if m.get("merged_schema"):
+                    reader = reader.option("mergeSchema", "true")
+                target = reader.parquet(
                     *[os.path.join(base, f) for f in rewrite_files]
                 )
             else:
@@ -414,13 +430,19 @@ class ParquetTable:
                 for f in m["files"]
             )
             n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        part_cols = m["partition_by"]
         if zorder_by:
-            df = df.repartitionByRange(n_files, *zorder_by).sortWithinPartitions(
-                *zorder_by
-            )
+            # Range-cluster on (partition cols, zorder cols) and sort
+            # within: each task covers one narrow clustering range, so
+            # files carry tight min/max stats.  preserve_layout stops
+            # _write_files' REBALANCE from re-shuffling (and thereby
+            # destroying) exactly this clustering.
+            df = df.repartitionByRange(
+                n_files, *part_cols, *zorder_by
+            ).sortWithinPartitions(*part_cols, *zorder_by)
         else:
             df = df.coalesce(n_files)
-        files = _write_files(df, self.root, m["partition_by"])
+        files = _write_files(df, self.root, part_cols, preserve_layout=True)
         return _commit(
             self.root,
             version=m["version"] + 1,
@@ -465,16 +487,34 @@ class ParquetTable:
 # -- internals --------------------------------------------------------------
 
 
+def _hive_value(v) -> str:
+    """Render a Python value the way it appears in an (unescaped) hive
+    partition directory name."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _partition_values(rel_file: str, part_cols: Sequence[str]) -> tuple[str, ...]:
     """Hive-style partition values from a relative file path, in
-    ``part_cols`` order."""
+    ``part_cols`` order, URL-unescaped (Spark percent-encodes special
+    characters such as ':' in directory names)."""
+    from urllib.parse import unquote
+
     vals = dict(
         seg.split("=", 1) for seg in rel_file.split(os.sep)[:-1] if "=" in seg
     )
-    return tuple(vals.get(c, "") for c in part_cols)
+    return tuple(unquote(vals.get(c, "")) for c in part_cols)
 
 
-def _write_files(df: DataFrame, root: str, part_cols: Sequence[str]) -> list[str]:
+def _write_files(
+    df: DataFrame,
+    root: str,
+    part_cols: Sequence[str],
+    preserve_layout: bool = False,
+) -> list[str]:
     """Write ``df`` into ``data/`` as immutable uniquely-named parquet files;
     return paths relative to ``data/``.
 
@@ -484,14 +524,16 @@ def _write_files(df: DataFrame, root: str, part_cols: Sequence[str]) -> list[str
     """
     commit_id = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f"_staging_{commit_id}")
-    if part_cols:
+    if part_cols and not preserve_layout:
         # Cluster rows by partition value first: otherwise every write
         # task opens a file in every partition and an N-task x P-partition
         # write shatters into N*P small files (the classic dynamic
         # partition write explosion).  REBALANCE (AQE) both coalesces
         # small partition groups and *splits* skewed ones, so a
         # single-day ingest still writes in parallel while a 100-month
-        # fact lands ~one file per partition.
+        # fact lands ~one file per partition.  preserve_layout skips this
+        # for callers (OPTIMIZE) that already produced a deliberate
+        # clustering.
         df = df.hint("rebalance", *part_cols)
     writer = df.write.mode("overwrite")
     if part_cols:

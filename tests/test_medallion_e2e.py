@@ -192,3 +192,20 @@ def test_surrogate_keys_stable_across_rebuilds(spark, lake, tmp_path):
         for r in ParquetTable.for_path(spark, lake.dim_member).read().collect()
     }
     assert sk1 == sk2  # dense-rank surrogate keys don't churn on rebuild
+
+
+def test_quarantine_replay_is_idempotent(spark, lake, tmp_path):
+    from pyspark.sql import functions as F
+
+    bronze.ingest(
+        spark, lake.bronze_claims, _land(tmp_path, "d1.csv", _DAY1), load_id="b1"
+    )
+    silver.process(spark, lake)
+    q1 = ParquetTable.for_path(spark, lake.quarantine).read().count()
+
+    # simulate a crash after the quarantine write but before the watermark
+    # advanced: rewind the watermark and re-run the same delta
+    wm_tbl = ParquetTable.for_path(spark, lake.watermarks)
+    wm_tbl.delete(F.col("table_name") == "silver_rx_claims")
+    silver.process(spark, lake)
+    assert ParquetTable.for_path(spark, lake.quarantine).read().count() == q1

@@ -46,3 +46,13 @@ def test_run_all(spark, tmp_path):
     assert stats["bronze"] == {"n_rows": 2, "n_corrupt": 0}
     assert stats["silver"]["n_pass"] == 1 and stats["silver"]["n_fail"] == 1
     assert stats["gold"]["n_fact"] == 1
+
+
+def test_run_all_requires_reference_tables(spark, tmp_path):
+    import pytest
+
+    landing = tmp_path / "landing" / "claims.csv"
+    os.makedirs(landing.parent)
+    landing.write_text(_CSV)
+    with pytest.raises(ValueError, match="--members"):
+        run_all(spark, str(tmp_path / "lake"), str(landing))

@@ -95,3 +95,9 @@ def test_null_safe_change_detection(spark, root):
         "member_id", ["plan", "zip"], "2024-03-01 00:00:00",
     )
     assert res["versioned"] == 1
+
+
+def test_duplicate_batch_rejected(spark, root):
+    batch = _members(spark, [("M1", "PPO", "10001"), ("M1", "EPO", "10002")])
+    with pytest.raises(ValueError, match="duplicate member_id"):
+        apply_scd2(spark, root, batch, "member_id", ["plan", "zip"], "2024-01-01 00:00:00")

@@ -196,3 +196,10 @@ def test_restore(spark, root):
     assert ops == ["CREATE", "OVERWRITE", "RESTORE"]
     # the rolled-back-from state is still reachable
     assert _as_dict(t.read(version=1)) == {2: ("b", "y")}
+
+
+def test_merge_rejects_narrower_source(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    narrower = spark.createDataFrame([(1, "a")], "k int, part string")
+    with pytest.raises(ValueError, match="missing target columns"):
+        t.merge(narrower, on=["k"])
