@@ -38,3 +38,23 @@ def md5_bucket(col: Column) -> Column:
 def md5_bucket_sql(expr: str) -> str:
     h = f"md5(CAST({expr} AS VARCHAR))"
     return f"({hex_nibble_sql(h, 1)} * 16 + {hex_nibble_sql(h, 2)})"
+
+
+def md5_u16(col: Column) -> Column:
+    """16-bit hash (0..65535) from the first four md5 hex digits of
+    ``col`` — the per-token/per-k-gram hash for SimHash and winnowing
+    fingerprints.  Pure nibble arithmetic: no engine-specific bit
+    intrinsics, so Spark and DuckDB agree digit for digit."""
+    h = F.md5(col.cast("string"))
+    out = F.lit(0)
+    for i in range(4):
+        out = out + hex_nibble(h, i + 1) * (16 ** (3 - i))
+    return out
+
+
+def md5_u16_sql(expr: str) -> str:
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"{hex_nibble_sql(h, i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"({terms})"

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.functions.hashing import md5_u16, md5_u16_sql
 from azure_databricks_lakehouse_spark.queries import QuerySpec
 from azure_databricks_lakehouse_spark.sources.catalog import bind
 
@@ -225,20 +226,12 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {_JACCARD_MIN}
 
 
 # --- q29: SimHash fingerprints (portable nibble arithmetic) ----------------
-_HEX = "0123456789abcdef"
-
-
 def q29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _variant_corpus(spark, sf_dir)
     tok = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = F.md5("tok")
-    # 16-bit token hash from the first 4 md5 hex chars, decoded without
-    # engine-specific bit intrinsics (strpos is 1-based in both engines).
-    val = sum(
-        (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1) * (16 ** (3 - i))
-        for i in range(4)
-    )
-    tok = tok.select("doc_id", val.alias("hv"))
+    # 16-bit token hash (functions/hashing.md5_u16): first 4 md5 hex chars
+    # decoded without engine-specific bit intrinsics.
+    tok = tok.select("doc_id", md5_u16(F.col("tok")).alias("hv"))
     aggs = [
         F.sum(
             F.when((F.col("hv") / (2**j)).cast("long") % 2 == 1, 1).otherwise(-1)
@@ -253,10 +246,7 @@ def q29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    nib = " + ".join(
-        f"(strpos('{_HEX}', substr(md5(tok), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
-    )
+    nib = md5_u16_sql("tok")
     bit_sums = ", ".join(
         f"SUM(CASE WHEN CAST(floor(hv / {2**j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(_SIM_BITS)
@@ -275,8 +265,79 @@ SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM bits
 """
 
 
+# --- q47: winnowing fingerprints (rolling-hash document sketch) ------------
+_WINNOW_K = 8  # character k-gram width
+_WINNOW_W = 4  # winnowing window (k-gram positions per window)
+
+
+def q47_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (the MOSS scheme): hash every
+    character ``k``-gram, slide a ``w``-position window, keep each
+    window's minimum hash — the distinct minima are the fingerprint set.
+    Any shared substring of length ≥ k+w-1 between two documents is
+    guaranteed to share a fingerprint, which is what makes this the
+    standard containment/plagiarism sketch (near-dup detection for
+    *partial* overlap, where set-Jaccard ops like q28 need full-document
+    similarity).
+
+    The classic formulation uses a Karp–Rabin rolling hash for O(1)
+    per-position updates; declaratively each k-gram is hashed
+    independently (``md5_u16``) — same fingerprint semantics, and the
+    whole thing stays a pure projection (per-document array ops, zero
+    shuffle, no UDFs) that scales linearly with input splits."""
+    t = bind(spark, sf_dir, "documents")
+    corpus = t["documents"].select("doc_id", _norm(F.col("text")).alias("text"))
+    txt = F.col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(txt) - (_WINNOW_K - 1)),
+        lambda i: txt.substr(i, F.lit(_WINNOW_K)),
+    )
+    hashed = corpus.filter(
+        F.length(txt) >= _WINNOW_K + _WINNOW_W - 1
+    ).select("doc_id", F.transform(grams, md5_u16).alias("hs"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (_WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+    )
+    return hashed.select(
+        "doc_id",
+        F.size("hs").alias("n_kgrams"),
+        F.transform(
+            F.array_sort(F.array_distinct(mins)), lambda x: x.cast("long")
+        ).alias("fingerprints"),
+    ).withColumn("n_fingerprints", F.size("fingerprints"))
+
+
+def _q47_sql() -> str:
+    u16 = md5_u16_sql(f"substr(text, i, {_WINNOW_K})")
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - {_WINNOW_K - 1}),
+                        i -> {u16}) AS hs
+  FROM base WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+winnowed AS (
+  SELECT doc_id, len(hs) AS n_kgrams,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, len(hs) - {_WINNOW_W - 1}),
+           i -> list_min(list_slice(hs, i, i + {_WINNOW_W - 1}))))) AS fingerprints
+  FROM hashed
+)
+SELECT doc_id, n_kgrams,
+       list_transform(fingerprints, x -> CAST(x AS BIGINT)) AS fingerprints,
+       len(fingerprints) AS n_fingerprints
+FROM winnowed
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q27_exact_dedup": QuerySpec(q27_exact_dedup, _Q27_SQL),
     "q28_minhash_lsh_pairs": QuerySpec(q28_minhash_lsh_pairs, _Q28_SQL),
     "q29_simhash": QuerySpec(q29_simhash, _simhash_sql()),
+    "q47_winnow_fingerprint": QuerySpec(q47_winnow_fingerprint, _q47_sql()),
 }

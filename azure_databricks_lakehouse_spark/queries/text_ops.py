@@ -193,9 +193,50 @@ GROUP BY 1
 """
 
 
+# --- q49: BPE-style pre-tokenizer token counting ---------------------------
+# GPT-2-family pre-tokenizer shape (letter runs / digit runs / punctuation
+# runs, each optionally space-prefixed), restricted to constructs RE2 and
+# Java regex share — no lookahead, no \p classes — so Spark and DuckDB
+# segment identically.  This is the token count a BPE budget estimate
+# uses, vs the whitespace count LLM docs quote.
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def q49_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    pieces = F.regexp_extract_all(norm, F.lit(_BPE_RE), 0)
+    n_bpe = F.size(pieces)
+    n_ws = F.size(F.split(norm, " "))
+    return t["documents"].select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        (n_bpe.cast("double") / n_ws.cast("double")).alias("bpe_per_ws"),
+    )
+
+
+_Q49_SQL = f"""
+WITH normed AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_BPE_RE}')) AS n_bpe_tokens,
+         len(string_split(t, ' ')) AS n_ws_tokens
+  FROM normed
+)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE) AS bpe_per_ws
+FROM counted
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q24_doc_token_stats": QuerySpec(q24_doc_token_stats, _Q24_SQL),
     "q25_lang_quality": QuerySpec(q25_lang_quality, _Q25_SQL),
     "q26_token_frequency": QuerySpec(q26_token_frequency, _Q26_SQL),
     "q41_training_data_prep": QuerySpec(q41_training_data_prep, _q41_sql()),
+    "q49_bpe_token_count": QuerySpec(q49_bpe_token_count, _Q49_SQL),
 }

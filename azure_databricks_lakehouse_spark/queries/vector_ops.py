@@ -70,10 +70,14 @@ def _cosine(a_emb: Column, b_emb: Column, a_norm: Column, b_norm: Column) -> Col
     return dot / (a_norm * b_norm)
 
 
-_COSINE_SQL = (
-    "list_sum(list_transform(generate_series(1, len(q.emb)),"
-    " k -> q.emb[k] * c.emb[k])) / (q.norm * c.norm)"
-)
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a}.emb)),"
+        f" k -> {a}.emb[k] * {b}.emb[k])) / ({a}.norm * {b}.norm)"
+    )
+
+
+_COSINE_SQL = _cos_sql("q", "c")
 
 
 # --- q30: brute-force cosine top-k (exact baseline) ------------------------
@@ -116,9 +120,12 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {_TOP_K}
 
 
 # --- q31: hyperplane-LSH bucketed ANN --------------------------------------
-def _bucket(emb: Column) -> Column:
-    """4-bit signature: bit j = sign of <emb, h_j>, h_j[i] = ±1 from
-    md5(j|i) first-nibble parity."""
+def _bucket(emb: Column, planes: range | None = None) -> Column:
+    """n-bit signature: bit for plane j = sign of <emb, h_j>, h_j[i] = ±1
+    from md5(j|i) first-nibble parity.  ``planes`` selects which global
+    plane indices feed the signature (bands reuse disjoint ranges)."""
+    planes = range(_N_PLANES) if planes is None else planes
+
     def make_sign(j: int):
         def sign(x: Column, i: Column) -> Column:
             parity = (
@@ -135,21 +142,22 @@ def _bucket(emb: Column) -> Column:
         return sign
 
     total = F.lit(0)
-    for j in range(_N_PLANES):
+    for bit, j in enumerate(planes):
         dot_j = _fold_sum(F.transform(emb, make_sign(j)))
-        total = total + F.when(dot_j > 0, F.lit(2**j)).otherwise(F.lit(0))
+        total = total + F.when(dot_j > 0, F.lit(2**bit)).otherwise(F.lit(0))
     return total
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(planes: range | None = None) -> str:
+    planes = range(_N_PLANES) if planes is None else planes
     bits = []
-    for j in range(_N_PLANES):
+    for bit, j in enumerate(planes):
         dot = (
             f"list_sum(list_transform(generate_series(1, len(emb)), k -> emb[k] * "
             f"CASE WHEN (strpos('{_HEX}', substr(md5('{j}|' || (k-1)::VARCHAR), 1, 1)) - 1) % 2 = 1 "
             f"THEN 1.0 ELSE -1.0 END))"
         )
-        bits.append(f"CASE WHEN {dot} > 0 THEN {2**j} ELSE 0 END")
+        bits.append(f"CASE WHEN {dot} > 0 THEN {2**bit} ELSE 0 END")
     return " + ".join(bits)
 
 
@@ -285,9 +293,229 @@ FROM normed WHERE rk = 1
 """
 
 
+# --- q46: embedding-cosine near-duplicate detection ------------------------
+_NEARDUP_MIN = 0.9
+_NEARDUP_BANDS = 2  # OR-amplification: candidate if ANY band signature matches
+_EXACT_MIN = 0.9999
+
+
+def _variant_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exact copies (%13) ∪ perturbed near-copies (%11).
+
+    The corpus is effectively random (max natural pairwise cosine ≈ 0.51),
+    so near-duplicates are seeded with identical expressions in both
+    engines: the perturbation ``emb + 0.2·reverse(emb)`` keeps cosine
+    ≈ 0.98 to the original (1/√1.04 for random vectors) — far above the
+    0.9 detection threshold, far below any unrelated pair."""
+    t = bind(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    base = t["embeddings"].select("vec_id", emb_d.alias("emb"))
+    exact = base.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "emb"
+    )
+    near = base.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.zip_with("emb", F.reverse("emb"), lambda x, y: x + F.lit(0.2) * y).alias(
+            "emb"
+        ),
+    )
+    u = base.unionByName(exact).unionByName(near)
+    return u.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("norm"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm
+FROM (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 100000, emb FROM base WHERE vec_id % 13 = 0
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(generate_series(1, len(emb)),
+                        k -> emb[k] + 0.2 * emb[len(emb) + 1 - k])
+  FROM base WHERE vec_id % 11 = 0
+)
+"""
+
+
+def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed (never all-pairs):
+    two independent 4-plane signature bands (OR-amplified — a pair is a
+    candidate if either band collides, ~95% recall at cosine 0.98), then
+    exact cosine ≥ 0.9 verifies within buckets.  The shuffle key is
+    (band, signature); candidate volume tracks true similarity.  Output is
+    ids plus an exact-copy flag — no floats to trip the oracle hash."""
+    vecs = _variant_vectors(spark, sf_dir)
+    bands = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _bucket(
+                            F.col("emb"), range(_N_PLANES * b, _N_PLANES * (b + 1))
+                        ).alias("sig"),
+                    )
+                    for b in range(_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    sim = _cosine(F.col("va.emb"), F.col("vb.emb"), F.col("va.norm"), F.col("vb.norm"))
+    return (
+        cand.join(va, F.col("vec_a") == F.col("va.vec_id"))
+        .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= _NEARDUP_MIN)
+        .select("vec_a", "vec_b", (F.col("sim") >= _EXACT_MIN).alias("is_exact"))
+    )
+
+
+def _q46_sql() -> str:
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"({_bucket_sql(range(_N_PLANES * b, _N_PLANES * (b + 1)))}) AS sig FROM vecs"
+        for b in range(_NEARDUP_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+vecs AS ({_VARIANT_SQL}),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b, {_cos_sql('va', 'vb')} AS sim
+  FROM cand
+  JOIN vecs va ON vec_a = va.vec_id
+  JOIN vecs vb ON vec_b = vb.vec_id
+)
+SELECT vec_a, vec_b, sim >= {_EXACT_MIN} AS is_exact
+FROM scored WHERE sim >= {_NEARDUP_MIN}
+"""
+
+
+# --- q48: IVF-style ANN (coarse quantizer + probed cells) -------------------
+_N_CELLS = 8
+_N_PROBE = 2
+
+
+def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flavoured ANN: a fixed coarse quantizer (the first
+    ``_N_CELLS`` corpus vectors stand in for trained centroids — k-means
+    is deliberately avoided so the oracle can re-derive the index), every
+    vector assigned to its nearest cell, queries probing their
+    ``_N_PROBE`` nearest cells, exact cosine ranking inside the probed
+    cells only.
+
+    Scale shape: the centroid table is a broadcast (map-side assignment —
+    at 100 TB this is the scan stage of a real IVF build), the candidate
+    join shuffles on the cell id, and per-query work is bounded by
+    nprobe/ncells of the corpus instead of all of it."""
+    t = bind(spark, sf_dir, "embeddings")
+    vecs = _with_norm(t["embeddings"])
+    cents = vecs.filter(F.col("vec_id") <= _N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+    csim = _cosine(F.col("emb"), F.col("cemb"), F.col("norm"), F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cent_id")
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", "norm", "cent_id", csim.alias("csim"))
+        .withColumn("rk", F.row_number().over(w_assign))
+    )
+    cells = assign.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    corpus = vecs.join(cells, "vec_id")
+    probes = assign.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("rk") <= _N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+        F.col("cent_id").alias("cell"),
+    )
+    sim = _cosine(F.col("qemb"), F.col("emb"), F.col("qnorm"), F.col("norm"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _q48_sql() -> str:
+    return f"""
+WITH vecs AS ({_NORM_SQL}),
+cents AS (
+  SELECT vec_id AS cent_id, emb, norm FROM vecs WHERE vec_id <= {_N_CELLS}
+),
+assign AS (
+  SELECT v.vec_id, c.cent_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_cos_sql('v', 'c')} DESC, c.cent_id
+         ) AS rk
+  FROM vecs v CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell
+  FROM assign WHERE vec_id % {_QUERY_MOD} = 0 AND rk <= {_N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id, {_cos_sql('q', 'v')} AS sim
+  FROM probes p
+  JOIN cells cl ON cl.cell = p.cell
+  JOIN vecs v ON v.vec_id = cl.vec_id AND v.vec_id <> p.query_id
+  JOIN vecs q ON q.vec_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_cosine_topk": QuerySpec(q30_cosine_topk, _Q30_SQL),
     "q31_lsh_ann_topk": QuerySpec(q31_lsh_ann_topk, _q31_sql()),
     "q32_ann_recall": QuerySpec(q32_ann_recall, _q32_sql()),
     "q43_label_argmax": QuerySpec(q43_label_argmax, _Q43_SQL),
+    "q46_embedding_neardup": QuerySpec(q46_embedding_neardup, _q46_sql()),
+    "q48_ivf_ann": QuerySpec(q48_ivf_ann, _q48_sql()),
 }
