@@ -333,3 +333,59 @@ GROUP BY o_orderpriority
 """
 
 QUERIES["q45_percentiles"] = QuerySpec(q45_percentiles, _Q45_SQL)
+
+
+# --- q50: correlated scalar subquery, decorrelated -------------------------
+def q50_decorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems whose quantity is below 20% of their
+    part's average quantity — the classic *correlated scalar subquery*,
+    decorrelated the way an optimizer would: the per-part average becomes
+    a grouped aggregate joined back on the correlation key, and the
+    part-attribute filter is pushed through the aggregate first (the
+    average per part is unchanged by a filter on part attributes, so both
+    the probe and the aggregate run over ~1% of lineitem instead of all
+    of it).  The DuckDB oracle runs the *actual* correlated subquery, so
+    the rewrite is verified against first-class subquery semantics.
+
+    Determinism: l_quantity is integral, so AVG is exact in double at any
+    partitioning/accumulation order; the 0.2× bound is therefore
+    bit-identical in both engines and the < comparison cannot flap.
+    Money is summed in exact decimal (functions/numeric.dec_sum)."""
+    from azure_databricks_lakehouse_spark.functions.numeric import dec_sum
+
+    t = bind(spark, sf_dir, "lineitem", "part")
+    brand = t["part"].filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    lib = (
+        t["lineitem"]
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    bounds = lib.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_bound")
+    )
+    return (
+        lib.join(bounds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_bound"))
+        .agg(
+            dec_sum("l_extendedprice").alias("sum_below_bound"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q50_sql() -> str:
+    from azure_databricks_lakehouse_spark.functions.numeric import dec_sum_sql
+
+    return f"""
+SELECT {dec_sum_sql('l_extendedprice')} AS sum_below_bound,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+WHERE l.l_quantity < (
+  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+QUERIES["q50_decorrelated_subquery"] = QuerySpec(q50_decorrelated_subquery, _q50_sql())

@@ -625,12 +625,21 @@ def _commit(
         "stats": stats or {},
     }
     final = _manifest_path(root, version)
-    if os.path.exists(final):
-        raise FileExistsError(f"concurrent commit detected at version {version}")
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, final)
+    try:
+        # link(2) fails with EEXIST if the version was already published —
+        # the atomic optimistic-concurrency check (a rename would silently
+        # last-win and lose the other writer's commit).
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"concurrent commit detected at version {version}: another "
+            "writer published this version first; re-read and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version
 
 

@@ -203,3 +203,22 @@ def test_merge_rejects_narrower_source(spark, root):
     narrower = spark.createDataFrame([(1, "a")], "k int, part string")
     with pytest.raises(ValueError, match="missing target columns"):
         t.merge(narrower, on=["k"])
+
+
+def test_concurrent_commit_conflict(spark, root):
+    """Two writers racing to publish the same version: exactly one wins
+    (optimistic concurrency via atomic link(2) publish), the loser gets a
+    retryable error, and no partial state leaks."""
+    from azure_databricks_lakehouse_spark.sources import tables as T
+
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    # Simulate the race: both writers read version 0, both try to commit v1.
+    m = t._manifest()
+    T._commit(root, 1, m["files"], m["schema"], m["partition_by"], "APPEND", False)
+    with pytest.raises(FileExistsError, match="concurrent commit"):
+        T._commit(root, 1, m["files"], m["schema"], m["partition_by"], "APPEND", False)
+    # The winner's commit is intact and readable; no tmp files remain.
+    assert t.latest_version() == 1
+    assert _as_dict(t.read()) == {1: ("a", "x")}
+    mdir = os.path.join(root, "_manifest")
+    assert not [f for f in os.listdir(mdir) if ".tmp-" in f]
