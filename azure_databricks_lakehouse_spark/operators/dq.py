@@ -116,9 +116,15 @@ def claims_rules(
         Rule(
             "service_after_received", F.col("service_date") <= F.col("received_date")
         ),
+        # R4: format-valid only when present (silver:110-117) — the
+        # reference's isNotNull() & ~rlike failure predicate promotes
+        # NULL procedure_code rows, so the pass-predicate needs the same
+        # null guard R5 has; without it the engine's
+        # null-predicate-fails semantics would quarantine NULLs.
         Rule(
             "invalid_procedure_code",
-            F.col("procedure_code").rlike(CPT_PATTERN)
+            F.col("procedure_code").isNull()
+            | F.col("procedure_code").rlike(CPT_PATTERN)
             | F.col("procedure_code").rlike(HCPCS_PATTERN),
         ),
         # R5: positive only when present (silver:120-127) — nulls pass.

@@ -7,10 +7,16 @@ Reference parity — ``gold/gold_rx_claims_load.py``:
   scale) with yyyymmdd date_key intent (``:51``, F2) and calendar
   attributes (``:50-72``, F5/F6).
 - dim_member / dim_provider: SCD1 projections with surrogate keys
-  (``:94-108``, ``:130-142``).  Surrogate keys are stable dense ranks over
-  the business key (``operators/dims.add_surrogate_key``) instead of
-  ``monotonically_increasing_id`` — deterministic across runs, so re-built
-  dims don't churn the fact's foreign keys.
+  (``:94-108``, ``:130-142``).  Surrogate keys are *durable*: the first
+  build assigns dense 1..N in business-key order
+  (``operators/dims.add_surrogate_key``); every later build keeps the
+  existing key for every business key already in the dim and assigns
+  ``max(sk) + dense-rank`` to new keys only.  Keys are never renumbered,
+  so the watermark-incremental fact (which does not re-join historical
+  rows) can never be left pointing at the wrong dim row — unlike both
+  ``monotonically_increasing_id`` (non-deterministic) and a naive
+  full-rebuild rank (a new key that sorts early shifts every key after
+  it).
 - fact: 4 left equi-joins (J1-J4, ``:167-187``) with explicitly broadcast
   dims (J5) — two of them role-playing date joins disambiguated by
   pre-join aliasing; derived measure ``billed - paid`` (P12, ``:199``).
@@ -66,12 +72,58 @@ def build_dim_date(
     return ParquetTable.for_path(spark, paths.dim_date).read()
 
 
+def _durable_scd1_dim(
+    spark: SparkSession,
+    path: str,
+    attrs: DataFrame,
+    sk_name: str,
+    business_key: str,
+) -> DataFrame:
+    """SCD1 dim refresh with durable surrogate keys.
+
+    Existing business keys keep the SK they were first assigned — forever.
+    Attributes refresh from the source (SCD1 overwrite); NEW business keys
+    get ``max(existing sk) + dense-rank(new keys)``; business keys that
+    vanished from the source are carried over unchanged, because the fact
+    table may still reference them.  This is what lets ``build_fact`` stay
+    watermark-incremental: historical fact rows keep valid foreign keys no
+    matter how dim membership changes between runs.
+
+    Scale: the existing-key map join is a plain equi-join on the business
+    key (shuffle-partitioned both sides, no collect); ``max(sk)`` is a
+    scalar aggregate.
+    """
+    if not is_table(path):
+        dim = add_surrogate_key(attrs, sk_name, business_key=business_key)
+        dim = dim.withColumn("dim_created_timestamp", F.current_timestamp())
+    else:
+        existing = ParquetTable.for_path(spark, path).read()
+        keymap = existing.select(business_key, sk_name, "dim_created_timestamp")
+        max_sk = keymap.agg(F.max(sk_name)).first()[0] or 0
+        refreshed = attrs.join(keymap, business_key, "inner")
+        new_keyed = add_surrogate_key(
+            attrs.join(keymap.select(business_key), business_key, "left_anti"),
+            sk_name,
+            business_key=business_key,
+        ).withColumn(
+            sk_name, (F.col(sk_name) + F.lit(max_sk)).cast("long")
+        ).withColumn("dim_created_timestamp", F.current_timestamp())
+        carried = existing.join(
+            attrs.select(business_key), business_key, "left_anti"
+        )
+        dim = refreshed.unionByName(new_keyed).unionByName(carried)
+    _write(spark, path, dim)
+    return ParquetTable.for_path(spark, path).read()
+
+
 def build_dim_member(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
     """SCD1 member dim (``gold/gold_rx_claims_load.py:87-108``; the pattern
     doc says SCD2 at ``bronze_silver_gold/readme.md:56`` — code wins,
     SURVEY.md §7.3)."""
     members = ParquetTable.for_path(spark, paths.silver_members).read()
-    dim = add_surrogate_key(
+    return _durable_scd1_dim(
+        spark,
+        paths.dim_member,
         members.select(
             F.col("member_id").alias("member_key"),
             "first_name",
@@ -83,14 +135,14 @@ def build_dim_member(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
         ),
         "member_sk",
         business_key="member_key",
-    ).withColumn("dim_created_timestamp", F.current_timestamp())
-    _write(spark, paths.dim_member, dim)
-    return ParquetTable.for_path(spark, paths.dim_member).read()
+    )
 
 
 def build_dim_provider(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
     providers = ParquetTable.for_path(spark, paths.silver_providers).read()
-    dim = add_surrogate_key(
+    return _durable_scd1_dim(
+        spark,
+        paths.dim_provider,
         providers.select(
             F.col("provider_id").alias("provider_key"),
             "provider_name",
@@ -102,9 +154,7 @@ def build_dim_provider(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
         ),
         "provider_sk",
         business_key="provider_key",
-    ).withColumn("dim_created_timestamp", F.current_timestamp())
-    _write(spark, paths.dim_provider, dim)
-    return ParquetTable.for_path(spark, paths.dim_provider).read()
+    )
 
 
 def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:

@@ -148,7 +148,8 @@ tagged AS (
            CASE WHEN (received_date IS NOT NULL) IS NOT TRUE THEN 'missing_received_date' END,
            CASE WHEN (service_date <= DATE '{_AS_OF}') IS NOT TRUE THEN 'service_date_in_future' END,
            CASE WHEN (service_date <= received_date) IS NOT TRUE THEN 'service_after_received' END,
-           CASE WHEN (regexp_matches(procedure_code, '{_CPT}')
+           CASE WHEN (procedure_code IS NULL
+                      OR regexp_matches(procedure_code, '{_CPT}')
                       OR regexp_matches(procedure_code, '{_HCPCS}')) IS NOT TRUE
                 THEN 'invalid_procedure_code' END,
            CASE WHEN (billed_amount IS NULL OR billed_amount > 0) IS NOT TRUE
@@ -165,20 +166,23 @@ FROM tagged
 
 # --- q16: full tagged claims output (§2.11 R1-R5, F7 array accumulation) ---
 def q16_claims_dq_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Output projection coalesces the null reasons array to [] purely for
-    # the oracle hash (DuckDB's pandas bridge turns a NULL list into NaN);
-    # the engine itself keeps reference semantics (null when all pass).
-    # Only the row identity + verdict columns are returned: every rule
-    # still evaluates (reasons reflect all five), but the result payload
-    # stays narrow — this query's cost is result materialization, not
-    # compute.
+    # The engine keeps reference semantics (null reasons array when all
+    # rules pass); the *output projection* renders the array as a sorted
+    # '|'-joined string because the driver's canonicalizer sorts pandas
+    # frames over every output column and list-typed cells are unhashable.
+    # Same information, harness-sortable. Every rule still evaluates
+    # (reasons reflect all five); the payload stays narrow — this query's
+    # cost is result materialization, not compute.
     tagged = apply_rules(_claims_frame(spark, sf_dir), _rules())
     return tagged.select(
         "line_uid",
         "claim_id",
-        F.coalesce("dq_failure_reasons", F.array().cast("array<string>")).alias(
-            "dq_failure_reasons"
-        ),
+        F.array_join(
+            F.array_sort(
+                F.coalesce("dq_failure_reasons", F.array().cast("array<string>"))
+            ),
+            "|",
+        ).alias("dq_failure_reasons"),
         "dq_status",
     )
 
@@ -186,7 +190,8 @@ def q16_claims_dq_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q16_SQL = f"""
 WITH x AS ({_TAGGED_SQL})
 SELECT line_uid, claim_id,
-       COALESCE(dq_failure_reasons, []) AS dq_failure_reasons,
+       COALESCE(array_to_string(list_sort(dq_failure_reasons), '|'), '')
+         AS dq_failure_reasons,
        dq_status
 FROM x
 """

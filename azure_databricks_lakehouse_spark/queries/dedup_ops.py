@@ -96,7 +96,16 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
-            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+            # '|'-joined sorted string rather than array<bigint>: the
+            # driver canonicalizer sorts output frames and list cells are
+            # unhashable in pandas.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("member_ids"),
         )
         .filter(F.col("n_copies") > 1)
     )
@@ -107,7 +116,7 @@ _Q27_SQL = f"""
 SELECT md5(text) AS fingerprint,
        MIN(doc_id) AS canonical_id,
        COUNT(*) AS n_copies,
-       list_sort(list(doc_id)) AS member_ids
+       array_to_string(list_sort(list(doc_id)), '|') AS member_ids
 FROM corpus
 GROUP BY md5(text)
 HAVING COUNT(*) > 1
@@ -299,13 +308,17 @@ def q47_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("hs") - (_WINNOW_W - 1)),
         lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
     )
+    fps = F.transform(F.array_sort(F.array_distinct(mins)), lambda x: x.cast("long"))
+    # '|'-joined string output (not array<bigint>): the driver canonicalizer
+    # sorts output frames and list-typed cells are unhashable in pandas.
     return hashed.select(
         "doc_id",
         F.size("hs").alias("n_kgrams"),
-        F.transform(
-            F.array_sort(F.array_distinct(mins)), lambda x: x.cast("long")
+        F.array_join(
+            F.transform(fps, lambda x: x.cast("string")), "|"
         ).alias("fingerprints"),
-    ).withColumn("n_fingerprints", F.size("fingerprints"))
+        F.size(fps).alias("n_fingerprints"),
+    )
 
 
 def _q47_sql() -> str:
@@ -329,7 +342,8 @@ winnowed AS (
   FROM hashed
 )
 SELECT doc_id, n_kgrams,
-       list_transform(fingerprints, x -> CAST(x AS BIGINT)) AS fingerprints,
+       array_to_string(list_transform(fingerprints, x -> CAST(x AS BIGINT)), '|')
+         AS fingerprints,
        len(fingerprints) AS n_fingerprints
 FROM winnowed
 """

@@ -232,7 +232,8 @@ WITH exact AS ({_Q30_SQL}),
 approx AS ({_q31_sql()})
 SELECT e.query_id AS query_id,
        COUNT(*) AS k,
-       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_recalled
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recalled
 FROM exact e
 LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id

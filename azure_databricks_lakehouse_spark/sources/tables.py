@@ -247,15 +247,25 @@ class ParquetTable:
         """Delta-DML parity: ``UPDATE SET col = expr WHERE condition``.
 
         ``assignments`` maps column name -> Column expression; rows not
-        matching ``condition`` pass through unchanged.
+        matching ``condition`` pass through unchanged.  SQL UPDATE
+        semantics: every RHS is evaluated against the PRE-update row, so
+        ``UPDATE SET a = b, b = a`` swaps — all assignment expressions are
+        built from the original frame in one ``select``, never chained.
         """
         m = self._manifest()
         df = self.read()
+        unknown = set(assignments) - set(df.columns)
+        if unknown:
+            raise ValueError(f"UPDATE references unknown columns {sorted(unknown)}")
         cond = F.coalesce(condition, F.lit(False))
-        for col_name, expr in assignments.items():
-            df = df.withColumn(
-                col_name, F.when(cond, expr).otherwise(F.col(col_name))
-            )
+        df = df.select(
+            *[
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
         files = _write_files(df, self.root, m["partition_by"])
         return _commit(
             self.root,
@@ -355,6 +365,11 @@ class ParquetTable:
                 f"merge source is missing target columns {sorted(extra)}; "
                 "align schemas (or evolve the source) before merging"
             )
+        # A WIDER source is schema evolution (Delta autoMerge semantics):
+        # the manifest schema widens and merged_schema flips on, so reads
+        # of carried-over narrow files stay deterministic via mergeSchema
+        # instead of depending on which footer Spark samples.
+        widened = set(source.columns) - set(target.columns)
 
         if pruned:
             # Source partitions are typically few (e.g. days in a batch):
@@ -387,9 +402,11 @@ class ParquetTable:
         else:
             carried = []
 
-        merged = target.join(source, keys, "left_anti").select(
-            *source.columns
-        ).unionByName(source)
+        merged = (
+            target.join(source, keys, "left_anti")
+            .unionByName(source, allowMissingColumns=True)
+            .select(*source.columns)
+        )
         files = _write_files(merged, self.root, part_cols)
         data_root = os.path.join(self.root, _DATA_DIR)
         old_stats = m.get("stats", {})
@@ -397,10 +414,10 @@ class ParquetTable:
             self.root,
             version=m["version"] + 1,
             files=carried + files,
-            schema=m["schema"],
+            schema=merged.schema.json() if widened else m["schema"],
             partition_by=part_cols,
             operation="MERGE",
-            merged_schema=m.get("merged_schema", False),
+            merged_schema=bool(widened) or m.get("merged_schema", False),
             stats={
                 **{f: old_stats[f] for f in carried if f in old_stats},
                 **_file_stats(data_root, files),

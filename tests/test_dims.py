@@ -56,3 +56,30 @@ def test_surrogate_key_mii_unique(spark):
     df = spark.range(0, 100).repartition(4)
     out = add_surrogate_key(df, "sk")
     assert out.select("sk").distinct().count() == 100
+
+
+def test_durable_sk_never_renumbers(spark, tmp_path):
+    """A dim member whose business key sorts BEFORE existing keys must not
+    shift existing surrogate keys (watermark-incremental facts keep valid
+    FKs — the naive full-rebuild rank fails this)."""
+    from azure_databricks_lakehouse_spark.pipelines.gold import _durable_scd1_dim
+
+    path = str(tmp_path / "dim")
+
+    def attrs(keys):
+        return spark.createDataFrame(
+            [(k, f"name-{k}") for k in keys], "member_key string, name string"
+        )
+
+    first = _durable_scd1_dim(spark, path, attrs(["b", "c"]), "sk", "member_key")
+    got1 = {r["member_key"]: r["sk"] for r in first.collect()}
+    assert got1 == {"b": 1, "c": 2}
+
+    # 'a' sorts before every existing key; 'c' vanishes from the source.
+    second = _durable_scd1_dim(spark, path, attrs(["a", "b", "d"]), "sk", "member_key")
+    got2 = {r["member_key"]: r["sk"] for r in second.collect()}
+    assert got2["b"] == 1 and got2["c"] == 2          # never renumbered/carried
+    assert got2["a"] == 3 and got2["d"] == 4           # max(sk)+rank over new keys
+    # SCD1 attribute refresh still applied to surviving keys
+    names = {r["member_key"]: r["name"] for r in second.collect()}
+    assert names["b"] == "name-b"

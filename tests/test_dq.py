@@ -100,6 +100,30 @@ def test_no_rules_all_pass(spark):
     assert [r["dq_status"] for r in out] == [PASS]
 
 
+def test_r4_null_procedure_code_passes(spark):
+    # Reference R4 failure predicate is isNotNull() & ~rlike
+    # (silver/silver_rx_claims_load.py:110-117): a NULL procedure_code is
+    # NOT invalid — it must promote to Silver, same null-guard shape as R5.
+    from azure_databricks_lakehouse_spark.operators.dq import claims_rules
+
+    rows = [
+        ("c1", "m1", "p1", dt.date(2024, 1, 1), dt.date(2024, 1, 5), None, 10.0),
+        ("c2", "m2", "p2", dt.date(2024, 1, 1), dt.date(2024, 1, 5), "bad", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "claim_id string, member_id string, provider_id string, "
+        "service_date date, received_date date, procedure_code string, "
+        "billed_amount double",
+    )
+    out = {
+        r["claim_id"]: (r["dq_status"], r["dq_failure_reasons"])
+        for r in apply_rules(df, claims_rules(F.lit("2024-06-01"))).collect()
+    }
+    assert out["c1"] == (PASS, None)
+    assert out["c2"] == (FAIL, ["invalid_procedure_code"])
+
+
 def test_null_predicate_counts_as_failure(spark):
     # A comparison over a null value is null-valued; the engine must treat
     # "could not positively pass" as FAIL (defensive semantics).

@@ -222,3 +222,29 @@ def test_concurrent_commit_conflict(spark, root):
     assert _as_dict(t.read()) == {1: ("a", "x")}
     mdir = os.path.join(root, "_manifest")
     assert not [f for f in os.listdir(mdir) if ".tmp-" in f]
+
+
+def test_update_rhs_sees_pre_update_values(spark, root):
+    """SQL UPDATE semantics: UPDATE SET part=v, v=part must swap, not
+    chain — every RHS evaluates against the pre-update row."""
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.update(F.col("k") == 1, {"part": F.col("v"), "v": F.col("part")})
+    assert _as_dict(t.read()) == {1: ("x", "a")}
+
+
+def test_merge_widening_source_evolves_schema(spark, root):
+    """A source with EXTRA columns widens the table schema (autoMerge
+    semantics): the manifest records the wide schema + merged_schema, so
+    later plain reads see the new column (null for carried rows) instead
+    of a footer-sampling lottery."""
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")]))
+    wide = spark.createDataFrame(
+        [(2, "b", "y2", 99)], "k int, part string, v string, extra int"
+    )
+    t.merge(wide, on=["k"])
+    got = {r["k"]: (r["part"], r["v"], r["extra"]) for r in t.read().collect()}
+    assert got == {1: ("a", "x", None), 2: ("b", "y2", 99)}
+    assert "extra" in t.read().columns
+    # and a fresh handle (fresh manifest read) sees the same wide schema
+    got2 = ParquetTable.for_path(spark, root).read()
+    assert "extra" in got2.columns
