@@ -40,6 +40,47 @@ def md5_bucket_sql(expr: str) -> str:
     return f"({hex_nibble_sql(h, 1)} * 16 + {hex_nibble_sql(h, 2)})"
 
 
+_POLY_MULT = 31
+_POLY_MOD = 1 << 16
+
+
+def char_codes(col: Column) -> Column:
+    """Array of per-character codepoints of ``col`` (Karp-Rabin input)."""
+    return F.transform(F.split(col, ""), F.ascii)
+
+
+def char_codes_sql(expr: str) -> str:
+    return f"list_transform(string_split({expr}, ''), c -> ascii(c))"
+
+
+def poly_u16(codes: Column) -> Column:
+    """Karp-Rabin polynomial hash (Horner fold, base 31, mod 2^16) of a
+    char-code array slice.  ~10 integer ops per k-gram vs md5's hundreds —
+    the *cheap* cross-engine hash for per-position fingerprinting jobs
+    where ``md5_u16`` (one digest per k-gram) is 100x the work.  Spark
+    folds with init 0 so the first step yields ``codes[0]``; the DuckDB
+    twin's ``list_reduce`` seeds with the first element — identical
+    sequences, verified digit-for-digit by the oracle gate."""
+    return F.aggregate(
+        codes, F.lit(0), lambda acc, c: (acc * _POLY_MULT + c) % _POLY_MOD
+    )
+
+
+def poly_u16_sql(list_expr: str) -> str:
+    return (
+        f"list_reduce({list_expr}, "
+        f"(a, c) -> (a * {_POLY_MULT} + c) % {_POLY_MOD})"
+    )
+
+
+def xxh_u64(col: Column) -> Column:
+    """Production (Spark-only) sketch hash: ``xxhash64`` is a JVM
+    intrinsic non-cryptographic hash — the right choice when no DuckDB
+    twin is needed.  Operators that are oracle-compared must use the
+    md5/poly primitives above instead."""
+    return F.xxhash64(col)
+
+
 def md5_u16(col: Column) -> Column:
     """16-bit hash (0..65535) from the first four md5 hex digits of
     ``col`` — the per-token/per-k-gram hash for SimHash and winnowing

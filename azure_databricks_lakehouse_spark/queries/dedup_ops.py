@@ -40,7 +40,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from azure_databricks_lakehouse_spark.functions.hashing import md5_u16, md5_u16_sql
+from azure_databricks_lakehouse_spark.functions.hashing import (
+    char_codes_sql,
+    md5_u16,
+    md5_u16_sql,
+    poly_u16_sql,
+)
+from azure_databricks_lakehouse_spark.operators.fingerprints import (
+    winnow_fingerprints,
+)
 from azure_databricks_lakehouse_spark.queries import QuerySpec
 from azure_databricks_lakehouse_spark.sources.catalog import bind
 
@@ -280,59 +288,45 @@ _WINNOW_W = 4  # winnowing window (k-gram positions per window)
 
 
 def q47_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting by winnowing (the MOSS scheme): hash every
-    character ``k``-gram, slide a ``w``-position window, keep each
-    window's minimum hash — the distinct minima are the fingerprint set.
-    Any shared substring of length ≥ k+w-1 between two documents is
-    guaranteed to share a fingerprint, which is what makes this the
-    standard containment/plagiarism sketch (near-dup detection for
-    *partial* overlap, where set-Jaccard ops like q28 need full-document
-    similarity).
-
-    The classic formulation uses a Karp–Rabin rolling hash for O(1)
-    per-position updates; declaratively each k-gram is hashed
-    independently (``md5_u16``) — same fingerprint semantics, and the
-    whole thing stays a pure projection (per-document array ops, zero
-    shuffle, no UDFs) that scales linearly with input splits."""
+    """Winnowing fingerprints (``operators/fingerprints.winnow_fingerprints``)
+    with the cross-engine Karp-Rabin polynomial hash so DuckDB verifies
+    every fingerprint bit-for-bit.  Production callers use the operator's
+    default ``hash="xxh"`` backend (xxhash64 — non-crypto, JVM intrinsic);
+    the poly fold here is the same ~10-integer-ops-per-gram cost class,
+    ~100x cheaper than the round-2 per-position md5."""
     t = bind(spark, sf_dir, "documents")
     corpus = t["documents"].select("doc_id", _norm(F.col("text")).alias("text"))
-    txt = F.col("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(txt) - (_WINNOW_K - 1)),
-        lambda i: txt.substr(i, F.lit(_WINNOW_K)),
+    fps_df = winnow_fingerprints(
+        corpus, k=_WINNOW_K, w=_WINNOW_W, hash="poly"
     )
-    hashed = corpus.filter(
-        F.length(txt) >= _WINNOW_K + _WINNOW_W - 1
-    ).select("doc_id", F.transform(grams, md5_u16).alias("hs"))
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size("hs") - (_WINNOW_W - 1)),
-        lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
-    )
-    fps = F.transform(F.array_sort(F.array_distinct(mins)), lambda x: x.cast("long"))
     # '|'-joined string output (not array<bigint>): the driver canonicalizer
     # sorts output frames and list-typed cells are unhashable in pandas.
-    return hashed.select(
+    return fps_df.select(
         "doc_id",
-        F.size("hs").alias("n_kgrams"),
+        "n_kgrams",
         F.array_join(
-            F.transform(fps, lambda x: x.cast("string")), "|"
+            F.transform("fingerprints", lambda x: x.cast("string")), "|"
         ).alias("fingerprints"),
-        F.size(fps).alias("n_fingerprints"),
+        F.size("fingerprints").alias("n_fingerprints"),
     )
 
 
 def _q47_sql() -> str:
-    u16 = md5_u16_sql(f"substr(text, i, {_WINNOW_K})")
+    gram = poly_u16_sql(f"list_slice(codes, i, i + {_WINNOW_K - 1})")
     return f"""
 WITH base AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text
   FROM documents
 ),
+coded AS (
+  SELECT doc_id, length(text) AS n, {char_codes_sql("text")} AS codes
+  FROM base WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
 hashed AS (
   SELECT doc_id,
-         list_transform(generate_series(1, length(text) - {_WINNOW_K - 1}),
-                        i -> {u16}) AS hs
-  FROM base WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+         list_transform(generate_series(1, n - {_WINNOW_K - 1}),
+                        i -> {gram}) AS hs
+  FROM coded
 ),
 winnowed AS (
   SELECT doc_id, len(hs) AS n_kgrams,
