@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
+_CURRENT_DIR = "current"
+_CATALOG_FILE = "_catalog.json"
 
 
 @dataclass(frozen=True)
@@ -163,9 +165,68 @@ class ParquetTable:
         return reader.parquet(*[os.path.join(self.root, _DATA_DIR, f) for f in m["files"]])
 
     def register(self, name: str, version: int | None = None) -> None:
-        """S9 parity: make the table SQL-visible
-        (``CREATE TABLE ... USING DELTA LOCATION`` intent)."""
+        """S9 (session-scoped): make the table SQL-visible as a temp view.
+        For a *persistent* catalog entry use :meth:`register_catalog`."""
         self.read(version).createOrReplaceTempView(name)
+
+    def register_catalog(self, name: str) -> None:
+        """S9 full parity: a persistent catalog table
+        (``CREATE TABLE ... USING PARQUET LOCATION`` — the reference's
+        ``bronze/bronze_rx_claims_load.py:77`` /
+        ``gold/gold_rx_claims_load.py:79-232`` registration), visible to
+        every session sharing the catalog, not just this one.
+
+        A plain parquet catalog table reads a whole directory, but this
+        layout keeps historical versions side by side under ``data/`` —
+        so the entry points at ``current/``, a directory of hardlinks to
+        exactly the latest manifest's files (hive partition structure
+        preserved).  Every commit refreshes ``current/`` and, for
+        partitioned tables, re-runs partition recovery, so SQL-by-name
+        always sees the newest snapshot.  Hardlinks cost no data copies.
+        """
+        path = self._refresh_current()
+        with open(os.path.join(self.root, _CATALOG_FILE), "w") as fh:
+            json.dump({"name": name}, fh)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.spark.sql(f"CREATE TABLE {name} USING PARQUET LOCATION '{path}'")
+        if self._manifest()["partition_by"]:
+            self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+
+    def _refresh_current(self) -> str:
+        """Rebuild ``current/`` as hardlinks to the latest snapshot's
+        files; returns its absolute path.  Build-aside + directory swap:
+        manifest-based readers never look here, and catalog readers see
+        either the old or the new complete snapshot except during the
+        sub-millisecond swap window (single-writer contract, like the
+        rest of the DML surface)."""
+        m = self._manifest()
+        cur = os.path.join(self.root, _CURRENT_DIR)
+        tmp = cur + f".tmp-{uuid.uuid4().hex[:8]}"
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for rel in m["files"]:
+            dest = os.path.join(tmp, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.link(os.path.join(data_root, rel), dest)
+        os.makedirs(tmp, exist_ok=True)  # zero-file snapshot edge case
+        old = cur + f".old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        return os.path.abspath(cur)
+
+    def _post_commit(self) -> None:
+        """Keep a persistent catalog registration in sync after a commit."""
+        reg = os.path.join(self.root, _CATALOG_FILE)
+        if not os.path.exists(reg):
+            return
+        with open(reg) as fh:
+            name = json.load(fh)["name"]
+        self._refresh_current()
+        self.spark.sql(f"REFRESH TABLE {name}")
+        if self._manifest()["partition_by"]:
+            self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
 
     def scan(
         self,
@@ -232,7 +293,7 @@ class ParquetTable:
         m = self._manifest()
         remaining = self.read().filter(~F.coalesce(condition, F.lit(False)))
         files = _write_files(remaining, self.root, m["partition_by"])
-        return _commit(
+        version = _commit(
             self.root,
             version=m["version"] + 1,
             files=files,
@@ -242,6 +303,8 @@ class ParquetTable:
             merged_schema=m.get("merged_schema", False),
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
         )
+        self._post_commit()
+        return version
 
     def update(self, condition, assignments: dict) -> int:
         """Delta-DML parity: ``UPDATE SET col = expr WHERE condition``.
@@ -267,7 +330,7 @@ class ParquetTable:
             ]
         )
         files = _write_files(df, self.root, m["partition_by"])
-        return _commit(
+        version = _commit(
             self.root,
             version=m["version"] + 1,
             files=files,
@@ -277,6 +340,8 @@ class ParquetTable:
             merged_schema=m.get("merged_schema", False),
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
         )
+        self._post_commit()
+        return version
 
     def restore(self, version: int) -> int:
         """Delta-parity ``RESTORE TABLE ... TO VERSION AS OF``: publish a
@@ -285,7 +350,7 @@ class ParquetTable:
         stays intact."""
         old = self._manifest(version)
         cur = self._manifest()
-        return _commit(
+        version = _commit(
             self.root,
             version=cur["version"] + 1,
             files=old["files"],
@@ -295,32 +360,58 @@ class ParquetTable:
             merged_schema=old.get("merged_schema", False),
             stats=old.get("stats", {}),
         )
+        self._post_commit()
+        return version
 
     # -- write paths --------------------------------------------------------
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False, max_retries: int = 20) -> int:
         """S6/D4 parity: append; new columns allowed iff ``merge_schema``
         (``.option("mergeSchema","true")`` on the reference's Bronze
-        append, ``bronze/bronze_rx_claims_load.py:58-63``)."""
-        m = self._manifest()
-        old = _schema_from_json(self.spark, m["schema"])
-        new_cols = set(df.schema.fieldNames()) - set(old.fieldNames())
-        if new_cols and not merge_schema:
-            raise ValueError(
-                f"schema mismatch (new columns {sorted(new_cols)}); "
-                "pass merge_schema=True to evolve"
-            )
-        files = _write_files(df, self.root, m["partition_by"])
+        append, ``bronze/bronze_rx_claims_load.py:58-63``).
+
+        Multi-writer safe: appends are purely additive, so on a commit
+        collision (another writer published our target version first) the
+        append **rebases** — re-reads the latest manifest, re-validates the
+        schema against it, and retries with its file list plus ours.  The
+        expensive part (writing the parquet files) happens exactly once;
+        only the metadata commit loops.  Non-additive DML (merge/delete/
+        update/overwrite) deliberately does NOT auto-retry: a rebase there
+        would have to recompute against the new snapshot, which is the
+        caller's decision."""
+        files = None
         data_root = os.path.join(self.root, _DATA_DIR)
-        return _commit(
-            self.root,
-            version=m["version"] + 1,
-            files=m["files"] + files,
-            schema=df.schema.json() if new_cols else m["schema"],
-            partition_by=m["partition_by"],
-            operation="APPEND",
-            merged_schema=bool(new_cols) or m.get("merged_schema", False),
-            stats={**m.get("stats", {}), **_file_stats(data_root, files)},
+        for attempt in range(max_retries):
+            m = self._manifest()
+            old = _schema_from_json(self.spark, m["schema"])
+            new_cols = set(df.schema.fieldNames()) - set(old.fieldNames())
+            if new_cols and not merge_schema:
+                raise ValueError(
+                    f"schema mismatch (new columns {sorted(new_cols)}); "
+                    "pass merge_schema=True to evolve"
+                )
+            if files is None:
+                files = _write_files(df, self.root, m["partition_by"])
+                stats = _file_stats(data_root, files)
+            try:
+                version = _commit(
+                    self.root,
+                    version=m["version"] + 1,
+                    files=m["files"] + files,
+                    schema=df.schema.json() if new_cols else m["schema"],
+                    partition_by=m["partition_by"],
+                    operation="APPEND",
+                    merged_schema=bool(new_cols) or m.get("merged_schema", False),
+                    stats={**m.get("stats", {}), **stats},
+                )
+            except FileExistsError:
+                time.sleep(min(0.05 * (attempt + 1), 0.5))
+                continue
+            self._post_commit()
+            return version
+        raise FileExistsError(
+            f"append lost the commit race {max_retries} times at {self.root}; "
+            "extreme contention — back off and retry"
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -328,7 +419,7 @@ class ParquetTable:
         time travel until VACUUM)."""
         m = self._manifest()
         files = _write_files(df, self.root, m["partition_by"])
-        return _commit(
+        version = _commit(
             self.root,
             version=m["version"] + 1,
             files=files,
@@ -338,6 +429,8 @@ class ParquetTable:
             merged_schema=False,
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
         )
+        self._post_commit()
+        return version
 
     def merge(self, source: DataFrame, on: Sequence[str]) -> int:
         """D3 parity: keyed upsert with
@@ -410,7 +503,7 @@ class ParquetTable:
         files = _write_files(merged, self.root, part_cols)
         data_root = os.path.join(self.root, _DATA_DIR)
         old_stats = m.get("stats", {})
-        return _commit(
+        version = _commit(
             self.root,
             version=m["version"] + 1,
             files=carried + files,
@@ -423,6 +516,8 @@ class ParquetTable:
                 **_file_stats(data_root, files),
             },
         )
+        self._post_commit()
+        return version
 
     # -- maintenance --------------------------------------------------------
 
@@ -460,7 +555,7 @@ class ParquetTable:
         else:
             df = df.coalesce(n_files)
         files = _write_files(df, self.root, part_cols, preserve_layout=True)
-        return _commit(
+        version = _commit(
             self.root,
             version=m["version"] + 1,
             files=files,
@@ -470,6 +565,8 @@ class ParquetTable:
             merged_schema=m.get("merged_schema", False),
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
         )
+        self._post_commit()
+        return version
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """D8 parity: delete data files unreferenced by the newest

@@ -248,3 +248,59 @@ def test_merge_widening_source_evolves_schema(spark, root):
     # and a fresh handle (fresh manifest read) sees the same wide schema
     got2 = ParquetTable.for_path(spark, root).read()
     assert "extra" in got2.columns
+
+
+def test_concurrent_appends_lose_nothing(spark, root):
+    """Two writers interleaving appends: every row lands, versions are
+    contiguous, and each append's rebase keeps all prior files."""
+    import threading
+
+    ParquetTable.create(spark, root, _rows(spark, [(0, "seed", "s")]))
+    errs = []
+
+    def writer(base):
+        t = ParquetTable.for_path(spark, root)
+        try:
+            for i in range(8):
+                t.append(_rows(spark, [(base + i, "w", f"v{base + i}")]))
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in (100, 200)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    t = ParquetTable.for_path(spark, root)
+    assert t.read().count() == 17  # 1 seed + 2 writers x 8 appends
+    ks = {r["k"] for r in t.read().collect()}
+    assert ks == {0, *range(100, 108), *range(200, 208)}
+    # one version per commit, no gaps
+    assert t.latest_version() == 16
+
+
+def test_register_catalog_fresh_session(spark, root):
+    """Persistent catalog entry: readable BY NAME from a different session
+    (shared catalog), and commits keep the entry pointing at the newest
+    snapshot."""
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")]),
+        partition_by=["part"],
+    )
+    name = "cat_reg_test_tbl"
+    try:
+        t.register_catalog(name)
+        fresh = spark.newSession()
+        got = {r["k"]: r["v"] for r in fresh.sql(f"SELECT * FROM {name}").collect()}
+        assert got == {1: "x", 2: "y"}
+        # a later commit is visible by name without re-registering
+        t.append(_rows(spark, [(3, "c", "z")]))
+        got2 = {r["k"]: r["v"] for r in fresh.sql(f"SELECT * FROM {name}").collect()}
+        assert got2 == {1: "x", 2: "y", 3: "z"}
+        # partition pruning works through the catalog entry
+        assert fresh.sql(
+            f"SELECT count(*) c FROM {name} WHERE part = 'c'"
+        ).first()["c"] == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
