@@ -528,12 +528,15 @@ class ParquetTable:
         n_files: int | None = None,
     ) -> int:
         """D6/D7 parity: compact small files toward ``target_file_mb`` and
-        optionally cluster by ``zorder_by`` columns.  True Z-ordering
-        interleaves bits; range-partitioning on the clustering columns then
-        sorting within partitions achieves the same effect for min/max
-        row-group pruning (each file covers a narrow range of the
-        clustering key), which is what the reference is after
-        (``bronze_silver_gold/readme.md:107-108``)."""
+        optionally cluster by ``zorder_by`` columns with TRUE interleaved
+        Z-ordering (``bronze_silver_gold/readme.md:107-108`` prescribes
+        Z-ORDER on member/provider/date): each clustering column is
+        quantile-bucketed into 2^bits ranks, the rank bits are interleaved
+        into a z-value, and files are range-clustered + sorted on that
+        z-value.  Unlike a lexical multi-column sort (tight min/max on the
+        leading column only), every z-ordered file covers a narrow range
+        of EVERY clustering column, so selective filters on the second and
+        third columns also prune files."""
         m = self._manifest()
         df = self.read()
         if n_files is None:
@@ -544,14 +547,15 @@ class ParquetTable:
             n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         part_cols = m["partition_by"]
         if zorder_by:
-            # Range-cluster on (partition cols, zorder cols) and sort
-            # within: each task covers one narrow clustering range, so
-            # files carry tight min/max stats.  preserve_layout stops
-            # _write_files' REBALANCE from re-shuffling (and thereby
-            # destroying) exactly this clustering.
-            df = df.repartitionByRange(
-                n_files, *part_cols, *zorder_by
-            ).sortWithinPartitions(*part_cols, *zorder_by)
+            # preserve_layout stops _write_files' REBALANCE from
+            # re-shuffling (and thereby destroying) exactly this clustering.
+            zval = _zvalue(df, list(zorder_by))
+            df = (
+                df.withColumn("__zval", zval)
+                .repartitionByRange(n_files, *part_cols, "__zval")
+                .sortWithinPartitions(*part_cols, "__zval")
+                .drop("__zval")
+            )
         else:
             df = df.coalesce(n_files)
         files = _write_files(df, self.root, part_cols, preserve_layout=True)
@@ -599,6 +603,73 @@ class ParquetTable:
 
 
 # -- internals --------------------------------------------------------------
+
+_ZORDER_BITS = 4  # quantile ranks per clustering column (16 buckets)
+
+
+def _column_cuts(df: DataFrame, col: str, n_buckets: int) -> list | None:
+    """Quantile cut points (n_buckets - 1 of them) for one clustering
+    column.  Numeric/date/timestamp columns use the t-digest sketch
+    (``approxQuantile`` — one scan, no shuffle, driver receives a handful
+    of doubles, valid at any scale).  Other orderable types (strings) use
+    a bounded random sample, the same estimation RangePartitioner does.
+    Returns None when the column has < 2 distinct values (no clustering
+    signal)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        num = df.select(F.col(col).cast("timestamp").cast("double").alias(col))
+        cuts = num.stat.approxQuantile(col, probs, 0.01)
+    elif dtype in ("string",):
+        n = df.select(col).na.drop().count()
+        if n == 0:
+            return None
+        frac = min(1.0, 20000 / n)
+        sample = sorted(
+            r[0] for r in df.select(col).na.drop().sample(frac, seed=7).collect()
+        )
+        if not sample:
+            return None
+        cuts = [sample[int(len(sample) * p)] for p in probs]
+    else:
+        cuts = df.stat.approxQuantile(col, probs, 0.01)
+    uniq = sorted(set(cuts))
+    return uniq or None
+
+
+def _zvalue(df: DataFrame, zorder_cols: list[str], bits: int = _ZORDER_BITS) -> F.Column:
+    """Interleaved Morton z-value over ``zorder_cols``.
+
+    Per column: bucket id = #cut-points the value exceeds (an ``aggregate``
+    fold over a literal array — B comparisons in codegen, no join, no
+    shuffle; nulls sort to bucket 0).  The ids' bits are then interleaved
+    MSB-first across columns, so sorting by the z-value gives every file a
+    narrow range of *each* column simultaneously."""
+    dtypes = dict(df.dtypes)
+    n_buckets = 1 << bits
+    bucket_ids = []
+    for c in zorder_cols:
+        cuts = _column_cuts(df, c, n_buckets)
+        if cuts is None:
+            bucket_ids.append(F.lit(0))
+            continue
+        v = F.col(c)
+        if dtypes[c] in ("date", "timestamp", "timestamp_ntz"):
+            v = v.cast("timestamp").cast("double")
+        arr = F.array(*[F.lit(x) for x in cuts])
+        bucket_ids.append(
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, cut: acc
+                + F.when(v.isNotNull() & (v > cut), 1).otherwise(0),
+            )
+        )
+    z = F.lit(0)
+    for bit in range(bits - 1, -1, -1):
+        for b in bucket_ids:
+            z = F.shiftleft(z, 1) + F.shiftright(b, bit).bitwiseAND(F.lit(1))
+    return z
 
 
 def _hive_value(v) -> str:

@@ -304,3 +304,22 @@ def test_register_catalog_fresh_session(spark, root):
         ).first()["c"] == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_interleaved_zorder_prunes_second_column(spark, root):
+    """TRUE Z-order: after optimize(zorder_by=[x, y]) a selective filter on
+    the SECOND clustering column must skip files.  (A lexical multi-column
+    sort gives every file the full y range — zero pruning on y.)"""
+    rows = [(i // 64, i % 64, i) for i in range(4096)]  # independent x, y grid
+    df = spark.createDataFrame(rows, "x int, y int, id int")
+    t = ParquetTable.create(spark, root, df)
+    t.optimize(zorder_by=["x", "y"], n_files=16)
+    total = len(t._manifest()["files"])
+    assert total >= 8
+    pruned = t.scan("y", lo=0, hi=3)
+    # correctness first: exact rows survive
+    assert pruned.count() == 4096 * 4 // 64
+    assert {r["y"] for r in pruned.collect()} == {0, 1, 2, 3}
+    # then the skipping claim, on BOTH clustering columns
+    assert len(pruned.inputFiles()) <= total // 2
+    assert len(t.scan("x", lo=0, hi=3).inputFiles()) <= total // 2
