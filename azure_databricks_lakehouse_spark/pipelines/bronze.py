@@ -54,13 +54,30 @@ class BronzeResult:
 
 
 def read_landing_csv(
-    spark: SparkSession, source_glob: str, schema: str = CLAIMS_SCHEMA
+    spark: SparkSession,
+    source_glob: str,
+    schema: str = CLAIMS_SCHEMA,
+    infer_schema: bool = False,
 ) -> DataFrame:
-    """S1+S2: permissive CSV scan with corrupt-record side column."""
-    return (
+    """S1+S2: permissive CSV scan with corrupt-record side column.
+
+    ``infer_schema=True`` is the reference's as-written schema-on-read
+    (``bronze/bronze_rx_claims_load.py:39``): Spark samples the files to
+    infer column types.  It stays opt-in because inference runs an eager
+    extra scan per ingest and lets types drift batch-to-batch; the
+    explicit-schema default is the at-scale posture (the PERMISSIVE
+    corrupt-record channel still captures rows that don't fit it).
+    Inference cannot coexist with a user-declared corrupt-record column,
+    so that capture is explicit-schema-only — the documented trade.
+    """
+    reader = (
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if infer_schema:
+        return reader.option("inferSchema", "true").csv(source_glob)
+    return (
+        reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(f"{schema}, {CORRUPT_COL} STRING")
         .csv(source_glob)
     )
@@ -86,15 +103,18 @@ def ingest(
     source_system: str = "pharmacy_system",
     load_id: str | None = None,
     schema: str = CLAIMS_SCHEMA,
+    infer_schema: bool = False,
 ) -> BronzeResult:
     """Land a batch into the bronze table (append; create on first run).
 
     ``load_id`` defaults to the job conf (F10 conf-lookup-as-literal,
-    ``bronze/bronze_rx_claims_load.py:49``).
+    ``bronze/bronze_rx_claims_load.py:49``).  ``infer_schema=True`` lands
+    with inferred types (see :func:`read_landing_csv`); corrupt-record
+    capture then reports 0 (no side column exists under inference).
     """
     if load_id is None:
         load_id = spark.conf.get("spark.lakehouse.bronzeLoadId", "manual")
-    raw = read_landing_csv(spark, source_glob, schema)
+    raw = read_landing_csv(spark, source_glob, schema, infer_schema=infer_schema)
     staged = with_lineage(raw, source_system, load_id)
     # Spark only materializes _corrupt_record when the row is cached or
     # fully projected; cache before any filter that references it.
@@ -108,20 +128,50 @@ def ingest(
                 spark, table_root, staged, partition_by=["ingestion_date"]
             )
             version = 0
+        has_corrupt_col = CORRUPT_COL in staged.columns
         return BronzeResult(
             n_rows=staged.count(),
-            n_corrupt=staged.filter(F.col(CORRUPT_COL).isNotNull()).count(),
-            n_all_null=_n_all_business_null(staged, schema),
+            n_corrupt=(
+                staged.filter(F.col(CORRUPT_COL).isNotNull()).count()
+                if has_corrupt_col
+                else 0
+            ),
+            n_all_null=_n_all_business_null(
+                staged,
+                schema if not infer_schema else None,
+                df_cols=None if not infer_schema else _business_cols(staged),
+            ),
             version=version,
         )
     finally:
         staged.unpersist()
 
 
-def _n_all_business_null(df: DataFrame, schema: str) -> int:
+_LINEAGE_COLS = (
+    "ingestion_timestamp",
+    "ingestion_date",
+    "source_file",
+    "source_system",
+    "bronze_load_id",
+)
+
+
+def _business_cols(df: DataFrame) -> list[str]:
+    """Everything that isn't lineage metadata or the corrupt side column —
+    the business columns of an inferred-schema batch."""
+    drop = set(_LINEAGE_COLS) | {CORRUPT_COL}
+    return [c for c in df.columns if c not in drop]
+
+
+def _n_all_business_null(
+    df: DataFrame, schema: str | None, df_cols: list[str] | None = None
+) -> int:
     """Validation: rows where every business column is null
     (``bronze/bronze_rx_claims_load.py:94-98``)."""
-    cols = [c.split()[0] for c in schema.split(",")]
+    if df_cols is not None:
+        cols = df_cols
+    else:
+        cols = [c.split()[0] for c in schema.split(",")]
     pred = F.lit(True)
     for c in cols:
         pred = pred & F.col(c.strip()).isNull()

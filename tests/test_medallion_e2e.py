@@ -209,3 +209,26 @@ def test_quarantine_replay_is_idempotent(spark, lake, tmp_path):
     wm_tbl.delete(F.col("table_name") == "silver_rx_claims")
     silver.process(spark, lake)
     assert ParquetTable.for_path(spark, lake.quarantine).read().count() == q1
+
+
+def test_bronze_infer_schema_optin(spark, tmp_path):
+    """Reference-parity schema-on-read (bronze_rx_claims_load.py:39):
+    infer_schema=True lands typed columns instead of all-string, and the
+    ingest result stays well-formed (corrupt capture reported as 0 — no
+    side column exists under inference)."""
+    csv = _land(
+        tmp_path,
+        "infer.csv",
+        _HEADER
+        + "C001,M001,P001,2024-01-10,2024-01-15,12345,D100,100.00,90.00,80.00,1,11,RX\n"
+        + "C002,M002,P002,2024-02-01,2024-02-03,54321,D200,250.00,200.00,150.00,1,12,RX\n",
+    )
+    root = str(tmp_path / "bronze_inferred")
+    res = bronze.ingest(spark, root, csv, infer_schema=True)
+    assert res.n_rows == 2 and res.n_corrupt == 0 and res.n_all_null == 0
+    df = ParquetTable.for_path(spark, root).read()
+    types = dict(df.dtypes)
+    assert types["billed_amount"] == "double"       # inferred, not string
+    assert types["claim_line_number"] == "int"
+    assert types["service_date"] == "date"
+    assert df.count() == 2
