@@ -155,7 +155,16 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _variant_corpus(spark, sf_dir).filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
-    sh = corpus.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # The shingle projection feeds THREE consumers (the minhash branch and
+    # both sides of the Jaccard verify).  A map-side branch point would
+    # recompute it per consumer (measured: ~3x the query's cost at sf0.1);
+    # the repartition inserts a shuffle exchange that ReuseExchange then
+    # shares, so shingling runs once and the three consumers read the
+    # exchange output.  Same trick a production pipeline gets by
+    # materializing the shingle table.
+    sh = corpus.select("doc_id", _shingles(F.col("text")).alias("sh")).repartition(
+        "doc_id"
+    )
     # One md5 per shingle; the digest's eight disjoint 4-hex-char slices
     # are eight independent minhash functions.  Bands take r=2 rows each:
     # band key = concat of two slice-minima, so a pair shares a band with

@@ -10,8 +10,10 @@ Three oracle-checked operators:
   random-hyperplane signature buckets vectors; candidates join **on the
   bucket key only** (no all-pairs), then exact cosine ranks within the
   bucket.  Hyperplane components are ±1 derived from ``md5(j|i)`` parity
-  — deterministic, dimension-agnostic, and bit-identical in both engines,
-  so the oracle verifies the whole approximate pipeline.
+  — deterministic and identical in both engines (computed once at plan
+  build as exact-dim literal arrays; evaluating the digest per element
+  per row cost ~3M md5 calls/query), so the oracle verifies the whole
+  approximate pipeline.
 - **ANN recall** (q32) — joins the two: per query, how many of the true
   top-k the LSH variant recovered.  Integer output; the standard eval
   op for any ANN index.
@@ -24,10 +26,10 @@ verified), so cosines agree bit-for-bit and rankings cannot diverge.
 Scale notes: norms are precomputed per row (projection) before any join.
 The brute-force path broadcasts only the query set — corpus never
 shuffles; at 1000 executors it is a map-side scan.  The LSH path shuffles
-on the 4-bit bucket (tune bits to data volume: candidates per bucket ~
-N/2^bits); per-(i,j) md5 hashing inside the signature would be hoisted to
-a broadcast literal matrix in a production build — kept in-plan here so
-the operator stays dimension-agnostic with zero driver actions.
+on the bucket key (tune bits to data volume: candidates per bucket ~
+N/2^bits — undersized signatures degenerate toward the all-pairs join
+LSH exists to avoid, see the q46 banding note).  The only driver action
+is a one-row embedding-dim probe at plan build.
 """
 
 from __future__ import annotations
@@ -120,30 +122,45 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {_TOP_K}
 
 
 # --- q31: hyperplane-LSH bucketed ANN --------------------------------------
-def _bucket(emb: Column, planes: range | None = None) -> Column:
-    """n-bit signature: bit for plane j = sign of <emb, h_j>, h_j[i] = ±1
-    from md5(j|i) first-nibble parity.  ``planes`` selects which global
-    plane indices feed the signature (bands reuse disjoint ranges)."""
+_MAX_DIM = 128  # sign literals cover embeddings up to this width
+
+
+def _sign_values(j: int, n: int = _MAX_DIM) -> list[float]:
+    """±1 hyperplane components for plane ``j``: md5(``j|i``) first-nibble
+    parity — the SAME derivation both engines previously evaluated
+    per-element per-row, now computed ONCE at plan build time.  The md5
+    of a (plane, dim-index) pair is a constant; leaving it in the runtime
+    expression cost ~3M digest calls per query at sf0.1 for values
+    Catalyst cannot constant-fold (the lambda index blocks it)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 1
+        else -1.0
+        for i in range(n)
+    ]
+
+
+def _embedding_dim(df: DataFrame, col: str = "emb") -> int:
+    """Embedding width, probed from one row at plan-build time (metadata-
+    sized driver action — a production system knows this from config).
+    Exact-width sign literals let the dot product be a single ``zip_with``
+    with no per-row ``slice`` allocation."""
+    row = df.select(F.size(col).alias("d")).limit(1).first()
+    return int(row["d"]) if row else 0
+
+
+def _bucket(emb: Column, dim: int, planes: range | None = None) -> Column:
+    """n-bit signature: bit for plane j = sign of <emb, h_j>, h_j the
+    plan-build-time literal from :func:`_sign_values`.  ``planes`` selects
+    which global plane indices feed the signature (bands use disjoint
+    ranges)."""
     planes = range(_N_PLANES) if planes is None else planes
-
-    def make_sign(j: int):
-        def sign(x: Column, i: Column) -> Column:
-            parity = (
-                F.instr(
-                    F.lit(_HEX),
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{j}|"), i.cast("string"))), 1, 1
-                    ),
-                )
-                - 1
-            ) % 2
-            return x * F.when(parity == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-
-        return sign
-
     total = F.lit(0)
     for bit, j in enumerate(planes):
-        dot_j = _fold_sum(F.transform(emb, make_sign(j)))
+        signs = F.array(*[F.lit(v) for v in _sign_values(j)[:dim]])
+        dot_j = _fold_sum(F.zip_with(emb, signs, lambda x, s: x * s))
         total = total + F.when(dot_j > 0, F.lit(2**bit)).otherwise(F.lit(0))
     return total
 
@@ -152,10 +169,10 @@ def _bucket_sql(planes: range | None = None) -> str:
     planes = range(_N_PLANES) if planes is None else planes
     bits = []
     for bit, j in enumerate(planes):
+        lits = ", ".join(str(v) for v in _sign_values(j))
         dot = (
-            f"list_sum(list_transform(generate_series(1, len(emb)), k -> emb[k] * "
-            f"CASE WHEN (strpos('{_HEX}', substr(md5('{j}|' || (k-1)::VARCHAR), 1, 1)) - 1) % 2 = 1 "
-            f"THEN 1.0 ELSE -1.0 END))"
+            f"list_sum(list_transform(generate_series(1, len(emb)), "
+            f"k -> emb[k] * ([{lits}])[k]))"
         )
         bits.append(f"CASE WHEN {dot} > 0 THEN {2**bit} ELSE 0 END")
     return " + ".join(bits)
@@ -163,7 +180,10 @@ def _bucket_sql(planes: range | None = None) -> str:
 
 def q31_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "embeddings")
-    vecs = _with_norm(t["embeddings"]).withColumn("bucket", _bucket(F.col("emb")))
+    vecs = _with_norm(t["embeddings"])
+    vecs = vecs.withColumn(
+        "bucket", _bucket(F.col("emb"), _embedding_dim(vecs))
+    )
     q = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
     c = vecs.alias("c")
     sim = _cosine(F.col("q.emb"), F.col("c.emb"), F.col("q.norm"), F.col("c.norm"))
@@ -296,7 +316,15 @@ FROM normed WHERE rk = 1
 
 # --- q46: embedding-cosine near-duplicate detection ------------------------
 _NEARDUP_MIN = 0.9
-_NEARDUP_BANDS = 2  # OR-amplification: candidate if ANY band signature matches
+# OR-amplification: candidate if ANY band signature matches.  8 planes per
+# band x 4 bands: recall for cosine≈0.98 near-dups is 1-(1-0.936^8)^4 ≈ 97%
+# while each band has 256 buckets — at sf0.1 that is ~40k candidate pairs
+# where the old 2-band x 4-plane scheme (16 buckets/band) produced ~335k,
+# 12% of ALL pairs.  Bucket count must grow with the corpus or LSH
+# degenerates toward the quadratic join it exists to avoid (same lesson as
+# the r=1 minhash bands, PERF.md §1).
+_NEARDUP_BANDS = 4
+_NEARDUP_PLANES = 8  # per band
 _EXACT_MIN = 0.9999
 
 
@@ -345,12 +373,16 @@ FROM (
 
 def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, LSH-bucketed (never all-pairs):
-    two independent 4-plane signature bands (OR-amplified — a pair is a
-    candidate if either band collides, ~95% recall at cosine 0.98), then
+    four independent 8-plane signature bands (OR-amplified — a pair is a
+    candidate if ANY band collides, ~97% recall at cosine 0.98), then
     exact cosine ≥ 0.9 verifies within buckets.  The shuffle key is
     (band, signature); candidate volume tracks true similarity.  Output is
     ids plus an exact-copy flag — no floats to trip the oracle hash."""
-    vecs = _variant_vectors(spark, sf_dir)
+    # vecs feeds three consumers (band build + both verify sides); the
+    # repartition's exchange gets shared by AQE exchange reuse, so the
+    # variant-corpus derivation runs once (same fix as q28's shingles).
+    vecs = _variant_vectors(spark, sf_dir).repartition("vec_id")
+    dim = _embedding_dim(vecs)
     bands = vecs.select(
         "vec_id",
         F.explode(
@@ -359,7 +391,9 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         _bucket(
-                            F.col("emb"), range(_N_PLANES * b, _N_PLANES * (b + 1))
+                            F.col("emb"),
+                            dim,
+                            range(_NEARDUP_PLANES * b, _NEARDUP_PLANES * (b + 1)),
                         ).alias("sig"),
                     )
                     for b in range(_NEARDUP_BANDS)
@@ -367,6 +401,9 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.sig")
+    # Same reuse trick one level up: the 32 dot products per vector run
+    # once behind this exchange instead of once per self-join side.
+    bands = bands.repartition("vec_id")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -392,7 +429,7 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q46_sql() -> str:
     band_selects = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, {b} AS band, "
-        f"({_bucket_sql(range(_N_PLANES * b, _N_PLANES * (b + 1)))}) AS sig FROM vecs"
+        f"({_bucket_sql(range(_NEARDUP_PLANES * b, _NEARDUP_PLANES * (b + 1)))}) AS sig FROM vecs"
         for b in range(_NEARDUP_BANDS)
     )
     return f"""
