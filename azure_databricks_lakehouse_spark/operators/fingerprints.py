@@ -57,31 +57,14 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """``(id_col, n_kgrams, fingerprints array<long>)`` per document with
     at least one full window (length >= k+w-1); shorter docs are dropped
-    (they cannot carry a fingerprint)."""
-    txt = F.col(text_col)
-    eligible = df.filter(F.length(txt) >= k + w - 1)
-    if hash == "xxh":
-        grams = F.transform(
-            _positions(F.length(txt) - (k - 1)),
-            lambda i: txt.substr(i, F.lit(k)),
-        )
-        hashed = eligible.select(
-            id_col, F.transform(grams, lambda g: F.xxhash64(g)).alias("hs")
-        )
-    elif hash == "poly":
-        # Materialize the codes array as a named column so the per-position
-        # lambda references it instead of re-deriving split+ascii per gram
-        # (no common-subexpression elimination inside higher-order funcs).
-        hashed = eligible.select(id_col, char_codes(txt).alias("_codes"))
-        hashed = hashed.select(
-            id_col,
-            F.transform(
-                _positions(F.size("_codes") - (k - 1)),
-                lambda i: poly_u16(F.slice(F.col("_codes"), i, k)),
-            ).alias("hs"),
-        )
-    else:
-        raise ValueError(f"unknown hash backend {hash!r} (use 'xxh' or 'poly')")
+    (they cannot carry a fingerprint).
+
+    NOTE: downstream ``explode("fingerprints")`` is a pushdown hazard —
+    use :func:`winnow_fingerprints_long` for join-shaped consumers (see
+    its docstring)."""
+    hashed = winnow_kgram_hashes(
+        df, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash
+    )
     mins = F.transform(
         _positions(F.size("hs") - (w - 1)),
         lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
@@ -95,16 +78,120 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_long(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    hash: str = "xxh",
+) -> DataFrame:
+    """Long-format winnowing: distinct ``(id_col, fp)`` rows, one per
+    fingerprint.  This is the join-ready shape — and, critically, the
+    PUSHDOWN-SAFE one: exploding the array output of
+    :func:`winnow_fingerprints` lets Catalyst push the generate's implicit
+    ``size > 0`` filter below the projections, inlining the whole nested
+    fingerprint expression (with the k-gram hash array re-derived per
+    window position — quadratic per row).  Here the explode generates
+    *positions* before any window-min is computed, so the hash array is
+    evaluated O(1) times per row and each exploded position does O(w)
+    work."""
+    hs_df = winnow_kgram_hashes(
+        df, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash
+    )
+    long = hs_df.select(
+        id_col,
+        "hs",
+        F.explode(_positions(F.size("hs") - (w - 1))).alias("i"),
+    )
+    fp = F.array_min(F.slice(F.col("hs"), F.col("i"), w))
+    return long.select(id_col, fp.cast("long").alias("fp")).distinct()
+
+
+def winnow_kgram_hashes(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    hash: str = "xxh",
+) -> DataFrame:
+    """``(id_col, hs array)`` of per-position k-gram hashes for documents
+    long enough to winnow (shared by the array and long-format variants)."""
+    txt = F.col(text_col)
+    eligible = df.filter(F.length(txt) >= k + w - 1)
+    if hash == "xxh":
+        grams = F.transform(
+            _positions(F.length(txt) - (k - 1)),
+            lambda i: txt.substr(i, F.lit(k)),
+        )
+        return eligible.select(
+            id_col, F.transform(grams, lambda g: F.xxhash64(g)).alias("hs")
+        )
+    if hash == "poly":
+        coded = eligible.select(id_col, char_codes(txt).alias("_codes"))
+        return coded.select(
+            id_col,
+            F.transform(
+                _positions(F.size("_codes") - (k - 1)),
+                lambda i: poly_u16(F.slice(F.col("_codes"), i, k)),
+            ).alias("hs"),
+        )
+    raise ValueError(f"unknown hash backend {hash!r} (use 'xxh' or 'poly')")
+
+
 def fingerprint_overlap_pairs(
-    fps: DataFrame, *, id_col: str = "doc_id", min_shared: int = 1
+    flat: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+    min_containment: float | None = None,
+    max_doc_frac: float | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Candidate containment pairs: documents sharing >= ``min_shared``
-    winnowing fingerprints.  Bucketed by fingerprint (explode + self
+    winnowing fingerprints.  Input is long format ``(id_col, fp)`` from
+    :func:`winnow_fingerprints_long`.  Bucketed by fingerprint (self
     equi-join on the hash) — candidate count is bounded by per-fingerprint
-    bucket sizes, never all-pairs."""
-    flat = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    bucket sizes, never all-pairs.
+
+    ``max_doc_frac`` / ``max_doc_freq`` drop fingerprints present in more
+    than a fraction / an absolute number of documents BEFORE the pair
+    join (MOSS's frequent-fingerprint cull): an ultra-common k-gram's
+    bucket contributes O(bucket²) pairs and zero discriminative signal —
+    at corpus scale these buckets are the quadratic bombs.  Prefer the
+    ABSOLUTE cap when the expected duplicate-cluster size is known (a
+    fingerprint in more docs than the largest real cluster is junk no
+    matter how big the corpus gets — a fraction cap silently loosens as
+    the corpus grows).  Fraction thresholds are computed in-plan (1-row
+    count broadcast), no driver action.
+
+    ``min_containment`` adds the MOSS containment score
+    ``n_shared / min(|A|, |B|)`` (sizes counted after the cull) and
+    filters on it.  Raw shared-count thresholds are corpus-dependent
+    noise: common k-grams give unrelated documents a handful of shared
+    fingerprints, so a count cut either misses short quotes or keeps
+    near-all-pairs.  Containment normalizes by the smaller document and
+    cleanly separates 'B quotes A' (score near 1) from vocabulary overlap
+    (low score)."""
+    if max_doc_frac is not None or max_doc_freq is not None:
+        doc_freq = flat.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        if max_doc_freq is not None:
+            hot = doc_freq.filter(F.col("df") > max_doc_freq).select("fp")
+        else:
+            total = flat.select(
+                F.count_distinct(F.col(id_col)).alias("n_docs")
+            )
+            hot = (
+                doc_freq.crossJoin(F.broadcast(total))
+                .filter(F.col("df") > F.col("n_docs") * max_doc_frac)
+                .select("fp")
+            )
+        flat = flat.join(F.broadcast(hot), "fp", "left_anti")
     a, b = flat.alias("a"), flat.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -116,4 +203,18 @@ def fingerprint_overlap_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+    if min_containment is None:
+        return pairs
+    counts = flat.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "containment", F.col("n_shared") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_a", "doc_b", "n_shared", "containment")
     )

@@ -47,7 +47,9 @@ from azure_databricks_lakehouse_spark.functions.hashing import (
     poly_u16_sql,
 )
 from azure_databricks_lakehouse_spark.operators.fingerprints import (
+    fingerprint_overlap_pairs,
     winnow_fingerprints,
+    winnow_fingerprints_long,
 )
 from azure_databricks_lakehouse_spark.queries import QuerySpec
 from azure_databricks_lakehouse_spark.sources.catalog import bind
@@ -352,9 +354,88 @@ FROM winnowed
 """
 
 
+# --- q51: winnowing containment pairs (fingerprint-bucketed overlap) -------
+_OVERLAP_MIN = 2  # shared fingerprints to keep a candidate pair at all
+_CONTAINMENT_MIN = 0.8  # MOSS containment: n_shared / min(|A|,|B|)
+# Absolute frequent-fingerprint cull: the variant corpus's true duplicate
+# clusters have <= 3 members, so any fingerprint in > 8 documents is
+# vocabulary noise — and the cap does NOT loosen as the corpus grows.
+_MAX_DOC_FREQ = 8
+
+
+def q51_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment/partial-overlap detection end to end: winnow every
+    document (``operators/fingerprints``, cross-engine poly hash), bucket
+    by fingerprint, count co-occurrences per document pair.  This is the
+    MOSS pipeline — it catches a document QUOTING part of another, which
+    whole-document sketches (q28 minhash Jaccard, q29 simhash) miss by
+    construction.  Candidates come from the fingerprint equi-join — never
+    all-pairs; the variant corpus's head-truncated near-copies guarantee
+    true positives for the oracle to verify."""
+    # _variant_corpus text is already normalized (matches _CORPUS_SQL's
+    # base CTE), so no extra normalization layer here.
+    corpus = _variant_corpus(spark, sf_dir)
+    flat = winnow_fingerprints_long(corpus, k=_WINNOW_K, w=_WINNOW_W, hash="poly")
+    return fingerprint_overlap_pairs(
+        flat,
+        min_shared=_OVERLAP_MIN,
+        min_containment=_CONTAINMENT_MIN,
+        max_doc_freq=_MAX_DOC_FREQ,
+    )
+
+
+def _q51_sql() -> str:
+    gram = poly_u16_sql(f"list_slice(codes, i, i + {_WINNOW_K - 1})")
+    return f"""
+{_CORPUS_SQL},
+coded AS (
+  SELECT doc_id, length(text) AS n, {char_codes_sql("text")} AS codes
+  FROM corpus WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, n - {_WINNOW_K - 1}),
+                        i -> {gram}) AS hs
+  FROM coded
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(hs) - {_WINNOW_W - 1}),
+           i -> list_min(list_slice(hs, i, i + {_WINNOW_W - 1})))) AS fingerprints
+  FROM hashed
+),
+flat0 AS (
+  SELECT doc_id, CAST(unnest(fingerprints) AS BIGINT) AS fp FROM winnowed
+),
+flat AS (
+  SELECT doc_id, fp FROM flat0
+  WHERE fp NOT IN (
+    SELECT fp FROM flat0 GROUP BY fp HAVING COUNT(*) > {_MAX_DOC_FREQ}
+  )
+),
+counts AS (
+  SELECT doc_id, COUNT(*) AS n_fp FROM flat GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM flat a JOIN flat b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_OVERLAP_MIN}
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) AS containment
+FROM pairs
+JOIN counts ca ON pairs.doc_a = ca.doc_id
+JOIN counts cb ON pairs.doc_b = cb.doc_id
+WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= {_CONTAINMENT_MIN}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q27_exact_dedup": QuerySpec(q27_exact_dedup, _Q27_SQL),
     "q28_minhash_lsh_pairs": QuerySpec(q28_minhash_lsh_pairs, _Q28_SQL),
     "q29_simhash": QuerySpec(q29_simhash, _simhash_sql()),
     "q47_winnow_fingerprint": QuerySpec(q47_winnow_fingerprint, _q47_sql()),
+    "q51_winnow_overlap": QuerySpec(q51_winnow_overlap, _q51_sql()),
 }

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from azure_databricks_lakehouse_spark.operators.fingerprints import (
     fingerprint_overlap_pairs,
     winnow_fingerprints,
+    winnow_fingerprints_long,
 )
 
 _SHARED = "the quick brown fox jumps over the lazy dog"
@@ -44,13 +45,29 @@ def test_backends_agree_on_overlap_pairs(spark):
     df = _corpus(spark)
 
     def pairs(backend):
-        fps = winnow_fingerprints(df, k=8, w=4, hash=backend)
+        flat = winnow_fingerprints_long(df, k=8, w=4, hash=backend)
         return {
             (r["doc_a"], r["doc_b"])
-            for r in fingerprint_overlap_pairs(fps, min_shared=2).collect()
+            for r in fingerprint_overlap_pairs(flat, min_shared=2).collect()
         }
 
     assert pairs("xxh") == pairs("poly") == {(1, 2)}
+
+
+def test_long_and_array_variants_agree(spark):
+    df = _corpus(spark)
+    from pyspark.sql import functions as F2
+
+    arr = {
+        (r["doc_id"], fp)
+        for r in winnow_fingerprints(df, k=8, w=4, hash="poly").collect()
+        for fp in r["fingerprints"]
+    }
+    long = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints_long(df, k=8, w=4, hash="poly").collect()
+    }
+    assert arr == long
 
 
 def test_unknown_backend_rejected(spark):
