@@ -46,6 +46,7 @@ from azure_databricks_lakehouse_spark.functions.hashing import (
     md5_u16_sql,
     poly_u16_sql,
 )
+from azure_databricks_lakehouse_spark.operators.components import dedup_clusters
 from azure_databricks_lakehouse_spark.operators.fingerprints import (
     fingerprint_overlap_pairs,
     winnow_fingerprints,
@@ -432,10 +433,51 @@ WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= {_CONTAINMENT_MIN}
 """
 
 
+# --- q52: near-dup clusters (connected components over minhash pairs) ------
+def q52_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair list → dedup clusters: connected components
+    (``operators/components``, iterative min-label propagation) over the
+    q28 MinHash pair list, rolled up to ``(doc_id, canonical_id,
+    cluster_size)``.  This is the step that makes near-dup detection
+    *actionable*: A~B and B~C collapse into one keep-min cluster even
+    though the pair (A, C) was never emitted.  The oracle recomputes the
+    same closure with a recursive CTE — the full iterative algorithm is
+    hash-verified cross-engine."""
+    pairs = q28_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)
+
+
+def _q52_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_Q28_SQL})
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, l) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.node
+),
+comp AS (SELECT node, MIN(l) AS canonical_id FROM reach GROUP BY node),
+sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id
+)
+SELECT comp.node AS doc_id, comp.canonical_id,
+       CAST(sizes.cluster_size AS BIGINT) AS cluster_size
+FROM comp JOIN sizes USING (canonical_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q27_exact_dedup": QuerySpec(q27_exact_dedup, _Q27_SQL),
     "q28_minhash_lsh_pairs": QuerySpec(q28_minhash_lsh_pairs, _Q28_SQL),
     "q29_simhash": QuerySpec(q29_simhash, _simhash_sql()),
     "q47_winnow_fingerprint": QuerySpec(q47_winnow_fingerprint, _q47_sql()),
     "q51_winnow_overlap": QuerySpec(q51_winnow_overlap, _q51_sql()),
+    "q52_neardup_clusters": QuerySpec(q52_neardup_clusters, _q52_sql()),
 }
