@@ -1,0 +1,160 @@
+"""Production IVF index: k-means-trained coarse quantizer + probed search.
+
+q48 demonstrates the IVF *search* shape with a fixed quantizer (so the
+DuckDB oracle can re-derive the index); this module is the production
+path: train the quantizer with Lloyd's k-means expressed as DataFrame
+ops, build the inverted cell assignment, search with nprobe cells.
+
+Scale shape (the part that matters at 100 TB):
+- Each Lloyd iteration is ONE map-side assignment (corpus x broadcast
+  centroids — no shuffle of the corpus) followed by ONE hash aggregate
+  (mean per cell, map-side partial sums).  Centroids move to the driver
+  between rounds — k x dim doubles, metadata-sized, exactly what every
+  distributed k-means does.
+- Initialization is deterministic (first k distinct vectors in vec_id
+  order), so index builds are reproducible run to run.
+- Search: queries probe their ``n_probe`` nearest cells; per-query work
+  is ~``n_probe/k`` of the corpus.  The candidate join shuffles on the
+  cell id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a, b):  # squared L2 between two array<double> columns
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_kmeans(
+    vecs: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over ``(id_col, emb_col array<double>)``; returns
+    ``[(cell_id, centroid)]``.  Deterministic: seeded farthest-first over
+    a bounded id-ordered sample (taking the first k ids naively can land
+    every seed in one dense cluster); ties in assignment break toward the
+    lower cell.  Empty cells keep their previous centroid (standard Lloyd
+    fix).  k-means|| is the same idea run distributed when even the seed
+    sample is too big for the driver."""
+    sample = [
+        list(r[emb_col])
+        for r in vecs.orderBy(id_col).limit(max(256, 4 * k)).select(emb_col).collect()
+    ]
+
+    def _d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    centroids = [sample[0]]
+    while len(centroids) < k:
+        centroids.append(
+            max(sample, key=lambda v: min(_d2(v, c) for c in centroids))
+        )
+    for _ in range(n_iter):
+        cent_df = F.broadcast(
+            vecs.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)],
+                f"cell int, cemb array<double>",
+            )
+        )
+        dist = _sq_dist(F.col(emb_col), F.col("cemb"))
+        w = Window.partitionBy(id_col).orderBy("dist", "cell")
+        assigned = (
+            vecs.crossJoin(cent_df)
+            .select(id_col, emb_col, "cell", dist.alias("dist"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+        # mean per cell: element-wise sum arrays + divide by count — one
+        # hash aggregate with map-side partials
+        dim = len(centroids[0])
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col(emb_col), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new = {
+            r["cell"]: [r[f"s{i}"] / r["n"] for i in range(dim)]
+            for r in sums.collect()
+        }
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return list(enumerate(centroids))
+
+
+def build_ivf(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """Inverted-file assignment: ``(id_col, emb, cell)`` — every vector
+    labeled with its nearest trained cell (map-side, broadcast centroids)."""
+    cent_df = F.broadcast(
+        vecs.sparkSession.createDataFrame(
+            centroids, "cell int, cemb array<double>"
+        )
+    )
+    dist = _sq_dist(F.col(emb_col), F.col("cemb"))
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (
+        vecs.crossJoin(cent_df)
+        .select(id_col, emb_col, "cell", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "dist")
+    )
+
+
+def ivf_search(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    top_k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probed ANN search: each query scans its ``n_probe`` nearest cells
+    only; exact squared-L2 ranking within them.  Returns
+    ``(query_id, neighbor_id, rank)``."""
+    spark = index.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(centroids, "cell int, cemb array<double>")
+    )
+    qdist = _sq_dist(F.col("qemb"), F.col("cemb"))
+    wq = Window.partitionBy(query_id_col).orderBy("qdist", "cell")
+    probes = (
+        queries.select(
+            F.col(query_id_col), F.col(emb_col).alias("qemb")
+        )
+        .crossJoin(cent_df)
+        .select(query_id_col, "qemb", "cell", qdist.alias("qdist"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select(query_id_col, "qemb", "cell")
+    )
+    sim = _sq_dist(F.col("qemb"), F.col(emb_col))
+    wr = Window.partitionBy(query_id_col).orderBy("d", "neighbor_id")
+    return (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("d"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
