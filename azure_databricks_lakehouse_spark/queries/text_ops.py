@@ -233,10 +233,140 @@ FROM counted
 """
 
 
+# --- q53: Gopher-style repetition signals (quality filtering) --------------
+# Rahimi et al.-free, straight from the public Gopher paper's repetition
+# rules (Rae et al. 2021, table A1): documents dominated by a single
+# repeated n-gram or by duplicate tokens are boilerplate/spam and get
+# culled before training.  Whole thing is explode -> hash aggregates —
+# map-side partials, one shuffle on (doc_id, gram).
+_TOP_BIGRAM_MAX = 0.20  # chars in most common 2-gram / chars (Gopher: 0.20)
+_DUP_TOK_MAX = 0.60     # 1 - distinct/total tokens
+
+
+def q53_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "documents")
+    toks = _TOKENS
+    docs = t["documents"].select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        "n_toks",
+        F.explode(
+            F.transform(
+                F.when(F.col("n_toks") >= 2, F.sequence(F.lit(1), F.col("n_toks") - 1))
+                .otherwise(F.array().cast("array<int>")),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_toks", "gram").agg(
+        F.count(F.lit(1)).alias("c"), F.length("gram").alias("glen")
+    )
+    rep = per_gram.groupBy("doc_id", "n_toks").agg(
+        F.max(F.col("c") * (F.col("glen") + 1)).alias("top_chars"),
+        F.sum(F.col("c") * (F.col("glen") + 1)).alias("all_chars"),
+    )
+    dup = docs.select(
+        "doc_id",
+        (
+            1 - F.size(F.array_distinct("toks")) / F.col("n_toks").cast("double")
+        ).alias("dup_tok_frac"),
+    )
+    out = rep.join(dup, "doc_id").select(
+        "doc_id",
+        (F.col("top_chars") / F.col("all_chars")).alias("top_bigram_frac"),
+        "dup_tok_frac",
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_bigram_frac") <= _TOP_BIGRAM_MAX)
+        & (F.col("dup_tok_frac") <= _DUP_TOK_MAX),
+    )
+
+
+_Q53_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks, len({_TOKENS_SQL}) AS n_toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, n_toks,
+         unnest(list_transform(
+           generate_series(1, greatest(n_toks - 1, 0)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM docs
+),
+per_gram AS (
+  SELECT doc_id, n_toks, gram, COUNT(*) AS c, length(gram) AS glen
+  FROM grams GROUP BY doc_id, n_toks, gram
+),
+rep AS (
+  SELECT doc_id, n_toks,
+         MAX(c * (glen + 1)) AS top_chars,
+         SUM(c * (glen + 1)) AS all_chars
+  FROM per_gram GROUP BY doc_id, n_toks
+),
+dup AS (
+  SELECT doc_id,
+         1 - len(list_distinct(toks)) / CAST(n_toks AS DOUBLE) AS dup_tok_frac
+  FROM docs
+)
+SELECT rep.doc_id,
+       CAST(top_chars AS DOUBLE) / all_chars AS top_bigram_frac,
+       dup_tok_frac,
+       (CAST(top_chars AS DOUBLE) / all_chars <= {_TOP_BIGRAM_MAX}
+        AND dup_tok_frac <= {_DUP_TOK_MAX}) AS keep
+FROM rep JOIN dup ON rep.doc_id = dup.doc_id
+"""
+
+
+# --- q54: deterministic stratified sampling (domain-mix reweighting) -------
+# Training-data domain mixing: sample each (lang) stratum at its own rate.
+# Hash-of-id bucketing (functions/hashing.md5_bucket) instead of random
+# sampling: assignment depends only on the row, so mixes are reproducible
+# across runs, reshuffles, and engines — rerunning the pipeline yields the
+# byte-identical training set.
+_STRATA_RATES = {"en": 192, "de": 64, "fr": 64}  # buckets of 256 kept
+_DEFAULT_RATE = 32
+
+
+def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_databricks_lakehouse_spark.functions.hashing import md5_bucket
+
+    t = bind(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, keep in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, keep).otherwise(rate)
+    kept = t["documents"].filter(md5_bucket(F.col("doc_id")) < rate)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _q54_sql() -> str:
+    from azure_databricks_lakehouse_spark.functions.hashing import md5_bucket_sql
+
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {keep}" for lang, keep in _STRATA_RATES.items()
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_sampled,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents
+WHERE {md5_bucket_sql("doc_id")} < (CASE {whens} ELSE {_DEFAULT_RATE} END)
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q24_doc_token_stats": QuerySpec(q24_doc_token_stats, _Q24_SQL),
     "q25_lang_quality": QuerySpec(q25_lang_quality, _Q25_SQL),
     "q26_token_frequency": QuerySpec(q26_token_frequency, _Q26_SQL),
     "q41_training_data_prep": QuerySpec(q41_training_data_prep, _q41_sql()),
     "q49_bpe_token_count": QuerySpec(q49_bpe_token_count, _Q49_SQL),
+    "q53_gopher_repetition": QuerySpec(q53_gopher_repetition, _Q53_SQL),
+    "q54_stratified_sample": QuerySpec(q54_stratified_sample, _q54_sql()),
 }
