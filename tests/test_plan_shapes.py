@@ -69,3 +69,16 @@ def test_events_scan_prunes_columns(spark, sf_dir, queries):
     plan = physical_plan(queries["q21_tumbling_window"](spark, sf_dir))
     scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
     assert "event_id" not in scan and "props" not in scan  # unused columns pruned
+
+
+def test_q51_overlap_join_keys_on_fingerprint(spark, sf_dir, queries):
+    # containment candidates must come from the fp equi-join, never an
+    # unconditioned pair blowup
+    df = queries["q51_winnow_overlap"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in physical_plan(df)
+
+
+def test_q53_repetition_aggs_keep_partials(spark, sf_dir, queries):
+    plan = physical_plan(queries["q53_gopher_repetition"](spark, sf_dir))
+    assert "partial_count" in plan  # map-side combine before the gram shuffle
