@@ -361,6 +361,48 @@ GROUP BY lang
 """
 
 
+# --- q55: GPT-style sequence packing manifest (concat-and-chunk) -----------
+_PACK_CAPACITY = 512
+
+
+def q55_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest over ``documents`` in doc_id
+    order (``operators/packing``): absolute token offsets via a
+    DISTRIBUTED prefix sum (range-partition + local cumsum + broadcast
+    partition offsets — no single-task global window), then the training
+    sequences each document spans at capacity {cap}.  The oracle computes
+    the same manifest with a plain windowed SUM — DuckDB can afford the
+    serial window; the engine cannot.""".format(cap=_PACK_CAPACITY)
+    from azure_databricks_lakehouse_spark.operators.packing import pack_manifest
+
+    t = bind(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id", F.size(_TOKENS).alias("n_tokens")
+    )
+    return pack_manifest(
+        docs, token_col="n_tokens", order_col="doc_id", capacity=_PACK_CAPACITY
+    )
+
+
+_Q55_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+),
+offs AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM docs
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / {_PACK_CAPACITY}) AS BIGINT) AS start_seq,
+       CAST(floor((start_offset + n_tokens - 1) / {_PACK_CAPACITY}) AS BIGINT) AS end_seq,
+       start_offset % {_PACK_CAPACITY} AS offset_in_seq
+FROM offs
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q24_doc_token_stats": QuerySpec(q24_doc_token_stats, _Q24_SQL),
     "q25_lang_quality": QuerySpec(q25_lang_quality, _Q25_SQL),
@@ -369,4 +411,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q49_bpe_token_count": QuerySpec(q49_bpe_token_count, _Q49_SQL),
     "q53_gopher_repetition": QuerySpec(q53_gopher_repetition, _Q53_SQL),
     "q54_stratified_sample": QuerySpec(q54_stratified_sample, _q54_sql()),
+    "q55_sequence_packing": QuerySpec(q55_sequence_packing, _Q55_SQL),
 }
