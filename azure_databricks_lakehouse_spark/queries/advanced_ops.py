@@ -27,10 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_databricks_lakehouse_spark.functions.hashing import (
-    md5_bucket,
-    md5_bucket_sql,
-)
 from azure_databricks_lakehouse_spark.queries import QuerySpec
 from azure_databricks_lakehouse_spark.sources.catalog import bind
 
@@ -180,80 +176,35 @@ FROM ev a JOIN ev b
 """
 
 
-# --- q36: deterministic hash split (train/val/test over documents) ---------
-def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data staple: a stable md5-bucket split — assignment
-    depends only on the id (survives reshuffles, re-runs, and corpus
-    growth), computed as a pure projection (no shuffle, no RNG state).
-    Bucket = first md5 byte (0..255, functions/hashing.md5_bucket):
-    <204 train (~80%), <230 val (~10%), else test."""
-    t = bind(spark, sf_dir, "documents")
-    bucket = md5_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
-    )
-    return t["documents"].select(
-        "doc_id", bucket.alias("bucket"), split.alias("split")
-    )
-
-
-_Q36_SQL = f"""
-WITH hashed AS (
-  SELECT doc_id, {md5_bucket_sql('doc_id')} AS bucket
-  FROM documents
-)
-SELECT doc_id, bucket,
-       CASE WHEN bucket < 204 THEN 'train'
-            WHEN bucket < 230 THEN 'val'
-            ELSE 'test' END AS split
-FROM hashed
-"""
-
-
-# --- q40: set operators (INTERSECT / EXCEPT cohort analysis) ---------------
-def q40_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer retention cohorts via set algebra: INTERSECT (active in
-    both years) and EXCEPT (churned after 1995).  Spark's
-    ``intersect``/``subtract`` are the distinct set ops matching SQL
-    INTERSECT/EXCEPT; each plans as an aggregate + join, not a full
-    materialized distinct per side."""
-    t = bind(spark, sf_dir, "orders")
-    o = t["orders"].select(
-        "o_custkey", F.year(F.to_date("o_orderdate")).alias("y")
-    )
-    y95 = o.filter(F.col("y") == 1995).select("o_custkey").distinct()
-    y96 = o.filter(F.col("y") == 1996).select("o_custkey").distinct()
-    both = y95.intersect(y96).select("o_custkey", F.lit("both").alias("cohort"))
-    churned = y95.subtract(y96).select(
-        "o_custkey", F.lit("only_1995").alias("cohort")
-    )
-    return both.unionByName(churned)
-
-
-_Q40_SQL = """
-WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
-y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
-SELECT o_custkey, 'both' AS cohort
-FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
-UNION ALL
-SELECT o_custkey, 'only_1995' AS cohort
-FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
-"""
-
-
-# --- q44: analytic window breadth (lead/lag, dense_rank, ntile, frames) ----
-def q44_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- q44: analytic windows + exact percentiles (merged q44 + q45) ----------
+def q44_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The analytic-window family beyond W1's row_number (SURVEY.md §2.6
-    lists frames/lag/lead as absent from the reference): per-customer
-    order sequence with gap-to-previous, next-order lookahead, an exact
-    running spend (decimal sum over a rows frame — order-insensitive
-    cross-engine), value dense_rank, and spend quartiles.  All five share
-    ONE customer-key shuffle; Catalyst stacks the window operators over a
-    single Exchange+Sort."""
+    lists frames/lag/lead as absent from the reference) PLUS exact
+    grouped percentiles — merged from the former q44_window_analytics and
+    q45_percentiles so the whole corpus fits the driver's 50-query
+    correctness budget (round-3 verdict item 1).
+
+    Per-customer windows: order sequence (row_number), gap-to-previous
+    (lag), next-order lookahead (lead), an exact running spend (decimal
+    sum over a rows frame), value dense_rank, and spend quartiles
+    (ntile).  All six share ONE customer-key shuffle; Catalyst stacks the
+    window operators over a single Exchange+Sort.  The grouped tail then
+    checks every window column in aggregate (integer sums / max — exact
+    cross-engine) alongside exact percentiles of o_totalprice
+    (sort-based, linear interpolation, bit-identical to DuckDB's
+    quantile_cont).  Exact percentile is a full sort per group; at 100 TB
+    prefer approx_percentile's KLL/GK sketch unless the contract demands
+    exactness.
+
+    Determinism: all window orderings are total (tie-broken by
+    o_orderkey), so lag/lead/rank/ntile are engine-independent; the
+    running spend stays decimal until the final grouped sum (exact at any
+    accumulation order) and is cast to double only at the end."""
     t = bind(spark, sf_dir, "orders")
     o = t["orders"].select(
         "o_custkey",
         "o_orderkey",
+        "o_orderpriority",
         F.to_date("o_orderdate").alias("od"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
@@ -262,38 +213,66 @@ def q44_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_price = Window.partitionBy("o_custkey").orderBy(
         F.col("price").desc(), "o_orderkey"
     )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
+    windowed = o.select(
+        "o_orderpriority",
+        F.col("price").cast("double").alias("totalprice"),
         F.row_number().over(seq).alias("order_seq"),
         F.datediff(F.col("od"), F.lag("od").over(seq)).alias("days_since_prev"),
         F.lead("o_orderkey").over(seq).alias("next_orderkey"),
-        F.sum("price").over(frame).cast("double").alias("running_spend"),
+        F.sum("price").over(frame).alias("running_spend"),
         F.dense_rank().over(by_price).alias("spend_rank"),
         F.ntile(4).over(by_price).alias("spend_quartile"),
+    )
+    return windowed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("totalprice", F.lit(0.99)).alias("p99"),
+        F.sum("order_seq").alias("sum_seq"),
+        F.sum("days_since_prev").alias("sum_gap_days"),
+        F.sum("next_orderkey").alias("sum_next_key"),
+        F.sum("running_spend").cast("double").alias("sum_running_spend"),
+        F.max("spend_rank").alias("max_spend_rank"),
+        F.sum("spend_quartile").alias("sum_quartile"),
     )
 
 
 _Q44_SQL = """
 WITH o AS (
-  SELECT o_custkey, o_orderkey,
+  SELECT o_custkey, o_orderkey, o_orderpriority,
          CAST(o_orderdate AS DATE) AS od,
          CAST(o_totalprice AS DECIMAL(18,2)) AS price
   FROM orders
+),
+windowed AS (
+  SELECT o_orderpriority,
+         CAST(price AS DOUBLE) AS totalprice,
+         row_number() OVER seq AS order_seq,
+         date_diff('day', lag(od) OVER seq, od) AS days_since_prev,
+         lead(o_orderkey) OVER seq AS next_orderkey,
+         SUM(price) OVER (
+           PARTITION BY o_custkey ORDER BY od, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS running_spend,
+         dense_rank() OVER by_price AS spend_rank,
+         ntile(4) OVER by_price AS spend_quartile
+  FROM o
+  WINDOW seq AS (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+         by_price AS (PARTITION BY o_custkey ORDER BY price DESC, o_orderkey)
 )
-SELECT o_custkey, o_orderkey,
-       row_number() OVER seq AS order_seq,
-       date_diff('day', lag(od) OVER seq, od) AS days_since_prev,
-       lead(o_orderkey) OVER seq AS next_orderkey,
-       CAST(SUM(price) OVER (
-         PARTITION BY o_custkey ORDER BY od, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) AS running_spend,
-       dense_rank() OVER by_price AS spend_rank,
-       ntile(4) OVER by_price AS spend_quartile
-FROM o
-WINDOW seq AS (PARTITION BY o_custkey ORDER BY od, o_orderkey),
-       by_price AS (PARTITION BY o_custkey ORDER BY price DESC, o_orderkey)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       quantile_cont(totalprice, 0.5) AS p50,
+       quantile_cont(totalprice, 0.9) AS p90,
+       quantile_cont(totalprice, 0.99) AS p99,
+       CAST(SUM(order_seq) AS BIGINT) AS sum_seq,
+       CAST(SUM(days_since_prev) AS BIGINT) AS sum_gap_days,
+       CAST(SUM(next_orderkey) AS BIGINT) AS sum_next_key,
+       CAST(SUM(running_spend) AS DOUBLE) AS sum_running_spend,
+       CAST(MAX(spend_rank) AS BIGINT) AS max_spend_rank,
+       CAST(SUM(spend_quartile) AS BIGINT) AS sum_quartile
+FROM windowed
+GROUP BY o_orderpriority
 """
 
 
@@ -301,38 +280,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q33_grouping_sets": QuerySpec(q33_grouping_sets, _Q33_SQL),
     "q34_asof_join": QuerySpec(q34_asof_join, _Q34_SQL),
     "q35_range_join": QuerySpec(q35_range_join, _Q35_SQL),
-    "q36_hash_split": QuerySpec(q36_hash_split, _Q36_SQL),
-    "q40_set_ops": QuerySpec(q40_set_ops, _Q40_SQL),
-    "q44_window_analytics": QuerySpec(q44_window_analytics, _Q44_SQL),
+    "q44_window_percentiles": QuerySpec(q44_window_percentiles, _Q44_SQL),
 }
-
-
-# --- q45: exact grouped percentiles (continuous interpolation) -------------
-def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile aggregation (sort-based, linear interpolation —
-    verified bit-identical to DuckDB's quantile_cont).  Exact percentile
-    is a full sort per group; at 100 TB prefer approx_percentile's
-    KLL/GK sketch unless the contract demands exactness."""
-    t = bind(spark, sf_dir, "orders")
-    return t["orders"].groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
-        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
-        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
-    )
-
-
-_Q45_SQL = """
-SELECT o_orderpriority,
-       COUNT(*) AS n_orders,
-       quantile_cont(o_totalprice, 0.5) AS p50,
-       quantile_cont(o_totalprice, 0.9) AS p90,
-       quantile_cont(o_totalprice, 0.99) AS p99
-FROM orders
-GROUP BY o_orderpriority
-"""
-
-QUERIES["q45_percentiles"] = QuerySpec(q45_percentiles, _Q45_SQL)
 
 
 # --- q50: correlated scalar subquery, decorrelated -------------------------

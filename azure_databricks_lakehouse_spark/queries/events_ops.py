@@ -89,9 +89,29 @@ GROUP BY 1
 """
 
 
-# --- q23: sessionization (lag + running-sum analytic windows, ST5 ext) -----
+# --- q23: sessionization, both implementations (merged q23 + q37) ----------
+_GAP_US = _SESSION_GAP_S * 1_000_000
+
+
 def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization BOTH ways in one tagged union — merged from the
+    former q23_sessionize and q37_session_window so the corpus fits the
+    driver's 50-query correctness budget (round-3 verdict item 1); both
+    implementations stay oracle-verified:
+
+    - ``impl='gaps_islands'``: lag + running-sum analytic windows (ST5
+      ext) at second granularity (new session when gap > 30 min);
+      session_start/session_len in epoch seconds.
+    - ``impl='session_window'``: Spark's built-in session-window operator
+      at microsecond granularity (a new session opens at gap >= 30 min);
+      the oracle re-derives the same sessions with gaps-and-islands SQL
+      in exact microseconds; session_start/session_len in epoch micros
+      (len includes the trailing gap, matching ``w.end``).
+
+    Both sides shuffle once on ``user_id`` and reuse that partitioning
+    for the window functions and the per-session aggregate."""
     t = bind(spark, sf_dir, "events")
+
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp("ts")
     gap = epoch - F.lag(epoch).over(order)
@@ -103,15 +123,43 @@ def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch.alias("ts_epoch"),
         F.sum(new_session).over(running).alias("session_seq"),
     )
-    return with_session.groupBy("user_id", "session_seq").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts_epoch").alias("session_start"),
-        (F.max("ts_epoch") - F.min("ts_epoch")).alias("duration_s"),
+    gaps_islands = (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_epoch").alias("session_start"),
+            (F.max("ts_epoch") - F.min("ts_epoch")).alias("session_len"),
+        )
+        .select(
+            F.lit("gaps_islands").alias("impl"),
+            "user_id",
+            "session_start",
+            "session_len",
+            "n_events",
+        )
     )
+
+    native = (
+        t["events"]
+        .groupBy(
+            F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("session_window").alias("impl"),
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            (
+                F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+            ).alias("session_len"),
+            "n_events",
+        )
+    )
+    return gaps_islands.unionByName(native)
 
 
 _Q23_SQL = f"""
-WITH ordered AS (
+WITH ordered_s AS (
   SELECT user_id, event_id, ts,
          CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
          CAST(floor(epoch(ts)) AS BIGINT)
@@ -119,77 +167,52 @@ WITH ordered AS (
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events
 ),
-flagged AS (
+flagged_s AS (
   SELECT user_id, event_id, ts, ts_epoch,
          CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
-  FROM ordered
+  FROM ordered_s
 ),
-sessions AS (
+sessions_s AS (
   SELECT user_id, ts_epoch,
          SUM(new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS session_seq
-  FROM flagged
-)
-SELECT user_id,
-       CAST(session_seq AS BIGINT) AS session_seq,
-       COUNT(*) AS n_events,
-       MIN(ts_epoch) AS session_start,
-       MAX(ts_epoch) - MIN(ts_epoch) AS duration_s
-FROM sessions
-GROUP BY user_id, session_seq
-"""
-
-
-# --- q37: native session windows (F.session_window vs gaps-and-islands) ----
-_GAP_US = _SESSION_GAP_S * 1_000_000
-
-
-def q37_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's built-in session-window operator; the oracle re-derives the
-    same sessions with gaps-and-islands SQL in exact microseconds
-    (session_window merges while the next event starts strictly before
-    last_ts + gap, i.e. a new session opens at gap >= 30 min)."""
-    t = bind(spark, sf_dir, "events")
-    return (
-        t["events"]
-        .groupBy(F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            F.unix_micros(F.col("w.end")).alias("session_end_us"),
-            "n_events",
-        )
-    )
-
-
-_Q37_SQL = f"""
-WITH ordered AS (
+  FROM flagged_s
+),
+ordered_us AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          epoch_us(ts) - lag(epoch_us(ts))
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
   FROM events
 ),
-flagged AS (
+flagged_us AS (
   SELECT user_id, event_id, ts_us,
          CASE WHEN gap_us IS NULL OR gap_us >= {_GAP_US} THEN 1 ELSE 0 END AS new_session
-  FROM ordered
+  FROM ordered_us
 ),
-sessions AS (
+sessions_us AS (
   SELECT user_id, ts_us,
          SUM(new_session) OVER (
            PARTITION BY user_id ORDER BY ts_us, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS session_seq
-  FROM flagged
+  FROM flagged_us
 )
-SELECT user_id,
-       MIN(ts_us) AS session_start_us,
-       MAX(ts_us) + {_GAP_US} AS session_end_us,
+SELECT 'gaps_islands' AS impl,
+       user_id,
+       MIN(ts_epoch) AS session_start,
+       MAX(ts_epoch) - MIN(ts_epoch) AS session_len,
        COUNT(*) AS n_events
-FROM sessions
+FROM sessions_s
+GROUP BY user_id, session_seq
+UNION ALL
+SELECT 'session_window' AS impl,
+       user_id,
+       MIN(ts_us) AS session_start,
+       MAX(ts_us) + {_GAP_US} - MIN(ts_us) AS session_len,
+       COUNT(*) AS n_events
+FROM sessions_us
 GROUP BY user_id, session_seq
 """
 
@@ -226,6 +249,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q21_tumbling_window": QuerySpec(q21_tumbling_window, _Q21_SQL),
     "q22_props_json": QuerySpec(q22_props_json, _Q22_SQL),
     "q23_sessionize": QuerySpec(q23_sessionize, _Q23_SQL),
-    "q37_session_window": QuerySpec(q37_session_window, _Q37_SQL),
     "q38_approx_distinct": QuerySpec(q38_approx_distinct, _Q38_SQL),
 }

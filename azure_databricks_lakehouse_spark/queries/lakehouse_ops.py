@@ -104,52 +104,74 @@ def q20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q20_SQL = _TARGET_SQL
 
 
-# --- q39: CSV round-trip scan (S1 header schema + S2 PERMISSIVE capture) ---
-def q39_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lands the region table as CSV, re-reads it with an explicit schema
-    in PERMISSIVE mode with a corrupt-record side column (the Bronze
-    ingest contract, ``bronze/bronze_rx_claims_load.py:37-42``), and
-    returns the parsed rows — the oracle reads the same data straight
-    from parquet, so the CSV writer/parser round-trip (quoting, escapes,
-    header) is what's being verified."""
-    t = bind(spark, sf_dir, "region")
-    root = _scratch(sf_dir, "csv_scan")
-    t["region"].write.option("header", "true").mode("overwrite").csv(root)
-    parsed = (
+# --- q39: CSV + JSON round-trip scans (merged q39 + q42) -------------------
+def q39_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON landing-format round-trips in one tagged union —
+    merged from the former q39_csv_scan and q42_json_scan so the corpus
+    fits the driver's 50-query correctness budget (round-3 verdict
+    item 1).
+
+    - ``fmt='csv'``: lands region as CSV and re-reads it with an explicit
+      schema in PERMISSIVE mode with a corrupt-record side column (the
+      Bronze ingest contract, ``bronze/bronze_rx_claims_load.py:37-42``)
+      — the CSV writer/parser round-trip (quoting, escapes, header) is
+      what's being verified; ``aux`` is NULL.
+    - ``fmt='json'``: lands nation as JSON-lines and re-reads it with an
+      explicit schema (S12, ``bronze/bronze_rx_claims_load.py:36``
+      documents JSON landing sources); ``aux`` carries n_regionkey.
+      Explicit schema, as at Bronze: inference on JSON is a whole extra
+      pass over 100 TB.
+
+    The oracle reads the same rows straight from parquet."""
+    t = bind(spark, sf_dir, "region", "nation")
+
+    csv_root = _scratch(sf_dir, "csv_scan")
+    t["region"].write.option("header", "true").mode("overwrite").csv(csv_root)
+    csv_rows = (
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema("r_regionkey INT, r_name STRING, _corrupt_record STRING")
-        .csv(root)
+        .csv(csv_root)
+        # the r_regionkey reference keeps a data column in the scan even
+        # when an action prunes every output column (e.g. count()) —
+        # Spark disallows CSV/JSON queries whose only referenced column
+        # is the internal corrupt-record column
+        .filter(F.col("_corrupt_record").isNull() & F.col("r_regionkey").isNotNull())
+        .select(
+            F.lit("csv").alias("fmt"),
+            F.col("r_regionkey").alias("k"),
+            F.col("r_name").alias("name"),
+            F.lit(None).cast("int").alias("aux"),
+        )
     )
-    return parsed.filter(F.col("_corrupt_record").isNull()).select(
-        "r_regionkey", "r_name"
+
+    json_root = _scratch(sf_dir, "json_scan")
+    t["nation"].write.mode("overwrite").json(json_root)
+    json_rows = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(json_root)
+        .select(
+            F.lit("json").alias("fmt"),
+            F.col("n_nationkey").alias("k"),
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").alias("aux"),
+        )
     )
+    return csv_rows.unionByName(json_rows)
 
 
-_Q39_SQL = "SELECT r_regionkey, r_name FROM region"
-
-
-# --- q42: JSON scan (S12 other-format sources) -----------------------------
-def q42_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lands nation as JSON-lines and re-reads it with an explicit schema
-    (S12, ``bronze/bronze_rx_claims_load.py:36`` documents JSON landing
-    sources).  Explicit schema, as at Bronze: inference on JSON is a
-    whole extra pass over 100 TB."""
-    t = bind(spark, sf_dir, "nation")
-    root = _scratch(sf_dir, "json_scan")
-    t["nation"].write.mode("overwrite").json(root)
-    return spark.read.schema(
-        "n_nationkey INT, n_name STRING, n_regionkey INT"
-    ).json(root)
-
-
-_Q42_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+_Q39_SQL = """
+SELECT 'csv' AS fmt, r_regionkey AS k, r_name AS name, CAST(NULL AS INTEGER) AS aux
+FROM region
+UNION ALL
+SELECT 'json' AS fmt, n_nationkey AS k, n_name AS name, n_regionkey AS aux
+FROM nation
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
     "q19_merge_upsert": QuerySpec(q19_merge_upsert, _Q19_SQL),
     "q20_time_travel": QuerySpec(q20_time_travel, _Q20_SQL),
-    "q39_csv_scan": QuerySpec(q39_csv_scan, _Q39_SQL),
-    "q42_json_scan": QuerySpec(q42_json_scan, _Q42_SQL),
+    "q39_format_scan": QuerySpec(q39_format_scan, _Q39_SQL),
 }

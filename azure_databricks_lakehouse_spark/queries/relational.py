@@ -400,30 +400,64 @@ LIMIT 100
 """
 
 
-# --- q13: semi/anti joins (§2.4 extension surface) --------------------------
-def q13_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- q13: semi/anti joins + set operators (merged q13 + q40) ----------------
+def q13_semi_anti_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (§2.4 extension surface) plus INTERSECT/EXCEPT set
+    algebra — merged from the former q13_semi_anti_join and q40_set_ops
+    so the corpus fits the driver's 50-query correctness budget
+    (round-3 verdict item 1).  One tagged union of four cohorts:
+
+    - ``has_orders`` / ``no_orders``: customer existence via
+      ``left_semi`` / ``left_anti`` (EXISTS / NOT EXISTS twins);
+    - ``both_95_96`` / ``only_1995``: retention cohorts via
+      ``intersect`` / ``subtract`` (SQL INTERSECT / EXCEPT — each plans
+      as an aggregate + join, not a full materialized distinct per side).
+    """
     t = bind(spark, sf_dir, "customer", "orders")
     cust, orders = t["customer"], t["orders"]
     cond = F.col("c_custkey") == F.col("o_custkey")
     with_orders = (
         cust.join(orders, cond, "left_semi")
-        .select("c_custkey")
-        .withColumn("has_orders", F.lit(True))
+        .select(F.col("c_custkey").alias("custkey"))
+        .withColumn("cohort", F.lit("has_orders"))
     )
     without_orders = (
         cust.join(orders, cond, "left_anti")
-        .select("c_custkey")
-        .withColumn("has_orders", F.lit(False))
+        .select(F.col("c_custkey").alias("custkey"))
+        .withColumn("cohort", F.lit("no_orders"))
     )
-    return with_orders.unionByName(without_orders)
+    o = orders.select("o_custkey", F.year(F.to_date("o_orderdate")).alias("y"))
+    y95 = o.filter(F.col("y") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.col("y") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).select(
+        F.col("o_custkey").alias("custkey"), F.lit("both_95_96").alias("cohort")
+    )
+    churned = y95.subtract(y96).select(
+        F.col("o_custkey").alias("custkey"), F.lit("only_1995").alias("cohort")
+    )
+    return (
+        with_orders.unionByName(without_orders)
+        .unionByName(both)
+        .unionByName(churned)
+    )
 
 
 _Q13_SQL = """
-SELECT c_custkey, TRUE AS has_orders FROM customer c
+SELECT c_custkey AS custkey, 'has_orders' AS cohort FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
 UNION ALL
-SELECT c_custkey, FALSE AS has_orders FROM customer c
+SELECT c_custkey AS custkey, 'no_orders' AS cohort FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT custkey, cohort FROM (
+  WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+       y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+  SELECT o_custkey AS custkey, 'both_95_96' AS cohort
+  FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+  UNION ALL
+  SELECT o_custkey AS custkey, 'only_1995' AS cohort
+  FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+)
 """
 
 
@@ -493,7 +527,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q10_distinct_counts": QuerySpec(q10_distinct_counts, _Q10_SQL),
     "q11_topk_per_group": QuerySpec(q11_topk_per_group, _Q11_SQL),
     "q12_global_topk": QuerySpec(q12_global_topk, _Q12_SQL),
-    "q13_semi_anti_join": QuerySpec(q13_semi_anti_join, _Q13_SQL),
+    "q13_semi_anti_set_ops": QuerySpec(q13_semi_anti_set_ops, _Q13_SQL),
     "q14_rollup_customers": QuerySpec(q14_rollup_customers, _Q14_SQL),
     "q15_pivot_status": QuerySpec(q15_pivot_status, _Q15_SQL),
 }

@@ -332,17 +332,38 @@ _DEFAULT_RATE = 32
 
 
 def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling PLUS the stable train/val/test md5-bucket
+    split (merged from the former q36_hash_split so the corpus fits the
+    driver's 50-query correctness budget — round-3 verdict item 1).
+    Both use functions/hashing.md5_bucket: assignment depends only on
+    the id, so sample membership AND split assignment survive
+    reshuffles, re-runs, and corpus growth, computed as pure projections
+    (no shuffle, no RNG state).  Split thresholds on the first md5 byte
+    (0..255): <204 train (~80%), <230 val (~10%), else test.  Grouping
+    by (lang, split, sampled) over ALL documents exercises every split
+    branch and both sample outcomes; ``sum_bucket`` pins every row's
+    bucket value in the hash check, so the bucket function itself stays
+    oracle-verified."""
     from azure_databricks_lakehouse_spark.functions.hashing import md5_bucket
 
     t = bind(spark, sf_dir, "documents")
     rate = F.lit(_DEFAULT_RATE)
     for lang, keep in _STRATA_RATES.items():
         rate = F.when(F.col("lang") == lang, keep).otherwise(rate)
-    kept = t["documents"].filter(md5_bucket(F.col("doc_id")) < rate)
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
+    bucket = md5_bucket(F.col("doc_id"))
+    split = F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    tagged = t["documents"].select(
+        "lang",
+        "doc_id",
+        bucket.alias("bucket"),
+        split.alias("split"),
+        (bucket < rate).alias("sampled"),
+    )
+    return tagged.groupBy("lang", "split", "sampled").agg(
+        F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
+        F.sum("bucket").alias("sum_bucket"),
     )
 
 
@@ -353,11 +374,20 @@ def _q54_sql() -> str:
         f"WHEN lang = '{lang}' THEN {keep}" for lang, keep in _STRATA_RATES.items()
     )
     return f"""
-SELECT lang, COUNT(*) AS n_sampled,
-       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
-FROM documents
-WHERE {md5_bucket_sql("doc_id")} < (CASE {whens} ELSE {_DEFAULT_RATE} END)
-GROUP BY lang
+WITH hashed AS (
+  SELECT lang, doc_id, {md5_bucket_sql("doc_id")} AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       bucket < (CASE {whens} ELSE {_DEFAULT_RATE} END) AS sampled,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       CAST(SUM(bucket) AS BIGINT) AS sum_bucket
+FROM hashed
+GROUP BY 1, 2, 3
 """
 
 

@@ -1,10 +1,15 @@
 """Connected-components operator tests: transitive closure, canonical
-min-label, cluster sizes, convergence on chains longer than one hop."""
+min-label, cluster sizes, convergence on chains longer than one hop,
+the O(log n) large-star/small-star variant, and per-round job cost."""
 
 from __future__ import annotations
 
+import pytest
+
 from azure_databricks_lakehouse_spark.operators.components import (
+    ConvergenceError,
     connected_components,
+    connected_components_star,
     dedup_clusters,
 )
 
@@ -38,3 +43,89 @@ def test_long_chain_converges(spark):
     labels = {r["component_id"] for r in comp.collect()}
     assert labels == {0}
     assert comp.count() == 13
+
+
+def test_label_propagation_raises_instead_of_wrong_labels(spark):
+    # diameter > max_iter must RAISE (round-3 advice), never return
+    # silently-split clusters
+    edges = _edges(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(ConvergenceError, match="star"):
+        connected_components(edges, max_iter=3)
+
+
+def test_star_matches_label_propagation(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20), (7, 5), (5, 9)]
+    edges = _edges(spark, pairs)
+    lp = {r["node"]: r["component_id"] for r in connected_components(edges).collect()}
+    st = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert st == lp
+
+
+def test_star_string_ids(spark):
+    edges = spark.createDataFrame(
+        [("doc_b", "doc_c"), ("doc_a", "doc_b"), ("x", "y")],
+        "src string, dst string",
+    )
+    st = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert st == {
+        "doc_a": "doc_a",
+        "doc_b": "doc_a",
+        "doc_c": "doc_a",
+        "x": "x",
+        "y": "x",
+    }
+
+
+def test_star_closes_1000_node_path_in_logarithmic_rounds(spark):
+    """The promised adversarial case: a 1000-node path graph.  Min-label
+    propagation needs ~1000 rounds (diameter); large-star/small-star must
+    close it within ~10 (O(log n)) — max_iter=14 gives slack while still
+    proving the logarithmic bound."""
+    edges = _edges(spark, [(i, i + 1) for i in range(999)])
+    comp = connected_components_star(edges, max_iter=14)
+    assert comp.count() == 1000
+    assert {r["component_id"] for r in comp.select("component_id").distinct().collect()} == {0}
+
+
+def test_star_dedup_clusters_rollup(spark):
+    pairs = spark.createDataFrame(
+        [(5, 7), (7, 9), (20, 21)], "doc_a bigint, doc_b bigint"
+    )
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs, algorithm="star").collect()
+    }
+    assert rows == {5: (5, 3), 7: (5, 3), 9: (5, 3), 20: (20, 2), 21: (20, 2)}
+
+
+def test_label_propagation_job_count(spark):
+    """Round-3 verdict item 5: convergence is read off the materialized
+    round frame — 2 jobs per round (eager checkpoint + scalar agg), not
+    3 (join-count + re-materialization).  A 3-edge clique converges in
+    2 rounds; allow generous slack for the input checkpoint and final
+    collect but fail if per-round cost doubles."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    group = "cc-jobcount"
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    # AQE runs every shuffle stage as its own job, which would make the
+    # count measure plan depth instead of driver actions — disable it so
+    # jobs ~= actions.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "cc job-count test")
+    try:
+        comp = connected_components(_edges(spark, [(1, 2), (2, 3), (1, 3)]))
+        comp.collect()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    jobs = tracker.getJobIdsForGroup(group)
+    # 2 rounds x 2 jobs + input-derivation + final collect = ~6; the old
+    # shape (count-join + lazy checkpoint re-run) was ~3 per round.
+    assert len(jobs) <= 8, f"CC loop ran {len(jobs)} jobs for a 2-round graph"
