@@ -54,16 +54,18 @@ def winnow_fingerprints(
     k: int = 8,
     w: int = 4,
     hash: str = "xxh",
+    max_len: int | None = None,
 ) -> DataFrame:
     """``(id_col, n_kgrams, fingerprints array<long>)`` per document with
     at least one full window (length >= k+w-1); shorter docs are dropped
-    (they cannot carry a fingerprint).
+    (they cannot carry a fingerprint).  ``max_len`` caps the fingerprinted
+    prefix (see :func:`winnow_kgram_hashes` — set it on unbounded text).
 
     NOTE: downstream ``explode("fingerprints")`` is a pushdown hazard —
     use :func:`winnow_fingerprints_long` for join-shaped consumers (see
     its docstring)."""
     hashed = winnow_kgram_hashes(
-        df, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash
+        df, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash, max_len=max_len
     )
     mins = F.transform(
         _positions(F.size("hs") - (w - 1)),
@@ -86,6 +88,7 @@ def winnow_fingerprints_long(
     k: int = 8,
     w: int = 4,
     hash: str = "xxh",
+    max_len: int | None = None,
 ) -> DataFrame:
     """Long-format winnowing: distinct ``(id_col, fp)`` rows, one per
     fingerprint.  This is the join-ready shape — and, critically, the
@@ -96,9 +99,10 @@ def winnow_fingerprints_long(
     window position — quadratic per row).  Here the explode generates
     *positions* before any window-min is computed, so the hash array is
     evaluated O(1) times per row and each exploded position does O(w)
-    work."""
+    work.  ``max_len`` caps the fingerprinted prefix (see
+    :func:`winnow_kgram_hashes` — set it on unbounded text)."""
     hs_df = winnow_kgram_hashes(
-        df, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash
+        df, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash, max_len=max_len
     )
     long = hs_df.select(
         id_col,
@@ -117,10 +121,27 @@ def winnow_kgram_hashes(
     k: int = 8,
     w: int = 4,
     hash: str = "xxh",
+    max_len: int | None = None,
 ) -> DataFrame:
     """``(id_col, hs array)`` of per-position k-gram hashes for documents
-    long enough to winnow (shared by the array and long-format variants)."""
+    long enough to winnow (shared by the array and long-format variants).
+
+    ``max_len`` bounds the per-row hash array: the array is O(len(text))
+    elements, so one 10 MB document materializes a 10M-element array in a
+    single row — a row-size bomb at corpus scale.  With ``max_len`` set,
+    only the first ``max_len`` characters are fingerprinted (MOSS
+    sketches the head too — a sketch does not need the whole document;
+    two documents sharing only content beyond the cap won't pair, which
+    is the standard sketching trade).  Production pipelines over
+    unbounded documents should ALWAYS set it; the oracle query twins
+    leave it unset so the SQL stays the exact mirror."""
     txt = F.col(text_col)
+    if max_len is not None:
+        if max_len < k + w - 1:
+            raise ValueError(
+                f"max_len={max_len} is below one window (k+w-1={k + w - 1})"
+            )
+        txt = txt.substr(1, max_len)
     eligible = df.filter(F.length(txt) >= k + w - 1)
     if hash == "xxh":
         grams = F.transform(

@@ -183,13 +183,28 @@ class ParquetTable:
         preserved).  Every commit refreshes ``current/`` and, for
         partitioned tables, re-runs partition recovery, so SQL-by-name
         always sees the newest snapshot.  Hardlinks cost no data copies.
-        """
+
+        The entry is created with the MANIFEST's explicit schema (not
+        file inference): files written before a schema evolution simply
+        surface the new columns as NULL, and :meth:`_post_commit`
+        re-registers whenever the manifest schema changes — so columns
+        added by ``merge_schema`` appends or widening MERGEs appear to
+        catalog-name readers without a manual re-register (round-3
+        advice)."""
         path = self._refresh_current()
+        m = self._manifest()
         with open(os.path.join(self.root, _CATALOG_FILE), "w") as fh:
-            json.dump({"name": name}, fh)
+            json.dump({"name": name, "schema": m["schema"]}, fh)
+        schema = _schema_from_json(self.spark, m["schema"])
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-        self.spark.sql(f"CREATE TABLE {name} USING PARQUET LOCATION '{path}'")
-        if self._manifest()["partition_by"]:
+        ddl = f"CREATE TABLE {name} ({cols}) USING PARQUET"
+        if m["partition_by"]:
+            ddl += f" PARTITIONED BY ({', '.join(m['partition_by'])})"
+        self.spark.sql(f"{ddl} LOCATION '{path}'")
+        if m["partition_by"]:
             self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
 
     def _refresh_current(self) -> str:
@@ -217,12 +232,19 @@ class ParquetTable:
         return os.path.abspath(cur)
 
     def _post_commit(self) -> None:
-        """Keep a persistent catalog registration in sync after a commit."""
+        """Keep a persistent catalog registration in sync after a commit.
+        Schema changes (merge_schema append, widening MERGE) re-create
+        the catalog entry — REFRESH alone keeps the CREATE-time column
+        list, hiding evolved columns from catalog-name readers."""
         reg = os.path.join(self.root, _CATALOG_FILE)
         if not os.path.exists(reg):
             return
         with open(reg) as fh:
-            name = json.load(fh)["name"]
+            entry = json.load(fh)
+        name = entry["name"]
+        if entry.get("schema") != self._manifest()["schema"]:
+            self.register_catalog(name)
+            return
         self._refresh_current()
         self.spark.sql(f"REFRESH TABLE {name}")
         if self._manifest()["partition_by"]:
@@ -393,12 +415,26 @@ class ParquetTable:
             if files is None:
                 files = _write_files(df, self.root, m["partition_by"])
                 stats = _file_stats(data_root, files)
+            if new_cols:
+                # UNION with the re-read manifest schema, not df.schema
+                # alone: a rebase after another writer's schema evolution
+                # must keep THEIR new columns too (committing df.schema
+                # verbatim would silently drop them from the manifest)
+                from pyspark.sql.types import StructType
+
+                old_names = set(old.fieldNames())
+                commit_schema = StructType(
+                    list(old.fields)
+                    + [f for f in df.schema.fields if f.name not in old_names]
+                ).json()
+            else:
+                commit_schema = m["schema"]
             try:
                 version = _commit(
                     self.root,
                     version=m["version"] + 1,
                     files=m["files"] + files,
-                    schema=df.schema.json() if new_cols else m["schema"],
+                    schema=commit_schema,
                     partition_by=m["partition_by"],
                     operation="APPEND",
                     merged_schema=bool(new_cols) or m.get("merged_schema", False),

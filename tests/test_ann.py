@@ -1,8 +1,9 @@
 """Production IVF tests: deterministic k-means training, cluster
-recovery, probed-search recall vs brute force."""
+recovery, probed-search recall vs brute force, input validation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.operators.ann import (
@@ -32,6 +33,22 @@ def test_kmeans_deterministic_and_recovers_clusters(spark):
     # each centroid sits near one of the true cluster centers
     firsts = sorted(round(c[1][0] / 10) * 10 for c in c1)
     assert firsts == [0, 10, 20]
+
+
+def test_kmeans_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, emb array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        train_kmeans(empty, k=3)
+
+
+def test_kmeans_too_few_distinct_vectors_raises(spark):
+    # 5 rows but only 2 distinct vectors < k=3
+    dup = spark.createDataFrame(
+        [(i, [float(i % 2), 0.0]) for i in range(5)],
+        "vec_id bigint, emb array<double>",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        train_kmeans(dup, k=3)
 
 
 def test_ivf_assignment_is_pure(spark):

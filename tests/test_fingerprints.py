@@ -73,3 +73,37 @@ def test_long_and_array_variants_agree(spark):
 def test_unknown_backend_rejected(spark):
     with pytest.raises(ValueError, match="unknown hash backend"):
         winnow_fingerprints(_corpus(spark), hash="sha9000")
+
+
+def test_max_len_bounds_multi_megabyte_doc(spark):
+    """Round-3 verdict item 7: a multi-MB document must not materialize a
+    multi-million-element hash array in one row — max_len truncates to
+    the fingerprinted head and the job completes with bounded arrays."""
+    import pytest
+
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        winnow_fingerprints,
+        winnow_fingerprints_long,
+    )
+
+    big = "abcdefgh" * (3 * 1024 * 1024 // 8)  # ~3 MB, repetitive
+    df = spark.createDataFrame([(1, big), (2, "abcdefghijk")], "doc_id int, text string")
+
+    capped = winnow_fingerprints(df, max_len=4096).collect()
+    by_id = {r["doc_id"]: r for r in capped}
+    # k-gram count is bounded by the cap, not the document length
+    assert by_id[1]["n_kgrams"] == 4096 - 7
+    assert by_id[2]["n_kgrams"] == 4
+    # truncation is a PREFIX: the short doc's fingerprints are unchanged
+    uncapped_short = {
+        tuple(r["fingerprints"])
+        for r in winnow_fingerprints(df.filter("doc_id = 2")).collect()
+    }
+    assert {tuple(by_id[2]["fingerprints"])} == uncapped_short
+
+    # long format honors the same cap
+    n_long = winnow_fingerprints_long(df, max_len=4096).count()
+    assert 0 < n_long <= 4096
+
+    with pytest.raises(ValueError, match="below one window"):
+        winnow_fingerprints(df, max_len=5)

@@ -323,3 +323,46 @@ def test_interleaved_zorder_prunes_second_column(spark, root):
     # then the skipping claim, on BOTH clustering columns
     assert len(pruned.inputFiles()) <= total // 2
     assert len(t.scan("x", lo=0, hi=3).inputFiles()) <= total // 2
+
+
+def test_rebase_append_keeps_other_writers_schema(spark, root):
+    """Round-3 advice: writer X evolves the schema with column c; writer
+    Y's rebase (adding column d) must commit the UNION schema — not
+    df.schema verbatim, which would drop c from the manifest."""
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    x = _rows(spark, [(2, "b", "y")]).withColumn("c_extra", F.lit("cx"))
+    t.append(x, merge_schema=True)
+    y = _rows(spark, [(3, "c", "z")]).withColumn("d_extra", F.lit("dx"))
+    t.append(y, merge_schema=True)
+    cols = set(t.read().columns)
+    assert {"k", "part", "v", "c_extra", "d_extra"} <= cols
+    # the MANIFEST schema (not just mergeSchema reads) retains both:
+    # an empty-snapshot read uses it verbatim
+    from azure_databricks_lakehouse_spark.sources.tables import _schema_from_json
+
+    manifest_cols = set(
+        _schema_from_json(spark, t._manifest()["schema"]).fieldNames()
+    )
+    assert {"c_extra", "d_extra"} <= manifest_cols
+
+
+def test_catalog_sees_schema_evolution(spark, root):
+    """Round-3 advice: columns added after register_catalog (merge_schema
+    append) must appear to catalog-name readers without a manual
+    re-register; pre-evolution files surface them as NULL."""
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    name = "cat_evolve_test_tbl"
+    try:
+        t.register_catalog(name)
+        t.append(
+            _rows(spark, [(2, "b", "y")]).withColumn("extra", F.lit("e2")),
+            merge_schema=True,
+        )
+        fresh = spark.newSession()
+        got = {
+            r["k"]: r["extra"]
+            for r in fresh.sql(f"SELECT k, extra FROM {name}").collect()
+        }
+        assert got == {1: None, 2: "e2"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
