@@ -366,3 +366,69 @@ def test_catalog_sees_schema_evolution(spark, root):
         assert got == {1: None, 2: "e2"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# -- change data feed --------------------------------------------------------
+
+
+def _changes(df):
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in df.collect()
+    )
+
+
+def test_cdf_appends_are_pure_inserts(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.append(_rows(spark, [(2, "b", "y")]))  # v1
+    t.append(_rows(spark, [(3, "c", "z")]))  # v2
+    got = _changes(t.changes_between(0))
+    assert got == [(1, "insert", 2, "y"), (2, "insert", 3, "z")]
+    # start = -1 includes creation
+    assert _changes(t.changes_between(-1, 1)) == [
+        (0, "insert", 1, "x"),
+        (1, "insert", 2, "y"),
+    ]
+
+
+def test_cdf_update_is_delete_plus_insert(spark, root):
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "a", "y")])
+    )
+    t.update(F.col("k") == 2, {"v": F.lit("y2")})  # v1 rewrite
+    got = _changes(t.changes_between(0))
+    assert got == [(1, "delete", 2, "y"), (1, "insert", 2, "y2")]
+    # the untouched row 1 does NOT appear: rewrite diff is exact
+    assert all(k != 1 for _, _, k, _ in got)
+
+
+def test_cdf_delete_and_merge(spark, root):
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")])
+    )
+    t.delete(F.col("k") == 1)  # v1
+    t.merge(_rows(spark, [(2, "b", "y9"), (5, "b", "w")]), on=["k"])  # v2
+    got = _changes(t.changes_between(0))
+    assert (1, "delete", 1, "x") in got
+    assert (2, "insert", 5, "w") in got
+    assert (2, "delete", 2, "y") in got and (2, "insert", 2, "y9") in got
+
+
+def test_cdf_skips_optimize_and_respects_vacuum(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.append(_rows(spark, [(2, "a", "y")]))  # v1
+    t.optimize()  # v2: compaction, data-preserving
+    assert _changes(t.changes_between(1)) == []
+    t.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError, match="VACUUM"):
+        t.changes_between(0)
+
+
+def test_cdf_crosses_schema_evolution(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.append(
+        _rows(spark, [(2, "b", "y")]).withColumn("extra", F.lit("e")),
+        merge_schema=True,
+    )  # v1 adds a column
+    rows = t.changes_between(0).collect()
+    assert [(r["k"], r["extra"]) for r in rows] == [(2, "e")]
