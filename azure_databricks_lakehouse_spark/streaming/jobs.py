@@ -63,6 +63,34 @@ def read_file_stream(
     return reader.load(path)
 
 
+def read_rate_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    start_timestamp_ms: int = 0,
+    advance_ms: int = 1000,
+) -> DataFrame:
+    """ST4 (non-file modality): an unbounded generator source —
+    ``rate-micro-batch`` emits exactly ``rows_per_batch`` rows of
+    ``(timestamp, value)`` per trigger with event time advancing
+    ``advance_ms`` per batch, deterministically.
+
+    This is the broker-shaped half of the ingestion surface: unlike the
+    file source there is no backlog listing — offsets are ranges over an
+    unbounded sequence, exactly the Kafka contract (the connector jar is
+    not bundled with this Spark distribution — probe recorded in
+    COVERAGE.md; swapping ``format("kafka") + subscribe`` into this same
+    plumbing is the production path).  Deterministic batches make it the
+    right harness for exercising cross-batch state (windows, dedup,
+    foreachBatch MERGE) without a broker."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_timestamp_ms)
+        .option("advanceMillisPerBatch", advance_ms)
+        .load()
+    )
+
+
 def tumbling_counts(
     events: DataFrame,
     ts_col: str = "ts",

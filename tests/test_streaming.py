@@ -157,3 +157,44 @@ def test_stateful_running_totals_across_batches(spark, dirs):
         for r in ParquetTable.for_path(spark, dirs["out"]).read().collect()
     }
     assert got == {7: (2, 5.0), 8: (1, 2.0)}
+
+
+def test_rate_stream_windowed_agg(spark):
+    """Broker-shaped (non-file) ingestion: the rate-micro-batch source
+    emits deterministic (timestamp, value) batches over an unbounded
+    offset sequence — the Kafka contract without a broker.  Windowed agg
+    over it exercises the same plumbing a kafka read would feed."""
+    import time
+
+    from azure_databricks_lakehouse_spark.streaming import read_rate_stream
+
+    stream = read_rate_stream(
+        spark, rows_per_batch=100, start_timestamp_ms=0, advance_ms=1000
+    )
+    windowed = (
+        stream.withWatermark("timestamp", "10 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = "rate_agg_sink"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            # >= 3 one-second windows of exactly 100 rows each
+            full = [r for r in rows if r["n"] == 100]
+            if len(full) >= 3:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError(f"rate stream never filled 3 windows: {rows}")
+        assert all(r["n"] == 100 for r in rows[:-1] or rows)
+    finally:
+        q.stop()
