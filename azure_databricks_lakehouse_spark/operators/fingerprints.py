@@ -239,3 +239,67 @@ def fingerprint_overlap_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("doc_a", "doc_b", "n_shared", "containment")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    hash: str = "xxh",
+    min_shared: int = 1,
+    max_len: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``corpus`` into ``(clean, contaminated)`` against a
+    benchmark/eval set — the decontamination pass every training-data
+    pipeline runs so the model is not trained on its own test questions.
+
+    A corpus document is contaminated when it shares at least
+    ``min_shared`` winnowing fingerprints with ANY benchmark document —
+    the winnowing guarantee makes that an exact-substring detector: any
+    verbatim overlap of length >= k+w-1 characters is caught regardless
+    of what surrounds it (quoted questions inside larger pages included),
+    which n-gram-Jaccard whole-document sketches miss by construction.
+
+    Scale shape (the asymmetry is the whole design): the corpus side is
+    100 TB, the benchmark side is a few thousand rows — so benchmark
+    fingerprints are distinct-reduced and **broadcast**, the corpus
+    fingerprint stream is probed map-side (no shuffle of corpus data),
+    contaminated ids aggregate per document, and the verdict anti/semi
+    joins back. The corpus is scanned twice (fingerprint probe + verdict
+    join) and shuffled never; contaminated-id traffic is bounded by the
+    corpus rows that actually hit the benchmark.
+
+    Returns ``(clean, contaminated)`` frames with the corpus's original
+    columns; ``contaminated`` gains ``n_hits`` = number of shared
+    fingerprints (evidence strength, useful for audit thresholds).
+    """
+    corpus_fps = winnow_fingerprints_long(
+        corpus, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash,
+        max_len=max_len,
+    )
+    bench_fps = (
+        winnow_fingerprints_long(
+            benchmark, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash,
+            max_len=max_len,
+        )
+        .select("fp")
+        .distinct()
+    )
+    hits = (
+        corpus_fps.join(F.broadcast(bench_fps), "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_shared)
+    )
+    # benchmark fps are broadcast by CONTRACT (eval sets are small); the
+    # hits side is merely *usually* small — contamination can spike (a
+    # benchmark leaked to the web), so leave the verdict join to AQE,
+    # which broadcasts it at runtime when it measures small and falls
+    # back to a shuffle join when it doesn't.
+    contaminated = corpus.join(hits, id_col, "inner")
+    clean = corpus.join(hits.select(id_col), id_col, "left_anti")
+    return clean, contaminated

@@ -107,3 +107,66 @@ def test_max_len_bounds_multi_megabyte_doc(spark):
 
     with pytest.raises(ValueError, match="below one window"):
         winnow_fingerprints(df, max_len=5)
+
+
+# -- decontamination ---------------------------------------------------------
+
+
+def test_decontaminate_catches_quoted_benchmark(spark):
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes the benchmark question inside a larger page
+            (1, "trivia dump: what is the capital of france paris obviously end"),
+            # clean document, same vocabulary but no k+w-1 verbatim run
+            (2, "paris is a capital; france is a country; what of it"),
+            (3, "entirely unrelated text about databases and spark"),
+        ],
+        "doc_id int, text string",
+    )
+    clean, dirty = decontaminate(corpus, bench, k=8, w=4, min_shared=2)
+    assert sorted(r["doc_id"] for r in dirty.collect()) == [1]
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+    # original columns survive on both sides; evidence column on dirty
+    assert set(clean.columns) == {"doc_id", "text"}
+    [d] = dirty.collect()
+    assert d["n_hits"] >= 2
+
+
+def test_decontaminate_partitions_corpus_exactly(spark):
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        decontaminate,
+    )
+
+    corpus = _corpus(spark)
+    # NB: first attempt used "no overlap with anything zzzz" — and the
+    # detector correctly flagged corpus doc 3 ("...common with anything
+    # else..."): a real 14-char verbatim run. Disjoint alphabet instead.
+    bench = spark.createDataFrame(
+        [(999, "qqqq xqxqxqxqxqxqxq qqqq")], "doc_id int, text string"
+    )
+    clean, dirty = decontaminate(corpus, bench)
+    assert dirty.count() == 0
+    assert clean.count() == corpus.count()
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        decontaminate,
+    )
+
+    corpus = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(999, "abcdefghijklmnop")], "doc_id int, text string"
+    )
+    _clean, dirty = decontaminate(corpus, bench)
+    plan = dirty._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
