@@ -1,0 +1,192 @@
+"""Streaming change-data-feed source for the parquet-native table layer.
+
+Exposes :meth:`ParquetTable.changes_between` as a first-class Structured
+Streaming source via the Python DataSource API (public in Spark 4):
+
+    spark.dataSource.register(TableChangesDataSource)
+    stream = (spark.readStream.format("table_changes")
+              .option("path", table_root).load())
+
+Each micro-batch delivers the rows appended since the last committed
+table version, tagged ``_change_type`` / ``_commit_version`` — the
+streaming half of the CDC contract (Delta's ``readChangeFeed`` stream),
+which turns any table written by the batch pipeline into a live feed for
+downstream incremental consumers with offsets checkpointed by the engine.
+
+Scale design — the part that matters:
+
+- **Offsets are table versions** (tiny JSON dicts on the driver); the
+  driver only ever reads MANIFESTS, never data.
+- **One input partition per added data file**: ``partitions()`` diffs
+  manifest file-sets, ``read()`` runs ON THE EXECUTORS and streams the
+  file through ``pyarrow`` record batches.  Rows never route through the
+  driver — this is the partition-based ``DataSourceStreamReader``, not
+  the driver-side ``SimpleDataSourceStreamReader`` (which is documented
+  for low-throughput sources only).
+- **Append-shaped commits only** (CREATE/APPEND; OPTIMIZE skipped as
+  data-preserving): rewrite commits need the EXCEPT ALL reconstruction,
+  which is a join — not expressible inside a source partition.  By
+  default a rewrite commit RAISES (silent misreads are worse than a
+  stopped stream); ``.option("ignoreChanges", "true")`` skips them, the
+  same escape hatch Delta's stream source offers.
+
+Cited parity: the reference documents continuous ETL over ingested
+tables (``README.md:20,63``); this source closes the loop so silver/gold
+can stream from bronze commits instead of rescanning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_MANIFEST_DIR = "_manifest"
+_DATA_DIR = "data"
+
+# Operations whose file-diff is NOT pure inserts (see tables.py).
+_REWRITE_OPS = {"DELETE", "UPDATE", "MERGE", "OVERWRITE", "RESTORE"}
+
+
+def _manifest(root: str, version: int) -> dict:
+    with open(
+        os.path.join(root, _MANIFEST_DIR, f"v{version:010d}.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def _versions(root: str) -> list[int]:
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str  # absolute path of one added data file
+    version: int
+
+
+class TableChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["path"]
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        start = options.get("startingversion")
+        self.start_version = int(start) if start is not None else -1
+        self.schema = schema
+        self.field_names = [f.name for f in schema.fields]
+
+    # -- offsets (driver-side, manifest-only) -------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _versions(self.root)[-1]}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = _manifest(self.root, v)
+            op = m["operation"]
+            if op == "OPTIMIZE":
+                continue
+            if op in _REWRITE_OPS:
+                if self.ignore_changes:
+                    continue
+                raise ValueError(
+                    f"version {v} is a {op} commit; the streaming CDF "
+                    "source delivers append-shaped commits only. Set "
+                    ".option('ignoreChanges', 'true') to skip rewrite "
+                    "commits, or consume them in batch via "
+                    "ParquetTable.changes_between()."
+                )
+            prev_files = (
+                set(_manifest(self.root, v - 1)["files"]) if v > 0 else set()
+            )
+            data_root = os.path.join(self.root, _DATA_DIR)
+            for f in sorted(set(m["files"]) - prev_files):
+                parts.append(
+                    _FilePartition(path=os.path.join(data_root, f), version=v)
+                )
+        return parts
+
+    # -- data (executor-side, pyarrow record batches) -----------------------
+
+    def read(self, partition: _FilePartition):
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
+        # Hive-partitioned files carry the partition values in DIRECTORY
+        # names (part=x/...), not in the parquet columns — recover them
+        # from the path and cast per the declared schema.
+        dtypes = {f.name: f.dataType.simpleString() for f in self.schema.fields}
+        part_vals: dict[str, object] = {}
+        for seg in partition.path.split(os.sep)[:-1]:
+            if "=" not in seg:
+                continue
+            name, _, raw = seg.partition("=")
+            if name not in dtypes:
+                continue
+            val = urllib.parse.unquote(raw)
+            t = dtypes[name]
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                part_vals[name] = int(val)
+            elif t in ("float", "double"):
+                part_vals[name] = float(val)
+            else:
+                part_vals[name] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+
+        table = pq.read_table(partition.path)
+        cols = set(table.column_names)
+        for batch in table.to_batches():
+            for r in batch.to_pylist():
+                yield tuple(
+                    partition.version
+                    if name == "_commit_version"
+                    else "insert"
+                    if name == "_change_type"
+                    else r[name]
+                    if name in cols
+                    else part_vals.get(name)
+                    for name in self.field_names
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine checkpoint; nothing to release
+
+
+class TableChangesDataSource(DataSource):
+    """``format("table_changes")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_changes"
+
+    def schema(self) -> StructType:
+        root = self.options["path"]
+        latest = _versions(root)[-1]
+        base = StructType.fromJson(json.loads(_manifest(root, latest)["schema"]))
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> TableChangesStreamReader:
+        return TableChangesStreamReader(schema, dict(self.options))

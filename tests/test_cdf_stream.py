@@ -1,0 +1,111 @@
+"""Streaming CDF source (Python DataSource API): append commits become
+micro-batches, offsets are table versions, rewrite commits raise unless
+explicitly ignored, partition-column values are recovered from paths."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.cdf_stream import (
+    TableChangesDataSource,
+)
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k int, part string, v string")
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(TableChangesDataSource)
+    return spark
+
+
+def _drain(spark, root, name, want_rows, extra_opts=None, timeout=120):
+    reader = spark.readStream.format("table_changes").option("path", root)
+    for opt, val in (extra_opts or {}).items():
+        reader = reader.option(opt, val)
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if spark.table(name).count() >= want_rows:
+                break
+            time.sleep(0.5)
+        return spark.table(name).collect()
+    finally:
+        q.stop()
+
+
+def test_stream_delivers_appends_with_versions(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.append(_rows(spark, [(2, "b", "y")]))  # v1
+    t.append(_rows(spark, [(3, "c", "z")]))  # v2
+    got = _drain(spark, root, "cdf_sink_1", want_rows=3)
+    by_k = {r["k"]: (r["_change_type"], r["_commit_version"], r["part"], r["v"]) for r in got}
+    assert by_k == {
+        1: ("insert", 0, "a", "x"),
+        2: ("insert", 1, "b", "y"),
+        3: ("insert", 2, "c", "z"),
+    }
+
+
+def test_starting_version_skips_history(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "tbl2")
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.append(_rows(spark, [(2, "b", "y")]))  # v1
+    got = _drain(
+        spark, root, "cdf_sink_2", want_rows=1,
+        extra_opts={"startingVersion": "0"},
+    )
+    assert [r["k"] for r in got] == [2]
+
+
+def test_rewrite_commit_raises_unless_ignored(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "tbl3")
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.update(F.col("k") == 1, {"v": F.lit("x2")})  # v1 rewrite
+    t.append(_rows(spark, [(2, "b", "y")]))  # v2
+
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_sink_3a")
+        .start()
+    )
+    with pytest.raises(Exception, match="UPDATE commit"):
+        q.awaitTermination(60)
+
+    # with ignoreChanges the stream skips v1 and delivers v0 + v2
+    got = _drain(
+        spark, root, "cdf_sink_3b", want_rows=2,
+        extra_opts={"ignoreChanges": "true"},
+    )
+    assert sorted((r["k"], r["_commit_version"]) for r in got) == [(1, 0), (2, 2)]
+
+
+def test_partitioned_table_recovers_partition_values(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "tbl4")
+    ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")]),
+        partition_by=["part"],
+    )
+    got = _drain(spark, root, "cdf_sink_4", want_rows=2)
+    assert {r["k"]: r["part"] for r in got} == {1: "a", 2: "b"}
