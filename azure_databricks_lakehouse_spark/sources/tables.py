@@ -468,7 +468,13 @@ class ParquetTable:
         self._post_commit()
         return version
 
-    def merge(self, source: DataFrame, on: Sequence[str]) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        on: Sequence[str],
+        when_matched_delete=None,
+        source_meta_cols: Sequence[str] = (),
+    ) -> int:
         """D3 parity: keyed upsert with
         ``whenMatchedUpdateAll().whenNotMatchedInsertAll()`` semantics
         (``gold/gold_rx_claims_load.py:216-221``): target rows matching a
@@ -476,6 +482,16 @@ class ParquetTable:
         inserted; unmatched target rows are kept.  Idempotent: merging the
         same source twice yields byte-identical table state
         (``bronze_silver_gold/readme.md:68-70``).
+
+        ``when_matched_delete`` (a Column predicate over SOURCE rows, the
+        ``whenMatchedDelete`` clause) turns the merge into a CDC apply:
+        source rows satisfying it DELETE their matched target rows and
+        are never inserted themselves (an unmatched delete row is a
+        no-op, Delta's semantics); a NULL predicate value counts as not
+        matched-for-delete.  ``source_meta_cols`` names source-only
+        columns (op flags, sequence numbers) consumed by the predicate
+        but excluded from the stored payload — without it a CDC ``_op``
+        column would schema-evolve INTO the table.
 
         When every partition column is part of ``on``, only partitions
         present in the source are rewritten — untouched data files carry
@@ -486,6 +502,19 @@ class ParquetTable:
         part_cols = m["partition_by"]
         pruned = bool(part_cols) and set(part_cols) <= set(keys)
         target = self.read()
+        # split the CDC clauses BEFORE schema checks: meta columns are
+        # contract-excluded from the payload, delete rows carry no payload
+        if when_matched_delete is not None:
+            # keys of ALL source rows (upserts + deletes) drive both the
+            # anti-join and partition pruning; plain merges skip the
+            # extra distinct and anti-join the source directly
+            src_keys = source.select(*keys).distinct()
+            flag = F.coalesce(when_matched_delete, F.lit(False))
+            source = source.filter(~flag)
+        else:
+            src_keys = None
+        if source_meta_cols:
+            source = source.drop(*source_meta_cols)
         extra = set(target.columns) - set(source.columns)
         if extra:
             # whenMatchedUpdateAll replaces whole rows: a source missing
@@ -509,8 +538,11 @@ class ParquetTable:
             # Spark renders them (true/false, __HIVE_DEFAULT_PARTITION__
             # for null) so escaping/typing can never misclassify a
             # touched partition as untouched.
+            # src_keys when deleting (delete-flagged rows rewrite their
+            # partitions too), the source itself otherwise
+            part_src = src_keys if src_keys is not None else source
             touched = [
-                tuple(r) for r in source.select(*part_cols).distinct().collect()
+                tuple(r) for r in part_src.select(*part_cols).distinct().collect()
             ]
             touched_set = {tuple(_hive_value(v) for v in t) for t in touched}
             keep_files, rewrite_files = [], []
@@ -531,8 +563,13 @@ class ParquetTable:
         else:
             carried = []
 
+        # anti against ALL source keys: a matched target row disappears
+        # whether its source row is an upsert (replaced below) or a
+        # delete (never re-inserted)
         merged = (
-            target.join(source, keys, "left_anti")
+            target.join(
+                src_keys if src_keys is not None else source, keys, "left_anti"
+            )
             .unionByName(source, allowMissingColumns=True)
             .select(*source.columns)
         )

@@ -432,3 +432,79 @@ def test_cdf_crosses_schema_evolution(spark, root):
     )  # v1 adds a column
     rows = t.changes_between(0).collect()
     assert [(r["k"], r["extra"]) for r in rows] == [(2, "e")]
+
+
+# -- CDC merge (whenMatchedDelete) -------------------------------------------
+
+
+def test_merge_when_matched_delete_applies_cdc(spark, root):
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")])
+    )
+    cdc = spark.createDataFrame(
+        [
+            (2, "b", "y2", "U"),   # update
+            (3, "c", None, "D"),   # delete
+            (4, "d", "w", "U"),    # insert
+            (9, "z", None, "D"),   # unmatched delete: no-op, NOT inserted
+        ],
+        "k int, part string, v string, _op string",
+    )
+    t.merge(
+        cdc,
+        on=["k"],
+        when_matched_delete=F.col("_op") == "D",
+        source_meta_cols=["_op"],
+    )
+    assert _as_dict(t.read()) == {
+        1: ("a", "x"),
+        2: ("b", "y2"),
+        4: ("d", "w"),
+    }
+    # the op flag never reached the table schema
+    assert "_op" not in t.read().columns
+    # idempotent: applying the same CDC batch again changes nothing
+    t.merge(
+        cdc,
+        on=["k"],
+        when_matched_delete=F.col("_op") == "D",
+        source_meta_cols=["_op"],
+    )
+    assert _as_dict(t.read()) == {1: ("a", "x"), 2: ("b", "y2"), 4: ("d", "w")}
+
+
+def test_merge_delete_null_condition_is_upsert(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    cdc = spark.createDataFrame(
+        [(1, "a", "x2", None)], "k int, part string, v string, _op string"
+    )
+    t.merge(
+        cdc,
+        on=["k"],
+        when_matched_delete=F.col("_op") == "D",  # NULL -> not a delete
+        source_meta_cols=["_op"],
+    )
+    assert _as_dict(t.read()) == {1: ("a", "x2")}
+
+
+def test_merge_delete_prunes_partitions(spark, root):
+    t = ParquetTable.create(
+        spark,
+        root,
+        _rows(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]),
+        partition_by=["part"],
+    )
+    before = {f for f in t._manifest()["files"] if "part=c" in f}
+    cdc = spark.createDataFrame(
+        [(1, "a", None, "D")], "k int, part string, v string, _op string"
+    )
+    t.merge(
+        cdc,
+        on=["k", "part"],
+        when_matched_delete=F.col("_op") == "D",
+        source_meta_cols=["_op"],
+    )
+    assert _as_dict(t.read()) == {2: ("b", "y"), 3: ("c", "z")}
+    # untouched partition's files carried over by reference
+    after = {f for f in t._manifest()["files"] if "part=c" in f}
+    assert after == before
