@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 from azure_databricks_lakehouse_spark.sources.cdf_stream import (
     TableChangesDataSource,
 )
-from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+from azure_databricks_lakehouse_spark.sources.tables import (
+    ParquetTable,
+    is_table,
+)
 
 
 def _rows(spark, data):
@@ -109,3 +112,46 @@ def test_partitioned_table_recovers_partition_values(registered, tmp_path):
     )
     got = _drain(spark, root, "cdf_sink_4", want_rows=2)
     assert {r["k"]: r["part"] for r in got} == {1: "a", 2: "b"}
+
+
+def test_continuous_etl_bronze_commits_to_silver(registered, tmp_path):
+    """The continuous-ETL loop closed: bronze table commits stream
+    through the CDF source, a transform runs on the stream, and a
+    checkpointed foreachBatch MERGE lands rows in a silver table —
+    downstream reads fresh data without ever rescanning bronze."""
+    from azure_databricks_lakehouse_spark.streaming import (
+        write_stream_to_table,
+    )
+
+    spark = registered
+    bronze_root = str(tmp_path / "bronze")
+    silver_root = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    t = ParquetTable.create(spark, bronze_root, _rows(spark, [(1, "a", "x")]))
+    stream = (
+        spark.readStream.format("table_changes")
+        .option("path", bronze_root)
+        .load()
+        .select("k", "part", F.upper(F.col("v")).alias("v_std"))
+    )
+    q = write_stream_to_table(
+        stream, silver_root, ckpt, merge_on=["k"], available_now=False
+    )
+    try:
+        deadline = time.time() + 120
+        t.append(_rows(spark, [(2, "b", "y")]))
+        while time.time() < deadline:
+            if (
+                is_table(silver_root)
+                and ParquetTable.for_path(spark, silver_root).read().count() >= 2
+            ):
+                break
+            time.sleep(0.5)
+        got = {
+            r["k"]: r["v_std"]
+            for r in ParquetTable.for_path(spark, silver_root).read().collect()
+        }
+        assert got == {1: "X", 2: "Y"}
+    finally:
+        q.stop()
