@@ -86,11 +86,28 @@ def train_kmeans(
         centroids.append(
             max(uniq, key=lambda v: min(_d2(v, c) for c in centroids))
         )
+    return list(
+        enumerate(_lloyd(vecs, centroids, n_iter, id_col=id_col, emb_col=emb_col))
+    )
+
+
+def _lloyd(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    n_iter: int,
+    *,
+    id_col: str,
+    emb_col: str,
+) -> list[list[float]]:
+    """Distributed Lloyd iterations: each round is one map-side
+    assignment (broadcast centroids, no corpus shuffle) + one hash
+    aggregate (mean per cell, map-side partials); only k centroid sums
+    cross to the driver.  Empty cells keep their previous centroid."""
     for _ in range(n_iter):
         cent_df = F.broadcast(
             vecs.sparkSession.createDataFrame(
                 [(i, c) for i, c in enumerate(centroids)],
-                f"cell int, cemb array<double>",
+                "cell int, cemb array<double>",
             )
         )
         dist = _sq_dist(F.col(emb_col), F.col("cemb"))
@@ -101,8 +118,6 @@ def train_kmeans(
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
         )
-        # mean per cell: element-wise sum arrays + divide by count — one
-        # hash aggregate with map-side partials
         dim = len(centroids[0])
         sums = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("n"),
@@ -116,7 +131,153 @@ def train_kmeans(
             for r in sums.collect()
         }
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
-    return list(enumerate(centroids))
+    return centroids
+
+
+def train_kmeans_parallel(
+    vecs: DataFrame,
+    *,
+    k: int = 8,
+    l: int | None = None,
+    seed_rounds: int = 5,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> list[tuple[int, list[float]]]:
+    """k-means|| (Bahmani et al., VLDB'12): the fully-distributed seeding
+    path promised by :func:`train_kmeans`'s docstring — NO raw-vector
+    sample ever reaches the driver, so it holds when even ``4k`` vectors
+    are too big (huge ``k``, huge ``dim``, or both).
+
+    Per seeding round, every point is sampled independently with
+    probability ``l * d²(x, C) / cost(C)`` — an oversampling that lands
+    ~``l`` new candidates per round near data the current seeds cover
+    badly.  Everything distributed is map-side: the candidate set is
+    broadcast as a plan literal, the cost is one scalar aggregate, and
+    the per-round candidate pull is ~``l`` rows.  The O(k log n)
+    candidates are then weighted by the corpus mass they attract (one
+    aggregate) and reduced to ``k`` centers driver-side (weighted
+    farthest-first + weighted Lloyd over candidates only), followed by
+    the same distributed Lloyd refinement as :func:`train_kmeans`.
+
+    Deterministic end to end: the per-point coin flip is
+    ``xxhash64(round, id) / 2^20`` instead of ``rand()``, so index builds
+    replay bit-identically — same property the rest of the engine's
+    sampling relies on (q54's hash-bucket strata).
+    """
+    l = l or 2 * k
+    emb = F.col(emb_col)
+
+    def _min_d2_lit(centers: list[list[float]]):
+        arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+        )
+        return F.aggregate(
+            arr,
+            F.lit(float("inf")),
+            lambda acc, c: F.least(acc, _sq_dist(emb, c)),
+        )
+
+    first = (
+        vecs.select(emb_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("train_kmeans_parallel: input frame has no rows")
+    candidates: list[list[float]] = [list(first[0][emb_col])]
+    seen = {tuple(candidates[0])}
+    for r in range(seed_rounds):
+        min_d2 = _min_d2_lit(candidates)
+        cost = vecs.select(F.sum(min_d2)).collect()[0][0]
+        if not cost:  # every point coincides with a candidate
+            break
+        coin = (
+            F.pmod(
+                F.xxhash64(F.lit(r + 1), F.col(id_col)), F.lit(1 << 20)
+            ).cast("double")
+            / float(1 << 20)
+        )
+        sampled = (
+            vecs.filter(coin < F.lit(float(l)) * min_d2 / F.lit(float(cost)))
+            .select(emb_col, F.xxhash64(F.col(id_col)).alias("__h"))
+            .orderBy("__h")  # deterministic cap order
+            .limit(8 * l)
+            .collect()
+        )
+        for row in sampled:
+            tv = tuple(row[emb_col])
+            if tv not in seen:
+                seen.add(tv)
+                candidates.append(list(tv))
+    if len(candidates) < k:
+        raise ValueError(
+            f"train_kmeans_parallel: only {len(candidates)} distinct "
+            f"candidates after {seed_rounds} rounds but k={k} — the data "
+            "has fewer distinct vectors than k, or raise l/seed_rounds"
+        )
+
+    # weight candidates by attracted corpus mass: one broadcast
+    # assignment + one count aggregate; <= |candidates| rows collect
+    cand_df = F.broadcast(
+        vecs.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(candidates)],
+            "cand int, cemb array<double>",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("d", "cand")
+    weights_rows = (
+        vecs.crossJoin(cand_df)
+        .select(id_col, "cand", _sq_dist(emb, F.col("cemb")).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("cand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    weights = [0.0] * len(candidates)
+    for row in weights_rows:
+        weights[row["cand"]] = float(row["n"])
+
+    def _d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # driver-side weighted reduction over the SMALL candidate set:
+    # weighted farthest-first seeding, then weighted Lloyd
+    centers = [candidates[max(range(len(candidates)), key=lambda i: weights[i])]]
+    while len(centers) < k:
+        centers.append(
+            candidates[
+                max(
+                    range(len(candidates)),
+                    key=lambda i: weights[i]
+                    * min(_d2(candidates[i], c) for c in centers),
+                )
+            ]
+        )
+    for _ in range(20):
+        groups: list[list[int]] = [[] for _ in range(k)]
+        for i, cand in enumerate(candidates):
+            j = min(range(k), key=lambda j: (_d2(cand, centers[j]), j))
+            groups[j].append(i)
+        moved = False
+        for j, members in enumerate(groups):
+            tot = sum(weights[i] for i in members)
+            if not tot:
+                continue
+            mean = [
+                sum(weights[i] * candidates[i][d] for i in members) / tot
+                for d in range(len(centers[j]))
+            ]
+            if mean != centers[j]:
+                centers[j], moved = mean, True
+        if not moved:
+            break
+
+    return list(
+        enumerate(_lloyd(vecs, centers, n_iter, id_col=id_col, emb_col=emb_col))
+    )
 
 
 def build_ivf(

@@ -96,3 +96,52 @@ def test_ivf_search_matches_bruteforce_top1(spark):
     brute_map = {r["query_id"]: r["neighbor_id"] for r in brute.collect()}
     # in-cluster queries: probing 1 trained cell recovers the exact top-1
     assert got_map == brute_map
+
+
+# -- k-means|| (distributed seeding) -----------------------------------------
+
+
+def test_kmeans_parallel_recovers_clusters(spark):
+    from azure_databricks_lakehouse_spark.operators.ann import (
+        train_kmeans_parallel,
+    )
+
+    vecs = _clustered(spark)
+    cents = train_kmeans_parallel(vecs, k=3, seed_rounds=4, n_iter=4)
+    assert len(cents) == 3
+    # same recovery bar as the driver-sampled trainer: the 3 planted
+    # clusters map to 3 distinct cells
+    assigned = build_ivf(vecs, cents)
+    # fixture ids are 1..60 in three planted groups of 20
+    by_cluster: dict[int, set[int]] = {}
+    for r in assigned.collect():
+        by_cluster.setdefault((r["vec_id"] - 1) // 20, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_cluster.values())
+    assert len({next(iter(s)) for s in by_cluster.values()}) == 3
+
+
+def test_kmeans_parallel_deterministic(spark):
+    from azure_databricks_lakehouse_spark.operators.ann import (
+        train_kmeans_parallel,
+    )
+
+    vecs = _clustered(spark)
+    a = train_kmeans_parallel(vecs, k=3, seed_rounds=3, n_iter=3)
+    b = train_kmeans_parallel(vecs, k=3, seed_rounds=3, n_iter=3)
+    assert a == b
+
+
+def test_kmeans_parallel_validates_input(spark):
+    from azure_databricks_lakehouse_spark.operators.ann import (
+        train_kmeans_parallel,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, emb array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        train_kmeans_parallel(empty, k=3)
+    dup = spark.createDataFrame(
+        [(i, [float(i % 2), 0.0]) for i in range(6)],
+        "vec_id bigint, emb array<double>",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        train_kmeans_parallel(dup, k=3)
