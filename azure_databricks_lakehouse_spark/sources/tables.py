@@ -62,6 +62,17 @@ class Commit:
     n_files: int
 
 
+class ConstraintViolationError(ValueError):
+    """A write (or ADD CONSTRAINT over existing data) violates a table
+    CHECK or NOT NULL constraint.  Carries per-constraint violation
+    counts in ``violations``."""
+
+    def __init__(self, context: str, violations: dict[str, int]):
+        self.violations = violations
+        detail = ", ".join(f"{k}: {v} rows" for k, v in violations.items())
+        super().__init__(f"{context} violates table constraints ({detail})")
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version:010d}.json")
 
@@ -324,6 +335,7 @@ class ParquetTable:
             operation="DELETE",
             merged_schema=m.get("merged_schema", False),
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            props=m.get("props", {}),
         )
         self._post_commit()
         return version
@@ -343,6 +355,18 @@ class ParquetTable:
         if unknown:
             raise ValueError(f"UPDATE references unknown columns {sorted(unknown)}")
         cond = F.coalesce(condition, F.lit(False))
+        # constraints are checked on the POST-update image of matched
+        # rows only — the checked set stays proportional to the change
+        self._enforce_current(
+            df.filter(cond).select(
+                *[
+                    assignments[c].alias(c) if c in assignments else F.col(c)
+                    for c in df.columns
+                ]
+            ),
+            m,
+            "UPDATE",
+        )
         df = df.select(
             *[
                 F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -361,6 +385,7 @@ class ParquetTable:
             operation="UPDATE",
             merged_schema=m.get("merged_schema", False),
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            props=m.get("props", {}),
         )
         self._post_commit()
         return version
@@ -381,9 +406,125 @@ class ParquetTable:
             operation="RESTORE",
             merged_schema=old.get("merged_schema", False),
             stats=old.get("stats", {}),
+            props=old.get("props", {}),
         )
         self._post_commit()
         return version
+
+    # -- constraints --------------------------------------------------------
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Delta parity: ``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``
+        — SQL-standard semantics: a row violates only when ``expr``
+        evaluates to exactly FALSE (NULL/unknown passes).  Existing data
+        is validated first (one scan, one aggregate), then the constraint
+        is committed into the versioned manifest props so every later
+        write enforces it — and RESTORE restores it with the data."""
+        m = self._manifest()
+        checks, not_null = _constraint_state(m)
+        if name in checks:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._enforce(self.read(), {name: expr}, [], m, "ADD CONSTRAINT")
+        props = {**m.get("props", {}), "check_constraints": {**checks, name: expr}}
+        return self._commit_props(m, props, "ADD CONSTRAINT")
+
+    def drop_constraint(self, name: str) -> int:
+        m = self._manifest()
+        checks, _ = _constraint_state(m)
+        if name not in checks:
+            raise ValueError(f"no such constraint: {name!r}")
+        del checks[name]
+        props = {**m.get("props", {}), "check_constraints": checks}
+        return self._commit_props(m, props, "DROP CONSTRAINT")
+
+    def set_not_null(self, col: str) -> int:
+        """Delta parity: ``ALTER COLUMN col SET NOT NULL``.  Unlike CHECK,
+        a NULL (or a write that omits the column entirely) violates."""
+        m = self._manifest()
+        checks, not_null = _constraint_state(m)
+        schema = _schema_from_json(self.spark, m["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"no such column: {col!r}")
+        if col in not_null:
+            return m["version"]
+        self._enforce(self.read(), {}, [col], m, "SET NOT NULL")
+        props = {**m.get("props", {}), "not_null": not_null + [col]}
+        return self._commit_props(m, props, "SET NOT NULL")
+
+    def drop_not_null(self, col: str) -> int:
+        m = self._manifest()
+        _, not_null = _constraint_state(m)
+        if col not in not_null:
+            raise ValueError(f"column {col!r} is not NOT NULL")
+        props = {
+            **m.get("props", {}),
+            "not_null": [c for c in not_null if c != col],
+        }
+        return self._commit_props(m, props, "DROP NOT NULL")
+
+    def constraints(self) -> dict:
+        """Current constraint state: ``{"check": {name: expr},
+        "not_null": [col, ...]}``."""
+        checks, not_null = _constraint_state(self._manifest())
+        return {"check": checks, "not_null": not_null}
+
+    def _commit_props(self, m: dict, props: dict, operation: str) -> int:
+        """Metadata-only commit: same files/stats, new props."""
+        version = _commit(
+            self.root,
+            version=m["version"] + 1,
+            files=m["files"],
+            schema=m["schema"],
+            partition_by=m["partition_by"],
+            operation=operation,
+            merged_schema=m.get("merged_schema", False),
+            stats=m.get("stats", {}),
+            props=props,
+        )
+        self._post_commit()
+        return version
+
+    def _enforce(
+        self,
+        df: DataFrame,
+        checks: dict[str, str],
+        not_null: Sequence[str],
+        m: dict,
+        context: str,
+    ) -> None:
+        """Validate ``df`` against the given constraints in ONE aggregate
+        job (all violation counts in a single pass — cost proportional to
+        the rows being written, never the table).  Columns the incoming
+        frame lacks are evaluated as typed NULLs: SQL-correct for CHECK
+        (unknown passes) and a violation for NOT NULL (Delta requires the
+        column on write)."""
+        if not checks and not not_null:
+            return
+        schema = _schema_from_json(self.spark, m["schema"])
+        missing = [f for f in schema.fields if f.name not in df.columns]
+        probe = df.select(
+            "*",
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+        )
+        aggs = []
+        for name, expr in checks.items():
+            aggs.append(
+                F.sum(F.when(~F.expr(expr), F.lit(1)).otherwise(F.lit(0)))
+                .alias(f"check::{name}")
+            )
+        for col in not_null:
+            aggs.append(
+                F.sum(F.isnull(F.col(col)).cast("long"))
+                .alias(f"not_null::{col}")
+            )
+        row = probe.agg(*aggs).collect()[0]
+        violations = {k: int(v) for k, v in row.asDict().items() if v}
+        if violations:
+            raise ConstraintViolationError(context, violations)
+
+    def _enforce_current(self, df: DataFrame, m: dict, context: str) -> None:
+        checks, not_null = _constraint_state(m)
+        self._enforce(df, checks, not_null, m, context)
 
     # -- write paths --------------------------------------------------------
 
@@ -403,6 +544,7 @@ class ParquetTable:
         caller's decision."""
         files = None
         data_root = os.path.join(self.root, _DATA_DIR)
+        self._enforce_current(df, self._manifest(), "APPEND")
         for attempt in range(max_retries):
             m = self._manifest()
             old = _schema_from_json(self.spark, m["schema"])
@@ -439,6 +581,7 @@ class ParquetTable:
                     operation="APPEND",
                     merged_schema=bool(new_cols) or m.get("merged_schema", False),
                     stats={**m.get("stats", {}), **stats},
+                    props=m.get("props", {}),
                 )
             except FileExistsError:
                 time.sleep(min(0.05 * (attempt + 1), 0.5))
@@ -454,6 +597,7 @@ class ParquetTable:
         """S7 parity: replace table contents (old files stay on disk for
         time travel until VACUUM)."""
         m = self._manifest()
+        self._enforce_current(df, m, "OVERWRITE")
         files = _write_files(df, self.root, m["partition_by"])
         version = _commit(
             self.root,
@@ -464,6 +608,7 @@ class ParquetTable:
             operation="OVERWRITE",
             merged_schema=False,
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            props=m.get("props", {}),
         )
         self._post_commit()
         return version
@@ -528,6 +673,9 @@ class ParquetTable:
         # of carried-over narrow files stay deterministic via mergeSchema
         # instead of depending on which footer Spark samples.
         widened = set(source.columns) - set(target.columns)
+        # enforce on the upsert payload only (delete rows and meta
+        # columns already stripped): cost ∝ source, never the table
+        self._enforce_current(source, m, "MERGE")
 
         if pruned:
             # Source partitions are typically few (e.g. days in a batch):
@@ -588,6 +736,7 @@ class ParquetTable:
                 **{f: old_stats[f] for f in carried if f in old_stats},
                 **_file_stats(data_root, files),
             },
+            props=m.get("props", {}),
         )
         self._post_commit()
         return version
@@ -641,6 +790,7 @@ class ParquetTable:
             operation="OPTIMIZE",
             merged_schema=m.get("merged_schema", False),
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            props=m.get("props", {}),
         )
         self._post_commit()
         return version
@@ -985,9 +1135,16 @@ def _commit(
     operation: str,
     merged_schema: bool,
     stats: dict[str, dict] | None = None,
+    props: dict | None = None,
 ) -> int:
     """Atomically publish a manifest version (write-temp + rename — the
-    commit point, mirroring Delta's `_delta_log` JSON commit)."""
+    commit point, mirroring Delta's `_delta_log` JSON commit).
+
+    ``props`` carries versioned table properties (CHECK / NOT NULL
+    constraints, bloom-index config) — the equivalent of Delta's
+    ``metaData.configuration``; every DML path threads the current
+    manifest's props through so properties survive any commit, and
+    RESTORE brings a version's properties back with its data."""
     manifest = {
         "version": version,
         "operation": operation,
@@ -997,6 +1154,7 @@ def _commit(
         "partition_by": partition_by,
         "merged_schema": merged_schema,
         "stats": stats or {},
+        "props": props or {},
     }
     final = _manifest_path(root, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -1015,6 +1173,14 @@ def _commit(
     finally:
         os.unlink(tmp)
     return version
+
+
+def _constraint_state(m: dict) -> tuple[dict[str, str], list[str]]:
+    props = m.get("props", {})
+    return (
+        dict(props.get("check_constraints", {})),
+        list(props.get("not_null", [])),
+    )
 
 
 def _schema_from_json(spark: SparkSession, schema_json: str):

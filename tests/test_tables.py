@@ -508,3 +508,82 @@ def test_merge_delete_prunes_partitions(spark, root):
     # untouched partition's files carried over by reference
     after = {f for f in t._manifest()["files"] if "part=c" in f}
     assert after == before
+
+
+# -- constraints (CHECK / NOT NULL) -------------------------------------------
+
+
+def test_check_constraint_blocks_bad_writes(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.add_check_constraint("k_positive", "k > 0")
+    from azure_databricks_lakehouse_spark.sources.tables import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError, match="k_positive"):
+        t.append(_rows(spark, [(-5, "b", "y")]))
+    # the failed append must not have committed anything
+    assert _as_dict(t.read()) == {1: ("a", "x")}
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(_rows(spark, [(0, "b", "y")]))
+    with pytest.raises(ConstraintViolationError):
+        t.merge(_rows(spark, [(-1, "a", "z")]), on=["k"])
+    with pytest.raises(ConstraintViolationError):
+        t.update(F.col("k") == 1, {"k": F.lit(-9)})
+    # passing writes still work; NULL check-result passes (SQL semantics)
+    t.append(
+        spark.createDataFrame([(None, "c", "ok")], "k int, part string, v string")
+    )
+    assert t.read().count() == 2
+
+
+def test_add_constraint_validates_existing_data(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x"), (-2, "b", "y")]))
+    from azure_databricks_lakehouse_spark.sources.tables import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError, match="1 rows"):
+        t.add_check_constraint("k_positive", "k > 0")
+    assert t.constraints()["check"] == {}
+    t.delete(F.col("k") < 0)
+    t.add_check_constraint("k_positive", "k > 0")
+    assert t.constraints()["check"] == {"k_positive": "k > 0"}
+    t.drop_constraint("k_positive")
+    t.append(_rows(spark, [(-7, "b", "y")]))  # enforcement gone
+
+
+def test_not_null_blocks_null_and_missing_column(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.set_not_null("v")
+    from azure_databricks_lakehouse_spark.sources.tables import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError, match="not_null::v"):
+        t.append(
+            spark.createDataFrame([(2, "b", None)], "k int, part string, v string")
+        )
+    # a write omitting the column entirely is also a violation
+    with pytest.raises(ConstraintViolationError, match="not_null::v"):
+        t.append(spark.createDataFrame([(3, "c")], "k int, part string"))
+    t.drop_not_null("v")
+    t.append(spark.createDataFrame([(2, "b", None)], "k int, part string, v string"))
+    assert t.read().count() == 2
+
+
+def test_constraints_survive_commits_and_restore(spark, root):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.add_check_constraint("k_positive", "k > 0")  # v1
+    t.append(_rows(spark, [(2, "b", "y")]))  # v2
+    t.optimize(n_files=1)  # v3
+    assert t.constraints()["check"] == {"k_positive": "k > 0"}
+    t.drop_constraint("k_positive")  # v4
+    t.restore(1)  # v5: constraint comes back with the version
+    assert t.constraints()["check"] == {"k_positive": "k > 0"}
+    from azure_databricks_lakehouse_spark.sources.tables import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError):
+        t.append(_rows(spark, [(-1, "c", "z")]))
