@@ -411,6 +411,52 @@ class ParquetTable:
         self._post_commit()
         return version
 
+    def clone(
+        self, dest_root: str, version: int | None = None
+    ) -> "ParquetTable":
+        """Delta parity: ``CREATE TABLE dest CLONE src [VERSION AS OF v]``
+        — a zero-copy snapshot clone (dev/test forks, reproducible
+        experiment pins).
+
+        Delta's SHALLOW CLONE references the source's files in place,
+        which couples the clone's readability to the source's VACUUM
+        horizon — the classic operational foot-gun.  Here each cloned
+        file is **hardlinked** into the new table's own data dir: zero
+        bytes copied and O(files) metadata work (shallow-clone
+        economics), but the clone owns refcounted links, so either side
+        may VACUUM, OPTIMIZE, or drop files without breaking the other
+        (deep-clone safety).  Filesystems without hardlink support fall
+        back to a copy per file.  Stats, props (constraints, bloom
+        config), and schema travel with the snapshot; the clone starts
+        its own history at v0 with its lineage recorded in the manifest.
+        """
+        if is_table(dest_root):
+            raise FileExistsError(f"table exists: {dest_root}")
+        m = self._manifest(version)
+        src_data = os.path.join(self.root, _DATA_DIR)
+        dst_data = os.path.join(dest_root, _DATA_DIR)
+        os.makedirs(os.path.join(dest_root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(dst_data, exist_ok=True)
+        for rel in m["files"]:
+            dest = os.path.join(dst_data, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            try:
+                os.link(os.path.join(src_data, rel), dest)
+            except OSError:
+                shutil.copy2(os.path.join(src_data, rel), dest)
+        _commit(
+            dest_root,
+            version=0,
+            files=m["files"],
+            schema=m["schema"],
+            partition_by=m["partition_by"],
+            operation=f"CLONE {os.path.abspath(self.root)}@v{m['version']}",
+            merged_schema=m.get("merged_schema", False),
+            stats=m.get("stats", {}),
+            props=m.get("props", {}),
+        )
+        return ParquetTable(self.spark, dest_root)
+
     # -- constraints --------------------------------------------------------
 
     def add_check_constraint(self, name: str, expr: str) -> int:

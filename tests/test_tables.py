@@ -587,3 +587,40 @@ def test_constraints_survive_commits_and_restore(spark, root):
 
     with pytest.raises(ConstraintViolationError):
         t.append(_rows(spark, [(-1, "c", "z")]))
+
+
+# -- CLONE --------------------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_independent(spark, root, tmp_path):
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")]), partition_by=["part"]
+    )
+    t.add_check_constraint("k_positive", "k > 0")
+    dest = str(tmp_path / "fork")
+    c = t.clone(dest)
+    assert _as_dict(c.read()) == _as_dict(t.read())
+    # zero bytes copied: every cloned data file is a hardlink (nlink > 1)
+    m = c._manifest(0)
+    for rel in m["files"]:
+        assert os.stat(os.path.join(dest, "data", rel)).st_nlink > 1
+    # props travelled: the clone enforces the source's constraint
+    assert c.constraints()["check"] == {"k_positive": "k > 0"}
+    # histories are independent in both directions
+    c.append(_rows(spark, [(3, "c", "z")]))
+    assert t.read().count() == 2 and c.read().count() == 3
+    t.delete(F.col("k") == 1)
+    assert c.read().count() == 3
+    # source VACUUM cannot break the clone (refcounted links, not refs)
+    t.vacuum(keep_versions=1)
+    assert c.read().count() == 3
+    assert "CLONE" in c.history()[0].operation
+
+
+def test_clone_version_pins_a_snapshot(spark, root, tmp_path):
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.append(_rows(spark, [(2, "b", "y")]))
+    c = ParquetTable.for_path(spark, root).clone(str(tmp_path / "pin"), version=0)
+    assert _as_dict(c.read()) == {1: ("a", "x")}
+    with pytest.raises(FileExistsError):
+        t.clone(str(tmp_path / "pin"))
