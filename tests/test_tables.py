@@ -624,3 +624,71 @@ def test_clone_version_pins_a_snapshot(spark, root, tmp_path):
     assert _as_dict(c.read()) == {1: ("a", "x")}
     with pytest.raises(FileExistsError):
         t.clone(str(tmp_path / "pin"))
+
+
+# -- bloom-filter file skipping ----------------------------------------------
+
+
+def test_bloom_index_prunes_files_on_equality(spark, root):
+    # 8 appends of disjoint high-cardinality keys that all share the SAME
+    # global range — min/max stats cannot prune, only the bloom can
+    t = ParquetTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, "seed") for i in (0, 10_000)], "k int, v string"
+        ).coalesce(1),
+    )
+    t.set_bloom_index(["k"])
+    for batch in range(8):
+        t.append(
+            spark.createDataFrame(
+                [(1 + batch * 100 + j, f"b{batch}") for j in range(50)]
+                + [(0, "lo"), (10_000, "hi")],  # pin every file's min/max
+                "k int, v string",
+            ).coalesce(1)
+        )
+    m = t._manifest()
+    probe = 1 + 3 * 100 + 7  # lives only in batch 3's file
+    pruned = t.scan_eq("k", probe)
+    rows = pruned.collect()
+    assert [r["v"] for r in rows] == ["b3"]
+    # the scan touched a fraction of the files (bloom, not stats, pruned:
+    # every file's [min,max] is [0, 10000] and covers the probe)
+    opened = pruned.inputFiles()
+    assert len(opened) < len(m["files"]) / 2, (len(opened), len(m["files"]))
+
+
+def test_bloom_survives_rewrites_and_never_false_negatives(spark, root):
+    t = ParquetTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(i, "x") for i in range(200)], "k int, v string"),
+    )
+    t.set_bloom_index(["k"], m_bits=1024, k=4)
+    t.update(F.col("k") == 7, {"v": F.lit("updated")})
+    t.optimize(n_files=4)
+    # every present key must remain findable (false negatives impossible)
+    for probe in (0, 7, 123, 199):
+        got = t.scan_eq("k", probe).collect()
+        assert len(got) == 1 and got[0]["k"] == probe
+    assert t.scan_eq("k", 7).collect()[0]["v"] == "updated"
+    # absent key: bloom prunes everything or filter returns empty
+    assert t.scan_eq("k", 10**6).count() == 0
+    with pytest.raises(ValueError, match="NULL"):
+        t.scan_eq("k", None)
+
+
+def test_bloom_on_string_keys_and_clone_carry(spark, root, tmp_path):
+    t = ParquetTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(f"user-{i}", i) for i in range(100)], "uid string, n int"
+        ),
+    )
+    t.set_bloom_index(["uid"], m_bits=2048)
+    c = t.clone(str(tmp_path / "fork"))
+    assert c._manifest(0).get("blooms")  # bitmaps travelled with the clone
+    got = c.scan_eq("uid", "user-42").collect()
+    assert len(got) == 1 and got[0]["n"] == 42
