@@ -89,6 +89,7 @@ def winnow_fingerprints_long(
     w: int = 4,
     hash: str = "xxh",
     max_len: int | None = None,
+    cluster_by_fp: bool = False,
 ) -> DataFrame:
     """Long-format winnowing: distinct ``(id_col, fp)`` rows, one per
     fingerprint.  This is the join-ready shape — and, critically, the
@@ -100,7 +101,20 @@ def winnow_fingerprints_long(
     *positions* before any window-min is computed, so the hash array is
     evaluated O(1) times per row and each exploded position does O(w)
     work.  ``max_len`` caps the fingerprinted prefix (see
-    :func:`winnow_kgram_hashes` — set it on unbounded text)."""
+    :func:`winnow_kgram_hashes` — set it on unbounded text).
+
+    ``cluster_by_fp`` hash-partitions the output by ``fp`` and FUSES that
+    layout into the dedup shuffle itself: ``hash(fp)`` co-locates every
+    ``(id, fp)`` duplicate, so the distinct needs no second exchange —
+    one shuffle buys both.  Set it when the result feeds fp-keyed
+    consumers (the overlap self-join, doc-frequency cull, decontamination
+    probe): each such consumer then reads the table shuffle-free,
+    especially when it is also persisted.  Leave it off for id-keyed or
+    one-shot consumers — and note a pathological fingerprint distribution
+    concentrates hot fps in few partitions (the doc-freq cull removes
+    those rows AFTER this layout is built, so cull limits don't help
+    here; winnowing's hash-min selection keeps real corpora near-uniform).
+    """
     hs_df = winnow_kgram_hashes(
         df, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash, max_len=max_len
     )
@@ -110,7 +124,10 @@ def winnow_fingerprints_long(
         F.explode(_positions(F.size("hs") - (w - 1))).alias("i"),
     )
     fp = F.array_min(F.slice(F.col("hs"), F.col("i"), w))
-    return long.select(id_col, fp.cast("long").alias("fp")).distinct()
+    flat = long.select(id_col, fp.cast("long").alias("fp"))
+    if cluster_by_fp:
+        return flat.repartition("fp").dropDuplicates([id_col, "fp"])
+    return flat.distinct()
 
 
 def winnow_kgram_hashes(

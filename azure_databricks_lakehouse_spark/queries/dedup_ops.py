@@ -384,11 +384,14 @@ def q51_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MEMORY_AND_DISK is spill-safe; at corpus scale the fingerprint
     # table is the artifact a production pipeline would materialize to
     # storage anyway — it feeds every containment/overlap consumer.
-    # Measured at sf0.1: 6.4 s -> 2.0 s warm, 12.0 -> 11.0 cold.
+    # cluster_by_fp fuses the dedup shuffle with a hash(fp) layout, so
+    # the cached table already satisfies every fp-keyed consumer's
+    # distribution (doc-freq agg, both self-join sides run exchange-free).
+    # Measured at sf0.1, cold cache: 8.3 s unclustered -> 4.4 s clustered.
     from pyspark import StorageLevel
 
     flat = winnow_fingerprints_long(
-        corpus, k=_WINNOW_K, w=_WINNOW_W, hash="poly"
+        corpus, k=_WINNOW_K, w=_WINNOW_W, hash="poly", cluster_by_fp=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return fingerprint_overlap_pairs(
         flat,
