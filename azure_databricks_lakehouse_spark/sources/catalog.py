@@ -12,14 +12,21 @@ over ``part`` never opens ``events``; one unreadable table can never take
 down unrelated queries, and at a 100 TB catalog you only pay metadata cost
 for tables in the plan.
 
-The ``events`` table needs special handling: its parquet ``ts`` column is
-``TIMESTAMP(NANOS)``, which Spark 4.x refuses to read natively
-(PARQUET_TYPE_ILLEGAL).  We read it with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (``ts`` arrives as a long
-nanosecond count) and convert with exact integer division to microseconds
-— ``timestamp_micros(ts div 1000)`` — which truncates toward zero exactly
-like DuckDB's nanos→micros read, so oracles agree to the microsecond.
-(Float division would round half the rows up by 1µs.)
+The ``events`` table needs special handling: ``ts`` has shipped in two
+physical encodings across driver testdata generations, and the engine
+normalizes both to the SAME logical type (``TIMESTAMP``, UTC session):
+
+- ``TIMESTAMP(NANOS)``: Spark 4.x refuses to read it natively
+  (PARQUET_TYPE_ILLEGAL), so we read with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (``ts`` arrives as a long
+  nanosecond count) and convert with exact integer division —
+  ``timestamp_micros(ts div 1000)`` — which truncates toward zero exactly
+  like DuckDB's nanos→micros read, so oracles agree to the microsecond.
+  (Float division would round half the rows up by 1µs.)
+- ``TIMESTAMP(MICROS, isAdjustedToUTC=false)``: reads natively as
+  ``TIMESTAMP_NTZ``; cast to ``TIMESTAMP`` (the UTC session timezone makes
+  the cast a pure re-tag, no instant shift) so every downstream query and
+  oracle sees one stable type regardless of the file encoding.
 """
 
 from __future__ import annotations
@@ -53,11 +60,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(_NANOS_CONF, "true")
         try:
             df = spark.read.parquet(path)
+            ts_type = dict(df.dtypes)["ts"]
         finally:
             spark.conf.set(_NANOS_CONF, prev)
-        # nanos-long -> microsecond timestamp; `div` is exact integer
-        # division (truncation), matching DuckDB's native nanos read.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # nanos-long -> microsecond timestamp; `div` is exact integer
+            # division (truncation), matching DuckDB's native nanos read.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # native micros (TIMESTAMP_NTZ under Spark's parquet reader):
+        # re-tag to TIMESTAMP — a no-op instant-wise in the UTC session.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
