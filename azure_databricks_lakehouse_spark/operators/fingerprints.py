@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from azure_databricks_lakehouse_spark.functions.hashing import (
     char_codes,
@@ -256,6 +257,95 @@ def fingerprint_overlap_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("doc_a", "doc_b", "n_shared", "containment")
     )
+
+
+def dedup_batch_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    hash: str = "xxh",
+    max_len: int | None = None,
+    min_containment: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Ingestion-time incremental dedup: screen a new ``batch`` of
+    documents against a PERSISTED corpus fingerprint ``index`` (long
+    format ``(doc_id, fp)`` from :func:`winnow_fingerprints_long`,
+    ideally written with ``cluster_by_fp=True``).
+
+    Returns ``(kept, rejected, new_index_rows)``:
+
+    - ``rejected`` — ``(id_col, match_id, n_shared, containment)`` for
+      batch documents whose fingerprint containment against some corpus
+      document reaches ``min_containment`` (containment is normalized by
+      the BATCH document's fingerprint count — "how much of the new doc
+      already exists" — so no corpus-side size aggregation is ever
+      needed).  One row per rejected doc: its best match (highest
+      containment, ties to the smallest ``match_id`` for determinism).
+    - ``kept`` — the surviving batch rows, original columns (documents
+      too short to fingerprint survive trivially: no evidence, no
+      rejection).
+    - ``new_index_rows`` — the kept documents' ``(id_col, fp)`` rows,
+      ready to ``append`` to the index table so the NEXT batch screens
+      against them.
+
+    Scale shape — the asymmetry mirrors :func:`decontaminate` but
+    reversed: the index side is corpus-scale (100 TB of history), the
+    batch is an ingestion increment.  Per-batch cost must be independent
+    of corpus size, so the BATCH fingerprints are distinct-reduced and
+    **broadcast**; the index is probed map-side (never shuffled, never
+    re-fingerprinted — the documents' text is not even read).  Hit pairs
+    (bounded by actual overlap) aggregate per (batch doc, corpus doc),
+    and the verdict joins back to the batch by AQE's choice.  Re-running
+    a pipeline this way turns corpus dedup from a per-run O(corpus)
+    self-join into O(batch) probes + one index append.
+    """
+    batch_fps = winnow_fingerprints_long(
+        batch, text_col=text_col, id_col=id_col, k=k, w=w, hash=hash,
+        max_len=max_len,
+    ).withColumnRenamed(id_col, "_batch_id")
+    sizes = batch_fps.groupBy("_batch_id").agg(
+        F.count(F.lit(1)).alias("_n_fp")
+    )
+    hits = (
+        index.join(F.broadcast(batch_fps), "fp")
+        .groupBy("_batch_id", F.col(id_col).alias("match_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = (
+        hits.join(F.broadcast(sizes), "_batch_id")
+        .withColumn("containment", F.col("n_shared") / F.col("_n_fp"))
+        .filter(F.col("containment") >= min_containment)
+    )
+    best = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_batch_id").orderBy(
+                    F.desc("containment"), "match_id"
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_batch_id").alias(id_col),
+            "match_id",
+            "n_shared",
+            "containment",
+        )
+    )
+    kept = batch.join(
+        best.select(F.col(id_col)), id_col, "left_anti"
+    )
+    new_index_rows = batch_fps.join(
+        F.broadcast(best.select(F.col(id_col).alias("_batch_id"))),
+        "_batch_id",
+        "left_anti",
+    ).select(F.col("_batch_id").alias(id_col), "fp")
+    return kept, best, new_index_rows
 
 
 def decontaminate(

@@ -170,3 +170,80 @@ def test_decontaminate_benchmark_side_is_broadcast(spark):
     plan = dirty._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- incremental dedup against a persisted index ---------------------------
+def _index_corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "pack my box with five dozen liquor jugs before the storm arrives"),
+        (3, "a completely different document about distributed query engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dedup_batch_against_index(spark):
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        dedup_batch_against_index,
+    )
+
+    corpus = _index_corpus(spark)
+    index = winnow_fingerprints_long(corpus, cluster_by_fp=True)
+    batch = spark.createDataFrame(
+        [
+            # exact copy of doc 1 -> containment 1.0
+            (101, "the quick brown fox jumps over the lazy dog near the river bank"),
+            # quotes half of doc 2, half fresh -> mid containment
+            (102, "pack my box with five dozen liquor jugs and entirely novel tail content here"),
+            # fresh
+            (103, "photosynthesis converts carbon dioxide into oxygen and sugar"),
+            # too short to fingerprint (< k+w-1)
+            (104, "tiny"),
+        ],
+        "doc_id int, text string",
+    )
+    kept, rejected, new_rows = dedup_batch_against_index(
+        batch, index, min_containment=0.5
+    )
+    rej = {r["doc_id"]: r for r in rejected.collect()}
+    assert 101 in rej and rej[101]["containment"] == 1.0 and rej[101]["match_id"] == 1
+    assert set(r["doc_id"] for r in kept.collect()) == {103, 104} | (
+        set() if 102 in rej else {102}
+    )
+    # fresh doc's fingerprints are staged for the index append; rejected ids never are
+    staged = set(r["doc_id"] for r in new_rows.collect())
+    assert 103 in staged and 101 not in staged and 104 not in staged
+
+    # incremental property: after appending, a copy of doc 103 is caught
+    index2 = index.unionByName(new_rows)
+    _, rejected2, _ = dedup_batch_against_index(
+        spark.createDataFrame(
+            [(201, "photosynthesis converts carbon dioxide into oxygen and sugar")],
+            "doc_id int, text string",
+        ),
+        index2,
+        min_containment=0.5,
+    )
+    r2 = rejected2.collect()
+    assert len(r2) == 1 and r2[0]["match_id"] == 103 and r2[0]["containment"] == 1.0
+
+
+def test_dedup_batch_plan_broadcasts_batch_side(spark):
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        dedup_batch_against_index,
+    )
+    from azure_databricks_lakehouse_spark.plans import (
+        assert_no_cartesian,
+        physical_plan,
+    )
+
+    corpus = _index_corpus(spark)
+    index = winnow_fingerprints_long(corpus, cluster_by_fp=True)
+    batch = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id int, text string",
+    )
+    _, rejected, _ = dedup_batch_against_index(batch, index)
+    plan = physical_plan(rejected)
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(rejected)
