@@ -20,6 +20,8 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -334,6 +336,123 @@ def ivf_search(
         .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= n_probe)
         .select(query_id_col, "qemb", "cell")
+    )
+    sim = _sq_dist(F.col("qemb"), F.col(emb_col))
+    wr = Window.partitionBy(query_id_col).orderBy("d", "neighbor_id")
+    return (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("d"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
+# --- persisted index: build once, probe many -------------------------------
+# The production lifecycle: the corpus-scale work (quantizer training +
+# cell assignment) happens ONCE at index-build time and lands on disk as
+# a ParquetTable PARTITIONED BY cell; every subsequent query batch reads
+# only its probed cells via partition pruning.  At 100 TB that is the
+# difference between scanning ~n_probe/k of the index per search and
+# rescanning (or re-shuffling) the whole corpus per search.
+_ASSIGN_DIR = "assignments"
+_CENT_DIR = "centroids"
+
+
+def save_ivf_index(
+    vecs: DataFrame,
+    root: str,
+    *,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    parallel_seed: bool = False,
+) -> None:
+    """Train a quantizer over ``vecs``, assign every vector to its cell,
+    and persist both halves under ``root``: the assignment table
+    partitioned by ``cell`` (the pruning axis) and the k centroids as a
+    metadata-sized sidecar table.  ``parallel_seed`` switches training to
+    the k-means|| seeded variant (:func:`train_kmeans_parallel`) for
+    corpora where head-of-table seeding would bias the quantizer."""
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    spark = vecs.sparkSession
+    trainer = train_kmeans_parallel if parallel_seed else train_kmeans
+    centroids = trainer(vecs, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col)
+    assign = build_ivf(vecs, centroids, id_col=id_col, emb_col=emb_col)
+    ParquetTable.create(
+        spark,
+        os.path.join(root, _ASSIGN_DIR),
+        assign.repartition("cell"),
+        partition_by=["cell"],
+    )
+    ParquetTable.create(
+        spark,
+        os.path.join(root, _CENT_DIR),
+        spark.createDataFrame(centroids, "cell int, cemb array<double>"),
+    )
+
+
+def load_ivf_centroids(spark, root: str) -> list[tuple[int, list[float]]]:
+    """The quantizer back off disk — k rows, driver-sized by design."""
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    rows = (
+        ParquetTable.for_path(spark, os.path.join(root, _CENT_DIR))
+        .read()
+        .orderBy("cell")
+        .collect()
+    )
+    return [(r["cell"], list(r["cemb"])) for r in rows]
+
+
+def ivf_search_persisted(
+    spark,
+    root: str,
+    queries: DataFrame,
+    *,
+    top_k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN search against a :func:`save_ivf_index` index, reading ONLY the
+    probed cells' partitions.
+
+    The probed-cell set is collected to the driver first — it is bounded
+    by the number of CENTROIDS (≤ k values, the same object already held
+    driver-side), never by query or corpus count — and pushed into the
+    assignment read as a partition filter, so the parquet scan's
+    ``PartitionFilters`` prunes every unprobed cell directory at file
+    listing time.  A join-driven alternative (dynamic partition pruning)
+    leaves pruning to runtime heuristics; with the cell list this small,
+    static pruning is strictly more predictable."""
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    centroids = load_ivf_centroids(spark, root)
+    cent_df = F.broadcast(
+        spark.createDataFrame(centroids, "cell int, cemb array<double>")
+    )
+    qdist = _sq_dist(F.col("qemb"), F.col("cemb"))
+    wq = Window.partitionBy(query_id_col).orderBy("qdist", "cell")
+    probes = (
+        queries.select(F.col(query_id_col), F.col(emb_col).alias("qemb"))
+        .crossJoin(cent_df)
+        .select(query_id_col, "qemb", "cell", qdist.alias("qdist"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select(query_id_col, "qemb", "cell")
+    )
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    index = (
+        ParquetTable.for_path(spark, os.path.join(root, _ASSIGN_DIR))
+        .read()
+        .filter(F.col("cell").isin(cells))
     )
     sim = _sq_dist(F.col("qemb"), F.col(emb_col))
     wr = Window.partitionBy(query_id_col).orderBy("d", "neighbor_id")

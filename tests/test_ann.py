@@ -145,3 +145,50 @@ def test_kmeans_parallel_validates_input(spark):
     )
     with pytest.raises(ValueError, match="distinct"):
         train_kmeans_parallel(dup, k=3)
+
+
+# --- persisted index: build once, probe many, read only probed cells -------
+def test_persisted_ivf_matches_in_memory_search(spark, tmp_path):
+    from azure_databricks_lakehouse_spark.operators.ann import (
+        ivf_search_persisted,
+        load_ivf_centroids,
+        save_ivf_index,
+    )
+
+    vecs = _clustered(spark)
+    root = str(tmp_path / "ivf")
+    save_ivf_index(vecs, root, k=3, n_iter=4)
+
+    queries = vecs.filter(F.col("vec_id").isin([1, 25, 45])).select(
+        F.col("vec_id").alias("query_id"), F.col("emb")
+    )
+    got = ivf_search_persisted(
+        spark, root, queries, top_k=3, n_probe=1
+    )
+
+    cents = load_ivf_centroids(spark, root)
+    index = build_ivf(vecs, cents)
+    want = ivf_search(index, queries, cents, top_k=3, n_probe=1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_persisted_ivf_prunes_unprobed_cells(spark, tmp_path):
+    from azure_databricks_lakehouse_spark.operators.ann import (
+        ivf_search_persisted,
+        save_ivf_index,
+    )
+    from azure_databricks_lakehouse_spark.plans import physical_plan
+
+    vecs = _clustered(spark)
+    root = str(tmp_path / "ivf")
+    save_ivf_index(vecs, root, k=3, n_iter=4)
+
+    # one query, one probe -> exactly one of three cell partitions read
+    queries = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("emb")
+    )
+    res = ivf_search_persisted(spark, root, queries, top_k=3, n_probe=1)
+    plan = physical_plan(res)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "cell" in m[0]  # the isin reached the scan's partition filters
+    assert res.count() == 3
