@@ -168,3 +168,96 @@ def write_stream_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_deduped_stream(
+    docs: DataFrame,
+    table_root: str,
+    index_root: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_containment: float = 0.5,
+    k: int = 8,
+    w: int = 4,
+    max_len: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ingestion with ingestion-time dedup: every micro-batch is
+    screened against the PERSISTED corpus fingerprint index
+    (:func:`~azure_databricks_lakehouse_spark.operators.fingerprints.dedup_batch_against_index`)
+    before landing — near-duplicates of anything already ingested never
+    reach the destination table, and each kept document's fingerprints
+    join the index so the NEXT batch screens against them.
+
+    Idempotency under micro-batch replay: both sinks are MERGEs (docs on
+    ``id_col``, index on ``(id_col, fp)``), so a crash between the two
+    table commits replays into no-ops; and the batch's own ids are
+    anti-joined out of the index before screening, so a replayed document
+    never rejects itself as its own duplicate.
+
+    The self-exclusion ties idempotency to the CHECKPOINT: resume the
+    stream with its own checkpoint (replays are per-micro-batch). Pointing
+    a FRESH checkpoint at an already-ingested source replays everything as
+    one batch where previously-rejected docs and their match targets
+    coexist — and self-exclusion then removes the targets.
+
+    Screening is batch-vs-CORPUS only; duplicates WITHIN one micro-batch
+    are the upstream job of :func:`dedup_stream` /
+    ``dropDuplicatesWithinWatermark`` (the standard split: within-stream
+    dedup is watermark-stateful, cross-corpus dedup is index-probed).
+
+    Scale note: the screening probe is map-side over the index (batch
+    fingerprints broadcast — cost independent of corpus size), but the
+    index MERGE rewrites the target files containing replayed keys; a
+    100 TB deployment would back the index with a table bucketed on
+    ``fp`` (see ``tests/test_bucketing.py``) or ledger appends keyed by
+    micro-batch id so the upsert prunes. The composition seam — screen,
+    land, extend index, all inside one checkpointed ``foreachBatch`` —
+    is exactly what that deployment runs."""
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        dedup_batch_against_index,
+        winnow_fingerprints_long,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not is_table(index_root):
+            fps = winnow_fingerprints_long(
+                batch_df, text_col=text_col, id_col=id_col, k=k, w=w,
+                max_len=max_len, cluster_by_fp=True,
+            )
+            ParquetTable.create(spark, index_root, fps)
+            ParquetTable.create(spark, table_root, batch_df)
+            return
+        index_tbl = ParquetTable.for_path(spark, index_root)
+        batch_ids = batch_df.select(id_col).distinct()
+        prior_index = index_tbl.read().join(
+            F.broadcast(batch_ids), id_col, "left_anti"
+        )
+        kept, _rejected, new_rows = dedup_batch_against_index(
+            batch_df,
+            prior_index,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            w=w,
+            max_len=max_len,
+            min_containment=min_containment,
+        )
+        docs_tbl = ParquetTable.for_path(spark, table_root)
+        docs_tbl.merge(kept, on=[id_col])
+        if not new_rows.isEmpty():
+            index_tbl.merge(new_rows, on=[id_col, "fp"])
+
+    writer = (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -198,3 +198,71 @@ def test_rate_stream_windowed_agg(spark):
         assert all(r["n"] == 100 for r in rows[:-1] or rows)
     finally:
         q.stop()
+
+
+# --- streaming ingestion with cross-corpus dedup ---------------------------
+_DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_deduped_stream_screens_across_batches(spark, tmp_path):
+    from azure_databricks_lakehouse_spark.streaming.jobs import (
+        write_deduped_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    dest, idx, ckpt = (
+        str(tmp_path / "dest"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def _ingest():
+        stream = read_file_stream(spark, src, _DOC_SCHEMA)
+        _run(write_deduped_stream(stream, dest, idx, ckpt))
+
+    # batch 1 seeds corpus + index
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "pack my box with five dozen liquor jugs before the storm"),
+        ],
+        _DOC_SCHEMA,
+    ).write.mode("append").parquet(src)
+    _ingest()
+    assert ParquetTable.for_path(spark, dest).read().count() == 2
+
+    # batch 2: one near-copy of doc 1, one fresh doc
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river"),
+            (11, "entirely unrelated text about distributed systems design"),
+        ],
+        _DOC_SCHEMA,
+    ).write.mode("append").parquet(src)
+    _ingest()
+    landed = {
+        r["doc_id"]
+        for r in ParquetTable.for_path(spark, dest).read().collect()
+    }
+    assert landed == {1, 2, 11}  # the near-copy was screened out
+
+    # batch 3: near-copy of the batch-2 survivor -> caught by the GROWN index
+    spark.createDataFrame(
+        [(20, "entirely unrelated text about distributed systems design")],
+        _DOC_SCHEMA,
+    ).write.mode("append").parquet(src)
+    _ingest()
+    landed = {
+        r["doc_id"]
+        for r in ParquetTable.for_path(spark, dest).read().collect()
+    }
+    assert landed == {1, 2, 11}
+
+    # restart on the SAME checkpoint with no new files: a no-op — no new
+    # versions on either table (exactly-once across restarts)
+    dest_v = ParquetTable.for_path(spark, dest).latest_version()
+    idx_v = ParquetTable.for_path(spark, idx).latest_version()
+    _ingest()
+    assert ParquetTable.for_path(spark, dest).latest_version() == dest_v
+    assert ParquetTable.for_path(spark, idx).latest_version() == idx_v
