@@ -1,0 +1,185 @@
+"""End-to-end training-corpus preparation: the LLM-data medallion.
+
+The reference's medallion (bronze→silver→gold) refines *claims* into
+star-schema aggregates; this pipeline is the same refinement discipline
+applied to a *pretraining corpus* — each stage is an operator this
+engine already ships, composed in the order production pipelines run
+them:
+
+1. **quality gate** — learned hashed-n-gram scorer when weights are
+   supplied (`operators/quality`), else the q25-style stopword/length
+   heuristics.  Cheap projections first: cull before paying dedup.
+2. **exact dedup** — md5 of normalized text, keep the smallest doc id
+   per digest (hash-shuffle on the digest, q27's policy).
+3. **fuzzy dedup** — winnowing fingerprints → bucketed containment
+   pairs → connected components → keep each cluster's canonical member
+   (q47/q51/q52's stack, via `operators/fingerprints` + `components`).
+4. **decontamination** — drop documents sharing any winnowing
+   fingerprint with the benchmark/eval set (broadcast probe,
+   `operators/fingerprints.decontaminate`).
+5. **PII redaction** — regex scrub in one codegen projection
+   (`operators/redaction`), applied after dedup so scrubbing cannot
+   split duplicate groups, and on the culled survivor set so it touches
+   the fewest rows.
+6. **deterministic shuffle + packing manifest** — reproducible
+   pseudo-random order (`operators/shuffle`'s hash key as the packing
+   order) and the concat-and-chunk sequence manifest
+   (`operators/packing`, distributed prefix sum).
+
+Every stage is DataFrame-native (zero UDFs); nothing here collects
+corpus-sized data to the driver.  Stage order is itself the scale
+decision: projections before shuffles, shuffles on reduced sets,
+broadcast probes for the asymmetric joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.operators.bpe import _PRETOKEN_RE
+from azure_databricks_lakehouse_spark.operators.components import dedup_clusters
+from azure_databricks_lakehouse_spark.operators.fingerprints import (
+    decontaminate,
+    fingerprint_overlap_pairs,
+    winnow_fingerprints_long,
+)
+from azure_databricks_lakehouse_spark.operators.packing import pack_manifest
+from azure_databricks_lakehouse_spark.operators.quality import score_quality
+from azure_databricks_lakehouse_spark.operators.redaction import redact
+
+_STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+)
+
+
+@dataclass
+class TrainingCorpus:
+    """Result of :func:`prepare_training_corpus`."""
+
+    corpus: DataFrame          # surviving documents, redacted text
+    manifest: DataFrame        # packing manifest over the shuffled order
+    audit: dict = field(default_factory=dict)  # stage -> surviving rows
+
+
+def _heuristic_quality(text: F.Column) -> F.Column:
+    toks = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return (
+        (F.length(text) >= 50)
+        & (n_tok >= 10)
+        & ((n_stop / n_tok.cast("double")) >= 0.05)
+    )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    *,
+    benchmark: DataFrame | None = None,
+    quality_weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_threshold: float = 0.5,
+    k: int = 8,
+    w: int = 4,
+    min_containment: float = 0.5,
+    decontaminate_min_shared: int = 2,
+    max_doc_freq: int | None = 50,
+    max_len: int | None = None,
+    seq_capacity: int = 2048,
+    shuffle_seed: int = 0,
+    audit: bool = True,
+) -> TrainingCorpus:
+    """Run the full quality→dedup→decontaminate→redact→pack pipeline.
+
+    ``audit=True`` counts survivors after each stage (one lightweight
+    count job per stage — turn off for pure-throughput runs)."""
+    stages: dict[str, int] = {}
+
+    def _note(name: str, frame: DataFrame) -> DataFrame:
+        if audit:
+            stages[name] = frame.count()
+        return frame
+
+    _note("input", docs)
+
+    # 1. quality gate
+    if quality_weights is not None:
+        scores = score_quality(
+            docs, quality_weights, text_col=text_col, id_col=id_col
+        ).select(id_col, "quality_score")
+        kept = (
+            docs.join(scores, id_col)
+            .filter(F.col("quality_score") >= quality_threshold)
+            .drop("quality_score")
+        )
+    else:
+        kept = docs.filter(_heuristic_quality(F.col(text_col)))
+    kept = _note("quality", kept)
+
+    # 2. exact dedup (digest of normalized text, keep min id)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    digested = kept.withColumn("_digest", F.md5(norm))
+    canon = digested.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    kept = digested.join(canon, [id_col, "_digest"], "left_semi").drop("_digest")
+    kept = _note("exact_dedup", kept)
+
+    # 3. fuzzy dedup: containment pairs -> clusters -> canonical member
+    flat = winnow_fingerprints_long(
+        kept, text_col=text_col, id_col=id_col, k=k, w=w, max_len=max_len,
+        cluster_by_fp=True,
+    )
+    pairs = fingerprint_overlap_pairs(
+        flat,
+        id_col=id_col,
+        min_shared=2,
+        min_containment=min_containment,
+        max_doc_freq=max_doc_freq,
+    )
+    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    kept = kept.join(losers, id_col, "left_anti")
+    kept = _note("fuzzy_dedup", kept)
+
+    # 4. decontamination vs the benchmark/eval set
+    # min_shared=2 by default: at k=8 a single shared fingerprint can be
+    # one common English 8-gram (" in the "); a real quoted eval question
+    # shares a fingerprint per winnow window of the quote, so 2 is still
+    # far below what true contamination produces
+    if benchmark is not None:
+        kept, _contaminated = decontaminate(
+            kept, benchmark, text_col=text_col, id_col=id_col, k=k, w=w,
+            min_shared=decontaminate_min_shared, max_len=max_len,
+        )
+        kept = _note("decontaminate", kept)
+
+    # 5. PII redaction (audit columns dropped from the corpus payload)
+    scrubbed = redact(kept, text_col=text_col, audit=False)
+
+    # 6. deterministic shuffle order + packing manifest
+    shuffled = scrubbed.withColumn(
+        "_order", F.xxhash64(F.lit(shuffle_seed), F.col(id_col))
+    )
+    n_tokens = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+            F.lit(_PRETOKEN_RE),
+            0,
+        )
+    )
+    manifest = pack_manifest(
+        shuffled.select(
+            id_col, "_order", n_tokens.alias("n_tokens")
+        ),
+        token_col="n_tokens",
+        order_col="_order",
+        capacity=seq_capacity,
+    ).join(
+        shuffled.select(id_col, "_order"), "_order"
+    ).select(id_col, "n_tokens", "start_offset", "start_seq", "end_seq", "offset_in_seq")
+    return TrainingCorpus(corpus=scrubbed, manifest=manifest, audit=stages)

@@ -1,0 +1,90 @@
+"""End-to-end training-corpus pipeline: every stage culls exactly the
+planted offender and the packing manifest is consistent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.pipelines.training import (
+    prepare_training_corpus,
+)
+
+_BASE = (
+    "the committee published its annual report on the quality of regional "
+    "water and the effect of the new treatment plant in the valley"
+)
+_DOCS = [
+    # 1: clean survivor
+    (1, _BASE),
+    # 2: exact duplicate of 1 (normalized: case/whitespace differ) -> culled
+    (2, "  The committee   published its annual report on the quality of "
+        "regional water and the effect of the new treatment plant in the valley"),
+    # 3: near-duplicate of 1 (quotes most of it) -> fuzzy-culled
+    (3, _BASE + " with an appendix of the figures"),
+    # 4: clean survivor with PII to scrub
+    (4, "the director of the water board can be reached at jane.doe@example.com "
+        "for all of the questions about the annual report of the board"),
+    # 5: spam -> quality-culled (no stopwords, short words)
+    (5, "click buy win free cheap deal prize now click buy win free cheap deal"),
+    # 6: contaminated -> shares the benchmark question verbatim
+    (6, "the quiz of the day is which river is the longest river in the world "
+        "and the answer of the quiz is printed in the appendix of the report"),
+]
+_BENCH = [(100, "which river is the longest river in the world")]
+
+
+def _run(spark, **kw):
+    docs = spark.createDataFrame(_DOCS, "doc_id int, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id int, text string")
+    return prepare_training_corpus(docs, benchmark=bench, **kw)
+
+
+def test_each_stage_culls_its_offender(spark):
+    res = _run(spark)
+    assert res.audit["input"] == 6
+    assert res.audit["quality"] == 5          # doc 5 gone
+    assert res.audit["exact_dedup"] == 4      # doc 2 gone
+    assert res.audit["fuzzy_dedup"] == 3      # doc 3 gone
+    assert res.audit["decontaminate"] == 2    # doc 6 gone
+    survivors = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    assert survivors == {1, 4}
+
+
+def test_pii_is_scrubbed_from_survivors(spark):
+    res = _run(spark)
+    texts = {r["doc_id"]: r["text"] for r in res.corpus.collect()}
+    assert "jane.doe@example.com" not in texts[4]
+    assert "[EMAIL]" in texts[4] or "@" not in texts[4]
+
+
+def test_manifest_is_contiguous_and_deterministic(spark):
+    res = _run(spark)
+    rows = sorted(res.manifest.collect(), key=lambda r: r["start_offset"])
+    assert rows[0]["start_offset"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["start_offset"] == prev["start_offset"] + prev["n_tokens"]
+    # reruns give the identical shuffled packing order
+    again = sorted(_run(spark).manifest.collect(), key=lambda r: r["start_offset"])
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in rows]
+    # a different seed gives a different (still contiguous) order
+    other = _run(spark, shuffle_seed=7)
+    ids_other = [
+        r["doc_id"]
+        for r in sorted(other.manifest.collect(), key=lambda r: r["start_offset"])
+    ]
+    assert set(ids_other) == {r["doc_id"] for r in rows}
+
+
+def test_learned_quality_gate_plugs_in(spark):
+    from azure_databricks_lakehouse_spark.operators.quality import (
+        train_quality_scorer,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, t, 1) for i, (_, t) in enumerate(_DOCS[:2])]
+        + [(50 + i, "click buy win free cheap deal prize now", 0) for i in range(2)],
+        "doc_id int, text string, label int",
+    )
+    weights = train_quality_scorer(labeled)
+    res = _run(spark, quality_weights=weights)
+    assert 5 not in {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
