@@ -146,3 +146,31 @@ def test_redaction_audit_consistent_with_rewrite(spark, text):
         assert r["text"] == text
     else:
         assert r["text"] != text
+
+
+# --- BPE training equivalence to the sequential reference ------------------
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde ", min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_bpe_matches_sequential_reference(spark, words, n_merges):
+    """For ANY corpus, the distributed merge sequence equals the
+    sequential Sennrich algorithm's (same tie-break: count desc, pair
+    lexicographic asc)."""
+    from azure_databricks_lakehouse_spark.operators.bpe import learn_bpe_merges
+    from tests.test_bpe import _ref_learn
+
+    texts = [" ".join(words)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got, _ = learn_bpe_merges(df, n_merges=n_merges)
+    want, _ = _ref_learn(texts, n_merges)
+    assert got == want
