@@ -106,3 +106,72 @@ def write_webdataset_shard(samples: list[tuple[str, dict]], dest: str) -> int:
                 tf.addfile(info, io.BytesIO(data))
                 n += 1
     return n
+
+
+def write_webdataset(
+    components: DataFrame,
+    dest_dir: str,
+    *,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed WebDataset export: long-format components
+    ``(key, suffix, payload)`` become ``n_shards`` tar shards under
+    ``dest_dir`` (``shard-000000.tar`` ...).  Returns the shard manifest
+    ``(shard, n_samples, n_members, n_bytes)`` — the export runs when the
+    manifest is acted on.
+
+    Placement is deterministic: a sample's shard is
+    ``xxhash64(seed, key) % n_shards``, so re-exports are byte-identical
+    (members are sorted, tar metadata is fixed) and a sample's components
+    always travel together without any ordering assumption upstream.
+
+    Scale shape: ONE shuffle (the groupBy on shard id) moves each
+    sample's bytes to its writer task; each shard is written by exactly
+    one task via Arrow-batched ``applyInPandas`` — the write mirror of
+    the one-task-per-shard read path.  Size ``n_shards`` so a shard
+    (total bytes / n_shards) fits a writer task's memory, the same
+    100-500 MB envelope the read path assumes.  ``dest_dir`` must be
+    storage every executor can reach (shared FS / object-store mount);
+    tasks write their own shard file only, so there is no cross-writer
+    coordination.
+    """
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+    tagged = components.withColumn(
+        "_shard_id",
+        F.pmod(F.xxhash64(F.lit(seed), F.col("key")), F.lit(n_shards)).cast("int"),
+    )
+
+    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(pdf["_shard_id"].iloc[0])
+        name = f"shard-{shard_id:06d}.tar"
+        path = os.path.join(dest_dir, name)
+        pdf = pdf.sort_values(["key", "suffix"], kind="mergesort")
+        n_bytes = 0
+        with tarfile.open(path, "w") as tf:
+            for key, suffix, payload in zip(
+                pdf["key"], pdf["suffix"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                info = tarfile.TarInfo(name=f"{key}.{suffix}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                n_bytes += len(data)
+        return pd.DataFrame(
+            {
+                "shard": [name],
+                "n_samples": [int(pdf["key"].nunique())],
+                "n_members": [len(pdf)],
+                "n_bytes": [n_bytes],
+            }
+        )
+
+    return (
+        tagged.groupBy("_shard_id")
+        .applyInPandas(
+            _write_shard,
+            schema="shard string, n_samples long, n_members long, n_bytes long",
+        )
+    )
