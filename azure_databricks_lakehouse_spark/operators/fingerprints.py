@@ -270,11 +270,18 @@ def dedup_batch_against_index(
     hash: str = "xxh",
     max_len: int | None = None,
     min_containment: float = 0.5,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Ingestion-time incremental dedup: screen a new ``batch`` of
     documents against a PERSISTED corpus fingerprint ``index`` (long
     format ``(doc_id, fp)`` from :func:`winnow_fingerprints_long`,
     ideally written with ``cluster_by_fp=True``).
+
+    ``materialize=True`` eagerly ``localCheckpoint``s the (small)
+    rejection verdict so the index probe runs ONCE no matter how many of
+    the returned frames are acted on — the right mode when ``kept`` and
+    ``new_index_rows`` feed separate sinks (e.g. the streaming job);
+    leave it off to keep everything one lazy plan.
 
     Returns ``(kept, rejected, new_index_rows)``:
 
@@ -337,6 +344,8 @@ def dedup_batch_against_index(
             "containment",
         )
     )
+    if materialize:
+        best = best.localCheckpoint(eager=True)
     kept = batch.join(
         best.select(F.col(id_col)), id_col, "left_anti"
     )

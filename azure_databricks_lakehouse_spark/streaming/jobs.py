@@ -225,14 +225,23 @@ def write_deduped_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # bootstrap: create whichever table is missing as EMPTY, then fall
+        # through to the one merge path.  Creating data-bearing tables
+        # here would open a crash window between the two commits that a
+        # replay cannot recover from (one table exists, the other
+        # doesn't, and neither branch fits); empty creates are idempotent
+        # under any partial-crash state and the merges below do the rest.
+        if not is_table(table_root):
+            ParquetTable.create(spark, table_root, batch_df.limit(0))
         if not is_table(index_root):
-            fps = winnow_fingerprints_long(
-                batch_df, text_col=text_col, id_col=id_col, k=k, w=w,
-                max_len=max_len, cluster_by_fp=True,
+            ParquetTable.create(
+                spark,
+                index_root,
+                winnow_fingerprints_long(
+                    batch_df.limit(0), text_col=text_col, id_col=id_col,
+                    k=k, w=w, max_len=max_len,
+                ),
             )
-            ParquetTable.create(spark, index_root, fps)
-            ParquetTable.create(spark, table_root, batch_df)
-            return
         index_tbl = ParquetTable.for_path(spark, index_root)
         batch_ids = batch_df.select(id_col).distinct()
         prior_index = index_tbl.read().join(
@@ -247,6 +256,8 @@ def write_deduped_stream(
             w=w,
             max_len=max_len,
             min_containment=min_containment,
+            # run the index probe once, not once per sink below
+            materialize=True,
         )
         docs_tbl = ParquetTable.for_path(spark, table_root)
         docs_tbl.merge(kept, on=[id_col])

@@ -266,3 +266,36 @@ def test_deduped_stream_screens_across_batches(spark, tmp_path):
     _ingest()
     assert ParquetTable.for_path(spark, dest).latest_version() == dest_v
     assert ParquetTable.for_path(spark, idx).latest_version() == idx_v
+
+
+def test_deduped_stream_recovers_from_partial_bootstrap_crash(spark, tmp_path):
+    """Crash window regression: if a first-batch replay finds ONE of the
+    two tables already created (crash between commits), the sink must
+    recover instead of failing every restart."""
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        winnow_fingerprints_long,
+    )
+    from azure_databricks_lakehouse_spark.streaming.jobs import (
+        write_deduped_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    dest, idx, ckpt = (
+        str(tmp_path / "dest"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river")],
+        _DOC_SCHEMA,
+    )
+    docs.write.mode("append").parquet(src)
+    # simulate the old crash state: index table exists, docs table doesn't
+    ParquetTable.create(
+        spark, idx, winnow_fingerprints_long(docs.limit(0))
+    )
+    stream = read_file_stream(spark, src, _DOC_SCHEMA)
+    _run(write_deduped_stream(stream, dest, idx, ckpt))
+    assert ParquetTable.for_path(spark, dest).read().count() == 1
+    assert ParquetTable.for_path(spark, idx).read().count() > 0
