@@ -19,6 +19,8 @@ One range shuffle + one broadcast join; no single-task stage anywhere.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,16 +71,21 @@ def pack_manifest(
     token_col: str = "n_tokens",
     order_col: str = "doc_id",
     capacity: int = 2048,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Concat-and-chunk packing manifest: per document its
     ``start_offset`` in the token stream, the first/last training
     sequence it occupies, and its offset within the first sequence.
     Documents longer than ``capacity`` simply span multiple sequences
-    (that is the concat-chunk semantic — no padding, no loss)."""
+    (that is the concat-chunk semantic — no padding, no loss).
+    ``keep_cols`` pass through untouched (e.g. the document id when
+    ``order_col`` is a synthetic shuffle key) — carrying them here is
+    free; re-joining them later costs a corpus-wide shuffle."""
     cum = distributed_cumsum(df, token_col, order_col, out_col="start_offset")
     end = F.col("start_offset") + F.col(token_col)
     return cum.select(
         order_col,
+        *keep_cols,
         token_col,
         "start_offset",
         F.floor(F.col("start_offset") / capacity).cast("long").alias("start_seq"),

@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.functions.text import norm_text
 from azure_databricks_lakehouse_spark.operators.bpe import _PRETOKEN_RE
 from azure_databricks_lakehouse_spark.operators.components import dedup_clusters
 from azure_databricks_lakehouse_spark.operators.fingerprints import (
@@ -65,7 +66,7 @@ class TrainingCorpus:
 
 
 def _heuristic_quality(text: F.Column) -> F.Column:
-    toks = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+    toks = F.split(norm_text(text), " ")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
     return (
@@ -83,46 +84,59 @@ def prepare_training_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     quality_threshold: float = 0.5,
+    min_quality_grams: int = 5,
     k: int = 8,
     w: int = 4,
     min_containment: float = 0.5,
     decontaminate_min_shared: int = 2,
     max_doc_freq: int | None = 50,
     max_len: int | None = None,
+    cc_algorithm: str = "star",
     seq_capacity: int = 2048,
     shuffle_seed: int = 0,
     audit: bool = True,
 ) -> TrainingCorpus:
     """Run the full quality→dedup→decontaminate→redact→pack pipeline.
 
-    ``audit=True`` counts survivors after each stage (one lightweight
-    count job per stage — turn off for pure-throughput runs)."""
+    ``audit=True`` materializes each stage (``localCheckpoint``) and
+    counts its survivors — without the checkpoint, every count would
+    re-execute the whole pipeline prefix and the final actions would
+    recompute every stage once more (O(stages²) corpus scans).  The
+    materialization is the cost of observability; set ``audit=False``
+    for pure-throughput runs, where the pipeline stays one lazy plan."""
     stages: dict[str, int] = {}
 
     def _note(name: str, frame: DataFrame) -> DataFrame:
         if audit:
+            frame = frame.localCheckpoint(eager=True)
             stages[name] = frame.count()
         return frame
 
-    _note("input", docs)
+    if audit:
+        stages["input"] = docs.count()
 
-    # 1. quality gate
+    # 1. quality gate.  The learned path ALSO requires min_quality_grams
+    # n-grams: gram-less documents (empty/NULL/single-word) score exactly
+    # the 0.5 prior, and a >= 0.5 threshold alone would pass them —
+    # silently dropping the heuristic path's minimum-length guard.
     if quality_weights is not None:
         scores = score_quality(
             docs, quality_weights, text_col=text_col, id_col=id_col
-        ).select(id_col, "quality_score")
+        ).select(id_col, "quality_score", "n_grams")
         kept = (
             docs.join(scores, id_col)
-            .filter(F.col("quality_score") >= quality_threshold)
-            .drop("quality_score")
+            .filter(
+                (F.col("n_grams") >= min_quality_grams)
+                & (F.col("quality_score") >= quality_threshold)
+            )
+            .drop("quality_score", "n_grams")
         )
     else:
         kept = docs.filter(_heuristic_quality(F.col(text_col)))
     kept = _note("quality", kept)
 
     # 2. exact dedup (digest of normalized text, keep min id)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    digested = kept.withColumn("_digest", F.md5(norm))
+    digested = kept.withColumn("_digest", F.md5(norm_text(text_col)))
     canon = digested.groupBy("_digest").agg(F.min(id_col).alias(id_col))
     kept = digested.join(canon, [id_col, "_digest"], "left_semi").drop("_digest")
     kept = _note("exact_dedup", kept)
@@ -139,7 +153,13 @@ def prepare_training_corpus(
         min_containment=min_containment,
         max_doc_freq=max_doc_freq,
     )
-    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    # star algorithm by default: containment chains (v1 quotes v2 quotes
+    # v3 ...) give label propagation diameter-many rounds and a
+    # ConvergenceError past max_iter; large-star/small-star closes any
+    # diameter in O(log n) rounds
+    clusters = dedup_clusters(
+        pairs.select("doc_a", "doc_b"), algorithm=cc_algorithm
+    )
     losers = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(
         F.col("doc_id").alias(id_col)
     )
@@ -167,7 +187,7 @@ def prepare_training_corpus(
     )
     n_tokens = F.size(
         F.regexp_extract_all(
-            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+            norm_text(text_col),
             F.lit(_PRETOKEN_RE),
             0,
         )
@@ -179,7 +199,6 @@ def prepare_training_corpus(
         token_col="n_tokens",
         order_col="_order",
         capacity=seq_capacity,
-    ).join(
-        shuffled.select(id_col, "_order"), "_order"
+        keep_cols=[id_col],
     ).select(id_col, "n_tokens", "start_offset", "start_seq", "end_seq", "offset_in_seq")
     return TrainingCorpus(corpus=scrubbed, manifest=manifest, audit=stages)

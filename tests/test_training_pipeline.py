@@ -88,3 +88,24 @@ def test_learned_quality_gate_plugs_in(spark):
     weights = train_quality_scorer(labeled)
     res = _run(spark, quality_weights=weights)
     assert 5 not in {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+
+
+def test_learned_gate_rejects_gramless_docs(spark):
+    """Prior-score regression: empty/short docs score exactly 0.5 and
+    must NOT pass the learned gate."""
+    from azure_databricks_lakehouse_spark.operators.quality import (
+        train_quality_scorer,
+    )
+
+    labeled = spark.createDataFrame(
+        [(1, _BASE, 1), (2, "click buy win free cheap deal prize now", 0)],
+        "doc_id int, text string, label int",
+    )
+    weights = train_quality_scorer(labeled)
+    docs = spark.createDataFrame(
+        [(1, _BASE), (2, ""), (3, "hello")], "doc_id int, text string"
+    )
+    res = prepare_training_corpus(
+        docs, quality_weights=weights, audit=False
+    )
+    assert {r["doc_id"] for r in res.corpus.select("doc_id").collect()} == {1}
