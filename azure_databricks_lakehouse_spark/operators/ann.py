@@ -445,6 +445,13 @@ def ivf_search_persisted(
         .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= n_probe)
         .select(query_id_col, "qemb", "cell")
+        # materialized ONCE: the collected cell list below and the join
+        # against the index must come from the SAME evaluation — a
+        # nondeterministic queries frame (sample/limit upstream) would
+        # otherwise probe cells the partition filter never read,
+        # silently losing neighbors (and even deterministic queries
+        # would pay the centroid-assign twice)
+        .localCheckpoint(eager=True)
     )
     cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()

@@ -160,9 +160,19 @@ def dedup_embeddings_against_index(
     fetched = index_vecs.join(
         F.broadcast(cands), index_vecs[id_col] == cands["match_id"]
     ).select("match_id", "_batch_id", emb_col, "norm")
+    # zero-norm guard: x/0.0 is NULL in Spark, and a NULL cosine would
+    # silently FAIL the >= min_cosine filter — letting all-zero vectors
+    # (a common encoder padding/failure sentinel) evade dedup forever
+    # and pile up in the index.  Two zero vectors are exact duplicates
+    # (cosine 1); zero-vs-nonzero shares no direction (cosine 0).
+    denom = F.col("norm") * F.col("_bnorm")
+    dot = _fold_sum(
+        F.zip_with(F.col(emb_col), F.col("_bemb"), lambda a, b: a * b)
+    )
     cos = (
-        _fold_sum(F.zip_with(F.col(emb_col), F.col("_bemb"), lambda a, b: a * b))
-        / (F.col("norm") * F.col("_bnorm"))
+        F.when((F.col("norm") == 0) & (F.col("_bnorm") == 0), F.lit(1.0))
+        .when(denom == 0, F.lit(0.0))
+        .otherwise(dot / denom)
     )
     scored = (
         fetched.join(F.broadcast(batch_n), "_batch_id")

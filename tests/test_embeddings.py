@@ -97,3 +97,24 @@ def test_screen_plan_broadcasts_batch_and_never_cartesian(spark):
     plan = physical_plan(rejected)
     assert "BroadcastHashJoin" in plan
     assert_no_cartesian(rejected)
+
+
+def test_zero_vectors_are_caught_not_skipped(spark):
+    """NULL-cosine regression: zero-norm vectors must reject against an
+    identical zero vector (cosine defined as 1), not slip through on a
+    NULL comparison."""
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(1, _unit(1)), (2, [0.0] * dim)], "vec_id long, emb array<double>"
+    )
+    sigs = embedding_signatures(corpus)
+    vecs = with_norm(corpus)
+    batch = spark.createDataFrame(
+        [(100, [0.0] * dim)], "vec_id long, emb array<double>"
+    )
+    kept, rejected, _, _ = dedup_embeddings_against_index(
+        batch, sigs, vecs, min_cosine=0.99
+    )
+    r = rejected.collect()
+    assert len(r) == 1 and r[0]["match_id"] == 2 and r[0]["cosine"] == 1.0
+    assert kept.count() == 0
