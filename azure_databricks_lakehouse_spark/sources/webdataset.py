@@ -116,10 +116,15 @@ def write_webdataset(
     seed: int = 0,
 ) -> DataFrame:
     """Distributed WebDataset export: long-format components
-    ``(key, suffix, payload)`` become ``n_shards`` tar shards under
-    ``dest_dir`` (``shard-000000.tar`` ...).  Returns the shard manifest
-    ``(shard, n_samples, n_members, n_bytes)`` — the export runs when the
-    manifest is acted on.
+    ``(key, suffix, payload)`` become EXACTLY ``n_shards`` tar shards
+    under ``dest_dir`` (``shard-000000.tar`` ...).  Runs immediately (an
+    export is inherently an action) and returns the shard manifest
+    ``(shard, n_samples, n_members, n_bytes)`` with one row per shard —
+    shard ids that received no samples (few keys, skewed hash) are
+    written as VALID EMPTY tars so a reader iterating the documented
+    names never hits a missing file, and stale ``shard-*.tar`` files
+    from a previous export with different ``n_shards``/``seed`` are
+    removed so a glob of ``dest_dir`` matches the manifest exactly.
 
     Placement is deterministic: a sample's shard is
     ``xxhash64(seed, key) % n_shards``, so re-exports are byte-identical
@@ -168,10 +173,36 @@ def write_webdataset(
             }
         )
 
-    return (
+    written = (
         tagged.groupBy("_shard_id")
         .applyInPandas(
             _write_shard,
             schema="shard string, n_samples long, n_members long, n_bytes long",
         )
+        .collect()
+    )
+    rows = {r["shard"]: r for r in written}
+    expected = {f"shard-{i:06d}.tar" for i in range(n_shards)}
+    for name in sorted(expected - rows.keys()):
+        with tarfile.open(os.path.join(dest_dir, name), "w"):
+            pass  # valid empty tar
+    for name in os.listdir(dest_dir):
+        if (
+            name.startswith("shard-")
+            and name.endswith(".tar")
+            and name not in expected
+        ):
+            os.remove(os.path.join(dest_dir, name))
+    spark = components.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                name,
+                int(rows[name]["n_samples"]) if name in rows else 0,
+                int(rows[name]["n_members"]) if name in rows else 0,
+                int(rows[name]["n_bytes"]) if name in rows else 0,
+            )
+            for name in sorted(expected)
+        ],
+        "shard string, n_samples long, n_members long, n_bytes long",
     )

@@ -122,3 +122,29 @@ def test_write_webdataset_round_trips_and_is_deterministic(spark, tmp_path):
         for f in sorted(os.listdir(d))
     }
     assert h(out1) == h(out2)
+
+
+def test_write_webdataset_fills_empty_shards_and_cleans_stale(spark, tmp_path):
+    import os as _os
+
+    from azure_databricks_lakehouse_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    comps = spark.createDataFrame(
+        [("k0", "txt", b"one", 3)],
+        "key string, suffix string, payload binary, n_bytes long",
+    )
+    out = str(tmp_path / "wds")
+    m1 = {r["shard"]: r for r in write_webdataset(comps, out, n_shards=4).collect()}
+    # all four shard files exist (three as valid empty tars)
+    assert sorted(_os.listdir(out)) == [f"shard-{i:06d}.tar" for i in range(4)]
+    assert sum(r["n_members"] for r in m1.values()) == 1
+    assert sum(1 for r in m1.values() if r["n_samples"] == 0) == 3
+    # empty shards read as empty, not as errors
+    assert read_webdataset(spark, out + "/*.tar").count() == 1
+
+    # re-export with fewer shards removes the stale files
+    write_webdataset(comps, out, n_shards=2).collect()
+    assert sorted(_os.listdir(out)) == [f"shard-{i:06d}.tar" for i in range(2)]
