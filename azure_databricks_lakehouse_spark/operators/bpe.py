@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.functions.text import norm_text
+
 # GPT-2-family pre-tokenizer shape shared with q49 (queries/text_ops.py):
 # letter runs / digit runs / punctuation runs, optionally space-prefixed.
 _PRETOKEN_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
@@ -51,9 +53,10 @@ def word_frequency_table(
     """``(word, count)`` over the whole corpus — the single corpus-scale
     pass of BPE training.  Normalizes like q49 (lowercase, whitespace
     collapse) so the pre-tokens match the token-counting query's."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     words = df.select(
-        F.explode(F.regexp_extract_all(norm, F.lit(pretoken_re), 0)).alias("word")
+        F.explode(
+            F.regexp_extract_all(norm_text(text_col), F.lit(pretoken_re), 0)
+        ).alias("word")
     )
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
 
@@ -178,10 +181,11 @@ def tokenize_with_vocab(
     shuffle join, not an OOM).  Words unseen at train time fall back to
     character pieces, the standard open-vocabulary behavior.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     words = df.select(
         id_col,
-        F.posexplode(F.regexp_extract_all(norm, F.lit(pretoken_re), 0)).alias(
+        F.posexplode(
+            F.regexp_extract_all(norm_text(text_col), F.lit(pretoken_re), 0)
+        ).alias(
             "word_pos", "word"
         ),
     )

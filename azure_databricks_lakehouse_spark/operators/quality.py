@@ -37,6 +37,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.functions.text import norm_text
+
 _DEFAULT_BUCKETS = 1 << 18
 
 
@@ -44,7 +46,7 @@ def _ngram_buckets(
     text: Column, *, n: int, n_buckets: int
 ) -> Column:
     """Array of hashed word-n-gram bucket ids for a text column."""
-    toks = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+    toks = F.split(norm_text(text), " ")
     if n == 1:
         grams = toks
     elif n == 2:
