@@ -744,10 +744,37 @@ class ParquetTable:
 
     # -- write paths --------------------------------------------------------
 
-    def append(self, df: DataFrame, merge_schema: bool = False, max_retries: int = 20) -> int:
+    def last_txn_version(self, txn_app: str) -> int | None:
+        """Latest committed ``txn_version`` for ``txn_app`` (Delta's
+        ``txnVersion(appId)``), or None if the app never committed."""
+        v = self._manifest().get("props", {}).get("txns", {}).get(txn_app)
+        return int(v) if v is not None else None
+
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        max_retries: int = 20,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
         """S6/D4 parity: append; new columns allowed iff ``merge_schema``
         (``.option("mergeSchema","true")`` on the reference's Bronze
         append, ``bronze/bronze_rx_claims_load.py:58-63``).
+
+        ``txn_app``/``txn_version`` make the append IDEMPOTENT — Delta's
+        ``txnAppId``/``txnVersion`` contract: the commit records the
+        app's high-water version in the versioned props, and an append
+        whose ``txn_version`` is <= the recorded watermark is skipped
+        (no files written, no commit, current version returned).  This
+        is the exactly-once streaming-sink primitive: a replayed
+        micro-batch re-appends into a no-op at METADATA cost, where a
+        MERGE-based sink pays a target-side rewrite to get the same
+        guarantee.  Watermarks ride the same props channel as
+        constraints, so they survive every DML and RESTORE rolls them
+        back with the data (a post-restore replay legitimately
+        re-applies batches the restore rolled away).  Versions must be
+        monotonically increasing per app (micro-batch ids are).
 
         Multi-writer safe: appends are purely additive, so on a commit
         collision (another writer published our target version first) the
@@ -758,11 +785,17 @@ class ParquetTable:
         update/overwrite) deliberately does NOT auto-retry: a rebase there
         would have to recompute against the new snapshot, which is the
         caller's decision."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be set together")
         files = None
         data_root = os.path.join(self.root, _DATA_DIR)
         self._enforce_current(df, self._manifest(), "APPEND")
         for attempt in range(max_retries):
             m = self._manifest()
+            if txn_app is not None:
+                seen = m.get("props", {}).get("txns", {}).get(txn_app)
+                if seen is not None and int(seen) >= txn_version:
+                    return m["version"]  # replay of a committed batch
             old = _schema_from_json(self.spark, m["schema"])
             new_cols = set(df.schema.fieldNames()) - set(old.fieldNames())
             if new_cols and not merge_schema:
@@ -788,6 +821,14 @@ class ParquetTable:
                 ).json()
             else:
                 commit_schema = m["schema"]
+            props = m.get("props", {})
+            if txn_app is not None:
+                # merge into the REBASED manifest's txn map so a
+                # concurrent writer's watermark (different app) survives
+                props = {
+                    **props,
+                    "txns": {**props.get("txns", {}), txn_app: txn_version},
+                }
             try:
                 version = _commit(
                     self.root,
@@ -798,7 +839,7 @@ class ParquetTable:
                     operation="APPEND",
                     merged_schema=bool(new_cols) or m.get("merged_schema", False),
                     stats={**m.get("stats", {}), **stats},
-                    props=m.get("props", {}),
+                    props=props,
                     blooms={**m.get("blooms", {}), **new_blooms},
                 )
             except FileExistsError:

@@ -191,11 +191,13 @@ def write_deduped_stream(
     reach the destination table, and each kept document's fingerprints
     join the index so the NEXT batch screens against them.
 
-    Idempotency under micro-batch replay: both sinks are MERGEs (docs on
-    ``id_col``, index on ``(id_col, fp)``), so a crash between the two
-    table commits replays into no-ops; and the batch's own ids are
-    anti-joined out of the index before screening, so a replayed document
-    never rejects itself as its own duplicate.
+    Idempotency under micro-batch replay: both sinks are transactional
+    APPENDS keyed on the micro-batch id (``txn_app``/``txn_version`` —
+    the Delta streaming-sink contract), so a replayed batch skips at
+    metadata cost any commit that already landed and re-applies the one
+    that didn't; and the batch's own ids are anti-joined out of the
+    index before screening, so a half-committed batch never rejects
+    itself as its own duplicate while re-screening.
 
     The self-exclusion ties idempotency to the CHECKPOINT: resume the
     stream with its own checkpoint (replays are per-micro-batch). Pointing
@@ -208,20 +210,19 @@ def write_deduped_stream(
     ``dropDuplicatesWithinWatermark`` (the standard split: within-stream
     dedup is watermark-stateful, cross-corpus dedup is index-probed).
 
-    Scale note: the screening probe is map-side over the index (batch
-    fingerprints broadcast — cost independent of corpus size), but the
-    index MERGE rewrites the target files containing replayed keys; a
-    100 TB deployment would back the index with a table bucketed on
-    ``fp`` (see ``tests/test_bucketing.py``) or ledger appends keyed by
-    micro-batch id so the upsert prunes. The composition seam — screen,
-    land, extend index, all inside one checkpointed ``foreachBatch`` —
-    is exactly what that deployment runs."""
+    Scale note: every per-batch write is additive — the screening probe
+    is map-side over the index (batch fingerprints broadcast — cost
+    independent of corpus size) and both sinks append O(batch) rows
+    with a metadata-only replay guard, so nothing in the loop ever
+    rewrites corpus-scale files. The composition seam — screen, land,
+    extend index, all inside one checkpointed ``foreachBatch`` — is
+    exactly what a 100 TB deployment runs."""
     from azure_databricks_lakehouse_spark.operators.fingerprints import (
         dedup_batch_against_index,
         winnow_fingerprints_long,
     )
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -260,9 +261,10 @@ def write_deduped_stream(
             materialize=True,
         )
         docs_tbl = ParquetTable.for_path(spark, table_root)
-        docs_tbl.merge(kept, on=[id_col])
-        if not new_rows.isEmpty():
-            index_tbl.merge(new_rows, on=[id_col, "fp"])
+        docs_tbl.append(kept, txn_app="deduped-stream-docs", txn_version=batch_id)
+        index_tbl.append(
+            new_rows, txn_app="deduped-stream-index", txn_version=batch_id
+        )
 
     writer = (
         docs.writeStream.foreachBatch(_sink)

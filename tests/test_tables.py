@@ -692,3 +692,49 @@ def test_bloom_on_string_keys_and_clone_carry(spark, root, tmp_path):
     assert c._manifest(0).get("blooms")  # bitmaps travelled with the clone
     got = c.scan_eq("uid", "user-42").collect()
     assert len(got) == 1 and got[0]["n"] == 42
+
+
+# --- idempotent transactional appends (Delta txnAppId/txnVersion) ----------
+def test_txn_append_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    tbl = ParquetTable.create(spark, root, df1.limit(0))
+    v1 = tbl.append(df1, txn_app="loader", txn_version=0)
+    # replay of the same batch: skipped, version unchanged, no duplicate
+    assert tbl.append(df1, txn_app="loader", txn_version=0) == v1
+    assert tbl.latest_version() == v1
+    assert tbl.read().count() == 1
+    # the next batch applies
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    v2 = tbl.append(df2, txn_app="loader", txn_version=1)
+    assert v2 == v1 + 1 and tbl.read().count() == 2
+    # a stale replay of batch 0 after batch 1: still skipped
+    assert tbl.append(df1, txn_app="loader", txn_version=0) == v2
+    assert tbl.read().count() == 2
+    assert tbl.last_txn_version("loader") == 1
+    assert tbl.last_txn_version("other") is None
+
+
+def test_txn_apps_are_independent_and_survive_other_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    tbl = ParquetTable.create(spark, root, df.limit(0))
+    tbl.append(df, txn_app="app_a", txn_version=5)
+    # a different app at the same version is NOT deduped
+    tbl.append(df, txn_app="app_b", txn_version=5)
+    assert tbl.read().count() == 2
+    # an untracked append between txn commits leaves watermarks intact
+    tbl.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert tbl.last_txn_version("app_a") == 5
+    assert tbl.last_txn_version("app_b") == 5
+    # and both apps still dedupe their own replays
+    tbl.append(df, txn_app="app_a", txn_version=5)
+    assert tbl.read().count() == 3
+
+
+def test_txn_append_requires_both_params(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    tbl = ParquetTable.create(spark, root, df.limit(0))
+    with pytest.raises(ValueError, match="together"):
+        tbl.append(df, txn_app="loader")
