@@ -136,6 +136,7 @@ def write_stream_to_table(
     partition_by: Sequence[str] | None = None,
     output_mode: str = "append",
     available_now: bool = True,
+    txn_app: str | None = None,
 ) -> StreamingQuery:
     """ST2/ST3: checkpointed foreachBatch sink into a versioned table.
 
@@ -143,20 +144,36 @@ def write_stream_to_table(
     appends.  The checkpoint makes replays idempotent at the micro-batch
     level; with MERGE the sink is also idempotent at the row level, so
     end-to-end exactly-once does not depend on the sink's dedup.
-    """
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    ``txn_app`` gives the APPEND path row-level exactly-once too,
+    without MERGE's target rewrite: each micro-batch appends with
+    ``(txn_app, batch_id)`` and a replayed batch (crash after the table
+    commit but before the checkpoint advanced) skips at metadata cost.
+    In txn mode the bootstrap creates the table empty and appends
+    through the same guarded path, so even the first batch cannot
+    double-land.  Mutually exclusive with ``merge_on``.
+    """
+    if txn_app is not None and merge_on:
+        raise ValueError("txn_app applies to the append path; drop merge_on")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         if not is_table(table_root):
             ParquetTable.create(
-                spark, table_root, batch_df, partition_by=partition_by
+                spark,
+                table_root,
+                batch_df.limit(0) if txn_app is not None else batch_df,
+                partition_by=partition_by,
             )
-            return
+            if txn_app is None:
+                return
         tbl = ParquetTable.for_path(spark, table_root)
         if merge_on:
             tbl.merge(batch_df, on=list(merge_on))
+        elif txn_app is not None:
+            tbl.append(batch_df, txn_app=txn_app, txn_version=batch_id)
         else:
             tbl.append(batch_df)
 

@@ -299,3 +299,25 @@ def test_deduped_stream_recovers_from_partial_bootstrap_crash(spark, tmp_path):
     _run(write_deduped_stream(stream, dest, idx, ckpt))
     assert ParquetTable.for_path(spark, dest).read().count() == 1
     assert ParquetTable.for_path(spark, idx).read().count() > 0
+
+
+def test_txn_sink_dedupes_identical_rerun_with_fresh_checkpoint(spark, dirs):
+    """Exactly-once append sink: with txn_app set, re-processing the same
+    source through a FRESH checkpoint replays the same (app, batch-id)
+    sequence and every already-landed batch skips at metadata cost."""
+    _events(spark, [(1, 0, 1, "click", 1.0), (2, 1, 2, "view", 2.0)]).write.mode(
+        "append"
+    ).parquet(dirs["src"])
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    _run(
+        write_stream_to_table(
+            stream, dirs["out"], dirs["ckpt"], txn_app="ingest"
+        )
+    )
+    assert ParquetTable.for_path(spark, dirs["out"]).read().count() == 2
+
+    # same files, fresh checkpoint: batch 0 replays -> txn skip, no dupes
+    ckpt2 = dirs["ckpt"] + "2"
+    stream = read_file_stream(spark, dirs["src"], _SCHEMA)
+    _run(write_stream_to_table(stream, dirs["out"], ckpt2, txn_app="ingest"))
+    assert ParquetTable.for_path(spark, dirs["out"]).read().count() == 2
