@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.functions.text import norm_text
 from azure_databricks_lakehouse_spark.functions.hashing import (
     char_codes_sql,
     md5_u16,
@@ -61,7 +62,11 @@ _SIM_BITS = 16
 
 
 def _norm(col: Column) -> Column:
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    # Spark side of the oracle-mirrored normalization: delegates to the
+    # SHARED helper so it can never diverge from BPE/quality/training
+    # (the SQL twin keeps its literal expression — the oracle gate then
+    # verifies the two stay semantically identical)
+    return norm_text(col)
 
 
 def _variant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

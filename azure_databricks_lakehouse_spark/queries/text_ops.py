@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.functions.text import norm_text
 from azure_databricks_lakehouse_spark.queries import QuerySpec
 from azure_databricks_lakehouse_spark.sources.catalog import bind
 
@@ -204,7 +205,9 @@ _BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
 def q49_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    # shared normalization (functions/text.py): BPE vocab induction in
+    # operators/bpe.py counts tokens with the SAME expression
+    norm = norm_text("text")
     pieces = F.regexp_extract_all(norm, F.lit(_BPE_RE), 0)
     n_bpe = F.size(pieces)
     n_ws = F.size(F.split(norm, " "))

@@ -787,15 +787,28 @@ class ParquetTable:
         caller's decision."""
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be set together")
+
+        def _txn_seen(m: dict) -> bool:
+            if txn_app is None:
+                return False
+            seen = m.get("props", {}).get("txns", {}).get(txn_app)
+            return seen is not None and int(seen) >= txn_version
+
         files = None
         data_root = os.path.join(self.root, _DATA_DIR)
-        self._enforce_current(df, self._manifest(), "APPEND")
+        m0 = self._manifest()
+        # the replay-skip check runs BEFORE constraint enforcement: a
+        # replayed batch is already committed data, so (a) the skip must
+        # cost metadata, not a batch scan, and (b) a constraint added
+        # AFTER the batch landed must not be able to wedge the replay in
+        # a permanent enforcement failure
+        if _txn_seen(m0):
+            return m0["version"]
+        self._enforce_current(df, m0, "APPEND")
         for attempt in range(max_retries):
             m = self._manifest()
-            if txn_app is not None:
-                seen = m.get("props", {}).get("txns", {}).get(txn_app)
-                if seen is not None and int(seen) >= txn_version:
-                    return m["version"]  # replay of a committed batch
+            if _txn_seen(m):
+                return m["version"]  # replay of a committed batch
             old = _schema_from_json(self.spark, m["schema"])
             new_cols = set(df.schema.fieldNames()) - set(old.fieldNames())
             if new_cols and not merge_schema:

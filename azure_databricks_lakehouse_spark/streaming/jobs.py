@@ -152,6 +152,14 @@ def write_stream_to_table(
     In txn mode the bootstrap creates the table empty and appends
     through the same guarded path, so even the first batch cannot
     double-land.  Mutually exclusive with ``merge_on``.
+
+    CAVEAT (Delta's "new checkpoint needs a new appId" rule): batch ids
+    are a per-checkpoint sequence, so ``txn_app`` must be unique per
+    checkpoint lineage — derive it from the checkpoint path if unsure.
+    Reusing an app id with a FRESH checkpoint makes the old watermark
+    swallow the new lineage's batches: identical re-runs of an unchanged
+    source dedupe (sometimes wanted), but if the source has grown, the
+    new data is silently lost.
     """
     if txn_app is not None and merge_on:
         raise ValueError("txn_app applies to the append path; drop merge_on")
@@ -216,11 +224,17 @@ def write_deduped_stream(
     index before screening, so a half-committed batch never rejects
     itself as its own duplicate while re-screening.
 
-    The self-exclusion ties idempotency to the CHECKPOINT: resume the
-    stream with its own checkpoint (replays are per-micro-batch). Pointing
-    a FRESH checkpoint at an already-ingested source replays everything as
-    one batch where previously-rejected docs and their match targets
-    coexist — and self-exclusion then removes the targets.
+    The txn app ids are derived from the CHECKPOINT path, because batch
+    ids are a per-checkpoint sequence: a fresh checkpoint restarts them
+    at 0, and reusing the old app id there would make the watermark
+    silently swallow every new batch (permanent data loss, Delta's
+    "new checkpoint needs a new appId" rule).  With the derivation, a
+    fresh checkpoint gets a fresh watermark — its batches re-screen and
+    re-append, which can duplicate documents already ingested under the
+    old checkpoint (previously-rejected docs and their match targets
+    coexist in one replayed batch, and self-exclusion removes the
+    targets).  Resume a stream with ITS OWN checkpoint; a fresh one is
+    a new ingestion lineage.
 
     Screening is batch-vs-CORPUS only; duplicates WITHIN one micro-batch
     are the upstream job of :func:`dedup_stream` /
@@ -239,16 +253,22 @@ def write_deduped_stream(
         winnow_fingerprints_long,
     )
 
+    # batch ids are a per-checkpoint sequence — scope the watermarks to
+    # this checkpoint so a fresh checkpoint can never be swallowed by an
+    # old lineage's watermark (see docstring)
+    docs_txn = f"deduped-stream-docs:{checkpoint}"
+    index_txn = f"deduped-stream-index:{checkpoint}"
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         # bootstrap: create whichever table is missing as EMPTY, then fall
-        # through to the one merge path.  Creating data-bearing tables
-        # here would open a crash window between the two commits that a
-        # replay cannot recover from (one table exists, the other
+        # through to the one guarded-append path.  Creating data-bearing
+        # tables here would open a crash window between the two commits
+        # that a replay cannot recover from (one table exists, the other
         # doesn't, and neither branch fits); empty creates are idempotent
-        # under any partial-crash state and the merges below do the rest.
+        # under any partial-crash state and the appends below do the rest.
         if not is_table(table_root):
             ParquetTable.create(spark, table_root, batch_df.limit(0))
         if not is_table(index_root):
@@ -262,7 +282,8 @@ def write_deduped_stream(
             )
         index_tbl = ParquetTable.for_path(spark, index_root)
         batch_ids = batch_df.select(id_col).distinct()
-        prior_index = index_tbl.read().join(
+        index_snapshot = index_tbl.read()
+        prior_index = index_snapshot.join(
             F.broadcast(batch_ids), id_col, "left_anti"
         )
         kept, _rejected, new_rows = dedup_batch_against_index(
@@ -277,10 +298,22 @@ def write_deduped_stream(
             # run the index probe once, not once per sink below
             materialize=True,
         )
+        # guard the index append against rows these ids ALREADY have in
+        # the index (an index populated outside this checkpoint's txn
+        # lineage — e.g. a pre-existing index handed to a new stream):
+        # without it, re-appending doubles those docs' fp rows and every
+        # future overlap count against them (n_shared, containment)
+        own_existing = index_snapshot.join(
+            F.broadcast(batch_ids), id_col, "left_semi"
+        )
+        new_rows = new_rows.join(own_existing, [id_col, "fp"], "left_anti")
         docs_tbl = ParquetTable.for_path(spark, table_root)
-        docs_tbl.append(kept, txn_app="deduped-stream-docs", txn_version=batch_id)
+        docs_tbl.append(kept, txn_app=docs_txn, txn_version=batch_id)
+        # cluster the appended slice by fp so the persisted index keeps
+        # the fp co-location its consumers assume (winnow_fingerprints_long
+        # cluster_by_fp); periodic OPTIMIZE compacts the per-batch files
         index_tbl.append(
-            new_rows, txn_app="deduped-stream-index", txn_version=batch_id
+            new_rows.repartition("fp"), txn_app=index_txn, txn_version=batch_id
         )
 
     writer = (

@@ -321,3 +321,47 @@ def test_txn_sink_dedupes_identical_rerun_with_fresh_checkpoint(spark, dirs):
     stream = read_file_stream(spark, dirs["src"], _SCHEMA)
     _run(write_stream_to_table(stream, dirs["out"], ckpt2, txn_app="ingest"))
     assert ParquetTable.for_path(spark, dirs["out"]).read().count() == 2
+
+
+def test_deduped_stream_never_duplicates_preexisting_index_rows(spark, tmp_path):
+    """A pre-existing data-bearing index (populated outside this
+    checkpoint's txn lineage) must not get its rows doubled when the same
+    documents flow through the stream — doubling would inflate every
+    future n_shared/containment against them."""
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        winnow_fingerprints_long,
+    )
+    from azure_databricks_lakehouse_spark.streaming.jobs import (
+        write_deduped_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    dest, idx, ckpt = (
+        str(tmp_path / "dest"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    doc1 = (1, "the quick brown fox jumps over the lazy dog near the river")
+    docs = spark.createDataFrame([doc1], _DOC_SCHEMA)
+    # legacy state: index already holds doc 1's fingerprints, docs table
+    # exists, but no txn watermark for this checkpoint
+    ParquetTable.create(spark, idx, winnow_fingerprints_long(docs))
+    ParquetTable.create(spark, dest, docs)
+    n_idx_before = ParquetTable.for_path(spark, idx).read().count()
+
+    spark.createDataFrame(
+        [doc1, (2, "a wholly different sentence about distributed engines")],
+        _DOC_SCHEMA,
+    ).write.mode("append").parquet(src)
+    stream = read_file_stream(spark, src, _DOC_SCHEMA)
+    _run(write_deduped_stream(stream, dest, idx, ckpt))
+
+    idx_rows = ParquetTable.for_path(spark, idx).read()
+    # doc 1's rows exist exactly once; doc 2's were added
+    assert idx_rows.filter(F.col("doc_id") == 1).count() == n_idx_before
+    assert (
+        idx_rows.groupBy("doc_id", "fp").count().filter("count > 1").count()
+        == 0
+    )
+    assert idx_rows.filter(F.col("doc_id") == 2).count() > 0
