@@ -368,10 +368,23 @@ def decontaminate(
     hash: str = "xxh",
     min_shared: int = 1,
     max_len: int | None = None,
+    max_fp_doc_freq: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``corpus`` into ``(clean, contaminated)`` against a
     benchmark/eval set — the decontamination pass every training-data
     pipeline runs so the model is not trained on its own test questions.
+
+    ``max_fp_doc_freq`` drops benchmark fingerprints present in more
+    than that many CORPUS documents before the verdict — the MOSS
+    frequent-fingerprint cull applied to the probe set.  On
+    boilerplate-heavy corpora (templated web pages, generated text) a
+    benchmark's common 8-grams otherwise hit nearly every document and
+    ``min_shared`` alone flags the whole corpus; a true quoted eval
+    question still matches through its RARE fingerprints (a full quote
+    carries one per winnow window).  The frequency is computed from the
+    probe's own hit stream — per-fp counts over rows that already
+    matched — so the cull adds one bounded aggregation (≤ benchmark fp
+    count rows), not a corpus scan.
 
     A corpus document is contaminated when it shares at least
     ``min_shared`` winnowing fingerprints with ANY benchmark document —
@@ -405,9 +418,17 @@ def decontaminate(
         .select("fp")
         .distinct()
     )
+    matched = corpus_fps.join(F.broadcast(bench_fps), "fp")
+    if max_fp_doc_freq is not None:
+        hot = (
+            matched.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_fp_doc_freq)
+            .select("fp")
+        )
+        matched = matched.join(F.broadcast(hot), "fp", "left_anti")
     hits = (
-        corpus_fps.join(F.broadcast(bench_fps), "fp")
-        .groupBy(id_col)
+        matched.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_shared)
     )

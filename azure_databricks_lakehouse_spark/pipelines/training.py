@@ -89,6 +89,7 @@ def prepare_training_corpus(
     w: int = 4,
     min_containment: float = 0.5,
     decontaminate_min_shared: int = 2,
+    decontaminate_max_fp_doc_freq: int | None = 50,
     max_doc_freq: int | None = 50,
     max_len: int | None = None,
     cc_algorithm: str = "star",
@@ -172,9 +173,12 @@ def prepare_training_corpus(
     # shares a fingerprint per winnow window of the quote, so 2 is still
     # far below what true contamination produces
     if benchmark is not None:
+        # the fp-frequency cull matters on templated corpora: common
+        # 8-grams otherwise connect the benchmark to nearly every doc
         kept, _contaminated = decontaminate(
             kept, benchmark, text_col=text_col, id_col=id_col, k=k, w=w,
             min_shared=decontaminate_min_shared, max_len=max_len,
+            max_fp_doc_freq=decontaminate_max_fp_doc_freq,
         )
         kept = _note("decontaminate", kept)
 

@@ -247,3 +247,31 @@ def test_dedup_batch_plan_broadcasts_batch_side(spark):
     plan = physical_plan(rejected)
     assert "BroadcastHashJoin" in plan
     assert_no_cartesian(rejected)
+
+
+def test_decontaminate_fp_freq_cull_on_templated_corpus(spark):
+    """On a boilerplate-heavy corpus, the benchmark's common k-grams hit
+    every document; the frequency cull must keep decontamination scoped
+    to documents sharing RARE fingerprints (true quotes)."""
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        decontaminate,
+    )
+
+    boiler = "all rights reserved contact us terms of service privacy policy "
+    rows = [(i, boiler + f"page number {i} of the catalog") for i in range(40)]
+    # doc 40 quotes the benchmark question verbatim inside the boilerplate
+    rows.append((40, boiler + "what is the capital of ancient elbonia exactly"))
+    corpus = spark.createDataFrame(rows, "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, boiler + "what is the capital of ancient elbonia exactly")],
+        "doc_id int, text string",
+    )
+    # without the cull: the shared boilerplate contaminates everything
+    clean0, bad0 = decontaminate(corpus, bench, min_shared=2)
+    assert clean0.count() == 0
+    # with it: only the true quote-carrier is flagged
+    clean1, bad1 = decontaminate(
+        corpus, bench, min_shared=2, max_fp_doc_freq=20
+    )
+    assert {r["doc_id"] for r in bad1.collect()} == {40}
+    assert clean1.count() == 40
