@@ -216,10 +216,10 @@ def fingerprint_overlap_pairs(
     cleanly separates 'B quotes A' (score near 1) from vocabulary overlap
     (low score)."""
     if max_doc_frac is not None or max_doc_freq is not None:
-        doc_freq = flat.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
         if max_doc_freq is not None:
-            hot = doc_freq.filter(F.col("df") > max_doc_freq).select("fp")
+            flat = _cull_hot_fps(flat, max_doc_freq)
         else:
+            doc_freq = flat.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
             total = flat.select(
                 F.count_distinct(F.col(id_col)).alias("n_docs")
             )
@@ -228,7 +228,7 @@ def fingerprint_overlap_pairs(
                 .filter(F.col("df") > F.col("n_docs") * max_doc_frac)
                 .select("fp")
             )
-        flat = flat.join(F.broadcast(hot), "fp", "left_anti")
+            flat = flat.join(F.broadcast(hot), "fp", "left_anti")
     a, b = flat.alias("a"), flat.alias("b")
     pairs = (
         a.join(
@@ -257,6 +257,20 @@ def fingerprint_overlap_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("doc_a", "doc_b", "n_shared", "containment")
     )
+
+
+def _cull_hot_fps(flat: DataFrame, max_doc_freq: int) -> DataFrame:
+    """MOSS frequent-fingerprint cull (absolute cap): drop rows whose
+    ``fp`` occurs in more than ``max_doc_freq`` rows of ``flat``.
+    Shared by the overlap join and decontamination so a future change
+    (frac variant, audit counts) cannot silently diverge."""
+    hot = (
+        flat.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("fp")
+    )
+    return flat.join(F.broadcast(hot), "fp", "left_anti")
 
 
 def dedup_batch_against_index(
@@ -369,22 +383,32 @@ def decontaminate(
     min_shared: int = 1,
     max_len: int | None = None,
     max_fp_doc_freq: int | None = None,
+    max_fp_doc_frac: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``corpus`` into ``(clean, contaminated)`` against a
     benchmark/eval set — the decontamination pass every training-data
     pipeline runs so the model is not trained on its own test questions.
 
-    ``max_fp_doc_freq`` drops benchmark fingerprints present in more
-    than that many CORPUS documents before the verdict — the MOSS
-    frequent-fingerprint cull applied to the probe set.  On
-    boilerplate-heavy corpora (templated web pages, generated text) a
-    benchmark's common 8-grams otherwise hit nearly every document and
-    ``min_shared`` alone flags the whole corpus; a true quoted eval
-    question still matches through its RARE fingerprints (a full quote
-    carries one per winnow window).  The frequency is computed from the
-    probe's own hit stream — per-fp counts over rows that already
-    matched — so the cull adds one bounded aggregation (≤ benchmark fp
-    count rows), not a corpus scan.
+    ``max_fp_doc_freq`` / ``max_fp_doc_frac`` drop benchmark
+    fingerprints present in more than that many / that fraction of
+    CORPUS documents before the verdict — the MOSS frequent-fingerprint
+    cull applied to the probe set.  On boilerplate-heavy corpora
+    (templated web pages, generated text) a benchmark's common 8-grams
+    otherwise hit nearly every document and ``min_shared`` alone flags
+    the whole corpus; a true quoted eval question still matches through
+    its RARE fingerprints (a full quote carries one per winnow window).
+    The frequency is computed from the probe's own hit stream — per-fp
+    counts over rows that already matched — so the cull adds one bounded
+    aggregation, not a corpus re-fingerprint.
+
+    Which cap: the discriminator is that boilerplate scales WITH the
+    corpus while a leaked question's page count does not — so the
+    FRACTION cap is the scale-free choice for large corpora (boilerplate
+    sits at percent-level document frequency, even mass-leaked eval
+    questions at parts-per-million).  On SMALL corpora a fraction
+    threshold degenerates (0.5% of 2,000 docs is 10 — below a real
+    quote cluster); use the absolute cap there.  Either cap trades
+    detection of fingerprints leaked beyond it; ``None`` disables.
 
     A corpus document is contaminated when it shares at least
     ``min_shared`` winnowing fingerprints with ANY benchmark document —
@@ -419,14 +443,22 @@ def decontaminate(
         .distinct()
     )
     matched = corpus_fps.join(F.broadcast(bench_fps), "fp")
-    if max_fp_doc_freq is not None:
-        hot = (
-            matched.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_fp_doc_freq)
-            .select("fp")
-        )
-        matched = matched.join(F.broadcast(hot), "fp", "left_anti")
+    if max_fp_doc_freq is not None or max_fp_doc_frac is not None:
+        # materialize the hit stream once: the cull consumes it twice
+        # (per-fp frequency + the anti-join), and without this the
+        # corpus winnowing re-runs for the second consumer — matched is
+        # bounded by corpus rows that actually hit the benchmark, so
+        # the checkpoint is hit-sized, not corpus-sized
+        matched = matched.localCheckpoint(eager=True)
+        cap = max_fp_doc_freq
+        if cap is None:
+            # one id-column corpus count (the verdict join scans the
+            # corpus anyway); ceil-ish: any fp above frac*n_docs is hot
+            n_docs = corpus.select(
+                F.count_distinct(F.col(id_col)).alias("n")
+            ).first()["n"]
+            cap = max(int(n_docs * max_fp_doc_frac), 1)
+        matched = _cull_hot_fps(matched, cap)
     hits = (
         matched.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))

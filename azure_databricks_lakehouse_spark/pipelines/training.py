@@ -89,7 +89,7 @@ def prepare_training_corpus(
     w: int = 4,
     min_containment: float = 0.5,
     decontaminate_min_shared: int = 2,
-    decontaminate_max_fp_doc_freq: int | None = 50,
+    decontaminate_max_fp_doc_frac: float | None = 0.005,
     max_doc_freq: int | None = 50,
     max_len: int | None = None,
     cc_algorithm: str = "star",
@@ -174,11 +174,17 @@ def prepare_training_corpus(
     # far below what true contamination produces
     if benchmark is not None:
         # the fp-frequency cull matters on templated corpora: common
-        # 8-grams otherwise connect the benchmark to nearly every doc
+        # 8-grams otherwise connect the benchmark to nearly every doc.
+        # the FRACTION cap is the scale-free default: boilerplate sits at
+        # percent-level doc frequency at any corpus size, while even a
+        # mass-leaked eval question is parts-per-million of a real
+        # corpus — so 0.5% culls the former and never the latter (see
+        # the trade discussion in `decontaminate`'s docstring; pass
+        # None to disable)
         kept, _contaminated = decontaminate(
             kept, benchmark, text_col=text_col, id_col=id_col, k=k, w=w,
             min_shared=decontaminate_min_shared, max_len=max_len,
-            max_fp_doc_freq=decontaminate_max_fp_doc_freq,
+            max_fp_doc_frac=decontaminate_max_fp_doc_frac,
         )
         kept = _note("decontaminate", kept)
 

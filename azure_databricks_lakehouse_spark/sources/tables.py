@@ -808,6 +808,15 @@ class ParquetTable:
         for attempt in range(max_retries):
             m = self._manifest()
             if _txn_seen(m):
+                # a CONCURRENT duplicate replay won the commit race after
+                # we already wrote our files — they are unreferenced by
+                # any manifest, so reclaim them now instead of leaking
+                # disk until a VACUUM walk
+                for f in files or ():
+                    try:
+                        os.unlink(os.path.join(data_root, f))
+                    except OSError:
+                        pass
                 return m["version"]  # replay of a committed batch
             old = _schema_from_json(self.spark, m["schema"])
             new_cols = set(df.schema.fieldNames()) - set(old.fieldNames())

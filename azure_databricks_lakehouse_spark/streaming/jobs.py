@@ -36,6 +36,7 @@ key is part of the merge key.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -220,21 +221,22 @@ def write_deduped_stream(
     APPENDS keyed on the micro-batch id (``txn_app``/``txn_version`` —
     the Delta streaming-sink contract), so a replayed batch skips at
     metadata cost any commit that already landed and re-applies the one
-    that didn't; and the batch's own ids are anti-joined out of the
-    index before screening, so a half-committed batch never rejects
-    itself as its own duplicate while re-screening.
+    that didn't.  Within a lineage a batch's own fingerprints are never
+    in the index when the screen runs (the index append is the LAST
+    commit of the batch), so replays re-screen against exactly the
+    pre-batch corpus.
 
-    The txn app ids are derived from the CHECKPOINT path, because batch
-    ids are a per-checkpoint sequence: a fresh checkpoint restarts them
-    at 0, and reusing the old app id there would make the watermark
-    silently swallow every new batch (permanent data loss, Delta's
-    "new checkpoint needs a new appId" rule).  With the derivation, a
-    fresh checkpoint gets a fresh watermark — its batches re-screen and
-    re-append, which can duplicate documents already ingested under the
-    old checkpoint (previously-rejected docs and their match targets
-    coexist in one replayed batch, and self-exclusion removes the
-    targets).  Resume a stream with ITS OWN checkpoint; a fresh one is
-    a new ingestion lineage.
+    The txn app ids are derived from the (normalized) CHECKPOINT path,
+    because batch ids are a per-checkpoint sequence: a fresh checkpoint
+    restarts them at 0, and reusing the old app id there would make the
+    watermark silently swallow every new batch (permanent data loss,
+    Delta's "new checkpoint needs a new appId" rule).  A fresh
+    checkpoint over an already-ingested source is SAFE: previously
+    ingested documents match their own index entries (containment 1)
+    and reject, so they cannot land twice — the index is the memory,
+    the checkpoint only the offset ledger.  The same self-match
+    semantics make a pre-built index (e.g. fingerprints of a corpus
+    stored elsewhere) act as a suppression list.
 
     Screening is batch-vs-CORPUS only; duplicates WITHIN one micro-batch
     are the upstream job of :func:`dedup_stream` /
@@ -255,9 +257,13 @@ def write_deduped_stream(
 
     # batch ids are a per-checkpoint sequence — scope the watermarks to
     # this checkpoint so a fresh checkpoint can never be swallowed by an
-    # old lineage's watermark (see docstring)
-    docs_txn = f"deduped-stream-docs:{checkpoint}"
-    index_txn = f"deduped-stream-index:{checkpoint}"
+    # old lineage's watermark (see docstring).  normpath(abspath(...)):
+    # a restart spelling the same directory differently ('/ckpt/' vs
+    # '/ckpt', relative vs absolute) must not mint a fresh app id, or
+    # the replay guard silently disarms.
+    ckpt_key = os.path.normpath(os.path.abspath(checkpoint))
+    docs_txn = f"deduped-stream-docs:{ckpt_key}"
+    index_txn = f"deduped-stream-index:{ckpt_key}"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -281,14 +287,17 @@ def write_deduped_stream(
                 ),
             )
         index_tbl = ParquetTable.for_path(spark, index_root)
-        batch_ids = batch_df.select(id_col).distinct()
-        index_snapshot = index_tbl.read()
-        prior_index = index_snapshot.join(
-            F.broadcast(batch_ids), id_col, "left_anti"
-        )
+        # the batch screens against the FULL index, own ids included: a
+        # document re-arriving across lineages (fresh checkpoint, or an
+        # index pre-built elsewhere) matches its own entries with
+        # containment 1 and rejects — which is what keeps re-ingestion
+        # from landing duplicates in the docs table or doubling fp rows
+        # in the index.  Within this lineage self-matches cannot occur:
+        # the index append is the batch's last commit, so a replayed
+        # batch's own fps are never in the index at screen time.
         kept, _rejected, new_rows = dedup_batch_against_index(
             batch_df,
-            prior_index,
+            index_tbl.read(),
             text_col=text_col,
             id_col=id_col,
             k=k,
@@ -298,15 +307,6 @@ def write_deduped_stream(
             # run the index probe once, not once per sink below
             materialize=True,
         )
-        # guard the index append against rows these ids ALREADY have in
-        # the index (an index populated outside this checkpoint's txn
-        # lineage — e.g. a pre-existing index handed to a new stream):
-        # without it, re-appending doubles those docs' fp rows and every
-        # future overlap count against them (n_shared, containment)
-        own_existing = index_snapshot.join(
-            F.broadcast(batch_ids), id_col, "left_semi"
-        )
-        new_rows = new_rows.join(own_existing, [id_col, "fp"], "left_anti")
         docs_tbl = ParquetTable.for_path(spark, table_root)
         docs_tbl.append(kept, txn_app=docs_txn, txn_version=batch_id)
         # cluster the appended slice by fp so the persisted index keeps

@@ -275,3 +275,9 @@ def test_decontaminate_fp_freq_cull_on_templated_corpus(spark):
     )
     assert {r["doc_id"] for r in bad1.collect()} == {40}
     assert clean1.count() == 40
+    # the scale-free fraction cap resolves to the same verdict
+    clean2, bad2 = decontaminate(
+        corpus, bench, min_shared=2, max_fp_doc_frac=0.5
+    )
+    assert {r["doc_id"] for r in bad2.collect()} == {40}
+    assert clean2.count() == 40

@@ -365,3 +365,8 @@ def test_deduped_stream_never_duplicates_preexisting_index_rows(spark, tmp_path)
         == 0
     )
     assert idx_rows.filter(F.col("doc_id") == 2).count() > 0
+    # and the docs table holds doc 1 exactly once: the re-arrival
+    # self-matched against its own index entries and was rejected
+    dest_rows = ParquetTable.for_path(spark, dest).read()
+    assert dest_rows.filter(F.col("doc_id") == 1).count() == 1
+    assert {r["doc_id"] for r in dest_rows.collect()} == {1, 2}
