@@ -874,9 +874,14 @@ class ParquetTable:
             "extreme contention — back off and retry"
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, extra_props: dict | None = None) -> int:
         """S7 parity: replace table contents (old files stay on disk for
-        time travel until VACUUM)."""
+        time travel until VACUUM).  ``extra_props`` merge into the table
+        properties IN THE SAME COMMIT — the atomicity a consumer needs to
+        couple data with a watermark (e.g. the incremental-refresh
+        "refreshed-through version": data and marker must never be
+        observable separately, or a crash between two commits
+        double-applies the next delta)."""
         m = self._manifest()
         self._enforce_current(df, m, "OVERWRITE")
         files = _write_files(df, self.root, m["partition_by"])
@@ -889,7 +894,7 @@ class ParquetTable:
             operation="OVERWRITE",
             merged_schema=False,
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
-            props=m.get("props", {}),
+            props={**m.get("props", {}), **(extra_props or {})},
             blooms=self._blooms_for_commit(m, [], files),
         )
         self._post_commit()
