@@ -518,6 +518,23 @@ class ParquetTable:
         checks, not_null = _constraint_state(self._manifest())
         return {"check": checks, "not_null": not_null}
 
+    def properties(self) -> dict:
+        """Current table properties (Delta ``TBLPROPERTIES``) — the
+        engine's reserved keys (constraints, bloom config, txn
+        watermarks) live here alongside any user keys."""
+        return dict(self._manifest().get("props", {}))
+
+    def set_properties(self, props: dict) -> int:
+        """Merge ``props`` into the table properties (Delta
+        ``ALTER TABLE ... SET TBLPROPERTIES``) in one metadata-only
+        commit — versioned like any DML, so RESTORE brings a version's
+        properties back with its data.  Set a key to ``None`` to unset
+        it."""
+        m = self._manifest()
+        merged = {**m.get("props", {}), **props}
+        merged = {k: v for k, v in merged.items() if v is not None}
+        return self._commit_props(m, merged, "SETPROPERTIES")
+
     def _commit_props(self, m: dict, props: dict, operation: str) -> int:
         """Metadata-only commit: same files/stats, new props."""
         version = _commit(

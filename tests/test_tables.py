@@ -738,3 +738,19 @@ def test_txn_append_requires_both_params(spark, tmp_path):
     tbl = ParquetTable.create(spark, root, df.limit(0))
     with pytest.raises(ValueError, match="together"):
         tbl.append(df, txn_app="loader")
+
+
+def test_table_properties_roundtrip_and_restore(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    tbl = ParquetTable.create(spark, root, df)
+    v1 = tbl.set_properties({"owner": "etl", "tier": "gold"})
+    assert tbl.properties()["owner"] == "etl"
+    # properties survive DML commits
+    tbl.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert tbl.properties()["tier"] == "gold"
+    # unset via None; versioned like data
+    tbl.set_properties({"tier": None})
+    assert "tier" not in tbl.properties()
+    tbl.restore(v1)
+    assert tbl.properties()["tier"] == "gold"
