@@ -15,21 +15,28 @@ re-shuffles 100 TB per refresh; the incremental path costs:
   group-cardinality-sized, the small side by construction.
 
 SUM / COUNT (and any linear statistic) are self-inverting under
-deletes, which is why this works without re-reading the base; MIN/MAX
-are not (a deleted extremum needs a base rescan) and are deliberately
-out of scope.
+deletes, which is why they need no base access.  MIN / MAX are not:
+an insert can only tighten an extremum (``least``/``greatest`` against
+the current value), but a DELETE that removes the row *carrying* the
+extremum invalidates it.  ``min_cols``/``max_cols`` therefore keep a
+retraction fallback: the merge detects groups whose deleted values
+reach the candidate extremum and recomputes ONLY those groups from the
+(version-pinned) base — cost ∝ affected groups, never the table.
 
 Exactly-once: the refreshed rows and the "refreshed through base
 version N" watermark land in ONE commit (``overwrite(extra_props=)``),
 so a crash anywhere leaves either the old state (next refresh replays
 the same delta once) or the new state (next refresh starts after N) —
 never a half-applied delta.  Groups whose row count reaches zero are
-dropped, so the aggregate equals a from-scratch recompute exactly.
+dropped, and NULL group keys are merged null-safely (``eqNullSafe`` —
+a plain equi-join would split the NULL group on every refresh), so the
+aggregate equals a from-scratch recompute exactly.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,14 +44,67 @@ from pyspark.sql import functions as F
 from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
 
 _WATERMARK = "incremental_refreshed_through"
+_LAST_RESCAN = "incremental_last_rescan_groups"
 _COUNT = "n_rows"
 
+# CDF change types that add a row to the group (the postimage side);
+# everything else ("delete", "update_preimage") retracts one.
+_INSERT_TYPES = ("insert", "update_postimage")
 
-def _aggregate(df: DataFrame, group_cols: Sequence[str], sum_cols: Sequence[str], sign=None) -> DataFrame:
+
+def _aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    sign=None,
+) -> DataFrame:
     weight = F.lit(1) if sign is None else sign
     aggs = [F.sum(F.col(c) * weight).alias(c) for c in sum_cols]
+    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
     aggs.append(F.sum(weight).alias(_COUNT))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, cols: Sequence[str]):
+    """Null-safe equi-join condition: groupBy treats NULL as one group,
+    so the merge join must too (plain ``=`` never matches NULL keys and
+    would fork the NULL group into new rows every refresh)."""
+    return reduce(
+        lambda a, b: a & b, [left[c].eqNullSafe(right[c]) for c in cols]
+    )
+
+
+def _extrema_rescan_cond(
+    cur: DataFrame,
+    delta: DataFrame,
+    min_cols: Sequence[str],
+    max_cols: Sequence[str],
+):
+    """Condition marking groups whose MIN/MAX cannot be maintained
+    algebraically from the delta — a deleted value REACHES the candidate
+    extremum (the deleted row MAY have carried it; duplicates make "did
+    it" undecidable without per-value counts, so reaching it is the
+    sound trigger).  The refresh recomputes exactly these groups from
+    the base; the count lands in the commit props (``_LAST_RESCAN``) as
+    auditable evidence the fallback stayed narrow."""
+    d = delta
+    cond = F.lit(False)
+    for c in min_cols:
+        cand = F.least(cur[f"min_{c}"], d[f"_d_ins_min_{c}"])
+        cond = cond | (
+            d[f"_d_del_min_{c}"].isNotNull()
+            & (cand.isNull() | (d[f"_d_del_min_{c}"] <= cand))
+        )
+    for c in max_cols:
+        cand = F.greatest(cur[f"max_{c}"], d[f"_d_ins_max_{c}"])
+        cond = cond | (
+            d[f"_d_del_max_{c}"].isNotNull()
+            & (cand.isNull() | (d[f"_d_del_max_{c}"] >= cand))
+        )
+    return cond
 
 
 def refresh_sum_aggregate(
@@ -53,17 +113,26 @@ def refresh_sum_aggregate(
     *,
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
 ) -> int:
     """Create or incrementally refresh the aggregate table at
-    ``agg_root`` — ``group_cols`` + per-column sums + ``n_rows`` —
-    to match ``base``'s CURRENT version.  Returns the base version the
-    aggregate now reflects.  Idempotent: refreshing with no new base
-    commits is a no-op (no commit written)."""
+    ``agg_root`` — ``group_cols`` + per-column sums (+ optional
+    ``min_<c>``/``max_<c>`` extrema) + ``n_rows`` — to match ``base``'s
+    CURRENT version.  Returns the base version the aggregate now
+    reflects.  Idempotent: refreshing with no new base commits is a
+    no-op (no commit written)."""
     spark = base.spark
     base_version = base.latest_version()
 
+    def _full(tbl_read: DataFrame) -> DataFrame:
+        return _aggregate(tbl_read, group_cols, sum_cols, min_cols, max_cols)
+
     if not is_table(agg_root):
-        full = _aggregate(base.read(), group_cols, sum_cols)
+        # pin the snapshot to the stamped version: reading latest-at-
+        # call-time would include a base commit racing in between, which
+        # the next refresh then replays via the CDF and double-counts
+        full = _full(base.read(version=base_version))
         ParquetTable.create(spark, agg_root, full)
         tbl = ParquetTable.for_path(spark, agg_root)
         # CREATE + watermark are two commits, but the missing-watermark
@@ -79,7 +148,7 @@ def refresh_sum_aggregate(
         # the half-created state (crash between CREATE and the stamped
         # overwrite) — or a foreign table handed to us; either way the
         # safe recovery is a full rebuild stamped atomically
-        full = _aggregate(base.read(), group_cols, sum_cols)
+        full = _full(base.read(version=base_version))
         tbl.overwrite(full, extra_props={_WATERMARK: base_version})
         return base_version
     last = int(last)
@@ -87,31 +156,73 @@ def refresh_sum_aggregate(
         return last  # nothing new — no commit
 
     changes = base.changes_between(last, base_version)
-    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    delta = _aggregate(changes, group_cols, sum_cols, sign=sign)
+    is_ins = F.col("_change_type").isin(*_INSERT_TYPES)
+    sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
+    d_aggs = [F.sum(F.col(c) * sign).alias(f"_d_{c}") for c in sum_cols]
+    for c in min_cols:
+        d_aggs.append(F.min(F.when(is_ins, F.col(c))).alias(f"_d_ins_min_{c}"))
+        d_aggs.append(F.min(F.when(~is_ins, F.col(c))).alias(f"_d_del_min_{c}"))
+    for c in max_cols:
+        d_aggs.append(F.max(F.when(is_ins, F.col(c))).alias(f"_d_ins_max_{c}"))
+        d_aggs.append(F.max(F.when(~is_ins, F.col(c))).alias(f"_d_del_max_{c}"))
+    d_aggs.append(F.sum(sign).alias(f"_d_{_COUNT}"))
+    delta = changes.groupBy(*group_cols).agg(*d_aggs)
 
     cur = tbl.read()
-    d = delta.select(
-        *group_cols,
-        *[F.col(c).alias(f"_d_{c}") for c in sum_cols],
-        F.col(_COUNT).alias(f"_d_{_COUNT}"),
+    merged = cur.join(
+        delta, _null_safe_on(cur, delta, group_cols), "full_outer"
     )
-    merged = (
-        cur.join(d, list(group_cols), "full_outer")
-        .select(
-            *group_cols,
-            *[
-                (F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
-                for c in sum_cols
-            ],
-            (
-                F.coalesce(F.col(_COUNT), F.lit(0))
-                + F.coalesce(F.col(f"_d_{_COUNT}"), F.lit(0))
-            ).alias(_COUNT),
+    # matched rows have null-safe-equal keys, so coalescing the two
+    # sides reconstructs the key (incl. a genuine NULL group) exactly
+    keys = [F.coalesce(cur[c], delta[c]).alias(c) for c in group_cols]
+    needs_rescan = _extrema_rescan_cond(cur, delta, min_cols, max_cols)
+    out_cols = keys + [
+        (
+            F.coalesce(cur[c], F.lit(0)) + F.coalesce(delta[f"_d_{c}"], F.lit(0))
+        ).alias(c)
+        for c in sum_cols
+    ]
+    out_cols += [
+        F.least(cur[f"min_{c}"], delta[f"_d_ins_min_{c}"]).alias(f"min_{c}")
+        for c in min_cols
+    ]
+    out_cols += [
+        F.greatest(cur[f"max_{c}"], delta[f"_d_ins_max_{c}"]).alias(f"max_{c}")
+        for c in max_cols
+    ]
+    out_cols.append(
+        (
+            F.coalesce(cur[_COUNT], F.lit(0))
+            + F.coalesce(delta[f"_d_{_COUNT}"], F.lit(0))
+        ).alias(_COUNT)
+    )
+    merged = merged.select(*out_cols, needs_rescan.alias("_rescan")).filter(
+        F.col(_COUNT) > 0
+    )
+
+    extra_props = {_WATERMARK: base_version}
+    if min_cols or max_cols:
+        rescan_keys = merged.filter(F.col("_rescan")).select(*group_cols)
+        # delta and cur are both group-cardinality-bounded, so this
+        # count is cheap — and it is the audit trail that the fallback
+        # touched only the invalidated groups, not the table
+        extra_props[_LAST_RESCAN] = rescan_keys.count()
+        survivors = merged.filter(~F.col("_rescan")).drop("_rescan")
+        # recompute ONLY the invalidated groups from the pinned base
+        # snapshot: broadcast the (group-cardinality-bounded) key set and
+        # semi-join it against the base — the base is scanned once with
+        # the extremum columns pruned, aggregated only for the affected
+        # groups, never re-aggregated wholesale
+        pinned = base.read(version=base_version)
+        hit = pinned.join(
+            F.broadcast(rescan_keys),
+            _null_safe_on(pinned, rescan_keys, group_cols),
+            "left_semi",
         )
-        .filter(F.col(_COUNT) > 0)
-    )
-    tbl.overwrite(merged, extra_props={_WATERMARK: base_version})
+        recomputed = _full(hit)
+        merged = survivors.unionByName(recomputed)
+    else:
+        merged = merged.drop("_rescan")
+
+    tbl.overwrite(merged, extra_props=extra_props)
     return base_version

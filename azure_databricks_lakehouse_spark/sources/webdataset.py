@@ -150,20 +150,35 @@ def write_webdataset(
     )
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
         shard_id = int(pdf["_shard_id"].iloc[0])
         name = f"shard-{shard_id:06d}.tar"
         path = os.path.join(dest_dir, name)
+        # write-aside + atomic rename: a task that dies mid-write must
+        # never leave a truncated-but-valid-looking tar at the final
+        # name, and two attempts of the same task (speculation, retry
+        # racing a zombie) must not interleave bytes into one file.
+        # The attempt-unique temp name keeps writers disjoint; whichever
+        # os.replace lands last wins with a COMPLETE file (attempts are
+        # deterministic, so the contents are identical).
+        tmp = os.path.join(dest_dir, f".{name}.tmp-{uuid.uuid4().hex[:12]}")
         pdf = pdf.sort_values(["key", "suffix"], kind="mergesort")
         n_bytes = 0
-        with tarfile.open(path, "w") as tf:
-            for key, suffix, payload in zip(
-                pdf["key"], pdf["suffix"], pdf["payload"]
-            ):
-                data = bytes(payload)
-                info = tarfile.TarInfo(name=f"{key}.{suffix}")
-                info.size = len(data)
-                tf.addfile(info, io.BytesIO(data))
-                n_bytes += len(data)
+        try:
+            with tarfile.open(tmp, "w") as tf:
+                for key, suffix, payload in zip(
+                    pdf["key"], pdf["suffix"], pdf["payload"]
+                ):
+                    data = bytes(payload)
+                    info = tarfile.TarInfo(name=f"{key}.{suffix}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+                    n_bytes += len(data)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return pd.DataFrame(
             {
                 "shard": [name],
@@ -187,11 +202,15 @@ def write_webdataset(
         with tarfile.open(os.path.join(dest_dir, name), "w"):
             pass  # valid empty tar
     for name in os.listdir(dest_dir):
-        if (
+        stale_shard = (
             name.startswith("shard-")
             and name.endswith(".tar")
             and name not in expected
-        ):
+        )
+        # temp files from crashed attempts (normal attempts replace
+        # theirs away; the finally only covers in-process failures)
+        leaked_tmp = name.startswith(".shard-") and ".tmp-" in name
+        if stale_shard or leaked_tmp:
             os.remove(os.path.join(dest_dir, name))
     spark = components.sparkSession
     return spark.createDataFrame(

@@ -226,17 +226,19 @@ def write_deduped_stream(
     commit of the batch), so replays re-screen against exactly the
     pre-batch corpus.
 
-    The txn app ids are derived from the (normalized) CHECKPOINT path,
-    because batch ids are a per-checkpoint sequence: a fresh checkpoint
-    restarts them at 0, and reusing the old app id there would make the
-    watermark silently swallow every new batch (permanent data loss,
-    Delta's "new checkpoint needs a new appId" rule).  A fresh
-    checkpoint over an already-ingested source is SAFE: previously
-    ingested documents match their own index entries (containment 1)
-    and reject, so they cannot land twice — the index is the memory,
-    the checkpoint only the offset ledger.  The same self-match
-    semantics make a pre-built index (e.g. fingerprints of a corpus
-    stored elsewhere) act as a suppression list.
+    The txn app ids are derived from the STREAMING QUERY ID Spark
+    persists in the checkpoint's ``metadata`` file, because batch ids
+    are a per-lineage sequence: any fresh checkpoint — a new path OR a
+    deleted-and-recreated directory at the same path — mints a new
+    query id, restarts batch ids at 0, and must get fresh app ids or
+    the old lineage's watermark would silently swallow every new batch
+    (permanent data loss, Delta's "new checkpoint needs a new appId"
+    rule).  A fresh checkpoint over an already-ingested source is SAFE:
+    previously ingested documents match their own index entries
+    (containment 1) and reject, so they cannot land twice — the index
+    is the memory, the checkpoint only the offset ledger.  The same
+    self-match semantics make a pre-built index (e.g. fingerprints of a
+    corpus stored elsewhere) act as a suppression list.
 
     Screening is batch-vs-CORPUS only; duplicates WITHIN one micro-batch
     are the upstream job of :func:`dedup_stream` /
@@ -255,19 +257,37 @@ def write_deduped_stream(
         winnow_fingerprints_long,
     )
 
-    # batch ids are a per-checkpoint sequence — scope the watermarks to
-    # this checkpoint so a fresh checkpoint can never be swallowed by an
-    # old lineage's watermark (see docstring).  normpath(abspath(...)):
-    # a restart spelling the same directory differently ('/ckpt/' vs
-    # '/ckpt', relative vs absolute) must not mint a fresh app id, or
-    # the replay guard silently disarms.
+    # batch ids are a per-LINEAGE sequence, so the txn app ids must be
+    # scoped to the checkpoint LINEAGE, not its path: Spark persists a
+    # streaming query id in `<checkpoint>/metadata` at query start and
+    # re-mints it iff the checkpoint directory is recreated (Delta's
+    # approach).  Path-derived ids fail exactly there — delete the
+    # checkpoint dir, restart at the SAME path, and batch ids restart
+    # at 0 under the old app id, so the stale watermark silently skips
+    # every batch up to it (self-rejection only protects documents the
+    # index has seen; genuinely new docs in those batches are lost).
+    # Read lazily inside the sink: the metadata file exists by the time
+    # the first micro-batch runs, not when the writer is built.
     ckpt_key = os.path.normpath(os.path.abspath(checkpoint))
-    docs_txn = f"deduped-stream-docs:{ckpt_key}"
-    index_txn = f"deduped-stream-index:{ckpt_key}"
+
+    def _lineage_id() -> str:
+        import json
+
+        try:
+            with open(os.path.join(ckpt_key, "metadata")) as fh:
+                return json.load(fh)["id"]
+        except (OSError, ValueError, KeyError):
+            # non-local / opaque checkpoint store: fall back to the
+            # normalized path (restart-stable, but NOT recreate-safe —
+            # the hazard documented above)
+            return ckpt_key
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        lineage = _lineage_id()
+        docs_txn = f"deduped-stream-docs:{lineage}"
+        index_txn = f"deduped-stream-index:{lineage}"
         spark = batch_df.sparkSession
         # bootstrap: create whichever table is missing as EMPTY, then fall
         # through to the one guarded-append path.  Creating data-bearing

@@ -71,6 +71,106 @@ def test_refresh_tracks_base_through_dml(spark, tmp_path):
     assert _read_agg(spark, agg_root) == _agg_of(base.read())
 
 
+def test_refresh_null_group_keys_stay_one_group(spark, tmp_path):
+    """groupBy treats NULL as one group; the incremental merge must too
+    (a plain equi-join never matches NULL keys and would fork the NULL
+    group into extra rows on every refresh)."""
+    base_root, agg_root = str(tmp_path / "base"), str(tmp_path / "agg")
+    base = ParquetTable.create(
+        spark,
+        base_root,
+        spark.createDataFrame([(None, 10, 1), ("a", 1, 2)], _SCHEMA),
+    )
+    refresh_sum_aggregate(base, agg_root, group_cols=["k"], sum_cols=["v"])
+    # two refreshes with NULL-group deltas: the historical failure mode
+    # splits the NULL group on the first and compounds on the second
+    base.append(spark.createDataFrame([(None, 5, 3)], _SCHEMA))
+    refresh_sum_aggregate(base, agg_root, group_cols=["k"], sum_cols=["v"])
+    base.append(spark.createDataFrame([(None, 2, 4)], _SCHEMA))
+    base.delete(F.col("id") == 1)
+    refresh_sum_aggregate(base, agg_root, group_cols=["k"], sum_cols=["v"])
+    rows = ParquetTable.for_path(spark, agg_root).read().collect()
+    assert len(rows) == 2  # exactly one NULL-group row survives
+    assert _read_agg(spark, agg_root) == _agg_of(base.read())
+    assert _read_agg(spark, agg_root)[None] == (7, 2)
+
+
+def _read_extrema(spark, root):
+    tbl = ParquetTable.for_path(spark, root)
+    rows = {
+        r["k"]: (r["v"], r["min_v"], r["max_v"], r["n_rows"])
+        for r in tbl.read().collect()
+    }
+    return rows, tbl.properties().get("incremental_last_rescan_groups")
+
+
+def _recompute_extrema(df):
+    return {
+        r["k"]: (r["v"], r["min_v"], r["max_v"], r["n_rows"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+
+
+def test_refresh_min_max_with_retraction_rescan(spark, tmp_path):
+    """MIN/MAX maintenance: inserts tighten algebraically; a delete that
+    removes a group's extremum triggers a rescan of ONLY that group
+    (count recorded in the commit props as evidence)."""
+    base_root, agg_root = str(tmp_path / "base"), str(tmp_path / "agg")
+    base = ParquetTable.create(
+        spark,
+        base_root,
+        spark.createDataFrame(
+            [("a", 10, 1), ("a", 20, 2), ("a", 15, 3), ("b", 5, 4), ("b", 9, 5)],
+            _SCHEMA,
+        ),
+    )
+    kw = dict(group_cols=["k"], sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    refresh_sum_aggregate(base, agg_root, **kw)
+    rows, _ = _read_extrema(spark, agg_root)
+    assert rows == _recompute_extrema(base.read())
+    assert rows["a"] == (45, 10, 20, 3)
+
+    # insert-only delta: extrema maintained algebraically, zero rescans
+    base.append(spark.createDataFrame([("a", 25, 6), ("b", 1, 7)], _SCHEMA))
+    refresh_sum_aggregate(base, agg_root, **kw)
+    rows, n_rescan = _read_extrema(spark, agg_root)
+    assert n_rescan == 0
+    assert rows == _recompute_extrema(base.read())
+    assert rows["a"] == (70, 10, 25, 4) and rows["b"] == (15, 1, 9, 3)
+
+    # delete a NON-extremum row: still no rescan (15 is interior to a)
+    base.delete(F.col("id") == 3)
+    refresh_sum_aggregate(base, agg_root, **kw)
+    rows, n_rescan = _read_extrema(spark, agg_root)
+    assert n_rescan == 0
+    assert rows == _recompute_extrema(base.read())
+
+    # delete group a's MAX (25): only a rescans; b's row is untouched
+    base.delete(F.col("id") == 6)
+    refresh_sum_aggregate(base, agg_root, **kw)
+    rows, n_rescan = _read_extrema(spark, agg_root)
+    assert n_rescan == 1
+    assert rows == _recompute_extrema(base.read())
+    assert rows["a"] == (30, 10, 20, 2)
+    assert rows["b"] == (15, 1, 9, 3)
+
+    # UPDATE that moves a group's min (delete+insert pair in the CDF):
+    # b's min row 1 -> 50, so b must rescan and recover min=5
+    base.update(F.col("id") == 7, {"v": F.lit(50)})
+    refresh_sum_aggregate(base, agg_root, **kw)
+    rows, n_rescan = _read_extrema(spark, agg_root)
+    assert n_rescan == 1
+    assert rows == _recompute_extrema(base.read())
+    assert rows["b"] == (64, 5, 50, 3)
+
+
 def test_refresh_recovers_from_unstamped_table(spark, tmp_path):
     base_root, agg_root = str(tmp_path / "base"), str(tmp_path / "agg")
     base = ParquetTable.create(
