@@ -181,6 +181,54 @@ def winnow_kgram_hashes(
     raise ValueError(f"unknown hash backend {hash!r} (use 'xxh' or 'poly')")
 
 
+def materialize_fingerprint_table(
+    docs: DataFrame,
+    table_root: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    hash: str = "xxh",
+    max_len: int | None = None,
+):
+    """Compute the long-format winnow fingerprints of ``docs`` and
+    persist them as a versioned :class:`ParquetTable` at ``table_root``
+    (created, or overwritten if present) — the STORED artifact a
+    production pipeline shares across every fp-keyed consumer: the
+    overlap self-join (:func:`fingerprint_overlap_pairs`), the
+    incremental-dedup probe (:func:`dedup_batch_against_index`), and
+    :func:`decontaminate`.  Computing fingerprints once and reading them
+    many times beats any in-job cache at corpus scale: the table
+    survives the job, serves N downstream jobs, and ages/compacts
+    through the ordinary table maintenance surface (OPTIMIZE/VACUUM).
+
+    The write preserves ``cluster_by_fp``'s hash(fp) file clustering
+    (each file holds a slice of fingerprint space), so fp-keyed scans
+    stay localized; returns the table handle."""
+    from azure_databricks_lakehouse_spark.sources.tables import (
+        ParquetTable,
+        is_table,
+    )
+
+    flat = winnow_fingerprints_long(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        w=w,
+        hash=hash,
+        max_len=max_len,
+        cluster_by_fp=True,
+    )
+    spark = docs.sparkSession
+    if is_table(table_root):
+        tbl = ParquetTable.for_path(spark, table_root)
+        tbl.overwrite(flat)
+        return tbl
+    return ParquetTable.create(spark, table_root, flat)
+
+
 def fingerprint_overlap_pairs(
     flat: DataFrame,
     *,

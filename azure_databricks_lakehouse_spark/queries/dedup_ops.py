@@ -381,25 +381,34 @@ def q51_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _variant_corpus text is already normalized (matches _CORPUS_SQL's
     # base CTE), so no extra normalization layer here.
     corpus = _variant_corpus(spark, sf_dir)
-    # Persist the fingerprint table: fingerprint_overlap_pairs reads it
-    # FOUR times (doc-freq cull, both self-join sides, containment
-    # counts), and unlike q28's repartition pin, per-consumer column
-    # pruning below the exchange defeats ReuseExchange here (measured:
-    # 0 reused, 24 scans, the winnow projection re-derived per consumer).
-    # MEMORY_AND_DISK is spill-safe; at corpus scale the fingerprint
-    # table is the artifact a production pipeline would materialize to
-    # storage anyway — it feeds every containment/overlap consumer.
-    # cluster_by_fp fuses the dedup shuffle with a hash(fp) layout, so
-    # the cached table already satisfies every fp-keyed consumer's
-    # distribution (doc-freq agg, both self-join sides run exchange-free).
-    # Measured at sf0.1, cold cache: 8.3 s unclustered -> 4.4 s clustered.
-    from pyspark import StorageLevel
+    # MATERIALIZE the fingerprint table through the versioned table
+    # layer: fingerprint_overlap_pairs reads it FOUR times (doc-freq
+    # cull, both self-join sides, containment counts), and per-consumer
+    # column pruning below the exchange defeats ReuseExchange (measured:
+    # 0 reused, 24 scans when computed inline).  A stored table computes
+    # the winnow projection exactly once, every consumer scans cheap
+    # parquet, and — unlike an executor-memory persist — the artifact is
+    # exactly what a production pipeline shares across overlap /
+    # incremental-dedup / decontamination jobs and maintains via
+    # OPTIMIZE/VACUUM.  cluster_by_fp's hash(fp) layout survives the
+    # write, so fp-keyed scans stay file-localized.
+    import os
+    import tempfile
 
-    flat = winnow_fingerprints_long(
-        corpus, k=_WINNOW_K, w=_WINNOW_W, hash="poly", cluster_by_fp=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        materialize_fingerprint_table,
+    )
+
+    fp_root = tempfile.mkdtemp(prefix="q51_fp_table_")
+    tbl = materialize_fingerprint_table(
+        corpus,
+        os.path.join(fp_root, "fps"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        hash="poly",
+    )
     return fingerprint_overlap_pairs(
-        flat,
+        tbl.read(),
         min_shared=_OVERLAP_MIN,
         min_containment=_CONTAINMENT_MIN,
         max_doc_freq=_MAX_DOC_FREQ,

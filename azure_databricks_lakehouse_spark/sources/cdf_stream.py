@@ -23,10 +23,17 @@ Scale design — the part that matters:
   driver — this is the partition-based ``DataSourceStreamReader``, not
   the driver-side ``SimpleDataSourceStreamReader`` (which is documented
   for low-throughput sources only).
-- **Append-shaped commits only** (CREATE/APPEND; OPTIMIZE skipped as
-  data-preserving): rewrite commits need the EXCEPT ALL reconstruction,
-  which is a join — not expressible inside a source partition.  By
-  default a rewrite commit RAISES (silent misreads are worse than a
+- **Append commits** (CREATE/APPEND) partition over their added files
+  (``insert`` rows); OPTIMIZE commits are skipped as data-preserving.
+- **DELETE/UPDATE commits** partition over the CDC sidecar files the
+  table layer wrote in the same commit (``_change_data/``): real
+  row-level changes — ``delete`` rows, ``update_preimage`` /
+  ``update_postimage`` pairs — stream through without any driver-side
+  join, cost ∝ changed rows.
+- **Rewrite commits WITHOUT a sidecar** (MERGE/OVERWRITE/RESTORE, or
+  DML from before the sidecar existed) need the EXCEPT ALL
+  reconstruction — a join, not expressible inside a source partition.
+  By default such a commit RAISES (silent misreads are worse than a
   stopped stream); ``.option("ignoreChanges", "true")`` skips them, the
   same escape hatch Delta's stream source offers.
 
@@ -50,6 +57,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
+_CDC_DIR = "_change_data"
 
 # Operations whose file-diff is NOT pure inserts (see tables.py).
 _REWRITE_OPS = {"DELETE", "UPDATE", "MERGE", "OVERWRITE", "RESTORE"}
@@ -105,12 +113,30 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 continue
             if op in _REWRITE_OPS:
                 if self.ignore_changes:
+                    # the user opted out of rewrite deltas entirely —
+                    # honored even when a sidecar exists, matching the
+                    # batch escape hatch's semantics
+                    continue
+                cdc = m.get("cdc_files", [])
+                if cdc:
+                    # the commit recorded its exact row-level delta as a
+                    # CDC sidecar: stream THOSE files — each row carries
+                    # its own _change_type (delete / update_preimage /
+                    # update_postimage), no reconstruction needed
+                    cdc_root = os.path.join(self.root, _CDC_DIR)
+                    for f in sorted(cdc):
+                        parts.append(
+                            _FilePartition(
+                                path=os.path.join(cdc_root, f), version=v
+                            )
+                        )
                     continue
                 raise ValueError(
-                    f"version {v} is a {op} commit; the streaming CDF "
-                    "source delivers append-shaped commits only. Set "
-                    ".option('ignoreChanges', 'true') to skip rewrite "
-                    "commits, or consume them in batch via "
+                    f"version {v} is a {op} commit without a CDC sidecar; "
+                    "the streaming CDF source delivers append commits and "
+                    "sidecar-backed DELETE/UPDATE commits only. Set "
+                    ".option('ignoreChanges', 'true') to skip it, or "
+                    "consume it in batch via "
                     "ParquetTable.changes_between()."
                 )
             prev_files = (
@@ -154,10 +180,13 @@ class TableChangesStreamReader(DataSourceStreamReader):
         cols = set(table.column_names)
         for batch in table.to_batches():
             for r in batch.to_pylist():
+                # CDC sidecar files carry _change_type as a real column
+                # (delete / update_preimage / update_postimage); plain
+                # data files are appends, so their rows are inserts
                 yield tuple(
                     partition.version
                     if name == "_commit_version"
-                    else "insert"
+                    else (r["_change_type"] if "_change_type" in cols else "insert")
                     if name == "_change_type"
                     else r[name]
                     if name in cols

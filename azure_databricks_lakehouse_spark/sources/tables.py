@@ -29,10 +29,18 @@ Scale design:
   partition column is part of the merge key (partition-pruned upsert);
   untouched files carry over into the new manifest by reference.  At
   100 TB this is the difference between rewriting 1 day and 7 years.
-- OPTIMIZE compacts per partition toward a target file size and can
-  Z-ORDER-style cluster by sorting within range partitions on the
-  clustering columns — min/max row-group stats then make scan pruning on
-  those columns effective.
+- DELETE/UPDATE are **file-pruned**: manifest footer stats + partition
+  values drop files that cannot match (``plans/pruning``, metadata
+  only), one column-pruned probe finds the files that DO, and only
+  those are rewritten — a one-row DELETE rewrites one file.  Each such
+  commit also writes its exact row delta as a CDC sidecar
+  (``_change_data/``), so CDF consumers — batch ``changes_between``
+  and the streaming source — read changes at cost ∝ change.
+- OPTIMIZE is **incremental**: plain compaction touches only partition
+  groups with ≥ 2 sub-target files (re-running on a compacted table
+  commits nothing), ``where`` scopes any mode to the matching files
+  (``OPTIMIZE ... WHERE`` parity), and Z-ORDER clusters with interleaved
+  bit ranks so min/max stats prune on EVERY clustering column.
 """
 
 from __future__ import annotations
@@ -50,6 +58,7 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
+_CDC_DIR = "_change_data"
 _CURRENT_DIR = "current"
 _CATALOG_FILE = "_catalog.json"
 
@@ -312,82 +321,207 @@ class ParquetTable:
 
     # -- DML ---------------------------------------------------------------
 
-    def delete(self, condition) -> int:
-        """Delta-DML parity: ``DELETE WHERE condition``.
+    def _as_condition(self, condition):
+        """(Column, prune-tree) from a condition given as a Column (no
+        metadata pruning — the probe phase still narrows the rewrite) or
+        a SQL string (parsed for footer-stats / partition pruning)."""
+        if isinstance(condition, str):
+            from azure_databricks_lakehouse_spark.plans.pruning import (
+                parse_predicate,
+            )
 
-        File-pruned rewrite: only files that *may* contain matching rows
-        (``condition`` evaluated against each file's footer stats when it
-        is a simple range on a stats column — callers can pre-prune via
-        :meth:`scan`) are rewritten without the matching rows; here we
-        keep it simple and correct by rewriting the full snapshot minus
-        matches, which the REBALANCE write keeps parallel.  Old files
-        remain for time travel until VACUUM.
+            return F.expr(condition), parse_predicate(condition)
+        return condition, None
+
+    def _prune_files(self, m: dict, pred) -> list[str]:
+        """Phase 1 (metadata only): files that MAY contain a matching
+        row, decided from manifest footer stats and hive partition
+        values — no file is opened."""
+        if pred is None:
+            return list(m["files"])
+        from azure_databricks_lakehouse_spark.plans.pruning import may_match
+
+        stats = m.get("stats", {})
+        part_cols = m["partition_by"]
+        out = []
+        for f in m["files"]:
+            pv = (
+                dict(zip(part_cols, _partition_values(f, part_cols)))
+                if part_cols
+                else {}
+            )
+            if may_match(pred, stats.get(f, {}), pv):
+                out.append(f)
+        return out
+
+    def _files_with_matches(
+        self, m: dict, candidates: list[str], cond
+    ) -> list[str]:
+        """Phase 2 (one probe read): of the stats-surviving candidates,
+        the files that actually CONTAIN matching rows.  Column-pruned to
+        the condition's columns (parquet pushdown applies), and the
+        collect is file-name-sized — bounded by the candidate count,
+        never by rows."""
+        if not candidates:
+            return []
+        probe = (
+            self._read_files_aligned(candidates, m)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .select(F.input_file_name().alias("__file"))
+            .distinct()
+            .collect()
+        )
+        lookup = _rel_lookup(os.path.join(self.root, _DATA_DIR), candidates)
+        touched = []
+        for r in probe:
+            rel = lookup.get(_uri_to_path(r["__file"]))
+            if rel is not None:
+                touched.append(rel)
+        return sorted(touched)
+
+    def _read_files_aligned(self, files: list[str], m: dict) -> DataFrame:
+        """Read a file subset and align it to the MANIFEST schema: a
+        subset of old files can be narrower than the table after schema
+        evolution, and DML expressions must still resolve every declared
+        column (missing ones surface as typed NULLs, exactly as a full
+        mergeSchema read would)."""
+        df = self._read_files(files, m)
+        schema = _schema_from_json(self.spark, m["schema"])
+        missing = [f for f in schema.fields if f.name not in df.columns]
+        if missing:
+            df = df.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            )
+        return df.select(*[f.name for f in schema.fields])
+
+    def delete(self, condition) -> int:
+        """Delta-DML parity: ``DELETE WHERE condition`` (a Column, or a
+        SQL string to enable metadata pruning).
+
+        File-pruned rewrite — the 100 TB path: footer stats + partition
+        values drop files that cannot match (metadata only), one
+        column-pruned probe finds the files that DO match, and ONLY
+        those are rewritten without their matching rows; every other
+        file carries into the new manifest by reference.  A one-row
+        DELETE on a z-ordered fact rewrites one file, not the table.
+        The deleted rows land as a CDC sidecar (``_change_data/``) in
+        the same commit, so CDF consumers read the delta directly
+        instead of reconstructing it.  Old files remain for time travel
+        until VACUUM.
         """
         m = self._manifest()
-        remaining = self.read().filter(~F.coalesce(condition, F.lit(False)))
-        files = _write_files(remaining, self.root, m["partition_by"])
+        cond_col, pred = self._as_condition(condition)
+        cond = F.coalesce(cond_col, F.lit(False))
+        candidates = self._prune_files(m, pred)
+        touched = self._files_with_matches(m, candidates, cond)
+        touched_set = set(touched)
+        carried = [f for f in m["files"] if f not in touched_set]
+        files: list[str] = []
+        cdc_files: list[str] = []
+        if touched:
+            hit = self._read_files_aligned(touched, m)
+            files = _write_files(hit.filter(~cond), self.root, m["partition_by"])
+            cdc_files = _write_files(
+                hit.filter(cond).withColumn("_change_type", F.lit("delete")),
+                self.root,
+                m["partition_by"],
+                subdir=_CDC_DIR,
+            )
+        old_stats = m.get("stats", {})
         version = _commit(
             self.root,
             version=m["version"] + 1,
-            files=files,
+            files=carried + files,
             schema=m["schema"],
             partition_by=m["partition_by"],
             operation="DELETE",
             merged_schema=m.get("merged_schema", False),
-            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            stats={
+                **{f: old_stats[f] for f in carried if f in old_stats},
+                **_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            },
             props=m.get("props", {}),
-            blooms=self._blooms_for_commit(m, [], files),
+            blooms=self._blooms_for_commit(m, carried, files),
+            cdc_files=cdc_files,
         )
         self._post_commit()
         return version
 
     def update(self, condition, assignments: dict) -> int:
-        """Delta-DML parity: ``UPDATE SET col = expr WHERE condition``.
+        """Delta-DML parity: ``UPDATE SET col = expr WHERE condition``
+        (condition as Column, or SQL string for metadata pruning).
 
         ``assignments`` maps column name -> Column expression; rows not
         matching ``condition`` pass through unchanged.  SQL UPDATE
         semantics: every RHS is evaluated against the PRE-update row, so
         ``UPDATE SET a = b, b = a`` swaps — all assignment expressions are
         built from the original frame in one ``select``, never chained.
+
+        Same file-pruned rewrite as :meth:`delete`: only files actually
+        containing matched rows are rewritten; the rest carry over by
+        reference.  Pre/post images of the matched rows land as a CDC
+        sidecar in the same commit (``update_preimage`` /
+        ``update_postimage`` — Delta's CDF row types).
         """
         m = self._manifest()
-        df = self.read()
-        unknown = set(assignments) - set(df.columns)
+        schema_cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
+        unknown = set(assignments) - set(schema_cols)
         if unknown:
             raise ValueError(f"UPDATE references unknown columns {sorted(unknown)}")
-        cond = F.coalesce(condition, F.lit(False))
-        # constraints are checked on the POST-update image of matched
-        # rows only — the checked set stays proportional to the change
-        self._enforce_current(
-            df.filter(cond).select(
+        cond_col, pred = self._as_condition(condition)
+        cond = F.coalesce(cond_col, F.lit(False))
+        candidates = self._prune_files(m, pred)
+        touched = self._files_with_matches(m, candidates, cond)
+        touched_set = set(touched)
+        carried = [f for f in m["files"] if f not in touched_set]
+        files: list[str] = []
+        cdc_files: list[str] = []
+        if touched:
+            hit = self._read_files_aligned(touched, m)
+            pre = hit.filter(cond)
+            post = pre.select(
                 *[
                     assignments[c].alias(c) if c in assignments else F.col(c)
-                    for c in df.columns
+                    for c in hit.columns
                 ]
-            ),
-            m,
-            "UPDATE",
-        )
-        df = df.select(
-            *[
-                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in df.columns
-            ]
-        )
-        files = _write_files(df, self.root, m["partition_by"])
+            )
+            # constraints are checked on the POST-update image of matched
+            # rows only — the checked set stays proportional to the change
+            self._enforce_current(post, m, "UPDATE")
+            updated = hit.select(
+                *[
+                    F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in hit.columns
+                ]
+            )
+            files = _write_files(updated, self.root, m["partition_by"])
+            cdc = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            )
+            cdc_files = _write_files(
+                cdc, self.root, m["partition_by"], subdir=_CDC_DIR
+            )
+        old_stats = m.get("stats", {})
         version = _commit(
             self.root,
             version=m["version"] + 1,
-            files=files,
+            files=carried + files,
             schema=m["schema"],
             partition_by=m["partition_by"],
             operation="UPDATE",
             merged_schema=m.get("merged_schema", False),
-            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            stats={
+                **{f: old_stats[f] for f in carried if f in old_stats},
+                **_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            },
             props=m.get("props", {}),
-            blooms=self._blooms_for_commit(m, [], files),
+            blooms=self._blooms_for_commit(m, carried, files),
+            cdc_files=cdc_files,
         )
         self._post_commit()
         return version
@@ -729,14 +863,15 @@ class ParquetTable:
             .collect()
         )
         # input_file_name() yields a URI (scheme + possible %-escapes);
-        # map back to manifest rel paths via the part-file basename,
-        # which Spark makes globally unique (embedded UUID)
-        by_base = {os.path.basename(f): f for f in files}
+        # map back to manifest rel paths by FULL path — basenames are
+        # NOT unique across the partition directories of one commit
+        # (dynamic partition writes reuse the task's part-file name in
+        # every directory it touches)
+        lookup = _rel_lookup(data_root, files)
         out: dict[str, dict] = {}
         for r in rows:
             vals = list(r)  # [file_uri, then k sets per column, in order]
-            base = os.path.basename(vals[0])
-            rel = by_base.get(base)
+            rel = lookup.get(_uri_to_path(vals[0]))
             if rel is None:
                 continue
             per_col: dict[str, str] = {}
@@ -1053,6 +1188,7 @@ class ParquetTable:
         target_file_mb: int = 128,
         zorder_by: Sequence[str] | None = None,
         n_files: int | None = None,
+        where: str | None = None,
     ) -> int:
         """D6/D7 parity: compact small files toward ``target_file_mb`` and
         optionally cluster by ``zorder_by`` columns with TRUE interleaved
@@ -1063,16 +1199,60 @@ class ParquetTable:
         z-value.  Unlike a lexical multi-column sort (tight min/max on the
         leading column only), every z-ordered file covers a narrow range
         of EVERY clustering column, so selective filters on the second and
-        third columns also prune files."""
+        third columns also prune files.
+
+        Incremental by default — routine maintenance must cost the
+        CHANGE, not the table: plain compaction touches only partition
+        groups holding ≥ 2 files below ``target_file_mb`` (everything
+        else carries into the new manifest by reference), so re-running
+        OPTIMIZE on an already-compacted table is a no-op that commits
+        nothing.  ``where`` (``OPTIMIZE ... WHERE`` parity) scopes any
+        mode to the files its prunable predicate may touch — the knob
+        that z-orders yesterday's partition instead of 7 years; an
+        unprunable predicate raises rather than silently rewriting the
+        world.  Explicit ``n_files`` (or ``zorder_by``) requests a
+        deliberate layout and rewrites the full scope."""
         m = self._manifest()
-        df = self.read()
-        if n_files is None:
-            total_bytes = sum(
-                os.path.getsize(os.path.join(self.root, _DATA_DIR, f))
-                for f in m["files"]
-            )
-            n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         part_cols = m["partition_by"]
+        data_root = os.path.join(self.root, _DATA_DIR)
+        pred = None
+        if where is not None:
+            from azure_databricks_lakehouse_spark.plans.pruning import (
+                parse_predicate,
+            )
+
+            pred = parse_predicate(where)
+            if pred is None:
+                raise ValueError(
+                    f"OPTIMIZE WHERE predicate is not prunable: {where!r} "
+                    "(supported: col-vs-literal comparisons, IN, BETWEEN, "
+                    "IS NULL, AND/OR)"
+                )
+        scope = self._prune_files(m, pred)
+        size = {f: os.path.getsize(os.path.join(data_root, f)) for f in scope}
+        threshold = target_file_mb * 1024 * 1024
+        if zorder_by or n_files is not None:
+            rewrite = list(scope)
+        else:
+            by_dir: dict[str, list[str]] = {}
+            for f in scope:
+                if size[f] < threshold:
+                    by_dir.setdefault(os.path.dirname(f), []).append(f)
+            rewrite = [
+                f
+                for group in by_dir.values()
+                if len(group) >= 2
+                for f in group
+            ]
+        if not rewrite:
+            return m["version"]  # already compact — idempotent no-op
+        rewrite_set = set(rewrite)
+        carried = [f for f in m["files"] if f not in rewrite_set]
+        df = self._read_files_aligned(rewrite, m)
+        if n_files is None:
+            n_files = max(
+                1, round(sum(size[f] for f in rewrite) / threshold)
+            )
         if zorder_by:
             # preserve_layout stops _write_files' REBALANCE from
             # re-shuffling (and thereby destroying) exactly this clustering.
@@ -1083,20 +1263,30 @@ class ParquetTable:
                 .sortWithinPartitions(*part_cols, "__zval")
                 .drop("__zval")
             )
+            files = _write_files(df, self.root, part_cols, preserve_layout=True)
+        elif part_cols:
+            # REBALANCE on the partition columns merges each partition's
+            # small files in one parallel pass
+            files = _write_files(df, self.root, part_cols)
         else:
-            df = df.coalesce(n_files)
-        files = _write_files(df, self.root, part_cols, preserve_layout=True)
+            files = _write_files(
+                df.coalesce(n_files), self.root, part_cols, preserve_layout=True
+            )
+        old_stats = m.get("stats", {})
         version = _commit(
             self.root,
             version=m["version"] + 1,
-            files=files,
+            files=carried + files,
             schema=m["schema"],
             partition_by=m["partition_by"],
             operation="OPTIMIZE",
             merged_schema=m.get("merged_schema", False),
-            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            stats={
+                **{f: old_stats[f] for f in carried if f in old_stats},
+                **_file_stats(data_root, files),
+            },
             props=m.get("props", {}),
-            blooms=self._blooms_for_commit(m, [], files),
+            blooms=self._blooms_for_commit(m, carried, files),
         )
         self._post_commit()
         return version
@@ -1109,19 +1299,30 @@ class ParquetTable:
         vs = self._versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
+        referenced_cdc: set[str] = set()
         for v in keep:
-            referenced.update(self._manifest(v)["files"])
-        data_root = os.path.join(self.root, _DATA_DIR)
+            m = self._manifest(v)
+            referenced.update(m["files"])
+            referenced_cdc.update(m.get("cdc_files", []))
         removed = 0
-        for dirpath, _dirs, fnames in os.walk(data_root, topdown=False):
-            for fname in fnames:
-                full = os.path.join(dirpath, fname)
-                rel = os.path.relpath(full, data_root)
-                if rel not in referenced:
-                    os.remove(full)
-                    removed += 1
-            if dirpath != data_root and not os.listdir(dirpath):
-                os.rmdir(dirpath)
+
+        def _sweep(root_dir: str, keep_rels: set[str]) -> int:
+            n = 0
+            if not os.path.isdir(root_dir):
+                return 0
+            for dirpath, _dirs, fnames in os.walk(root_dir, topdown=False):
+                for fname in fnames:
+                    full = os.path.join(dirpath, fname)
+                    if os.path.relpath(full, root_dir) not in keep_rels:
+                        os.remove(full)
+                        n += 1
+                if dirpath != root_dir and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            return n
+
+        removed += _sweep(os.path.join(self.root, _DATA_DIR), referenced)
+        # CDC sidecars age out with their commit's manifest, same horizon
+        removed += _sweep(os.path.join(self.root, _CDC_DIR), referenced_cdc)
         for v in vs[:-keep_versions]:
             os.remove(_manifest_path(self.root, v))
         return removed
@@ -1182,6 +1383,29 @@ class ParquetTable:
             m = self._manifest(v)
             if m["operation"] == "OPTIMIZE":
                 continue
+            cdc = m.get("cdc_files", [])
+            if cdc:
+                # DELETE/UPDATE commits record their exact row deltas as
+                # a CDC sidecar — read it directly (cost ∝ changed rows,
+                # zero shuffle) instead of the EXCEPT ALL reconstruction.
+                # Delta's update_pre/postimage row types map onto this
+                # API's delete/insert contract (an UPDATE is its
+                # delete + insert pair).  One visible difference from
+                # the reconstruction: an identity update (post == pre)
+                # surfaces both rows instead of cancelling — Delta's CDF
+                # behaves the same way.
+                ct = F.col("_change_type")
+                slices.append(
+                    self._read_cdc_files(cdc)
+                    .withColumn(
+                        "_change_type",
+                        F.when(ct == "update_preimage", F.lit("delete"))
+                        .when(ct == "update_postimage", F.lit("insert"))
+                        .otherwise(ct),
+                    )
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+                continue
             # start_version = -1 includes v0: everything since creation
             prev = self._manifest(v - 1) if v > 0 else {"files": []}
             prev_files = set(prev["files"])
@@ -1229,6 +1453,15 @@ class ParquetTable:
         for s in slices[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
         return out
+
+    def _read_cdc_files(self, files: list[str]) -> DataFrame:
+        """Read a commit's CDC sidecar files (table columns +
+        ``_change_type``; hive partition values recovered from the
+        directory layout like any data read)."""
+        base = os.path.join(self.root, _CDC_DIR)
+        return self.spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, f) for f in files]
+        )
 
     def _read_files(self, files: list[str], manifest: dict) -> DataFrame:
         """Read an explicit file subset under ``manifest``'s schema rules
@@ -1317,6 +1550,20 @@ def _zvalue(df: DataFrame, zorder_cols: list[str], bits: int = _ZORDER_BITS) -> 
     return z
 
 
+def _uri_to_path(uri: str) -> str:
+    """Local filesystem path from an ``input_file_name()`` URI (scheme
+    stripped, %-escapes undone once — the on-disk name keeps its own
+    hive escaping, which the URI double-encodes)."""
+    from urllib.parse import unquote, urlparse
+
+    return os.path.abspath(unquote(urlparse(uri).path))
+
+
+def _rel_lookup(root_dir: str, rels: Sequence[str]) -> dict[str, str]:
+    """Absolute-path → manifest-relative-path map for a file list."""
+    return {os.path.abspath(os.path.join(root_dir, f)): f for f in rels}
+
+
 def _hive_value(v) -> str:
     """Render a Python value the way it appears in an (unescaped) hive
     partition directory name."""
@@ -1344,9 +1591,11 @@ def _write_files(
     root: str,
     part_cols: Sequence[str],
     preserve_layout: bool = False,
+    subdir: str = _DATA_DIR,
 ) -> list[str]:
-    """Write ``df`` into ``data/`` as immutable uniquely-named parquet files;
-    return paths relative to ``data/``.
+    """Write ``df`` into ``<subdir>/`` (``data/`` for snapshot files,
+    ``_change_data/`` for CDC sidecars) as immutable uniquely-named
+    parquet files; return paths relative to the subdir.
 
     Spark writes a self-contained directory; files are then hard-moved into
     the shared ``data/`` tree under a commit-unique prefix so concurrent
@@ -1369,7 +1618,7 @@ def _write_files(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
-    data_root = os.path.join(root, _DATA_DIR)
+    data_root = os.path.join(root, subdir)
     rels: list[str] = []
     for dirpath, _dirs, fnames in os.walk(staging):
         for fname in fnames:
@@ -1443,6 +1692,7 @@ def _commit(
     stats: dict[str, dict] | None = None,
     props: dict | None = None,
     blooms: dict[str, dict] | None = None,
+    cdc_files: list[str] | None = None,
 ) -> int:
     """Atomically publish a manifest version (write-temp + rename — the
     commit point, mirroring Delta's `_delta_log` JSON commit).
@@ -1463,6 +1713,7 @@ def _commit(
         "stats": stats or {},
         "props": props or {},
         "blooms": blooms or {},
+        "cdc_files": cdc_files or [],
     }
     final = _manifest_path(root, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"

@@ -77,11 +77,11 @@ def test_starting_version_skips_history(registered, tmp_path):
     assert [r["k"] for r in got] == [2]
 
 
-def test_rewrite_commit_raises_unless_ignored(registered, tmp_path):
+def test_sidecarless_rewrite_raises_unless_ignored(registered, tmp_path):
     spark = registered
     root = str(tmp_path / "tbl3")
     t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
-    t.update(F.col("k") == 1, {"v": F.lit("x2")})  # v1 rewrite
+    t.merge(_rows(spark, [(1, "a", "x2")]), on=["k"])  # v1: no CDC sidecar
     t.append(_rows(spark, [(2, "b", "y")]))  # v2
 
     q = (
@@ -92,7 +92,7 @@ def test_rewrite_commit_raises_unless_ignored(registered, tmp_path):
         .queryName("cdf_sink_3a")
         .start()
     )
-    with pytest.raises(Exception, match="UPDATE commit"):
+    with pytest.raises(Exception, match="MERGE commit"):
         q.awaitTermination(60)
 
     # with ignoreChanges the stream skips v1 and delivers v0 + v2
@@ -101,6 +101,30 @@ def test_rewrite_commit_raises_unless_ignored(registered, tmp_path):
         extra_opts={"ignoreChanges": "true"},
     )
     assert sorted((r["k"], r["_commit_version"]) for r in got) == [(1, 0), (2, 2)]
+
+
+def test_update_streams_pre_and_post_images(registered, tmp_path):
+    """A sidecar-backed UPDATE commit streams its real row-level
+    changes — Delta's update_preimage / update_postimage pair — and a
+    DELETE streams its deleted rows; untouched rows never re-stream."""
+    spark = registered
+    root = str(tmp_path / "tbl5")
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")])
+    )
+    t.update(F.col("k") == 1, {"v": F.lit("x2")})  # v1: pre/post sidecar
+    t.delete(F.col("k") == 2)  # v2: delete sidecar
+    got = _drain(spark, root, "cdf_sink_5", want_rows=5)
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"]) for r in got
+    )
+    assert changes == [
+        (0, "insert", 1, "x"),
+        (0, "insert", 2, "y"),
+        (1, "update_postimage", 1, "x2"),  # "post..." sorts before "pre..."
+        (1, "update_preimage", 1, "x"),
+        (2, "delete", 2, "y"),
+    ]
 
 
 def test_partitioned_table_recovers_partition_values(registered, tmp_path):

@@ -1,0 +1,189 @@
+"""File-pruned DML + incremental OPTIMIZE: selective DELETE/UPDATE must
+rewrite only the files that contain matches (everything else carries by
+reference), CDC sidecars must record the exact row deltas, and OPTIMIZE
+must be an incremental, scopeable maintenance op — the behaviors that
+keep table maintenance cost ∝ change, not table, at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _part_table(spark, root, n_parts=4, rows_per_part=50):
+    df = spark.range(n_parts * rows_per_part).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % n_parts).cast("string").alias("part"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    return ParquetTable.create(spark, root, df, partition_by=["part"])
+
+
+def test_selective_delete_rewrites_only_matching_files(spark, root):
+    t = _part_table(spark, root)
+    before = set(t._manifest()["files"])
+    assert len(before) >= 4
+    t.delete("part = '2' AND k = 2")
+    m = t._manifest()
+    after = set(m["files"])
+    # every file of the untouched partitions carries over BY REFERENCE
+    untouched_before = {f for f in before if "part=2" not in f}
+    assert untouched_before <= after
+    rewritten = after - before
+    assert 0 < len(rewritten) < len(before)
+    assert all("part=2" in f for f in rewritten)
+    # CDC sidecar holds exactly the deleted row
+    assert m["cdc_files"]
+    cdc = t._read_cdc_files(m["cdc_files"]).collect()
+    assert [(r["k"], r["_change_type"]) for r in cdc] == [(2, "delete")]
+    # data correct; stats carried for untouched files
+    assert t.read().count() == 199
+    assert t.read().filter("k = 2").count() == 0
+    assert all(f in m["stats"] for f in untouched_before)
+
+
+def test_delete_with_column_condition_still_narrows_rewrite(spark, root):
+    """No SQL string -> no metadata pruning, but the probe phase still
+    finds the files that actually match, so the rewrite stays narrow."""
+    t = _part_table(spark, root)
+    before = set(t._manifest()["files"])
+    t.delete((F.col("part") == "1") & (F.col("k") == 1))
+    after = set(t._manifest()["files"])
+    assert {f for f in before if "part=1" not in f} <= after
+    assert t.read().count() == 199
+
+
+def test_zordered_delete_touches_few_files(spark, root):
+    df = spark.range(2000).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    t = ParquetTable.create(spark, root, df)
+    t.optimize(zorder_by=["k"], n_files=16)
+    before = set(t._manifest()["files"])
+    assert len(before) >= 8
+    t.delete("k BETWEEN 100 AND 110")
+    after = set(t._manifest()["files"])
+    carried = before & after
+    # z-ordering keeps [100, 110] inside a couple of files; the rest
+    # must carry over untouched
+    assert len(before - after) <= 3
+    assert len(carried) >= len(before) - 3
+    assert t.read().count() == 2000 - 11
+
+
+def test_update_prunes_and_records_pre_post_images(spark, root):
+    t = _part_table(spark, root)
+    before = set(t._manifest()["files"])
+    t.update("part = '3' AND k = 3", {"v": F.lit("patched")})
+    m = t._manifest()
+    after = set(m["files"])
+    assert {f for f in before if "part=3" not in f} <= after
+    cdc = t._read_cdc_files(m["cdc_files"]).collect()
+    images = {(r["_change_type"], r["v"]) for r in cdc}
+    assert images == {
+        ("update_preimage", "v3"),
+        ("update_postimage", "patched"),
+    }
+    assert t.read().filter("k = 3").collect()[0]["v"] == "patched"
+    # batch CDF rides the sidecar and maps to the delete/insert contract
+    got = {
+        (r["_change_type"], r["v"])
+        for r in t.changes_between(t.latest_version() - 1).collect()
+    }
+    assert got == {("delete", "v3"), ("insert", "patched")}
+
+
+def test_no_match_delete_carries_everything(spark, root):
+    t = _part_table(spark, root)
+    before = t._manifest()["files"]
+    t.delete("k = 999999")
+    m = t._manifest()
+    assert m["files"] == before  # zero files rewritten
+    assert m["cdc_files"] == []
+
+
+def test_optimize_is_incremental_and_idempotent(spark, root):
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("k"), F.lit("x").alias("v")
+    )
+    t = ParquetTable.create(spark, root, df.repartition(8))
+    assert len(t._manifest()["files"]) == 8
+    v1 = t.optimize()  # compacts the 8 small files
+    assert len(t._manifest()["files"]) == 1
+    # second run: nothing below target in groups of >= 2 -> NO new commit
+    assert t.optimize() == v1
+    assert t.latest_version() == v1
+    # appends create new small files; the next optimize touches ONLY the
+    # small group, never re-reading what is already compact
+    t.append(df.limit(10).repartition(2))
+    t.append(df.limit(10).repartition(2))
+    big = set(t._manifest()["files"]) - {
+        f for f in t._manifest()["files"] if os.path.getsize(
+            os.path.join(root, "data", f)
+        ) < 1024 * 1024
+    }
+    t.optimize()
+    assert t.read().count() == 220
+
+
+def test_optimize_where_scopes_partitions(spark, root):
+    t = _part_table(spark, root)
+    # fragment two partitions with extra small appends
+    extra = spark.range(20).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 2).cast("string").alias("part"),
+        F.lit("e").alias("v"),
+    )
+    t.append(extra)
+    t.append(extra)
+    before = set(t._manifest()["files"])
+    t.optimize(where="part = '0'")
+    after = set(t._manifest()["files"])
+    # partition 1 is also fragmented but out of scope: untouched
+    assert {f for f in before if "part=1" in f} <= after
+    assert {f for f in before if "part=0" in f} - after  # 0 compacted
+    assert t.read().count() == 240
+
+
+def test_optimize_where_unprunable_raises(spark, root):
+    t = _part_table(spark, root)
+    with pytest.raises(ValueError, match="not prunable"):
+        t.optimize(where="k % 2 = 0")
+
+
+def test_bloom_index_correct_on_partitioned_table(spark, root):
+    """Regression: dynamic-partition writes reuse a task's part-file
+    basename in EVERY partition directory it touches, so bloom bitmaps
+    keyed by basename could land on the wrong file and produce false
+    negatives.  Full-path mapping must keep every present key findable."""
+    t = _part_table(spark, root)
+    t.set_bloom_index(["v"], m_bits=2048, k=4)
+    for k in (0, 1, 37, 150, 199):
+        got = t.scan_eq("v", f"v{k}").collect()
+        assert len(got) == 1 and got[0]["k"] == k
+    assert t.scan_eq("v", "nope").count() == 0
+
+
+def test_vacuum_sweeps_expired_cdc_sidecars(spark, root):
+    t = _part_table(spark, root, n_parts=2, rows_per_part=5)
+    t.delete("k = 1")  # v1 writes a sidecar
+    cdc_dir = os.path.join(root, "_change_data")
+    assert any(f.endswith(".parquet") for _, _, fs in os.walk(cdc_dir) for f in fs)
+    t.append(
+        spark.createDataFrame([(99, "0", "z")], "k int, part string, v string")
+    )  # v2
+    t.vacuum(keep_versions=1)  # horizon drops v1's manifest
+    remaining = [
+        f for _, _, fs in os.walk(cdc_dir) for f in fs if f.endswith(".parquet")
+    ]
+    assert remaining == []

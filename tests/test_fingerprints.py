@@ -281,3 +281,39 @@ def test_decontaminate_fp_freq_cull_on_templated_corpus(spark):
     )
     assert {r["doc_id"] for r in bad2.collect()} == {40}
     assert clean2.count() == 40
+
+
+def test_materialized_fp_table_feeds_overlap_identically(spark, tmp_path):
+    """The stored fingerprint table (production artifact) must drive
+    fingerprint_overlap_pairs to the exact same pairs as the inline
+    frame, and re-materializing overwrites in place (same handle)."""
+    from azure_databricks_lakehouse_spark.operators.fingerprints import (
+        fingerprint_overlap_pairs,
+        materialize_fingerprint_table,
+        winnow_fingerprints_long,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"document {i} body " + base[: 20 + i]) for i in range(10)]
+    rows.append((10, rows[3][1]))  # exact copy of doc 3 -> containment 1
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    root = str(tmp_path / "fps")
+    tbl = materialize_fingerprint_table(docs, root, k=5, w=3)
+    from_table = fingerprint_overlap_pairs(
+        tbl.read(), min_shared=2, min_containment=0.8
+    )
+    inline = fingerprint_overlap_pairs(
+        winnow_fingerprints_long(docs, k=5, w=3),
+        min_shared=2,
+        min_containment=0.8,
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    got = sorted(from_table.collect(), key=key)
+    want = sorted(inline.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert any(r["doc_a"] == 3 and r["doc_b"] == 10 for r in got)
+    # overwrite path: second materialization lands as a new version
+    v0 = tbl.latest_version()
+    materialize_fingerprint_table(docs, root, k=5, w=3)
+    assert tbl.latest_version() > v0
