@@ -29,18 +29,28 @@ Scale design:
   partition column is part of the merge key (partition-pruned upsert);
   untouched files carry over into the new manifest by reference.  At
   100 TB this is the difference between rewriting 1 day and 7 years.
-- DELETE/UPDATE are **file-pruned**: manifest footer stats + partition
-  values drop files that cannot match (``plans/pruning``, metadata
-  only), one column-pruned probe finds the files that DO, and only
-  those are rewritten — a one-row DELETE rewrites one file.  Each such
+- DELETE/UPDATE are **file-pruned and merge-on-read**: manifest footer
+  stats + partition values drop files that cannot match
+  (``plans/pruning``, metadata only), one column-pruned probe counts
+  matches per file, and ``mode="auto"`` then picks per file: fully
+  matched files are DROPPED from the manifest (metadata-only partition
+  delete), heavily matched files are rewritten (copy-on-write), and
+  the selective tail gets a **deletion vector** — matched row
+  positions in a ``_deletion_vectors/`` sidecar, masked at read time
+  by a broadcast anti-join on ``(_metadata.file_path,
+  _metadata.row_index)``.  A one-row DELETE writes a KB of DV, not a
+  file — Delta's DV design re-expressed Spark-natively.  Each DML
   commit also writes its exact row delta as a CDC sidecar
   (``_change_data/``), so CDF consumers — batch ``changes_between``
   and the streaming source — read changes at cost ∝ change.
 - OPTIMIZE is **incremental**: plain compaction touches only partition
   groups with ≥ 2 sub-target files (re-running on a compacted table
-  commits nothing), ``where`` scopes any mode to the matching files
-  (``OPTIMIZE ... WHERE`` parity), and Z-ORDER clusters with interleaved
-  bit ranks so min/max stats prune on EVERY clustering column.
+  commits nothing) plus any DV-masked file (merge-on-read debt is
+  materialized away during routine maintenance; ``purge_deletion_vectors``
+  is the targeted ``REORG ... APPLY (PURGE)`` knob), ``where`` scopes
+  any mode to the matching files (``OPTIMIZE ... WHERE`` parity), and
+  Z-ORDER clusters with interleaved bit ranks so min/max stats prune on
+  EVERY clustering column.
 """
 
 from __future__ import annotations
@@ -59,6 +69,11 @@ from pyspark.sql import functions as F
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _CDC_DIR = "_change_data"
+_DV_DIR = "_deletion_vectors"
+
+# file-URI prefix of a table's data root, derived once per root from a
+# one-row probe and cached for the session (see ParquetTable._uri_prefix)
+_URI_PREFIX_CACHE: dict[str, str] = {}
 _CURRENT_DIR = "current"
 _CATALOG_FILE = "_catalog.json"
 
@@ -173,16 +188,24 @@ class ParquetTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read; ``version`` pins a historical manifest (D5 time
-        travel — ``versionAsOf`` equivalent)."""
+        travel — ``versionAsOf`` equivalent).  Applies the manifest's
+        deletion vectors (merge-on-read DML) transparently.
+
+        The result always carries every MANIFEST-declared column: if the
+        last file holding an evolved column is dropped (e.g. a DELETE
+        that swallowed it whole), the column still surfaces as typed
+        NULLs — table schema is a metadata contract, not an accident of
+        which files survive."""
         m = self._manifest(version)
-        if not m["files"]:
-            return self.spark.createDataFrame(
-                [], schema=_schema_from_json(self.spark, m["schema"])
+        df = self._read_files_dv(m["files"], m)
+        schema = _schema_from_json(self.spark, m["schema"])
+        missing = [f for f in schema.fields if f.name not in df.columns]
+        if missing:
+            df = df.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
             )
-        reader = self.spark.read.option("basePath", os.path.join(self.root, _DATA_DIR))
-        if m.get("merged_schema"):
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*[os.path.join(self.root, _DATA_DIR, f) for f in m["files"]])
+        return df
 
     def register(self, name: str, version: int | None = None) -> None:
         """S9 (session-scoped): make the table SQL-visible as a temp view.
@@ -238,10 +261,26 @@ class ParquetTable:
         cur = os.path.join(self.root, _CURRENT_DIR)
         tmp = cur + f".tmp-{uuid.uuid4().hex[:8]}"
         data_root = os.path.join(self.root, _DATA_DIR)
+        dvs = m.get("dvs", {})
         for rel in m["files"]:
+            if rel in dvs:
+                continue  # masked files are materialized below
             dest = os.path.join(tmp, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.link(os.path.join(data_root, rel), dest)
+        masked = [f for f in m["files"] if f in dvs]
+        if masked:
+            # a plain-parquet catalog reader cannot apply deletion
+            # vectors, so the mirror holds DV-applied COPIES of exactly
+            # the masked files (cost ∝ masked bytes; clean files stay
+            # hardlinks).  One distributed write, partition layout kept.
+            os.makedirs(tmp, exist_ok=True)
+            _write_files(
+                self._read_files_dv(masked, m),
+                self.root,
+                m["partition_by"],
+                subdir=os.path.relpath(tmp, self.root),
+            )
         os.makedirs(tmp, exist_ok=True)  # zero-file snapshot edge case
         old = cur + f".old-{uuid.uuid4().hex[:8]}"
         if os.path.isdir(cur):
@@ -299,25 +338,34 @@ class ParquetTable:
                 if hi is not None and fmin > hi:
                     continue
             keep.append(f)
-        if not keep:
-            df = self.spark.createDataFrame(
-                [], schema=_schema_from_json(self.spark, m["schema"])
-            )
-        else:
-            reader = self.spark.read.option(
-                "basePath", os.path.join(self.root, _DATA_DIR)
-            )
-            if m.get("merged_schema"):
-                reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(
-                *[os.path.join(self.root, _DATA_DIR, f) for f in keep]
-            )
+        df = self._read_files_dv(keep, m)
         pred = F.lit(True)
         if lo is not None:
             pred = pred & (F.col(col) >= F.lit(lo))
         if hi is not None:
             pred = pred & (F.col(col) <= F.lit(hi))
         return df.filter(pred)
+
+    def scan_where(self, predicate: str, version: int | None = None) -> DataFrame:
+        """General data-skipping read: any prunable SQL predicate
+        (col-vs-literal comparisons, IN, BETWEEN, IS NULL, AND/OR —
+        the ``plans/pruning`` grammar) prunes files via manifest footer
+        stats AND hive partition values before the exact filter runs.
+
+        This completes the skipping surface beyond :meth:`scan`'s
+        single-column range and :meth:`scan_eq`'s bloom point-lookup:
+        ``t.scan_where("day = '2026-08-14' AND amount > 100")`` opens
+        only files whose partition matches the day and whose footer
+        max(amount) clears 100.  Unprunable predicate shapes degrade
+        to a full (still column-pruned, still DV-masked) read —
+        soundness never depends on the parser."""
+        from azure_databricks_lakehouse_spark.plans.pruning import (
+            parse_predicate,
+        )
+
+        m = self._manifest(version)
+        keep = self._prune_files(m, parse_predicate(predicate))
+        return self._read_files_dv(keep, m).filter(F.expr(predicate))
 
     # -- DML ---------------------------------------------------------------
 
@@ -354,38 +402,50 @@ class ParquetTable:
                 out.append(f)
         return out
 
-    def _files_with_matches(
+    def _match_stats(
         self, m: dict, candidates: list[str], cond
-    ) -> list[str]:
-        """Phase 2 (one probe read): of the stats-surviving candidates,
-        the files that actually CONTAIN matching rows.  Column-pruned to
-        the condition's columns (parquet pushdown applies), and the
-        collect is file-name-sized — bounded by the candidate count,
-        never by rows."""
+    ) -> dict[str, tuple[int, int]]:
+        """Phase 2 (one probe read): per candidate file, ``(live, hit)``
+        — live (non-DV'd) row count and rows matching ``cond``.  The
+        counts drive both the touched-file list and the auto DML-mode
+        split (drop / rewrite / deletion-vector).  Column-pruned to the
+        condition's columns (parquet pushdown applies), and the collect
+        is file-count-sized, never row-sized."""
         if not candidates:
-            return []
+            return {}
         probe = (
-            self._read_files_aligned(candidates, m)
-            .filter(F.coalesce(cond, F.lit(False)))
-            .select(F.input_file_name().alias("__file"))
-            .distinct()
+            self._read_files_aligned(candidates, m, keep_pos=True)
+            .groupBy("__rel")
+            .agg(
+                F.count("*").alias("live"),
+                F.sum(
+                    F.when(F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+                ).alias("hit"),
+            )
             .collect()
         )
+        # __rel is the file-URI suffix; map it back to the manifest's
+        # on-disk relative path (they differ only when a hive partition
+        # value needed URI escaping)
+        prefix = self._uri_prefix(m)
         lookup = _rel_lookup(os.path.join(self.root, _DATA_DIR), candidates)
-        touched = []
+        out: dict[str, tuple[int, int]] = {}
         for r in probe:
-            rel = lookup.get(_uri_to_path(r["__file"]))
+            rel = lookup.get(_uri_to_path(prefix + r["__rel"]))
             if rel is not None:
-                touched.append(rel)
-        return sorted(touched)
+                out[rel] = (r["live"], int(r["hit"] or 0))
+        return out
 
-    def _read_files_aligned(self, files: list[str], m: dict) -> DataFrame:
-        """Read a file subset and align it to the MANIFEST schema: a
-        subset of old files can be narrower than the table after schema
-        evolution, and DML expressions must still resolve every declared
-        column (missing ones surface as typed NULLs, exactly as a full
-        mergeSchema read would)."""
-        df = self._read_files(files, m)
+    def _read_files_aligned(
+        self, files: list[str], m: dict, keep_pos: bool = False
+    ) -> DataFrame:
+        """Read a file subset (deletion vectors applied) and align it to
+        the MANIFEST schema: a subset of old files can be narrower than
+        the table after schema evolution, and DML expressions must still
+        resolve every declared column (missing ones surface as typed
+        NULLs, exactly as a full mergeSchema read would).  ``keep_pos``
+        carries the ``__rel``/``__ri`` position columns through."""
+        df = self._read_files_dv(files, m, keep_pos=keep_pos)
         schema = _schema_from_json(self.spark, m["schema"])
         missing = [f for f in schema.fields if f.name not in df.columns]
         if missing:
@@ -393,41 +453,129 @@ class ParquetTable:
                 "*",
                 *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
             )
-        return df.select(*[f.name for f in schema.fields])
+        cols = [f.name for f in schema.fields]
+        if keep_pos:
+            cols += ["__rel", "__ri"]
+        return df.select(*cols)
 
-    def delete(self, condition) -> int:
+    def _split_dml_modes(
+        self,
+        stats: dict[str, tuple[int, int]],
+        mode: str,
+        dv_threshold: float,
+        allow_drop: bool,
+    ) -> tuple[list[str], list[str], list[str]]:
+        """Per-file DML strategy from the probe's (live, hit) counts:
+        ``(drop, rewrite, dv)``.  ``auto`` drops fully-matched files
+        outright (metadata-only delete — the drop-a-day case), rewrites
+        heavily-matched files (a DV masking most of a file just defers
+        an inevitable rewrite), and deletion-vectors the long tail of
+        selective matches (cost ∝ deleted rows — the 100 TB default)."""
+        if mode not in ("auto", "copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown DML mode {mode!r}")
+        drop, rewrite, dv = [], [], []
+        for f in sorted(stats):
+            live, hit = stats[f]
+            if hit == 0:
+                continue
+            if mode == "copy-on-write":
+                (drop if (allow_drop and hit == live) else rewrite).append(f)
+            elif mode == "merge-on-read":
+                (drop if (allow_drop and hit == live) else dv).append(f)
+            else:
+                if allow_drop and hit == live:
+                    drop.append(f)
+                elif hit >= dv_threshold * live:
+                    rewrite.append(f)
+                else:
+                    dv.append(f)
+        return drop, rewrite, dv
+
+    def _write_dv_entries(self, pos_df: DataFrame) -> list[str]:
+        """Persist deleted (file, row position) pairs as DV sidecar
+        parquet under ``_deletion_vectors/``; returns the sidecar rels.
+        Distributed write — DV size is ∝ matched rows."""
+        return _write_files(
+            pos_df.select(
+                F.col("__rel").alias("__file"), F.col("__ri").alias("__row_index")
+            ),
+            self.root,
+            [],
+            preserve_layout=True,
+            subdir=_DV_DIR,
+        )
+
+    def delete(
+        self,
+        condition,
+        mode: str = "auto",
+        dv_threshold: float = 0.5,
+    ) -> int:
         """Delta-DML parity: ``DELETE WHERE condition`` (a Column, or a
         SQL string to enable metadata pruning).
 
-        File-pruned rewrite — the 100 TB path: footer stats + partition
-        values drop files that cannot match (metadata only), one
-        column-pruned probe finds the files that DO match, and ONLY
-        those are rewritten without their matching rows; every other
-        file carries into the new manifest by reference.  A one-row
-        DELETE on a z-ordered fact rewrites one file, not the table.
-        The deleted rows land as a CDC sidecar (``_change_data/``) in
-        the same commit, so CDF consumers read the delta directly
-        instead of reconstructing it.  Old files remain for time travel
-        until VACUUM.
+        File-pruned — the 100 TB path: footer stats + partition values
+        drop files that cannot match (metadata only), one column-pruned
+        probe counts matches per file, and each touched file takes the
+        cheapest sound strategy (``mode="auto"``):
+
+        - **drop** — every live row matches: the file leaves the
+          manifest; zero bytes written (deleting a whole partition is a
+          metadata operation, like Delta's partition delete).
+        - **rewrite** (copy-on-write) — most rows match
+          (``hit >= dv_threshold * live``): rewrite the file without
+          them; a DV masking most of a file just defers the rewrite.
+        - **deletion vector** (merge-on-read) — the selective tail: the
+          matched row POSITIONS land in a ``_deletion_vectors/``
+          sidecar and the data file is untouched; reads mask them with
+          a broadcast anti-join.  A one-row DELETE writes a KB, not a
+          file — Delta's deletion-vector design re-expressed on
+          ``_metadata.row_index``.
+
+        ``mode="copy-on-write"`` / ``"merge-on-read"`` force a single
+        strategy.  Matched rows land as a CDC sidecar (``_change_data/``)
+        in the same commit, so CDF consumers read the delta directly.
+        Old files and superseded DVs remain for time travel until
+        VACUUM; OPTIMIZE (or ``purge_deletion_vectors``) materializes
+        DVs away.
         """
         m = self._manifest()
         cond_col, pred = self._as_condition(condition)
         cond = F.coalesce(cond_col, F.lit(False))
         candidates = self._prune_files(m, pred)
-        touched = self._files_with_matches(m, candidates, cond)
-        touched_set = set(touched)
-        carried = [f for f in m["files"] if f not in touched_set]
+        stats = self._match_stats(m, candidates, cond)
+        drop, rewrite, dv_dest = self._split_dml_modes(
+            stats, mode, dv_threshold, allow_drop=True
+        )
+        touched = sorted([*drop, *rewrite, *dv_dest])
+        gone = set(drop) | set(rewrite)
+        carried = [f for f in m["files"] if f not in gone]
         files: list[str] = []
         cdc_files: list[str] = []
+        dv_rels: list[str] = []
+        if rewrite:
+            files = _write_files(
+                self._read_files_aligned(rewrite, m).filter(~cond),
+                self.root,
+                m["partition_by"],
+            )
+        if dv_dest:
+            dv_rels = self._write_dv_entries(
+                self._read_files_aligned(dv_dest, m, keep_pos=True).filter(cond)
+            )
         if touched:
-            hit = self._read_files_aligned(touched, m)
-            files = _write_files(hit.filter(~cond), self.root, m["partition_by"])
             cdc_files = _write_files(
-                hit.filter(cond).withColumn("_change_type", F.lit("delete")),
+                self._read_files_aligned(touched, m)
+                .filter(cond)
+                .withColumn("_change_type", F.lit("delete")),
                 self.root,
                 m["partition_by"],
                 subdir=_CDC_DIR,
             )
+        old_dvs = m.get("dvs", {})
+        dvs = {f: v for f, v in old_dvs.items() if f not in gone and f not in drop}
+        for f in dv_dest:
+            dvs[f] = dvs.get(f, []) + dv_rels
         old_stats = m.get("stats", {})
         version = _commit(
             self.root,
@@ -444,11 +592,18 @@ class ParquetTable:
             props=m.get("props", {}),
             blooms=self._blooms_for_commit(m, carried, files),
             cdc_files=cdc_files,
+            dvs=dvs,
         )
         self._post_commit()
         return version
 
-    def update(self, condition, assignments: dict) -> int:
+    def update(
+        self,
+        condition,
+        assignments: dict,
+        mode: str = "auto",
+        dv_threshold: float = 0.5,
+    ) -> int:
         """Delta-DML parity: ``UPDATE SET col = expr WHERE condition``
         (condition as Column, or SQL string for metadata pruning).
 
@@ -458,11 +613,15 @@ class ParquetTable:
         ``UPDATE SET a = b, b = a`` swaps — all assignment expressions are
         built from the original frame in one ``select``, never chained.
 
-        Same file-pruned rewrite as :meth:`delete`: only files actually
-        containing matched rows are rewritten; the rest carry over by
-        reference.  Pre/post images of the matched rows land as a CDC
-        sidecar in the same commit (``update_preimage`` /
-        ``update_postimage`` — Delta's CDF row types).
+        Same file-pruned strategy split as :meth:`delete`: heavily
+        matched files are rewritten in place (copy-on-write); the
+        selective tail is merge-on-read — the matched rows' positions
+        land in a deletion vector and their POST-images are appended as
+        new files, so a one-row UPDATE writes one row plus a KB of DV
+        instead of rewriting a file.  Pre/post images of the matched
+        rows land as a CDC sidecar in the same commit
+        (``update_preimage`` / ``update_postimage`` — Delta's CDF row
+        types).
         """
         m = self._manifest()
         schema_cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
@@ -472,32 +631,34 @@ class ParquetTable:
         cond_col, pred = self._as_condition(condition)
         cond = F.coalesce(cond_col, F.lit(False))
         candidates = self._prune_files(m, pred)
-        touched = self._files_with_matches(m, candidates, cond)
-        touched_set = set(touched)
-        carried = [f for f in m["files"] if f not in touched_set]
+        stats = self._match_stats(m, candidates, cond)
+        # an update replaces rows, so a fully-matched file is a rewrite,
+        # never a drop
+        _, rewrite, dv_dest = self._split_dml_modes(
+            stats, mode, dv_threshold, allow_drop=False
+        )
+        touched = sorted([*rewrite, *dv_dest])
+        rewrite_set = set(rewrite)
+        carried = [f for f in m["files"] if f not in rewrite_set]
         files: list[str] = []
         cdc_files: list[str] = []
+        dv_rels: list[str] = []
+
+        def _post_image(frame: DataFrame) -> DataFrame:
+            return frame.select(
+                *[
+                    assignments[c].alias(c) if c in assignments else F.col(c)
+                    for c in schema_cols
+                ]
+            )
+
         if touched:
             hit = self._read_files_aligned(touched, m)
             pre = hit.filter(cond)
-            post = pre.select(
-                *[
-                    assignments[c].alias(c) if c in assignments else F.col(c)
-                    for c in hit.columns
-                ]
-            )
+            post = _post_image(pre)
             # constraints are checked on the POST-update image of matched
             # rows only — the checked set stays proportional to the change
             self._enforce_current(post, m, "UPDATE")
-            updated = hit.select(
-                *[
-                    F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
-                    if c in assignments
-                    else F.col(c)
-                    for c in hit.columns
-                ]
-            )
-            files = _write_files(updated, self.root, m["partition_by"])
             cdc = pre.withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
@@ -506,6 +667,30 @@ class ParquetTable:
             cdc_files = _write_files(
                 cdc, self.root, m["partition_by"], subdir=_CDC_DIR
             )
+        if rewrite:
+            full = self._read_files_aligned(rewrite, m)
+            updated = full.select(
+                *[
+                    F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in schema_cols
+                ]
+            )
+            files += _write_files(updated, self.root, m["partition_by"])
+        if dv_dest:
+            matched = self._read_files_aligned(dv_dest, m, keep_pos=True).filter(
+                cond
+            )
+            dv_rels = self._write_dv_entries(matched)
+            # post-images of the DV-masked rows are appended as new files
+            files += _write_files(
+                _post_image(matched), self.root, m["partition_by"]
+            )
+        old_dvs = m.get("dvs", {})
+        dvs = {f: v for f, v in old_dvs.items() if f not in rewrite_set}
+        for f in dv_dest:
+            dvs[f] = dvs.get(f, []) + dv_rels
         old_stats = m.get("stats", {})
         version = _commit(
             self.root,
@@ -522,6 +707,7 @@ class ParquetTable:
             props=m.get("props", {}),
             blooms=self._blooms_for_commit(m, carried, files),
             cdc_files=cdc_files,
+            dvs=dvs,
         )
         self._post_commit()
         return version
@@ -544,6 +730,7 @@ class ParquetTable:
             stats=old.get("stats", {}),
             props=old.get("props", {}),
             blooms=old.get("blooms", {}),
+            dvs=old.get("dvs", {}),
         )
         self._post_commit()
         return version
@@ -581,6 +768,20 @@ class ParquetTable:
                 os.link(os.path.join(src_data, rel), dest)
             except OSError:
                 shutil.copy2(os.path.join(src_data, rel), dest)
+        # DV sidecars travel with the snapshot (entries are data-root-
+        # relative, so they remain valid under the clone's own root)
+        dvs = m.get("dvs", {})
+        dv_rels = sorted({d for rels in dvs.values() for d in rels})
+        if dv_rels:
+            src_dv = os.path.join(self.root, _DV_DIR)
+            dst_dv = os.path.join(dest_root, _DV_DIR)
+            for rel in dv_rels:
+                dest = os.path.join(dst_dv, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                try:
+                    os.link(os.path.join(src_dv, rel), dest)
+                except OSError:
+                    shutil.copy2(os.path.join(src_dv, rel), dest)
         _commit(
             dest_root,
             version=0,
@@ -592,6 +793,7 @@ class ParquetTable:
             stats=m.get("stats", {}),
             props=m.get("props", {}),
             blooms=m.get("blooms", {}),
+            dvs=dvs,
         )
         return ParquetTable(self.spark, dest_root)
 
@@ -810,20 +1012,9 @@ class ParquetTable:
                     if not all((bits >> p) & 1 for p in pos):
                         continue
             keep.append(f)
-        if not keep:
-            df = self.spark.createDataFrame(
-                [], schema=_schema_from_json(self.spark, m["schema"])
-            )
-        else:
-            reader = self.spark.read.option(
-                "basePath", os.path.join(self.root, _DATA_DIR)
-            )
-            if m.get("merged_schema"):
-                reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(
-                *[os.path.join(self.root, _DATA_DIR, f) for f in keep]
-            )
-        return df.filter(F.col(col) == F.lit(value))
+        # DV-aware: a bloom/stats hit whose rows were all merge-on-read
+        # deleted must still return nothing
+        return self._read_files_dv(keep, m).filter(F.col(col) == F.lit(value))
 
     def _compute_blooms(self, files: list[str], m: dict) -> dict[str, dict]:
         """Distributed bloom build for ``files``; returns
@@ -1015,6 +1206,7 @@ class ParquetTable:
                     stats={**m.get("stats", {}), **stats},
                     props=props,
                     blooms={**m.get("blooms", {}), **new_blooms},
+                    dvs=m.get("dvs", {}),
                 )
             except FileExistsError:
                 time.sleep(min(0.05 * (attempt + 1), 0.5))
@@ -1137,13 +1329,9 @@ class ParquetTable:
                 pv = _partition_values(f, part_cols)
                 (rewrite_files if pv in touched_set else keep_files).append(f)
             if rewrite_files:
-                base = os.path.join(self.root, _DATA_DIR)
-                reader = self.spark.read.option("basePath", base)
-                if m.get("merged_schema"):
-                    reader = reader.option("mergeSchema", "true")
-                target = reader.parquet(
-                    *[os.path.join(base, f) for f in rewrite_files]
-                )
+                # DV-aware read: merge must not resurrect rows a
+                # merge-on-read DELETE already masked in these files
+                target = self._read_files_dv(rewrite_files, m)
             else:
                 target = target.limit(0)
             carried = keep_files
@@ -1177,6 +1365,11 @@ class ParquetTable:
             },
             props=m.get("props", {}),
             blooms=self._blooms_for_commit(m, carried, files),
+            dvs={
+                f: v
+                for f, v in m.get("dvs", {}).items()
+                if f in set(carried)
+            },
         )
         self._post_commit()
         return version
@@ -1231,6 +1424,7 @@ class ParquetTable:
         scope = self._prune_files(m, pred)
         size = {f: os.path.getsize(os.path.join(data_root, f)) for f in scope}
         threshold = target_file_mb * 1024 * 1024
+        dvs_map = m.get("dvs", {})
         if zorder_by or n_files is not None:
             rewrite = list(scope)
         else:
@@ -1244,6 +1438,11 @@ class ParquetTable:
                 if len(group) >= 2
                 for f in group
             ]
+            # any in-scope file masked by a deletion vector is rewritten
+            # too: OPTIMIZE is where merge-on-read debt is materialized
+            # away (Delta's REORG ... APPLY (PURGE) folded into routine
+            # compaction)
+            rewrite = sorted(set(rewrite) | {f for f in scope if f in dvs_map})
         if not rewrite:
             return m["version"]  # already compact — idempotent no-op
         rewrite_set = set(rewrite)
@@ -1287,6 +1486,56 @@ class ParquetTable:
             },
             props=m.get("props", {}),
             blooms=self._blooms_for_commit(m, carried, files),
+            dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
+        )
+        self._post_commit()
+        return version
+
+    def purge_deletion_vectors(self, where: str | None = None) -> int:
+        """Delta parity: ``REORG TABLE ... APPLY (PURGE)`` — rewrite
+        EXACTLY the files carrying deletion vectors (optionally scoped by
+        a prunable ``where``), materializing merge-on-read deletes into
+        clean files.  No-op returning the current version when nothing
+        is masked.  Routine OPTIMIZE also purges; this is the targeted
+        knob when compaction isn't otherwise due."""
+        m = self._manifest()
+        pred = None
+        if where is not None:
+            from azure_databricks_lakehouse_spark.plans.pruning import (
+                parse_predicate,
+            )
+
+            pred = parse_predicate(where)
+            if pred is None:
+                raise ValueError(f"predicate is not prunable: {where!r}")
+        dvs_map = m.get("dvs", {})
+        scope = set(self._prune_files(m, pred))
+        rewrite = sorted(f for f in dvs_map if f in scope)
+        if not rewrite:
+            return m["version"]
+        rewrite_set = set(rewrite)
+        carried = [f for f in m["files"] if f not in rewrite_set]
+        files = _write_files(
+            self._read_files_aligned(rewrite, m),
+            self.root,
+            m["partition_by"],
+        )
+        old_stats = m.get("stats", {})
+        version = _commit(
+            self.root,
+            version=m["version"] + 1,
+            files=carried + files,
+            schema=m["schema"],
+            partition_by=m["partition_by"],
+            operation="OPTIMIZE",  # data-preserving: CDF skips it
+            merged_schema=m.get("merged_schema", False),
+            stats={
+                **{f: old_stats[f] for f in carried if f in old_stats},
+                **_file_stats(os.path.join(self.root, _DATA_DIR), files),
+            },
+            props=m.get("props", {}),
+            blooms=self._blooms_for_commit(m, carried, files),
+            dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
         )
         self._post_commit()
         return version
@@ -1300,10 +1549,13 @@ class ParquetTable:
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
         referenced_cdc: set[str] = set()
+        referenced_dv: set[str] = set()
         for v in keep:
             m = self._manifest(v)
             referenced.update(m["files"])
             referenced_cdc.update(m.get("cdc_files", []))
+            for dv_rels in m.get("dvs", {}).values():
+                referenced_dv.update(dv_rels)
         removed = 0
 
         def _sweep(root_dir: str, keep_rels: set[str]) -> int:
@@ -1323,6 +1575,8 @@ class ParquetTable:
         removed += _sweep(os.path.join(self.root, _DATA_DIR), referenced)
         # CDC sidecars age out with their commit's manifest, same horizon
         removed += _sweep(os.path.join(self.root, _CDC_DIR), referenced_cdc)
+        # DV sidecars likewise: superseded by OPTIMIZE/purge or rewrites
+        removed += _sweep(os.path.join(self.root, _DV_DIR), referenced_dv)
         for v in vs[:-keep_versions]:
             os.remove(_manifest_path(self.root, v))
         return removed
@@ -1407,13 +1661,23 @@ class ParquetTable:
                 )
                 continue
             # start_version = -1 includes v0: everything since creation
-            prev = self._manifest(v - 1) if v > 0 else {"files": []}
+            prev = self._manifest(v - 1) if v > 0 else {"files": [], "dvs": {}}
             prev_files = set(prev["files"])
             cur_files = set(m["files"])
-            added = sorted(cur_files - prev_files)
-            removed = sorted(prev_files - cur_files)
-            added_df = self._read_files(added, m)
-            removed_df = self._read_files(removed, prev if removed else m)
+            # a carried file whose deletion-vector state changed (e.g.
+            # RESTORE across a merge-on-read DELETE) contributes a row
+            # diff without a file diff: treat it as removed+re-added and
+            # let EXCEPT ALL find the row-level change under each side's
+            # own DV mask
+            dv_changed = {
+                f
+                for f in cur_files & prev_files
+                if m.get("dvs", {}).get(f) != prev.get("dvs", {}).get(f)
+            }
+            added = sorted((cur_files - prev_files) | dv_changed)
+            removed = sorted((prev_files - cur_files) | dv_changed)
+            added_df = self._read_files_dv(added, m)
+            removed_df = self._read_files_dv(removed, prev if removed else m)
             if removed:
                 # align on the union of columns so EXCEPT ALL compares
                 # row VALUES even across a schema-evolution boundary
@@ -1465,7 +1729,9 @@ class ParquetTable:
 
     def _read_files(self, files: list[str], manifest: dict) -> DataFrame:
         """Read an explicit file subset under ``manifest``'s schema rules
-        (empty list -> empty frame with the manifest schema)."""
+        (empty list -> empty frame with the manifest schema).  RAW read:
+        deletion vectors are NOT applied — snapshot-consistent callers
+        go through :meth:`_read_files_dv`."""
         if not files:
             return self.spark.createDataFrame(
                 [], schema=_schema_from_json(self.spark, manifest["schema"])
@@ -1478,6 +1744,116 @@ class ParquetTable:
         return reader.parquet(
             *[os.path.join(self.root, _DATA_DIR, f) for f in files]
         )
+
+    def _uri_prefix(self, m: dict) -> str:
+        """The exact ``_metadata.file_path`` URI prefix Spark reports for
+        this table's data root (e.g. ``file:/abs/path/to/data/``).
+
+        Derived empirically from a one-row probe of a manifest file and
+        cached per root for the session — hardcoding the scheme rendering
+        would silently break the DV anti-join if a Spark version changed
+        URI formatting, and a silent mismatch here would RESURRECT
+        deleted rows.  The probe verifies the prefix round-trips."""
+        data_root = os.path.abspath(os.path.join(self.root, _DATA_DIR))
+        cached = _URI_PREFIX_CACHE.get(data_root)
+        if cached is not None:
+            return cached
+        # one-row probe over the whole file list (individual files can be
+        # empty); whichever file the row came from, its URI ends with a
+        # relative path we know — prefix = uri minus that suffix
+        row = (
+            self.spark.read.parquet(
+                *[os.path.join(data_root, f) for f in m["files"]]
+            )
+            .select(F.col("_metadata.file_path").alias("fp"))
+            .first()
+        )
+        if row is None:
+            # zero-row snapshot: no DV can mask anything, so the exact
+            # rendering is moot — return the format Spark emits for
+            # local paths WITHOUT caching it (a later probe with real
+            # rows re-derives and verifies)
+            return "file:" + data_root.replace(os.sep, "/") + "/"
+        fp = row["fp"]
+        # longest suffix match guards against one rel being a suffix of
+        # another (cannot happen with commit-id-prefixed names, but the
+        # prefix derivation must not depend on that invariant)
+        match = max(
+            (r for r in m["files"] if fp.endswith(r)), key=len, default=None
+        )
+        if match is None:
+            raise RuntimeError(
+                f"cannot derive file-URI prefix: {fp!r} matches no "
+                "manifest file (URI-escaped partition value?)"
+            )
+        prefix = fp[: -len(match)]
+        _URI_PREFIX_CACHE[data_root] = prefix
+        return prefix
+
+    def _dv_frame(self, m: dict, files: list[str]) -> DataFrame | None:
+        """The distinct deleted (``__file``, ``__row_index``) positions
+        masking any of ``files`` under manifest ``m`` — None when none.
+        ``__file`` is the data-root-relative path as it appears in the
+        file URI suffix, so entries survive CLONE/relocation."""
+        dvs = m.get("dvs", {})
+        rels = sorted({d for f in files for d in dvs.get(f, [])})
+        if not rels:
+            return None
+        dv_root = os.path.join(self.root, _DV_DIR)
+        return (
+            self.spark.read.parquet(*[os.path.join(dv_root, r) for r in rels])
+            .select("__file", "__row_index")
+            .distinct()
+        )
+
+    def _read_files_dv(
+        self, files: list[str], m: dict, keep_pos: bool = False
+    ) -> DataFrame:
+        """Snapshot-consistent read of a file subset: applies manifest
+        ``m``'s deletion vectors (merge-on-read) via a BROADCAST
+        anti-join on (file, row position) — DV size is ∝ deleted rows,
+        never table rows, so the mask always broadcasts.  Zero overhead
+        when no file in the subset carries a DV.
+
+        ``keep_pos`` keeps ``__rel`` (data-root-relative file path) and
+        ``__ri`` (physical row index) columns — the DML probe's handle
+        for attributing matches to files and writing new DV entries."""
+        dvs = m.get("dvs", {})
+        need_dv = any(f in dvs for f in files)
+        if not files:
+            df = self.spark.createDataFrame(
+                [], schema=_schema_from_json(self.spark, m["schema"])
+            )
+            if keep_pos:
+                df = df.withColumns(
+                    {
+                        "__rel": F.lit(None).cast("string"),
+                        "__ri": F.lit(None).cast("long"),
+                    }
+                )
+            return df
+        base = self._read_files(files, m)
+        if not (need_dv or keep_pos):
+            return base
+        prefix = self._uri_prefix(m)
+        df = base.select(
+            F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})").alias(
+                "__rel"
+            ),
+            F.col("_metadata.row_index").alias("__ri"),
+            "*",
+        )
+        if need_dv:
+            dv = self._dv_frame(m, files)
+            df = df.join(
+                F.broadcast(dv),
+                (df["__rel"] == dv["__file"])
+                & (df["__ri"] == dv["__row_index"]),
+                "left_anti",
+            )
+        if not keep_pos:
+            df = df.drop("__rel", "__ri")
+        return df
 
 
 # -- internals --------------------------------------------------------------
@@ -1693,6 +2069,7 @@ def _commit(
     props: dict | None = None,
     blooms: dict[str, dict] | None = None,
     cdc_files: list[str] | None = None,
+    dvs: dict[str, list[str]] | None = None,
 ) -> int:
     """Atomically publish a manifest version (write-temp + rename — the
     commit point, mirroring Delta's `_delta_log` JSON commit).
@@ -1714,6 +2091,10 @@ def _commit(
         "props": props or {},
         "blooms": blooms or {},
         "cdc_files": cdc_files or [],
+        # merge-on-read deletion vectors: data file -> the DV sidecar
+        # parquet files (under _deletion_vectors/) holding its deleted
+        # row positions.  A file absent from the map has no masked rows.
+        "dvs": dvs or {},
     }
     final = _manifest_path(root, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"

@@ -29,10 +29,12 @@ def _part_table(spark, root, n_parts=4, rows_per_part=50):
 
 
 def test_selective_delete_rewrites_only_matching_files(spark, root):
+    """Forced copy-on-write (the auto default would take the cheaper
+    deletion-vector path for a 1-of-50 match — tests/test_dvs.py)."""
     t = _part_table(spark, root)
     before = set(t._manifest()["files"])
     assert len(before) >= 4
-    t.delete("part = '2' AND k = 2")
+    t.delete("part = '2' AND k = 2", mode="copy-on-write")
     m = t._manifest()
     after = set(m["files"])
     # every file of the untouched partitions carries over BY REFERENCE
@@ -187,3 +189,28 @@ def test_vacuum_sweeps_expired_cdc_sidecars(spark, root):
         f for _, _, fs in os.walk(cdc_dir) for f in fs if f.endswith(".parquet")
     ]
     assert remaining == []
+
+
+def test_scan_where_prunes_on_partitions_and_stats(spark, root):
+    """General-predicate data skipping: partition dirs and footer stats
+    both prune before the exact filter runs; unprunable shapes degrade
+    to a full (correct) read."""
+    t = _part_table(spark, root)
+    # partition prune: only part=1 files survive the metadata pass
+    kept = t._prune_files(
+        t._manifest(),
+        __import__(
+            "azure_databricks_lakehouse_spark.plans.pruning",
+            fromlist=["parse_predicate"],
+        ).parse_predicate("part = '1' AND k BETWEEN 0 AND 10"),
+    )
+    assert kept and all("part=1" in f for f in kept)
+    rows = t.scan_where("part = '1' AND k BETWEEN 0 AND 10").collect()
+    assert sorted(r["k"] for r in rows) == [1, 5, 9]
+    # stats prune: impossible range opens zero files but stays correct
+    assert t.scan_where("k > 1000000").count() == 0
+    # unprunable shape (function call) degrades to full read, right answer
+    assert t.scan_where("length(v) >= 2 AND k = 7").count() == 1
+    # respects deletion vectors
+    t.delete("k = 5", mode="merge-on-read")
+    assert t.scan_where("part = '1' AND k BETWEEN 0 AND 10").count() == 2

@@ -184,3 +184,24 @@ def test_refresh_recovers_from_unstamped_table(spark, tmp_path):
     )
     refresh_sum_aggregate(base, agg_root, group_cols=["k"], sum_cols=["v"])
     assert _read_agg(spark, agg_root) == {"a": (1, 1)}
+
+
+def test_refresh_tracks_merge_on_read_deletes(spark, tmp_path):
+    """A deletion-vector DELETE never rewrites a data file, but its CDC
+    sidecar still carries the exact retraction — the incremental refresh
+    must subtract it like any copy-on-write delete."""
+    base_root, agg_root = str(tmp_path / "base"), str(tmp_path / "agg")
+    base = ParquetTable.create(
+        spark,
+        base_root,
+        spark.createDataFrame(
+            [("a", 10, 1), ("a", 20, 2), ("b", 5, 3), ("b", 7, 4)], _SCHEMA
+        ).coalesce(1),  # one shared file so the delete takes the DV path
+    )
+    refresh_sum_aggregate(base, agg_root, group_cols=["k"], sum_cols=["v"])
+    files_before = list(base._manifest()["files"])
+    base.delete("id = 2", mode="merge-on-read")
+    assert base._manifest()["files"] == files_before  # DV, not rewrite
+    refresh_sum_aggregate(base, agg_root, group_cols=["k"], sum_cols=["v"])
+    assert _read_agg(spark, agg_root) == _agg_of(base.read())
+    assert _read_agg(spark, agg_root) == {"a": (10, 1), "b": (12, 2)}
