@@ -8,7 +8,9 @@ them:
 
 1. **quality gate** — learned hashed-n-gram scorer when weights are
    supplied (`operators/quality`), else the q25-style stopword/length
-   heuristics.  Cheap projections first: cull before paying dedup.
+   heuristics; optionally stacked with a CCNet-style LM perplexity cap
+   (`operators/lm`) when a reference model is supplied.  Cheap
+   projections first: cull before paying dedup.
 2. **exact dedup** — md5 of normalized text, keep the smallest doc id
    per digest (hash-shuffle on the digest, q27's policy).
 3. **fuzzy dedup** — winnowing fingerprints → bucketed containment
@@ -81,6 +83,8 @@ def prepare_training_corpus(
     *,
     benchmark: DataFrame | None = None,
     quality_weights: DataFrame | None = None,
+    perplexity_lm=None,
+    max_log2_ppl: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     quality_threshold: float = 0.5,
@@ -135,6 +139,30 @@ def prepare_training_corpus(
     else:
         kept = docs.filter(_heuristic_quality(F.col(text_col)))
     kept = _note("quality", kept)
+
+    # 1b. optional LM perplexity cap (CCNet's signal): cull documents
+    # the reference-domain model finds too surprising.  NULL-scored
+    # documents (< 2 tokens) pass through — the length gates above own
+    # that case; a fake number here would double-judge them.
+    if perplexity_lm is not None:
+        if max_log2_ppl is None:
+            raise ValueError("perplexity_lm requires max_log2_ppl")
+        from azure_databricks_lakehouse_spark.operators.lm import (
+            score_perplexity,
+        )
+
+        ppl = score_perplexity(
+            kept, perplexity_lm, text_col=text_col, id_col=id_col
+        ).select(id_col, "log2_ppl")
+        kept = (
+            kept.join(ppl, id_col)
+            .filter(
+                F.col("log2_ppl").isNull()
+                | (F.col("log2_ppl") <= F.lit(max_log2_ppl))
+            )
+            .drop("log2_ppl")
+        )
+        kept = _note("perplexity", kept)
 
     # 2. exact dedup (digest of normalized text, keep min id)
     digested = kept.withColumn("_digest", F.md5(norm_text(text_col)))

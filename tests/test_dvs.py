@@ -259,3 +259,45 @@ def test_mor_delete_on_schema_evolved_table(spark, root):
     assert t.read().count() == 200
     # old narrow files still readable with typed NULL score
     assert t.read().filter("score IS NULL").count() == 200
+
+
+@pytest.mark.parametrize(
+    "cond",
+    [
+        "k % 7 = 3",                      # scattered selective rows
+        "part = '1'",                     # whole partition
+        "k < 0",                          # no match
+        "part = '2' AND k <= 110",        # mixed: heavy in one partition
+        "v = 'v17' OR k BETWEEN 190 AND 199",  # string + range mix
+    ],
+)
+def test_cow_and_mor_deletes_are_semantically_identical(spark, root, cond):
+    """Whatever strategy the writer picks, readers must see the same
+    table: same surviving rows, same CDC delta, same count — the
+    mode is a COST decision, never a semantics decision."""
+    t_cow = _table(spark, root + "_cow")
+    t_mor = _table(spark, root + "_mor")
+    t_cow.delete(cond, mode="copy-on-write")
+    t_mor.delete(cond, mode="merge-on-read")
+    rows_cow = sorted(
+        (r["k"], r["part"], r["v"]) for r in t_cow.read().collect()
+    )
+    rows_mor = sorted(
+        (r["k"], r["part"], r["v"]) for r in t_mor.read().collect()
+    )
+    assert rows_cow == rows_mor
+    cdc_cow = sorted(
+        (r["k"], r["_change_type"])
+        for r in t_cow.changes_between(0).collect()
+    )
+    cdc_mor = sorted(
+        (r["k"], r["_change_type"])
+        for r in t_mor.changes_between(0).collect()
+    )
+    assert cdc_cow == cdc_mor
+    # and purging the MoR side converges to the same physical state class
+    t_mor.purge_deletion_vectors()
+    assert t_mor._manifest()["dvs"] == {}
+    assert sorted(
+        (r["k"], r["part"], r["v"]) for r in t_mor.read().collect()
+    ) == rows_cow

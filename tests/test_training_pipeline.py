@@ -109,3 +109,32 @@ def test_learned_gate_rejects_gramless_docs(spark):
         docs, quality_weights=weights, audit=False
     )
     assert {r["doc_id"] for r in res.corpus.select("doc_id").collect()} == {1}
+
+
+def test_perplexity_gate_culls_out_of_domain(spark):
+    """Stacked LM gate: the reference-domain model culls gibberish the
+    stopword heuristic cannot catch (it HAS stopwords, but no bigram is
+    in-domain), while fluent documents and short NULL-scored ones pass."""
+    from azure_databricks_lakehouse_spark.operators.lm import train_ngram_lm
+
+    ref = spark.createDataFrame(
+        [(t,) for _i, t in _DOCS if "click" not in t] * 3, "text string"
+    )
+    lm = train_ngram_lm(ref, min_count=2)
+    docs = spark.createDataFrame(
+        _DOCS
+        + [
+            # stopword-rich but out-of-domain -> only the LM catches it
+            (7, "the borogoves and the mome raths in the wabe of the toves "
+                "did gyre and gimble for the slithy outgrabe of the brillig"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(_BENCH, "doc_id int, text string")
+    res = prepare_training_corpus(
+        docs, benchmark=bench, perplexity_lm=lm, max_log2_ppl=5.0
+    )
+    ids = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    assert 7 not in ids, "out-of-domain doc must be perplexity-culled"
+    assert 1 in ids and 4 in ids
+    assert res.audit["perplexity"] < res.audit["quality"]
