@@ -83,6 +83,9 @@ def _versions(root: str) -> list[int]:
 class _FilePartition(InputPartition):
     path: str  # absolute path of one added data file
     version: int
+    # logical -> physical column renames of the commit's manifest (the
+    # table's column mapping); data files store PHYSICAL names
+    renames: tuple = ()
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
@@ -143,9 +146,14 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 set(_manifest(self.root, v - 1)["files"]) if v > 0 else set()
             )
             data_root = os.path.join(self.root, _DATA_DIR)
+            renames = tuple(sorted(m.get("colmap", {}).items()))
             for f in sorted(set(m["files"]) - prev_files):
                 parts.append(
-                    _FilePartition(path=os.path.join(data_root, f), version=v)
+                    _FilePartition(
+                        path=os.path.join(data_root, f),
+                        version=v,
+                        renames=renames,
+                    )
                 )
         return parts
 
@@ -160,11 +168,13 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # names (part=x/...), not in the parquet columns — recover them
         # from the path and cast per the declared schema.
         dtypes = {f.name: f.dataType.simpleString() for f in self.schema.fields}
+        inv = {p: l for l, p in partition.renames}
         part_vals: dict[str, object] = {}
         for seg in partition.path.split(os.sep)[:-1]:
             if "=" not in seg:
                 continue
             name, _, raw = seg.partition("=")
+            name = inv.get(name, name)  # hive dirs use physical names
             if name not in dtypes:
                 continue
             val = urllib.parse.unquote(raw)
@@ -178,6 +188,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(partition.path)
         cols = set(table.column_names)
+        # column mapping: data files store physical names — read each
+        # logical field from its physical column
+        phys = dict(partition.renames)
         for batch in table.to_batches():
             for r in batch.to_pylist():
                 # CDC sidecar files carry _change_type as a real column
@@ -188,8 +201,8 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     if name == "_commit_version"
                     else (r["_change_type"] if "_change_type" in cols else "insert")
                     if name == "_change_type"
-                    else r[name]
-                    if name in cols
+                    else r[phys.get(name, name)]
+                    if phys.get(name, name) in cols
                     else part_vals.get(name)
                     for name in self.field_names
                 )

@@ -51,6 +51,12 @@ Scale design:
   any mode to the matching files (``OPTIMIZE ... WHERE`` parity), and
   Z-ORDER clusters with interleaved bit ranks so min/max stats prune on
   EVERY clustering column.
+- ALTER TABLE is **metadata-only** (Delta column-mapping "name" mode):
+  the schema holds logical names, data files keep their physical names
+  forever, and ``colmap``/``retired_cols`` in the manifest translate at
+  the projection layer — ADD/DROP/RENAME COLUMN never rewrite a byte,
+  and a re-added name gets a fresh physical identity so dropped data
+  can never resurrect.
 """
 
 from __future__ import annotations
@@ -99,6 +105,51 @@ class ConstraintViolationError(ValueError):
 
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version:010d}.json")
+
+
+# -- column mapping (metadata-only ALTER TABLE) ------------------------------
+# Delta's column-mapping "name" mode re-expressed on the manifest: the
+# SCHEMA holds logical names (the user contract), data files keep their
+# PHYSICAL names forever, and `colmap` records the non-identity pairs.
+# RENAME/DROP/ADD COLUMN therefore never touch a data file; reads
+# translate at the projection layer (free under column pruning).
+# `retired_cols` lists physical names that live files may still carry
+# but that no logical column maps to (dropped columns) — reads drop
+# them, and ADD COLUMN never reuses them as a physical name, so a
+# re-added name can never resurrect dead data.
+
+
+def _physical_name(m: dict, col: str) -> str:
+    return m.get("colmap", {}).get(col, col)
+
+
+def _logical_inverse(m: dict) -> dict[str, str]:
+    return {p: l for l, p in m.get("colmap", {}).items()}
+
+
+def _to_logical_df(df: DataFrame, m: dict) -> DataFrame:
+    """Physical file columns -> logical schema names (drop retired
+    physicals FIRST so a re-added logical name cannot collide with a
+    dropped column's leftover data)."""
+    cmap = m.get("colmap", {})
+    retired = set(m.get("retired_cols", []))
+    if not cmap and not retired:
+        return df
+    drop = [c for c in df.columns if c in retired]
+    if drop:
+        df = df.drop(*drop)
+    inv = _logical_inverse(m)
+    renames = {c: inv[c] for c in df.columns if c in inv}
+    if renames:
+        df = df.withColumnsRenamed(renames)
+    return df
+
+
+def _to_physical_df(df: DataFrame, m: dict) -> DataFrame:
+    """Logical frame -> physical column names for a data-file write."""
+    cmap = m.get("colmap", {})
+    renames = {l: p for l, p in cmap.items() if l in df.columns}
+    return df.withColumnsRenamed(renames) if renames else df
 
 
 def is_table(path: str) -> bool:
@@ -186,9 +237,37 @@ class ParquetTable:
 
     # -- read (incl. time travel) ------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_at(self, timestamp) -> int:
+        """Delta ``timestampAsOf`` resolution: the latest version whose
+        commit time is <= ``timestamp`` (a unix float, or an ISO-8601
+        string parsed as UTC when no zone is given).  Raises if the
+        timestamp predates the table (same contract as Delta)."""
+        if isinstance(timestamp, str):
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(timestamp)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = dt.timestamp()
+        else:
+            ts = float(timestamp)
+        best = None
+        for v in self._versions():
+            if self._manifest(v)["timestamp"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {timestamp!r} predates the table's first "
+                "available commit (VACUUMed or never existed)"
+            )
+        return best
+
+    def read(
+        self, version: int | None = None, timestamp=None
+    ) -> DataFrame:
         """Snapshot read; ``version`` pins a historical manifest (D5 time
-        travel — ``versionAsOf`` equivalent).  Applies the manifest's
+        travel — ``versionAsOf``), ``timestamp`` resolves one via
+        :meth:`version_at` (``timestampAsOf``).  Applies the manifest's
         deletion vectors (merge-on-read DML) transparently.
 
         The result always carries every MANIFEST-declared column: if the
@@ -196,6 +275,10 @@ class ParquetTable:
         that swallowed it whole), the column still surfaces as typed
         NULLs — table schema is a metadata contract, not an accident of
         which files survive."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         m = self._manifest(version)
         df = self._read_files_dv(m["files"], m)
         schema = _schema_from_json(self.spark, m["schema"])
@@ -244,10 +327,12 @@ class ParquetTable:
         )
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         ddl = f"CREATE TABLE {name} ({cols}) USING PARQUET"
-        if m["partition_by"]:
-            ddl += f" PARTITIONED BY ({', '.join(m['partition_by'])})"
+        inv = _logical_inverse(m)
+        part_logical = [inv.get(c, c) for c in m["partition_by"]]
+        if part_logical:
+            ddl += f" PARTITIONED BY ({', '.join(part_logical)})"
         self.spark.sql(f"{ddl} LOCATION '{path}'")
-        if m["partition_by"]:
+        if part_logical:
             self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
 
     def _refresh_current(self) -> str:
@@ -262,23 +347,28 @@ class ParquetTable:
         tmp = cur + f".tmp-{uuid.uuid4().hex[:8]}"
         data_root = os.path.join(self.root, _DATA_DIR)
         dvs = m.get("dvs", {})
+        # a plain-parquet catalog reader can apply neither deletion
+        # vectors nor column mapping, so such files are MATERIALIZED
+        # into the mirror (logical names, masked rows removed) while
+        # clean files stay hardlinks.  A renamed table materializes
+        # everything — the price of keeping external readers correct,
+        # same trade Delta's column-mapping docs call out.
+        remapped = bool(m.get("colmap")) or bool(m.get("retired_cols"))
+        masked = [f for f in m["files"] if remapped or f in dvs]
+        masked_set = set(masked)
         for rel in m["files"]:
-            if rel in dvs:
-                continue  # masked files are materialized below
+            if rel in masked_set:
+                continue  # materialized below
             dest = os.path.join(tmp, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.link(os.path.join(data_root, rel), dest)
-        masked = [f for f in m["files"] if f in dvs]
         if masked:
-            # a plain-parquet catalog reader cannot apply deletion
-            # vectors, so the mirror holds DV-applied COPIES of exactly
-            # the masked files (cost ∝ masked bytes; clean files stay
-            # hardlinks).  One distributed write, partition layout kept.
             os.makedirs(tmp, exist_ok=True)
+            inv = _logical_inverse(m)
             _write_files(
                 self._read_files_dv(masked, m),
                 self.root,
-                m["partition_by"],
+                [inv.get(c, c) for c in m["partition_by"]],
                 subdir=os.path.relpath(tmp, self.root),
             )
         os.makedirs(tmp, exist_ok=True)  # zero-file snapshot edge case
@@ -328,9 +418,10 @@ class ParquetTable:
         """
         m = self._manifest(version)
         stats = m.get("stats", {})
+        pcol = _physical_name(m, col)
         keep = []
         for f in m["files"]:
-            rng = stats.get(f, {}).get(col)
+            rng = stats.get(f, {}).get(pcol)
             if rng is not None:
                 fmin, fmax = rng
                 if lo is not None and fmax < lo:
@@ -391,14 +482,24 @@ class ParquetTable:
 
         stats = m.get("stats", {})
         part_cols = m["partition_by"]
+        # footer stats and hive directories carry PHYSICAL column names;
+        # the predicate speaks LOGICAL — re-key per file (identity map
+        # for tables that never ran a metadata-only rename)
+        inv = _logical_inverse(m)
         out = []
         for f in m["files"]:
             pv = (
-                dict(zip(part_cols, _partition_values(f, part_cols)))
+                {
+                    inv.get(c, c): v
+                    for c, v in zip(part_cols, _partition_values(f, part_cols))
+                }
                 if part_cols
                 else {}
             )
-            if may_match(pred, stats.get(f, {}), pv):
+            fstats = stats.get(f, {})
+            if inv:
+                fstats = {inv.get(c, c): rng for c, rng in fstats.items()}
+            if may_match(pred, fstats, pv):
                 out.append(f)
         return out
 
@@ -555,7 +656,9 @@ class ParquetTable:
         dv_rels: list[str] = []
         if rewrite:
             files = _write_files(
-                self._read_files_aligned(rewrite, m).filter(~cond),
+                _to_physical_df(
+                    self._read_files_aligned(rewrite, m).filter(~cond), m
+                ),
                 self.root,
                 m["partition_by"],
             )
@@ -564,12 +667,15 @@ class ParquetTable:
                 self._read_files_aligned(dv_dest, m, keep_pos=True).filter(cond)
             )
         if touched:
+            # CDC sidecars store LOGICAL names (they are read directly,
+            # never through the mapping) — partition them logically too
+            inv = _logical_inverse(m)
             cdc_files = _write_files(
                 self._read_files_aligned(touched, m)
                 .filter(cond)
                 .withColumn("_change_type", F.lit("delete")),
                 self.root,
-                m["partition_by"],
+                [inv.get(c, c) for c in m["partition_by"]],
                 subdir=_CDC_DIR,
             )
         old_dvs = m.get("dvs", {})
@@ -593,6 +699,8 @@ class ParquetTable:
             blooms=self._blooms_for_commit(m, carried, files),
             cdc_files=cdc_files,
             dvs=dvs,
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
         )
         self._post_commit()
         return version
@@ -664,8 +772,12 @@ class ParquetTable:
             ).unionByName(
                 post.withColumn("_change_type", F.lit("update_postimage"))
             )
+            inv = _logical_inverse(m)
             cdc_files = _write_files(
-                cdc, self.root, m["partition_by"], subdir=_CDC_DIR
+                cdc,
+                self.root,
+                [inv.get(c, c) for c in m["partition_by"]],
+                subdir=_CDC_DIR,
             )
         if rewrite:
             full = self._read_files_aligned(rewrite, m)
@@ -677,7 +789,9 @@ class ParquetTable:
                     for c in schema_cols
                 ]
             )
-            files += _write_files(updated, self.root, m["partition_by"])
+            files += _write_files(
+                _to_physical_df(updated, m), self.root, m["partition_by"]
+            )
         if dv_dest:
             matched = self._read_files_aligned(dv_dest, m, keep_pos=True).filter(
                 cond
@@ -685,7 +799,9 @@ class ParquetTable:
             dv_rels = self._write_dv_entries(matched)
             # post-images of the DV-masked rows are appended as new files
             files += _write_files(
-                _post_image(matched), self.root, m["partition_by"]
+                _to_physical_df(_post_image(matched), m),
+                self.root,
+                m["partition_by"],
             )
         old_dvs = m.get("dvs", {})
         dvs = {f: v for f, v in old_dvs.items() if f not in rewrite_set}
@@ -708,6 +824,8 @@ class ParquetTable:
             blooms=self._blooms_for_commit(m, carried, files),
             cdc_files=cdc_files,
             dvs=dvs,
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
         )
         self._post_commit()
         return version
@@ -731,6 +849,8 @@ class ParquetTable:
             props=old.get("props", {}),
             blooms=old.get("blooms", {}),
             dvs=old.get("dvs", {}),
+            colmap=old.get("colmap", {}),
+            retired_cols=old.get("retired_cols", []),
         )
         self._post_commit()
         return version
@@ -794,6 +914,8 @@ class ParquetTable:
             props=m.get("props", {}),
             blooms=m.get("blooms", {}),
             dvs=dvs,
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
         )
         return ParquetTable(self.spark, dest_root)
 
@@ -871,19 +993,185 @@ class ParquetTable:
         merged = {k: v for k, v in merged.items() if v is not None}
         return self._commit_props(m, merged, "SETPROPERTIES")
 
-    def _commit_props(self, m: dict, props: dict, operation: str) -> int:
-        """Metadata-only commit: same files/stats, new props."""
+    # -- ALTER TABLE (metadata-only schema evolution) -----------------------
+
+    def _constraint_refs(self, m: dict, col: str) -> list[str]:
+        """Names of CHECK constraints whose expression mentions ``col``
+        (word-boundary match — conservative: a false positive forces an
+        explicit DROP CONSTRAINT, never a silent breakage)."""
+        import re
+
+        checks, _ = _constraint_state(m)
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        return sorted(n for n, expr in checks.items() if pat.search(expr))
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """Delta parity: ``ALTER TABLE ... ADD COLUMN`` — metadata-only;
+        existing rows surface the new column as typed NULLs.  If the
+        name was ever dropped before, the column gets a FRESH physical
+        name via the column mapping, so old files' dead data can never
+        resurrect under the re-added name."""
+        from pyspark.sql.types import StructType
+
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        # schema-only type parse (no job runs)
+        field = self.spark.range(1).select(
+            F.lit(None).cast(dtype).alias(name)
+        ).schema[0]
+        taken = {_physical_name(m, c) for c in schema.fieldNames()} | set(
+            m.get("retired_cols", [])
+        )
+        colmap = dict(m.get("colmap", {}))
+        if name in taken:
+            colmap[name] = f"{name}__r{m['version'] + 1}"
+        new_schema = StructType(list(schema.fields) + [field]).json()
+        return self._commit_props(
+            m,
+            m.get("props", {}),
+            "ADD COLUMN",
+            schema=new_schema,
+            colmap=colmap,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Delta (column-mapping) parity: ``ALTER TABLE ... DROP
+        COLUMN`` — metadata-only; no data file is touched.  The
+        column's physical name is RETIRED so reads hide it and a later
+        re-add cannot collide with it.  Refuses to drop partition
+        columns or columns referenced by constraints / the bloom
+        index (drop those first — explicit beats silent)."""
+        from pyspark.sql.types import StructType
+
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        if name not in schema.fieldNames():
+            raise ValueError(f"no such column: {name}")
+        inv = _logical_inverse(m)
+        if name in [inv.get(c, c) for c in m["partition_by"]]:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        refs = self._constraint_refs(m, name)
+        if refs:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraints "
+                f"{refs}; drop them first"
+            )
+        props = dict(m.get("props", {}))
+        nn = props.get("not_null", [])
+        if name in nn:
+            props["not_null"] = [c for c in nn if c != name]
+        bloom = props.get("bloom")
+        if bloom and name in bloom["cols"]:
+            raise ValueError(
+                f"column {name!r} is bloom-indexed; reconfigure the "
+                "index first (set_bloom_index without it)"
+            )
+        physical = _physical_name(m, name)
+        colmap = {l: p for l, p in m.get("colmap", {}).items() if l != name}
+        retired = list(m.get("retired_cols", [])) + [physical]
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        ).json()
+        return self._commit_props(
+            m,
+            props,
+            "DROP COLUMN",
+            schema=new_schema,
+            colmap=colmap,
+            retired_cols=retired,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Delta (column-mapping) parity: ``ALTER TABLE ... RENAME
+        COLUMN`` — metadata-only; the physical file column keeps its
+        name forever and the mapping translates at read/write time.
+        NOT NULL entries and bloom index state follow the rename;
+        CHECK constraints referencing the column must be dropped first
+        (rewriting user expressions silently is worse than refusing)."""
+        from pyspark.sql.types import StructField, StructType
+
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        if old not in schema.fieldNames():
+            raise ValueError(f"no such column: {old}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        refs = self._constraint_refs(m, old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraints "
+                f"{refs}; drop them first"
+            )
+        physical = _physical_name(m, old)
+        colmap = {l: p for l, p in m.get("colmap", {}).items() if l != old}
+        if physical != new:
+            colmap[new] = physical
+        props = dict(m.get("props", {}))
+        nn = props.get("not_null", [])
+        if old in nn:
+            props["not_null"] = [new if c == old else c for c in nn]
+        bloom = props.get("bloom")
+        blooms = None
+        if bloom and old in bloom["cols"]:
+            props["bloom"] = {
+                **bloom, "cols": [new if c == old else c for c in bloom["cols"]]
+            }
+            # per-file bitmaps are keyed by logical name: follow along
+            # (content stays valid — the data never moved)
+            blooms = {
+                f: {new if c == old else c: bmp for c, bmp in per.items()}
+                for f, per in m.get("blooms", {}).items()
+            }
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        ).json()
+        return self._commit_props(
+            m,
+            props,
+            "RENAME COLUMN",
+            schema=new_schema,
+            colmap=colmap,
+            blooms=blooms,
+        )
+
+    def _commit_props(
+        self,
+        m: dict,
+        props: dict,
+        operation: str,
+        schema: str | None = None,
+        colmap: dict | None = None,
+        retired_cols: list | None = None,
+        blooms: dict | None = None,
+    ) -> int:
+        """Metadata-only commit: same files/stats/DVs; new props and —
+        for ALTER TABLE — a new schema/column mapping."""
         version = _commit(
             self.root,
             version=m["version"] + 1,
             files=m["files"],
-            schema=m["schema"],
+            schema=m["schema"] if schema is None else schema,
             partition_by=m["partition_by"],
             operation=operation,
             merged_schema=m.get("merged_schema", False),
             stats=m.get("stats", {}),
             props=props,
-            blooms=m.get("blooms", {}),
+            blooms=m.get("blooms", {}) if blooms is None else blooms,
+            cdc_files=[],
+            dvs=m.get("dvs", {}),
+            colmap=m.get("colmap", {}) if colmap is None else colmap,
+            retired_cols=(
+                m.get("retired_cols", [])
+                if retired_cols is None
+                else retired_cols
+            ),
         )
         self._post_commit()
         return version
@@ -979,6 +1267,9 @@ class ParquetTable:
             stats=m.get("stats", {}),
             props=props,
             blooms=self._compute_blooms(m["files"], {**m, "props": props}),
+            dvs=m.get("dvs", {}),
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
         )
         self._post_commit()
         return version
@@ -996,9 +1287,10 @@ class ParquetTable:
         pos = None
         if cfg and col in cfg["cols"]:
             pos = _bloom_positions(_bloom_canon(value), cfg["m"], cfg["k"])
+        pcol = _physical_name(m, col)
         keep = []
         for f in m["files"]:
-            rng = stats.get(f, {}).get(col)
+            rng = stats.get(f, {}).get(pcol)
             if rng is not None:
                 try:
                     if value < rng[0] or value > rng[1]:
@@ -1028,7 +1320,9 @@ class ParquetTable:
         reader = self.spark.read.option("basePath", data_root)
         if m.get("merged_schema"):
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[os.path.join(data_root, f) for f in files])
+        df = _to_logical_df(
+            reader.parquet(*[os.path.join(data_root, f) for f in files]), m
+        )
         present = [c for c in cols if c in df.columns]
         if not present:
             return {}
@@ -1168,8 +1462,23 @@ class ParquetTable:
                     f"schema mismatch (new columns {sorted(new_cols)}); "
                     "pass merge_schema=True to evolve"
                 )
+            # a new logical name colliding with a live PHYSICAL name or a
+            # retired (dropped) column would make old files' data bleed
+            # into the new column — route through add_column, which
+            # assigns a fresh physical identity
+            shadow = new_cols & (
+                set(m.get("colmap", {}).values())
+                | set(m.get("retired_cols", []))
+            )
+            if shadow:
+                raise ValueError(
+                    f"columns {sorted(shadow)} collide with renamed/"
+                    "dropped physical columns; use add_column() first"
+                )
             if files is None:
-                files = _write_files(df, self.root, m["partition_by"])
+                files = _write_files(
+                    _to_physical_df(df, m), self.root, m["partition_by"]
+                )
                 stats = _file_stats(data_root, files)
                 new_blooms = self._compute_blooms(files, m)
             if new_cols:
@@ -1207,6 +1516,8 @@ class ParquetTable:
                     props=props,
                     blooms={**m.get("blooms", {}), **new_blooms},
                     dvs=m.get("dvs", {}),
+                    colmap=m.get("colmap", {}),
+                    retired_cols=m.get("retired_cols", []),
                 )
             except FileExistsError:
                 time.sleep(min(0.05 * (attempt + 1), 0.5))
@@ -1228,7 +1539,9 @@ class ParquetTable:
         double-applies the next delta)."""
         m = self._manifest()
         self._enforce_current(df, m, "OVERWRITE")
-        files = _write_files(df, self.root, m["partition_by"])
+        files = _write_files(
+            _to_physical_df(df, m), self.root, m["partition_by"]
+        )
         version = _commit(
             self.root,
             version=m["version"] + 1,
@@ -1240,6 +1553,8 @@ class ParquetTable:
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
             props={**m.get("props", {}), **(extra_props or {})},
             blooms=self._blooms_for_commit(m, [], files),
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
         )
         self._post_commit()
         return version
@@ -1276,7 +1591,9 @@ class ParquetTable:
         m = self._manifest()
         keys = list(on)
         part_cols = m["partition_by"]
-        pruned = bool(part_cols) and set(part_cols) <= set(keys)
+        inv = _logical_inverse(m)
+        lpart = [inv.get(c, c) for c in part_cols]
+        pruned = bool(part_cols) and set(lpart) <= set(keys)
         target = self.read()
         # split the CDC clauses BEFORE schema checks: meta columns are
         # contract-excluded from the payload, delete rows carry no payload
@@ -1304,6 +1621,14 @@ class ParquetTable:
         # of carried-over narrow files stay deterministic via mergeSchema
         # instead of depending on which footer Spark samples.
         widened = set(source.columns) - set(target.columns)
+        shadow = widened & (
+            set(m.get("colmap", {}).values()) | set(m.get("retired_cols", []))
+        )
+        if shadow:
+            raise ValueError(
+                f"merge would evolve columns {sorted(shadow)} that collide "
+                "with renamed/dropped physical columns; use add_column() first"
+            )
         # enforce on the upsert payload only (delete rows and meta
         # columns already stripped): cost ∝ source, never the table
         self._enforce_current(source, m, "MERGE")
@@ -1321,7 +1646,7 @@ class ParquetTable:
             # partitions too), the source itself otherwise
             part_src = src_keys if src_keys is not None else source
             touched = [
-                tuple(r) for r in part_src.select(*part_cols).distinct().collect()
+                tuple(r) for r in part_src.select(*lpart).distinct().collect()
             ]
             touched_set = {tuple(_hive_value(v) for v in t) for t in touched}
             keep_files, rewrite_files = [], []
@@ -1348,7 +1673,7 @@ class ParquetTable:
             .unionByName(source, allowMissingColumns=True)
             .select(*source.columns)
         )
-        files = _write_files(merged, self.root, part_cols)
+        files = _write_files(_to_physical_df(merged, m), self.root, part_cols)
         data_root = os.path.join(self.root, _DATA_DIR)
         old_stats = m.get("stats", {})
         version = _commit(
@@ -1370,6 +1695,8 @@ class ParquetTable:
                 for f, v in m.get("dvs", {}).items()
                 if f in set(carried)
             },
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
         )
         self._post_commit()
         return version
@@ -1455,21 +1782,28 @@ class ParquetTable:
         if zorder_by:
             # preserve_layout stops _write_files' REBALANCE from
             # re-shuffling (and thereby destroying) exactly this clustering.
+            inv = _logical_inverse(m)
+            lpart = [inv.get(c, c) for c in part_cols]
             zval = _zvalue(df, list(zorder_by))
             df = (
                 df.withColumn("__zval", zval)
-                .repartitionByRange(n_files, *part_cols, "__zval")
-                .sortWithinPartitions(*part_cols, "__zval")
+                .repartitionByRange(n_files, *lpart, "__zval")
+                .sortWithinPartitions(*lpart, "__zval")
                 .drop("__zval")
             )
-            files = _write_files(df, self.root, part_cols, preserve_layout=True)
+            files = _write_files(
+                _to_physical_df(df, m), self.root, part_cols, preserve_layout=True
+            )
         elif part_cols:
             # REBALANCE on the partition columns merges each partition's
             # small files in one parallel pass
-            files = _write_files(df, self.root, part_cols)
+            files = _write_files(_to_physical_df(df, m), self.root, part_cols)
         else:
             files = _write_files(
-                df.coalesce(n_files), self.root, part_cols, preserve_layout=True
+                _to_physical_df(df.coalesce(n_files), m),
+                self.root,
+                part_cols,
+                preserve_layout=True,
             )
         old_stats = m.get("stats", {})
         version = _commit(
@@ -1487,6 +1821,8 @@ class ParquetTable:
             props=m.get("props", {}),
             blooms=self._blooms_for_commit(m, carried, files),
             dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
         )
         self._post_commit()
         return version
@@ -1516,7 +1852,7 @@ class ParquetTable:
         rewrite_set = set(rewrite)
         carried = [f for f in m["files"] if f not in rewrite_set]
         files = _write_files(
-            self._read_files_aligned(rewrite, m),
+            _to_physical_df(self._read_files_aligned(rewrite, m), m),
             self.root,
             m["partition_by"],
         )
@@ -1536,6 +1872,8 @@ class ParquetTable:
             props=m.get("props", {}),
             blooms=self._blooms_for_commit(m, carried, files),
             dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
         )
         self._post_commit()
         return version
@@ -1727,11 +2065,15 @@ class ParquetTable:
             *[os.path.join(base, f) for f in files]
         )
 
-    def _read_files(self, files: list[str], manifest: dict) -> DataFrame:
+    def _read_files(
+        self, files: list[str], manifest: dict, logical: bool = True
+    ) -> DataFrame:
         """Read an explicit file subset under ``manifest``'s schema rules
         (empty list -> empty frame with the manifest schema).  RAW read:
         deletion vectors are NOT applied — snapshot-consistent callers
-        go through :meth:`_read_files_dv`."""
+        go through :meth:`_read_files_dv`.  ``logical=False`` keeps the
+        files' PHYSICAL column names (needed when ``_metadata`` must
+        stay resolvable — projections hide it)."""
         if not files:
             return self.spark.createDataFrame(
                 [], schema=_schema_from_json(self.spark, manifest["schema"])
@@ -1739,11 +2081,20 @@ class ParquetTable:
         reader = self.spark.read.option(
             "basePath", os.path.join(self.root, _DATA_DIR)
         )
-        if manifest.get("merged_schema"):
+        # column-mapped tables need schema union regardless: files
+        # written before and after a rename/re-add carry DIFFERENT
+        # physical column sets, and a sampled-footer schema would
+        # silently hide the other generation's columns
+        if (
+            manifest.get("merged_schema")
+            or manifest.get("colmap")
+            or manifest.get("retired_cols")
+        ):
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(
+        df = reader.parquet(
             *[os.path.join(self.root, _DATA_DIR, f) for f in files]
         )
+        return _to_logical_df(df, manifest) if logical else df
 
     def _uri_prefix(self, m: dict) -> str:
         """The exact ``_metadata.file_path`` URI prefix Spark reports for
@@ -1832,9 +2183,11 @@ class ParquetTable:
                     }
                 )
             return df
-        base = self._read_files(files, m)
         if not (need_dv or keep_pos):
-            return base
+            return self._read_files(files, m)
+        # grab _metadata BEFORE any logical rename: the hidden metadata
+        # column resolves only against the file-source relation
+        base = self._read_files(files, m, logical=False)
         prefix = self._uri_prefix(m)
         df = base.select(
             F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})").alias(
@@ -1853,7 +2206,7 @@ class ParquetTable:
             )
         if not keep_pos:
             df = df.drop("__rel", "__ri")
-        return df
+        return _to_logical_df(df, m)
 
 
 # -- internals --------------------------------------------------------------
@@ -2070,6 +2423,8 @@ def _commit(
     blooms: dict[str, dict] | None = None,
     cdc_files: list[str] | None = None,
     dvs: dict[str, list[str]] | None = None,
+    colmap: dict[str, str] | None = None,
+    retired_cols: list[str] | None = None,
 ) -> int:
     """Atomically publish a manifest version (write-temp + rename — the
     commit point, mirroring Delta's `_delta_log` JSON commit).
@@ -2095,6 +2450,11 @@ def _commit(
         # parquet files (under _deletion_vectors/) holding its deleted
         # row positions.  A file absent from the map has no masked rows.
         "dvs": dvs or {},
+        # column mapping (metadata-only ALTER TABLE): logical name ->
+        # physical file column name (non-identity pairs only), plus the
+        # physical names retired by DROP COLUMN (never reused)
+        "colmap": colmap or {},
+        "retired_cols": retired_cols or [],
     }
     final = _manifest_path(root, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
