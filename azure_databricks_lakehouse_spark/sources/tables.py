@@ -90,6 +90,10 @@ class Commit:
     operation: str
     timestamp: float
     n_files: int
+    # Delta operationMetrics parity: what the commit touched (rows
+    # deleted/updated, files added/rewritten/dropped/DV'd) — the
+    # observability a maintenance dashboard needs without replaying CDF
+    metrics: dict = None
 
 
 class ConstraintViolationError(ValueError):
@@ -232,7 +236,15 @@ class ParquetTable:
         out = []
         for v in self._versions():
             m = self._manifest(v)
-            out.append(Commit(v, m["operation"], m["timestamp"], len(m["files"])))
+            out.append(
+                Commit(
+                    v,
+                    m["operation"],
+                    m["timestamp"],
+                    len(m["files"]),
+                    m.get("metrics", {}),
+                )
+            )
         return out
 
     # -- read (incl. time travel) ------------------------------------------
@@ -281,14 +293,7 @@ class ParquetTable:
             version = self.version_at(timestamp)
         m = self._manifest(version)
         df = self._read_files_dv(m["files"], m)
-        schema = _schema_from_json(self.spark, m["schema"])
-        missing = [f for f in schema.fields if f.name not in df.columns]
-        if missing:
-            df = df.select(
-                "*",
-                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
-            )
-        return df
+        return self._fill_missing(df, m)
 
     def register(self, name: str, version: int | None = None) -> None:
         """S9 (session-scoped): make the table SQL-visible as a temp view.
@@ -546,15 +551,8 @@ class ParquetTable:
         resolve every declared column (missing ones surface as typed
         NULLs, exactly as a full mergeSchema read would).  ``keep_pos``
         carries the ``__rel``/``__ri`` position columns through."""
-        df = self._read_files_dv(files, m, keep_pos=keep_pos)
-        schema = _schema_from_json(self.spark, m["schema"])
-        missing = [f for f in schema.fields if f.name not in df.columns]
-        if missing:
-            df = df.select(
-                "*",
-                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
-            )
-        cols = [f.name for f in schema.fields]
+        df = self._fill_missing(self._read_files_dv(files, m, keep_pos=keep_pos), m)
+        cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
         if keep_pos:
             cols += ["__rel", "__ri"]
         return df.select(*cols)
@@ -649,6 +647,7 @@ class ParquetTable:
             stats, mode, dv_threshold, allow_drop=True
         )
         touched = sorted([*drop, *rewrite, *dv_dest])
+        n_rows = sum(h for _l, h in stats.values())
         gone = set(drop) | set(rewrite)
         carried = [f for f in m["files"] if f not in gone]
         files: list[str] = []
@@ -701,6 +700,13 @@ class ParquetTable:
             dvs=dvs,
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
+            metrics={
+                "rows_deleted": n_rows,
+                "files_dropped": len(drop),
+                "files_rewritten": len(rewrite),
+                "files_dv_masked": len(dv_dest),
+                "files_added": len(files),
+            },
         )
         self._post_commit()
         return version
@@ -746,19 +752,42 @@ class ParquetTable:
             stats, mode, dv_threshold, allow_drop=False
         )
         touched = sorted([*rewrite, *dv_dest])
+        n_rows = sum(h for _l, h in stats.values())
         rewrite_set = set(rewrite)
         carried = [f for f in m["files"] if f not in rewrite_set]
         files: list[str] = []
         cdc_files: list[str] = []
         dv_rels: list[str] = []
+        # generated columns not explicitly assigned are RECOMPUTED over
+        # the post-update row (Delta's semantics) — a second projection
+        # so user RHSs still see pre-update values
+        gen_auto = {
+            c: e
+            for c, e in m.get("props", {}).get("generated", {}).items()
+            if c not in assignments and c in schema_cols
+        }
+        gtypes = {
+            f.name: f.dataType
+            for f in _schema_from_json(self.spark, m["schema"]).fields
+        }
 
         def _post_image(frame: DataFrame) -> DataFrame:
-            return frame.select(
+            out = frame.select(
                 *[
                     assignments[c].alias(c) if c in assignments else F.col(c)
                     for c in schema_cols
                 ]
             )
+            if gen_auto:
+                out = out.select(
+                    *[
+                        F.expr(gen_auto[c]).cast(gtypes[c]).alias(c)
+                        if c in gen_auto
+                        else F.col(c)
+                        for c in schema_cols
+                    ]
+                )
+            return out
 
         if touched:
             hit = self._read_files_aligned(touched, m)
@@ -781,14 +810,34 @@ class ParquetTable:
             )
         if rewrite:
             full = self._read_files_aligned(rewrite, m)
-            updated = full.select(
+            marked = full.withColumn("__hit", cond)
+            updated = marked.select(
                 *[
-                    F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                    F.when(F.col("__hit"), assignments[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
                     if c in assignments
                     else F.col(c)
                     for c in schema_cols
-                ]
+                ],
+                "__hit",
             )
+            if gen_auto:
+                updated = updated.select(
+                    *[
+                        F.when(
+                            F.col("__hit"),
+                            F.expr(gen_auto[c]).cast(gtypes[c]),
+                        )
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in gen_auto
+                        else F.col(c)
+                        for c in schema_cols
+                    ],
+                    "__hit",
+                )
+            updated = updated.drop("__hit")
             files += _write_files(
                 _to_physical_df(updated, m), self.root, m["partition_by"]
             )
@@ -826,6 +875,12 @@ class ParquetTable:
             dvs=dvs,
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
+            metrics={
+                "rows_updated": n_rows,
+                "files_rewritten": len(rewrite),
+                "files_dv_masked": len(dv_dest),
+                "files_added": len(files),
+            },
         )
         self._post_commit()
         return version
@@ -993,6 +1048,129 @@ class ParquetTable:
         merged = {k: v for k, v in merged.items() if v is not None}
         return self._commit_props(m, merged, "SETPROPERTIES")
 
+    # -- generated columns (Delta GENERATED ALWAYS AS parity) ---------------
+
+    def generated_columns(self) -> dict:
+        """``{col: sql_expr}`` — columns whose value is defined by an
+        expression over the other columns."""
+        return dict(self._manifest().get("props", {}).get("generated", {}))
+
+    def _fill_missing(self, df: DataFrame, m: dict) -> DataFrame:
+        """Surface every manifest-declared column: plain columns the
+        files lack become typed NULLs; GENERATED columns are computed
+        through their expression — rows in files that predate an
+        ``add_generated_column`` read the derived value, not NULL.
+        Two projections when both kinds are missing, so a generated
+        expression may reference a just-filled plain column."""
+        schema = _schema_from_json(self.spark, m["schema"])
+        gen = m.get("props", {}).get("generated", {})
+        missing = [f for f in schema.fields if f.name not in df.columns]
+        plain = [f for f in missing if f.name not in gen]
+        derived = [f for f in missing if f.name in gen]
+        if plain:
+            df = df.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in plain],
+            )
+        if derived:
+            df = df.select(
+                "*",
+                *[
+                    F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
+                    for f in derived
+                ],
+            )
+        # a generated column PRESENT in some files reads as NULL from
+        # the files that predate it (union schema) — coalesce through
+        # the expression.  Sound under the enforced invariant (stored
+        # values equal the expression): stored non-null kept, stored
+        # "absent" computed, expression-NULL stays NULL either way.
+        patch = {
+            f.name: F.coalesce(
+                F.col(f.name), F.expr(gen[f.name]).cast(f.dataType)
+            )
+            for f in schema.fields
+            if f.name in gen and f.name not in {d.name for d in derived}
+        }
+        if patch:
+            df = df.withColumns(patch)
+        return df
+
+    def _apply_generated(self, df: DataFrame, m: dict) -> DataFrame:
+        """Fill generated columns the writer omitted (computed from the
+        row's other columns — one projection).  Columns the writer DID
+        provide are left alone and validated by enforcement instead:
+        silently overwriting a wrong value would hide a pipeline bug."""
+        gen = m.get("props", {}).get("generated", {})
+        missing = {c: e for c, e in gen.items() if c not in df.columns}
+        if not missing:
+            return df
+        schema = _schema_from_json(self.spark, m["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        return df.select(
+            "*",
+            *[
+                F.expr(e).cast(types[c]).alias(c)
+                for c, e in missing.items()
+                if c in types
+            ],
+        )
+
+    def set_generated(self, col: str, expr: str) -> int:
+        """Declare an EXISTING column generated: writers may omit it
+        (the expression fills it in) and stored values are enforced to
+        match — Delta's ``GENERATED ALWAYS AS`` invariant.  Existing
+        rows are validated first (one scan), the same contract as
+        ``add_check_constraint``."""
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"no such column: {col}")
+        gen = dict(m.get("props", {}).get("generated", {}))
+        if col in gen:
+            raise ValueError(f"column {col!r} is already generated")
+        self._enforce(
+            self.read(),
+            {f"generated_{col}": f"{col} <=> ({expr})"},
+            [],
+            m,
+            "SET GENERATED",
+        )
+        props = {**m.get("props", {}), "generated": {**gen, col: expr}}
+        return self._commit_props(m, props, "SET GENERATED")
+
+    def add_generated_column(self, name: str, dtype: str, expr: str) -> int:
+        """``ALTER TABLE ... ADD COLUMN name GENERATED ALWAYS AS (expr)``
+        in ONE metadata-only commit.  Retroactive by construction: rows
+        in files that predate the column read THROUGH the expression
+        (not as NULLs), and every later write persists the computed
+        value."""
+        from pyspark.sql.types import StructType
+
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        field = self.spark.range(1).select(
+            F.lit(None).cast(dtype).alias(name)
+        ).schema[0]
+        taken = {_physical_name(m, c) for c in schema.fieldNames()} | set(
+            m.get("retired_cols", [])
+        )
+        colmap = dict(m.get("colmap", {}))
+        if name in taken:
+            colmap[name] = f"{name}__r{m['version'] + 1}"
+        gen = dict(m.get("props", {}).get("generated", {}))
+        props = {**m.get("props", {}), "generated": {**gen, name: expr}}
+        new_schema = StructType(list(schema.fields) + [field]).json()
+        return self._commit_props(
+            m,
+            props,
+            "ADD COLUMN",
+            schema=new_schema,
+            colmap=colmap,
+        )
+
     # -- ALTER TABLE (metadata-only schema evolution) -----------------------
 
     def _constraint_refs(self, m: dict, col: str) -> list[str]:
@@ -1002,8 +1180,16 @@ class ParquetTable:
         import re
 
         checks, _ = _constraint_state(m)
+        gen = m.get("props", {}).get("generated", {})
         pat = re.compile(rf"\b{re.escape(col)}\b")
-        return sorted(n for n, expr in checks.items() if pat.search(expr))
+        return sorted(
+            [n for n, expr in checks.items() if pat.search(expr)]
+            + [
+                f"generated:{c}"
+                for c, expr in gen.items()
+                if c != col and pat.search(expr)
+            ]
+        )
 
     def add_column(self, name: str, dtype: str) -> int:
         """Delta parity: ``ALTER TABLE ... ADD COLUMN`` — metadata-only;
@@ -1062,6 +1248,9 @@ class ParquetTable:
         nn = props.get("not_null", [])
         if name in nn:
             props["not_null"] = [c for c in nn if c != name]
+        gen = props.get("generated", {})
+        if name in gen:
+            props["generated"] = {c: e for c, e in gen.items() if c != name}
         bloom = props.get("bloom")
         if bloom and name in bloom["cols"]:
             raise ValueError(
@@ -1112,6 +1301,11 @@ class ParquetTable:
         nn = props.get("not_null", [])
         if old in nn:
             props["not_null"] = [new if c == old else c for c in nn]
+        gen = props.get("generated", {})
+        if old in gen:
+            props["generated"] = {
+                (new if c == old else c): e for c, e in gen.items()
+            }
         bloom = props.get("bloom")
         blooms = None
         if bloom and old in bloom["cols"]:
@@ -1152,7 +1346,10 @@ class ParquetTable:
         blooms: dict | None = None,
     ) -> int:
         """Metadata-only commit: same files/stats/DVs; new props and —
-        for ALTER TABLE — a new schema/column mapping."""
+        for ALTER TABLE — a new schema/column mapping.  A schema change
+        flips ``merged_schema`` on: files written before and after an
+        ALTER carry different physical column sets, and a sampled-footer
+        read would non-deterministically hide one generation's columns."""
         version = _commit(
             self.root,
             version=m["version"] + 1,
@@ -1160,7 +1357,7 @@ class ParquetTable:
             schema=m["schema"] if schema is None else schema,
             partition_by=m["partition_by"],
             operation=operation,
-            merged_schema=m.get("merged_schema", False),
+            merged_schema=m.get("merged_schema", False) or schema is not None,
             stats=m.get("stats", {}),
             props=props,
             blooms=m.get("blooms", {}) if blooms is None else blooms,
@@ -1214,9 +1411,17 @@ class ParquetTable:
         if violations:
             raise ConstraintViolationError(context, violations)
 
+    def _generated_checks(self, m: dict) -> dict[str, str]:
+        """Generated-column invariants as pseudo CHECK constraints:
+        a stored value must NULL-safely equal its expression."""
+        gen = m.get("props", {}).get("generated", {})
+        return {f"generated_{c}": f"{c} <=> ({e})" for c, e in gen.items()}
+
     def _enforce_current(self, df: DataFrame, m: dict, context: str) -> None:
         checks, not_null = _constraint_state(m)
-        self._enforce(df, checks, not_null, m, context)
+        self._enforce(
+            df, {**checks, **self._generated_checks(m)}, not_null, m, context
+        )
 
     # -- bloom-filter file skipping -----------------------------------------
 
@@ -1441,6 +1646,7 @@ class ParquetTable:
         # a permanent enforcement failure
         if _txn_seen(m0):
             return m0["version"]
+        df = self._apply_generated(df, m0)
         self._enforce_current(df, m0, "APPEND")
         for attempt in range(max_retries):
             m = self._manifest()
@@ -1518,6 +1724,7 @@ class ParquetTable:
                     dvs=m.get("dvs", {}),
                     colmap=m.get("colmap", {}),
                     retired_cols=m.get("retired_cols", []),
+                    metrics={"files_added": len(files)},
                 )
             except FileExistsError:
                 time.sleep(min(0.05 * (attempt + 1), 0.5))
@@ -1538,6 +1745,7 @@ class ParquetTable:
         observable separately, or a crash between two commits
         double-applies the next delta)."""
         m = self._manifest()
+        df = self._apply_generated(df, m)
         self._enforce_current(df, m, "OVERWRITE")
         files = _write_files(
             _to_physical_df(df, m), self.root, m["partition_by"]
@@ -1555,6 +1763,10 @@ class ParquetTable:
             blooms=self._blooms_for_commit(m, [], files),
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
+            metrics={
+                "files_added": len(files),
+                "files_removed": len(m["files"]),
+            },
         )
         self._post_commit()
         return version
@@ -1608,6 +1820,7 @@ class ParquetTable:
             src_keys = None
         if source_meta_cols:
             source = source.drop(*source_meta_cols)
+        source = self._apply_generated(source, m)
         extra = set(target.columns) - set(source.columns)
         if extra:
             # whenMatchedUpdateAll replaces whole rows: a source missing
@@ -1697,6 +1910,11 @@ class ParquetTable:
             },
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
+            metrics={
+                "files_added": len(files),
+                "files_removed": len(m["files"]) - len(carried),
+                "files_carried": len(carried),
+            },
         )
         self._post_commit()
         return version
@@ -1823,6 +2041,10 @@ class ParquetTable:
             dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
+            metrics={
+                "files_compacted": len(rewrite),
+                "files_added": len(files),
+            },
         )
         self._post_commit()
         return version
@@ -1874,6 +2096,10 @@ class ParquetTable:
             dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
+            metrics={
+                "files_compacted": len(rewrite),
+                "files_added": len(files),
+            },
         )
         self._post_commit()
         return version
@@ -2425,6 +2651,7 @@ def _commit(
     dvs: dict[str, list[str]] | None = None,
     colmap: dict[str, str] | None = None,
     retired_cols: list[str] | None = None,
+    metrics: dict | None = None,
 ) -> int:
     """Atomically publish a manifest version (write-temp + rename — the
     commit point, mirroring Delta's `_delta_log` JSON commit).
@@ -2455,6 +2682,9 @@ def _commit(
         # physical names retired by DROP COLUMN (never reused)
         "colmap": colmap or {},
         "retired_cols": retired_cols or [],
+        # operation metrics (rows/files touched) — observability only,
+        # never read by the engine itself
+        "metrics": metrics or {},
     }
     final = _manifest_path(root, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"

@@ -301,3 +301,23 @@ def test_cow_and_mor_deletes_are_semantically_identical(spark, root, cond):
     assert sorted(
         (r["k"], r["part"], r["v"]) for r in t_mor.read().collect()
     ) == rows_cow
+
+
+def test_operation_metrics_in_history(spark, root):
+    """Delta operationMetrics parity: each commit records what it
+    touched, so maintenance dashboards don't need to replay the CDF."""
+    t = _table(spark, root)
+    t.delete(
+        "part = '0' OR (part = '1' AND k <= 120) OR (part = '2' AND k <= 6)"
+    )
+    h = {c.version: c for c in t.history()}
+    dm = h[1].metrics
+    assert dm["rows_deleted"] == 50 + 30 + 2
+    assert dm["files_dropped"] >= 1
+    assert dm["files_rewritten"] >= 1 and dm["files_dv_masked"] >= 1
+    t.update("k = 130", {"v": F.lit("x")})
+    um = {c.version: c for c in t.history()}[2].metrics
+    assert um["rows_updated"] == 1
+    t.optimize()
+    om = {c.version: c for c in t.history()}[3].metrics
+    assert om["files_compacted"] >= 1
