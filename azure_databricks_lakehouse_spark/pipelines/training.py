@@ -22,7 +22,9 @@ them:
 5. **PII redaction** — regex scrub in one codegen projection
    (`operators/redaction`), applied after dedup so scrubbing cannot
    split duplicate groups, and on the culled survivor set so it touches
-   the fewest rows.
+   the fewest rows — then optional **domain-mixture reweighting**
+   (`operators/mixture`): temperature or explicit weights, computed on
+   the CLEAN corpus so dedup cannot eat the upsampled copies.
 6. **deterministic shuffle + packing manifest** — reproducible
    pseudo-random order (`operators/shuffle`'s hash key as the packing
    order) and the concat-and-chunk sequence manifest
@@ -97,6 +99,10 @@ def prepare_training_corpus(
     max_doc_freq: int | None = 50,
     max_len: int | None = None,
     cc_algorithm: str = "star",
+    domain_col: str | None = None,
+    mixture_temperature: float | None = None,
+    mixture_weights: dict | None = None,
+    mixture_max_epochs: float = 10.0,
     seq_capacity: int = 2048,
     shuffle_seed: int = 0,
     audit: bool = True,
@@ -219,9 +225,38 @@ def prepare_training_corpus(
     # 5. PII redaction (audit columns dropped from the corpus payload)
     scrubbed = redact(kept, text_col=text_col, audit=False)
 
-    # 6. deterministic shuffle order + packing manifest
+    # 5b. optional domain-mixture reweighting (GPT-3/Pile/LLaMA recipe):
+    # applied AFTER dedup/decontamination (rates must reflect the clean
+    # corpus, and upsampled copies must not look like duplicates to the
+    # dedup stages) and BEFORE shuffle+pack so every epoch copy gets its
+    # own position in the training order.
+    if domain_col is not None and (
+        mixture_temperature is not None or mixture_weights is not None
+    ):
+        from azure_databricks_lakehouse_spark.operators.mixture import (
+            mix_corpus,
+        )
+
+        scrubbed, _plan = mix_corpus(
+            scrubbed,
+            domain_col,
+            id_col=id_col,
+            temperature=(
+                1.0 if mixture_temperature is None else mixture_temperature
+            ),
+            weights=mixture_weights,
+            max_epochs=mixture_max_epochs,
+        )
+        scrubbed = _note("mixture", scrubbed)
+    else:
+        scrubbed = scrubbed.withColumn("_epoch", F.lit(1))
+
+    # 6. deterministic shuffle order + packing manifest (_epoch is part
+    # of the shuffle key so repeated-domain copies spread through the
+    # training order instead of sitting adjacent)
     shuffled = scrubbed.withColumn(
-        "_order", F.xxhash64(F.lit(shuffle_seed), F.col(id_col))
+        "_order",
+        F.xxhash64(F.lit(shuffle_seed), F.col(id_col), F.col("_epoch")),
     )
     n_tokens = F.size(
         F.regexp_extract_all(
@@ -232,11 +267,19 @@ def prepare_training_corpus(
     )
     manifest = pack_manifest(
         shuffled.select(
-            id_col, "_order", n_tokens.alias("n_tokens")
+            id_col, "_epoch", "_order", n_tokens.alias("n_tokens")
         ),
         token_col="n_tokens",
         order_col="_order",
         capacity=seq_capacity,
-        keep_cols=[id_col],
-    ).select(id_col, "n_tokens", "start_offset", "start_seq", "end_seq", "offset_in_seq")
+        keep_cols=[id_col, "_epoch"],
+    ).select(
+        id_col,
+        "_epoch",
+        "n_tokens",
+        "start_offset",
+        "start_seq",
+        "end_seq",
+        "offset_in_seq",
+    )
     return TrainingCorpus(corpus=scrubbed, manifest=manifest, audit=stages)

@@ -138,3 +138,48 @@ def test_perplexity_gate_culls_out_of_domain(spark):
     assert 7 not in ids, "out-of-domain doc must be perplexity-culled"
     assert 1 in ids and 4 in ids
     assert res.audit["perplexity"] < res.audit["quality"]
+
+
+def test_domain_mixture_stage(spark):
+    """Optional reweighting: rare domains repeat with distinct epochs,
+    each copy gets its own slot in the packing manifest, and the stage
+    runs on the post-dedup corpus."""
+    import random
+    import string
+
+    def _doc(i, tag):
+        # random-letter words (stopword-laced so the quality gate
+        # passes) — templated words would share winnowing shingles and
+        # the fuzzy-dedup stage would eat the corpus before mixing
+        rng = random.Random(f"{tag}-{i}")
+        words = [
+            "".join(rng.choices(string.ascii_lowercase, k=7))
+            for _ in range(20)
+        ]
+        return "the " + " of the ".join(words)
+
+    docs = spark.createDataFrame(
+        [(i, _doc(i, "web"), "web") for i in range(40)]
+        + [(100 + i, _doc(i, "book"), "books") for i in range(4)],
+        "doc_id int, text string, domain string",
+    )
+    res = prepare_training_corpus(
+        docs,
+        domain_col="domain",
+        mixture_temperature=0.3,
+        mixture_max_epochs=4.0,
+        max_doc_freq=None,
+        decontaminate_max_fp_doc_frac=None,
+    )
+    assert "mixture" in res.audit
+    mixed = res.corpus
+    per_dom = {
+        r["domain"]: r["n"]
+        for r in mixed.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_books_in = 4
+    assert per_dom.get("books", 0) > n_books_in, "rare domain upsampled"
+    # every (doc, epoch) copy owns a distinct manifest slot
+    man = res.manifest
+    assert man.count() == mixed.count()
+    assert man.select("doc_id", "_epoch").distinct().count() == man.count()
