@@ -231,6 +231,36 @@ class ParquetTable:
         with open(_manifest_path(self.root, v)) as fh:
             return json.load(fh)
 
+    def detail(self) -> dict:
+        """Delta ``DESCRIBE DETAIL`` parity: one metadata-only dict of
+        the table's current physical state — size, file count, partition
+        scheme, DV debt, mapping state, properties.  Nothing is read
+        but the manifest and file sizes."""
+        m = self._manifest()
+        data_root = os.path.join(self.root, _DATA_DIR)
+        size = 0
+        for f in m["files"]:
+            try:
+                size += os.path.getsize(os.path.join(data_root, f))
+            except OSError:
+                pass
+        dvs = m.get("dvs", {})
+        return {
+            "location": os.path.abspath(self.root),
+            "version": m["version"],
+            "num_files": len(m["files"]),
+            "size_bytes": size,
+            "partition_columns": list(m["partition_by"]),
+            "schema": m["schema"],
+            "num_dv_masked_files": len(dvs),
+            "num_dv_sidecars": len({d for v in dvs.values() for d in v}),
+            "column_mapping": dict(m.get("colmap", {})),
+            "retired_columns": list(m.get("retired_cols", [])),
+            "properties": dict(m.get("props", {})),
+            "created_at": self._manifest(self._versions()[0])["timestamp"],
+            "last_modified": m["timestamp"],
+        }
+
     def history(self) -> list[Commit]:
         """D5 companion: the table's commit log, oldest first."""
         out = []

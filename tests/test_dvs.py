@@ -321,3 +321,15 @@ def test_operation_metrics_in_history(spark, root):
     t.optimize()
     om = {c.version: c for c in t.history()}[3].metrics
     assert om["files_compacted"] >= 1
+
+
+def test_describe_detail(spark, root):
+    t = _table(spark, root)
+    t.delete("k = 3", mode="merge-on-read")
+    d = t.detail()
+    assert d["version"] == 1 and d["num_files"] == len(t._manifest()["files"])
+    assert d["size_bytes"] > 0
+    assert d["partition_columns"] == ["part"]
+    assert d["num_dv_masked_files"] == 1 and d["num_dv_sidecars"] >= 1
+    assert d["column_mapping"] == {} and d["retired_columns"] == []
+    assert d["created_at"] <= d["last_modified"]
