@@ -109,6 +109,17 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []
+        # column mapping: physical file names are immutable, so the
+        # END version's logical->physical map is correct for EVERY
+        # commit in the batch — a file written before a rename carries
+        # the same physical column the latest mapping points at
+        renames = tuple(
+            sorted(
+                _manifest(self.root, end["version"])
+                .get("colmap", {})
+                .items()
+            )
+        )
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _manifest(self.root, v)
             op = m["operation"]
@@ -146,7 +157,6 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 set(_manifest(self.root, v - 1)["files"]) if v > 0 else set()
             )
             data_root = os.path.join(self.root, _DATA_DIR)
-            renames = tuple(sorted(m.get("colmap", {}).items()))
             for f in sorted(set(m["files"]) - prev_files):
                 parts.append(
                     _FilePartition(

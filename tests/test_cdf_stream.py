@@ -179,3 +179,31 @@ def test_continuous_etl_bronze_commits_to_silver(registered, tmp_path):
         assert got == {1: "X", 2: "Y"}
     finally:
         q.stop()
+
+
+def test_stream_reads_renamed_columns_from_physical(registered, tmp_path):
+    """Column mapping: appends after a metadata-only RENAME store the
+    PHYSICAL name; the streaming source must read each logical field
+    from its mapped physical column (and translate renamed partition
+    directories)."""
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = ParquetTable.create(
+        spark,
+        root,
+        _rows(spark, [(1, "a", "x")]),
+        partition_by=["part"],
+    )
+    t.rename_column("v", "label")
+    t.rename_column("part", "bucket")
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", "y")], "k int, bucket string, label string"
+        )
+    )  # v3: physical file columns are k/v, dir is part=b
+    got = _drain(spark, root, "cdf_sink_ren", want_rows=2)
+    by_k = {r["k"]: r for r in got}
+    assert by_k[2]["label"] == "y", "logical field must read its physical col"
+    assert by_k[2]["bucket"] == "b", "renamed partition value must recover"
+    # the pre-rename append streams under the CURRENT logical schema too
+    assert by_k[1]["label"] == "x" and by_k[1]["bucket"] == "a"
