@@ -11,6 +11,24 @@ from azure_databricks_lakehouse_spark.operators.dq import (
     completeness,
     split_by_status,
 )
+from azure_databricks_lakehouse_spark.operators.lm import (
+    NgramLM,
+    score_perplexity,
+    train_ngram_lm,
+)
+from azure_databricks_lakehouse_spark.operators.mixture import (
+    MixturePlan,
+    mix_corpus,
+    plan_mixture,
+    realize_mixture,
+)
+from azure_databricks_lakehouse_spark.operators.pq import (
+    PQCodebook,
+    ivfpq_search,
+    pq_encode,
+    pq_search,
+    train_pq,
+)
 
 __all__ = [
     "Rule",
@@ -23,4 +41,16 @@ __all__ = [
     "build_date_dim",
     "date_key_expr",
     "month_name_expr",
+    "NgramLM",
+    "train_ngram_lm",
+    "score_perplexity",
+    "MixturePlan",
+    "plan_mixture",
+    "realize_mixture",
+    "mix_corpus",
+    "PQCodebook",
+    "train_pq",
+    "pq_encode",
+    "pq_search",
+    "ivfpq_search",
 ]
