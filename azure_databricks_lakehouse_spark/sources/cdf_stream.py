@@ -96,6 +96,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
         )
         start = options.get("startingversion")
         self.start_version = int(start) if start is not None else -1
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        # rate-limit bookkeeping: the last end offset THIS reader handed
+        # out.  After a checkpoint restart it may lag the engine's real
+        # offset for a few empty triggers (partitions() of an inverted
+        # range is just empty) until it advances past it — convergence
+        # beats persisting reader-side state the engine already owns.
+        self._last_end: int | None = None
         self.schema = schema
         self.field_names = [f.name for f in schema.fields]
 
@@ -105,7 +115,18 @@ class TableChangesStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _versions(self.root)[-1]}
+        """Newest version — or, with ``maxVersionsPerTrigger``, at most
+        that many commits past the previous end, so a large backlog
+        drains in bounded micro-batches instead of one giant one (the
+        ``maxFilesPerTrigger`` idea expressed in version space, the
+        source's natural work unit)."""
+        newest = _versions(self.root)[-1]
+        if self.max_versions is None:
+            return {"version": newest}
+        base = self._last_end if self._last_end is not None else self.start_version
+        end = min(newest, base + self.max_versions)
+        self._last_end = max(end, base)
+        return {"version": self._last_end}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []

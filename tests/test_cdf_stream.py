@@ -207,3 +207,41 @@ def test_stream_reads_renamed_columns_from_physical(registered, tmp_path):
     assert by_k[2]["bucket"] == "b", "renamed partition value must recover"
     # the pre-rename append streams under the CURRENT logical schema too
     assert by_k[1]["label"] == "x" and by_k[1]["bucket"] == "a"
+
+
+def test_max_versions_per_trigger_bounds_batches(registered, tmp_path):
+    """Rate limiting: a 4-commit backlog with maxVersionsPerTrigger=1
+    drains completely, one commit per micro-batch — bounded catch-up
+    instead of one giant batch."""
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = ParquetTable.create(spark, root, _rows(spark, [(0, "a", "v0")]))
+    for i in range(1, 4):
+        t.append(_rows(spark, [(i, "a", f"v{i}")]))
+    got = _drain(
+        spark,
+        root,
+        "cdf_sink_rate",
+        want_rows=4,
+        extra_opts={"maxVersionsPerTrigger": "1"},
+    )
+    assert sorted(r["k"] for r in got) == [0, 1, 2, 3]
+    # every commit version arrived, none merged away
+    assert sorted({r["_commit_version"] for r in got}) == [0, 1, 2, 3]
+    # and the limit is validated
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="maxVersionsPerTrigger"):
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", root)
+            .option("maxVersionsPerTrigger", "0")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_sink_rate_bad")
+            .start()
+        )
+        try:
+            q.awaitTermination(30)
+        finally:
+            q.stop()
