@@ -42,11 +42,14 @@ from azure_databricks_lakehouse_spark.functions.hashing import hex_nibble
 class MixturePlan:
     """Per-domain sampling plan: ``rates[d]`` is the expected number of
     epochs (copies) of each domain-d document; ``target_rows`` the
-    expected output size."""
+    expected output size; ``excluded`` the corpus domains an explicit
+    ``weights`` table left out (rate 0 — present only when the caller
+    opted into ``allow_unlisted``)."""
 
     rates: dict
     counts: dict
     target_rows: float
+    excluded: tuple = ()
 
 
 def _uniform01(col: Column, seed: int) -> Column:
@@ -67,16 +70,21 @@ def plan_mixture(
     target_rows: int | None = None,
     max_epochs: float = 10.0,
     weights: dict | None = None,
+    allow_unlisted: bool = False,
 ) -> MixturePlan:
     """Compute per-domain epoch rates.
 
     ``temperature`` is the α in p_d ∝ n_d^α (1 = natural, 0 = uniform).
     ``weights`` overrides the power law with explicit relative weights
-    (un-normalized; e.g. the published LLaMA table).  ``target_rows``
-    sets the expected output size (defaults to the input size — pure
-    reweighting).  ``max_epochs`` caps repetition of tiny domains (the
-    guard every recipe applies: a 100-doc domain must not be repeated
-    thousands of times into memorization)."""
+    (un-normalized; e.g. the published LLaMA table).  A weights table
+    that omits domains PRESENT in the corpus raises — a partial table
+    would silently delete whole domains from the training mix; pass
+    ``allow_unlisted=True`` to exclude them deliberately (they are
+    surfaced in ``plan.excluded``).  ``target_rows`` sets the expected
+    output size (defaults to the input size — pure reweighting).
+    ``max_epochs`` caps repetition of tiny domains (the guard every
+    recipe applies: a 100-doc domain must not be repeated thousands of
+    times into memorization)."""
     counts = {
         r[domain_col]: r["n"]
         for r in docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -85,10 +93,21 @@ def plan_mixture(
         return MixturePlan(rates={}, counts={}, target_rows=0.0)
     total = sum(counts.values())
     t = float(target_rows) if target_rows is not None else float(total)
+    excluded: tuple = ()
     if weights is not None:
         unknown = set(weights) - set(counts)
         if unknown:
             raise ValueError(f"weights for absent domains: {sorted(unknown)}")
+        unlisted = set(counts) - set(weights)
+        if unlisted:
+            if not allow_unlisted:
+                raise ValueError(
+                    "corpus domains missing from the weights table "
+                    f"(would be silently dropped): {sorted(map(str, unlisted))}; "
+                    "list them or pass allow_unlisted=True to exclude "
+                    "them deliberately"
+                )
+            excluded = tuple(sorted(unlisted, key=str))
         raw = {d: float(weights.get(d, 0.0)) for d in counts}
     else:
         raw = {d: float(n) ** temperature for d, n in counts.items()}
@@ -100,7 +119,9 @@ def plan_mixture(
         p = raw[d] / z
         rates[d] = min(p * t / n, float(max_epochs))
     expected = sum(rates[d] * counts[d] for d in counts)
-    return MixturePlan(rates=rates, counts=counts, target_rows=expected)
+    return MixturePlan(
+        rates=rates, counts=counts, target_rows=expected, excluded=excluded
+    )
 
 
 def realize_mixture(
@@ -149,6 +170,7 @@ def mix_corpus(
     target_rows: int | None = None,
     max_epochs: float = 10.0,
     weights: dict | None = None,
+    allow_unlisted: bool = False,
     seed: int = 0,
 ) -> tuple[DataFrame, MixturePlan]:
     """Plan + realize in one call; returns ``(mixed_df, plan)``."""
@@ -159,5 +181,6 @@ def mix_corpus(
         target_rows=target_rows,
         max_epochs=max_epochs,
         weights=weights,
+        allow_unlisted=allow_unlisted,
     )
     return realize_mixture(docs, plan, domain_col, id_col=id_col, seed=seed), plan

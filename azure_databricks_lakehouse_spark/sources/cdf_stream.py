@@ -100,18 +100,29 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self.max_versions = int(mv) if mv is not None else None
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("maxVersionsPerTrigger must be >= 1")
-        # rate-limit bookkeeping: the last end offset THIS reader handed
-        # out.  After a checkpoint restart it may lag the engine's real
-        # offset for a few empty triggers (partitions() of an inverted
-        # range is just empty) until it advances past it — convergence
-        # beats persisting reader-side state the engine already owns.
+        # rate-limit bookkeeping.  _last_end: the last end offset THIS
+        # reader handed out.  _engine_floor: the engine's checkpointed
+        # position as far as this reader has OBSERVED it — initialOffset
+        # (fresh start only), partitions() (replay of an uncommitted
+        # batch), and commit() all reveal it.  latestOffset must never
+        # return an offset below the floor: after a checkpoint restart
+        # the engine COMMITS whatever we return, and a lower offset
+        # silently re-delivers every version in between on the next
+        # trigger (duplicate rows downstream).  When neither is known
+        # (restart straight into latestOffset) the first answer is the
+        # newest version UNBOUNDED — one oversized batch beats replayed
+        # data — and rate limiting resumes from there.
         self._last_end: int | None = None
+        self._engine_floor: int | None = None
         self.schema = schema
         self.field_names = [f.name for f in schema.fields]
 
     # -- offsets (driver-side, manifest-only) -------------------------------
 
     def initialOffset(self) -> dict:
+        # called on a FRESH start only (no checkpoint) — the engine's
+        # position IS start_version, so rate limiting may begin there
+        self._engine_floor = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
@@ -119,28 +130,41 @@ class TableChangesStreamReader(DataSourceStreamReader):
         that many commits past the previous end, so a large backlog
         drains in bounded micro-batches instead of one giant one (the
         ``maxFilesPerTrigger`` idea expressed in version space, the
-        source's natural work unit)."""
+        source's natural work unit).  Never returns an offset below the
+        engine's observed committed position (see ``_engine_floor``)."""
         newest = _versions(self.root)[-1]
         if self.max_versions is None:
             return {"version": newest}
-        base = self._last_end if self._last_end is not None else self.start_version
+        if self._last_end is None and self._engine_floor is None:
+            # checkpoint restart with the engine's position unknown: a
+            # bounded guess could land BEHIND the committed offset and
+            # be committed over it, replaying versions forever after.
+            # Deliver unbounded once; bound again from here on.
+            self._last_end = newest
+            return {"version": newest}
+        base = max(
+            v
+            for v in (self._last_end, self._engine_floor, self.start_version)
+            if v is not None
+        )
         end = min(newest, base + self.max_versions)
         self._last_end = max(end, base)
         return {"version": self._last_end}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # the engine only asks for ranges it is about to commit — on a
+        # checkpoint-restart replay this is the first place its real
+        # position becomes visible, so record it for rate limiting
+        floor = max(start["version"], end["version"])
+        if self._engine_floor is None or floor > self._engine_floor:
+            self._engine_floor = floor
         parts: list[InputPartition] = []
         # column mapping: physical file names are immutable, so the
         # END version's logical->physical map is correct for EVERY
         # commit in the batch — a file written before a rename carries
         # the same physical column the latest mapping points at
-        renames = tuple(
-            sorted(
-                _manifest(self.root, end["version"])
-                .get("colmap", {})
-                .items()
-            )
-        )
+        end_colmap = _manifest(self.root, end["version"]).get("colmap", {})
+        renames = tuple(sorted(end_colmap.items()))
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _manifest(self.root, v)
             op = m["operation"]
@@ -157,12 +181,36 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     # the commit recorded its exact row-level delta as a
                     # CDC sidecar: stream THOSE files — each row carries
                     # its own _change_type (delete / update_preimage /
-                    # update_postimage), no reconstruction needed
+                    # update_postimage), no reconstruction needed.
+                    # Sidecars store LOGICAL-AT-COMMIT-TIME column names
+                    # (not physical), so a rename AFTER the DML commit
+                    # needs a composed mapping: current logical -> the
+                    # shared physical identity (end colmap) -> the name
+                    # logical at v (inverse of v's colmap).  Without it
+                    # a backlog spanning a rename reads NULLs for the
+                    # renamed column's delete/update rows.
+                    v_inv = {p: l for l, p in m.get("colmap", {}).items()}
+
+                    def _at_v(name: str) -> str:
+                        phys = end_colmap.get(name, name)
+                        return v_inv.get(phys, phys)
+
+                    sidecar_renames = tuple(
+                        sorted(
+                            (name, _at_v(name))
+                            for name in self.field_names
+                            if name
+                            not in ("_change_type", "_commit_version")
+                            and _at_v(name) != name
+                        )
+                    )
                     cdc_root = os.path.join(self.root, _CDC_DIR)
                     for f in sorted(cdc):
                         parts.append(
                             _FilePartition(
-                                path=os.path.join(cdc_root, f), version=v
+                                path=os.path.join(cdc_root, f),
+                                version=v,
+                                renames=sidecar_renames,
                             )
                         )
                     continue
@@ -239,7 +287,10 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the engine checkpoint; nothing to release
+        # offsets live in the engine checkpoint; nothing to release —
+        # but the committed position is the rate limiter's floor
+        if self._engine_floor is None or end["version"] > self._engine_floor:
+            self._engine_floor = end["version"]
 
 
 class TableChangesDataSource(DataSource):

@@ -2226,9 +2226,45 @@ class ParquetTable:
                 f"manifests for versions {missing} are gone (VACUUMed?) — "
                 "cannot reconstruct changes across a missing base snapshot"
             )
+        # every slice is delivered under the END version's LOGICAL names:
+        # physical file columns are immutable, so the end colmap resolves
+        # files from every commit in the range, and a rename inside the
+        # range must not split one column into two union branches
+        end_m = self._manifest(end if end in have else None)
+        end_naming = {
+            "colmap": end_m.get("colmap", {}),
+            "retired_cols": end_m.get("retired_cols", []),
+        }
+        inv_end = _logical_inverse(end_m)
+
+        def _renamed(m_v: dict, df: DataFrame) -> DataFrame:
+            """CDC sidecar columns (logical at commit time v) -> logical
+            at the end version, via the shared physical identity."""
+            cmap_v = m_v.get("colmap", {})
+            renames = {}
+            for c in df.columns:
+                phys = cmap_v.get(c, c)
+                now = inv_end.get(phys, phys)
+                if now != c:
+                    renames[c] = now
+            return df.withColumnsRenamed(renames) if renames else df
+
+        def _at_end(m_v: dict) -> dict:
+            """Manifest ``m_v`` with the END version's naming: colmap /
+            retired_cols replaced, and schema field names translated
+            logical-at-v -> logical-at-end (same physical identity), so
+            even empty-file-list frames carry current names."""
+            cmap_v = m_v.get("colmap", {})
+            schema = json.loads(m_v["schema"])
+            for f in schema.get("fields", []):
+                phys = cmap_v.get(f["name"], f["name"])
+                f["name"] = inv_end.get(phys, phys)
+            return {**m_v, **end_naming, "schema": json.dumps(schema)}
+
         slices: list[DataFrame] = []
         for v in range(start_version + 1, end + 1):
-            m = self._manifest(v)
+            m_v = self._manifest(v)
+            m = _at_end(m_v)
             if m["operation"] == "OPTIMIZE":
                 continue
             cdc = m.get("cdc_files", [])
@@ -2244,7 +2280,7 @@ class ParquetTable:
                 # behaves the same way.
                 ct = F.col("_change_type")
                 slices.append(
-                    self._read_cdc_files(cdc)
+                    _renamed(m_v, self._read_cdc_files(cdc))
                     .withColumn(
                         "_change_type",
                         F.when(ct == "update_preimage", F.lit("delete"))
@@ -2255,7 +2291,11 @@ class ParquetTable:
                 )
                 continue
             # start_version = -1 includes v0: everything since creation
-            prev = self._manifest(v - 1) if v > 0 else {"files": [], "dvs": {}}
+            prev = (
+                _at_end(self._manifest(v - 1))
+                if v > 0
+                else {"files": [], "dvs": {}}
+            )
             prev_files = set(prev["files"])
             cur_files = set(m["files"])
             # a carried file whose deletion-vector state changed (e.g.
@@ -2382,18 +2422,23 @@ class ParquetTable:
             # rows re-derives and verifies)
             return "file:" + data_root.replace(os.sep, "/") + "/"
         fp = row["fp"]
-        # longest suffix match guards against one rel being a suffix of
-        # another (cannot happen with commit-id-prefixed names, but the
-        # prefix derivation must not depend on that invariant)
-        match = max(
-            (r for r in m["files"] if fp.endswith(r)), key=len, default=None
-        )
-        if match is None:
+        # identify the file by decoded PATH, not by raw-suffix match:
+        # a hive partition value that is percent-encoded on disk (':'
+        # -> '%3A') is double-encoded in the URI ('%253A'), so
+        # fp.endswith(rel) would miss and the probe would fail
+        # nondeterministically depending on which file the row came
+        # from.  _uri_to_path unquotes exactly once, matching the
+        # on-disk rendering.
+        rel = _rel_lookup(data_root, m["files"]).get(_uri_to_path(fp))
+        if rel is None:
             raise RuntimeError(
-                f"cannot derive file-URI prefix: {fp!r} matches no "
-                "manifest file (URI-escaped partition value?)"
+                f"cannot derive file-URI prefix: {fp!r} resolves to no "
+                "manifest file"
             )
-        prefix = fp[: -len(match)]
+        # the prefix boundary is a path-segment count, valid whatever
+        # escaping the segments carry ('/' itself is always encoded)
+        n_segments = rel.count(os.sep) + 1
+        prefix = fp.rsplit("/", n_segments)[0] + "/"
         _URI_PREFIX_CACHE[data_root] = prefix
         return prefix
 

@@ -251,3 +251,37 @@ def test_timestamp_time_travel(spark, root):
 
     iso = datetime.fromtimestamp(ts_after_create, timezone.utc).isoformat()
     assert t.version_at(iso) == 0
+
+
+def test_batch_cdf_spans_rename_under_current_names(spark, tmp_path):
+    """changes_between across a rename_column boundary delivers every
+    slice — appends AND DML sidecars written before the rename — under
+    the END version's logical names, not a split old/new column pair."""
+    import pyspark.sql.functions as F
+
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    root = str(tmp_path / "tbl")
+    t = ParquetTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"),
+    )
+    t.update(F.col("k") == 1, {"v": F.lit("x2")})  # v1 sidecar, old names
+    t.delete(F.col("k") == 2)  # v2 sidecar, old names
+    t.rename_column("v", "label")  # v3
+    t.append(spark.createDataFrame([(3, "z")], "k int, label string"))  # v4
+    ch = t.changes_between(-1)
+    assert "label" in ch.columns and "v" not in ch.columns
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["label"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (0, "insert", 1, "x"),
+        (0, "insert", 2, "y"),
+        (1, "delete", 1, "x"),
+        (1, "insert", 1, "x2"),
+        (2, "delete", 2, "y"),
+        (4, "insert", 3, "z"),
+    ]

@@ -245,3 +245,76 @@ def test_max_versions_per_trigger_bounds_batches(registered, tmp_path):
             q.awaitTermination(30)
         finally:
             q.stop()
+
+
+def test_restart_with_rate_limit_does_not_replay(registered, tmp_path):
+    """A checkpointed restart with maxVersionsPerTrigger set must NOT
+    hand the engine an offset behind its committed position — that
+    offset gets committed and every version in between re-delivers as
+    duplicates.  After the fix the first post-restart answer is the
+    newest version (rate limit suspended for one trigger), so the total
+    delivered row set is exactly-once."""
+    spark = registered
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = ParquetTable.create(spark, root, _rows(spark, [(0, "a", "v0")]))
+    t.append(_rows(spark, [(1, "a", "v1")]))
+    t.append(_rows(spark, [(2, "a", "v2")]))
+
+    def _run(want_rows):
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", root)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= want_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    _run(want_rows=3)
+    t.append(_rows(spark, [(3, "a", "v3")]))
+    t.append(_rows(spark, [(4, "a", "v4")]))
+    _run(want_rows=5)
+    got = spark.read.parquet(out).collect()
+    ks = sorted(r["k"] for r in got)
+    assert ks == [0, 1, 2, 3, 4], f"duplicate or missing rows: {ks}"
+
+
+def test_sidecar_after_rename_streams_current_names(registered, tmp_path):
+    """A DELETE/UPDATE sidecar written BEFORE a rename_column must
+    stream its rows under the CURRENT logical schema (composed column
+    mapping), not as silent NULLs."""
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")])
+    )
+    t.update(F.col("k") == 1, {"v": F.lit("x2")})  # v1: pre/post sidecar
+    t.delete(F.col("k") == 2)  # v2: delete sidecar
+    t.rename_column("v", "label")  # v3: sidecars now predate the rename
+    got = _drain(spark, root, "cdf_sink_ren_sidecar", want_rows=5)
+    by = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["label"])
+        for r in got
+    )
+    assert by == [
+        (0, "insert", 1, "x"),
+        (0, "insert", 2, "y"),
+        (1, "update_postimage", 1, "x2"),
+        (1, "update_preimage", 1, "x"),
+        (2, "delete", 2, "y"),
+    ]

@@ -214,3 +214,28 @@ def test_scan_where_prunes_on_partitions_and_stats(spark, root):
     # respects deletion vectors
     t.delete("k = 5", mode="merge-on-read")
     assert t.scan_where("part = '1' AND k BETWEEN 0 AND 10").count() == 2
+
+
+def test_dml_on_percent_encoded_partition_values(spark, root):
+    """Hive partition values Spark percent-encodes on disk (':' ->
+    '%3A') are double-encoded in file URIs; the URI-prefix probe and
+    the DV (file, row) attribution must survive that.  Regression for
+    the round-5 advice on _uri_prefix's raw-suffix match."""
+    from azure_databricks_lakehouse_spark.sources import tables as T
+
+    df = spark.createDataFrame(
+        [(i, f"h:{i % 2}", i * 10) for i in range(40)],
+        "k int, part string, v int",
+    )
+    t = ParquetTable.create(spark, root, df, partition_by=["part"])
+    # bust the session cache so the probe actually runs on THIS table
+    T._URI_PREFIX_CACHE.clear()
+    # merge-on-read: one-row delete writes a DV keyed by URI suffix
+    t.delete(F.col("k") == 7, mode="merge-on-read")
+    got = t.read()
+    assert got.count() == 39
+    assert got.filter("k = 7").count() == 0
+    assert got.filter("part = 'h:1'").count() == 19
+    # update through the same probe path
+    t.update("k = 8", {"v": F.lit(-1)}, mode="merge-on-read")
+    assert t.read().filter("v = -1").count() == 1

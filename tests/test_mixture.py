@@ -96,3 +96,16 @@ def test_plan_is_shuffle_free_projection(spark, corpus):
     s = mixed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in s, "realization must not shuffle"
     assert "BatchEvalPython" not in s
+
+
+def test_unlisted_corpus_domains_raise_unless_opted_in(spark, corpus):
+    """A partial weights table must not silently delete whole domains
+    from the training mix: unlisted corpus domains raise, and the
+    explicit opt-out surfaces them in plan.excluded with rate 0."""
+    with pytest.raises(ValueError, match="missing from the weights"):
+        plan_mixture(corpus, "domain", weights={"web": 1, "books": 1})
+    plan = plan_mixture(
+        corpus, "domain", weights={"web": 1, "books": 1}, allow_unlisted=True
+    )
+    assert plan.excluded == ("code",)
+    assert plan.rates["code"] == 0.0
