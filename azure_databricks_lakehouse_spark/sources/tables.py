@@ -2134,11 +2134,19 @@ class ParquetTable:
         self._post_commit()
         return version
 
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(
+        self, keep_versions: int = 1, staging_ttl_seconds: float = 3600.0
+    ) -> int:
         """D8 parity: delete data files unreferenced by the newest
         ``keep_versions`` manifests, and drop older manifests.  Time travel
         earlier than that horizon becomes impossible — same contract as
-        Delta's retention-bounded VACUUM."""
+        Delta's retention-bounded VACUUM.
+
+        Also sweeps orphaned ``_staging_*`` write directories older than
+        ``staging_ttl_seconds`` — a writer that crashed between
+        ``_write_files`` and its commit leaves one behind, referenced by
+        nothing (the TTL protects a concurrent in-flight write; Delta's
+        VACUUM applies the same uncommitted-file retention logic)."""
         vs = self._versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
@@ -2173,6 +2181,20 @@ class ParquetTable:
         removed += _sweep(os.path.join(self.root, _DV_DIR), referenced_dv)
         for v in vs[:-keep_versions]:
             os.remove(_manifest_path(self.root, v))
+        now = time.time()
+        for name in os.listdir(self.root):
+            if not name.startswith("_staging_"):
+                continue
+            full = os.path.join(self.root, name)
+            try:
+                if (
+                    os.path.isdir(full)
+                    and now - os.path.getmtime(full) > staging_ttl_seconds
+                ):
+                    shutil.rmtree(full)
+                    removed += 1
+            except OSError:
+                pass  # concurrent writer finished its move mid-sweep
         return removed
 
     def cache(self) -> DataFrame:

@@ -754,3 +754,47 @@ def test_table_properties_roundtrip_and_restore(spark, tmp_path):
     assert "tier" not in tbl.properties()
     tbl.restore(v1)
     assert tbl.properties()["tier"] == "gold"
+
+
+def test_vacuum_sweeps_stale_staging_dirs(spark, tmp_path):
+    """A writer that crashed between _write_files and its commit leaves
+    an orphaned _staging_* dir no manifest references; vacuum removes
+    it once it ages past the TTL, and leaves fresh ones (a concurrent
+    in-flight write) alone."""
+    import os
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = ParquetTable.create(
+        spark, root, spark.createDataFrame([(1,)], "k int")
+    )
+    stale = os.path.join(root, "_staging_deadbeef0000")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = os.path.join(root, "_staging_cafe00000000")
+    os.makedirs(fresh)
+    t.vacuum(keep_versions=1)
+    assert not os.path.exists(stale), "stale staging dir must be swept"
+    assert os.path.exists(fresh), "fresh staging dir must survive (TTL)"
+
+
+def test_q51_reuses_its_fingerprint_cache(spark):
+    """Repeated q51 runs reuse one deterministic cache root instead of
+    accumulating a mkdtemp per invocation."""
+    import glob
+    import os
+    import tempfile
+
+    from azure_databricks_lakehouse_spark.queries.dedup_ops import (
+        q51_winnow_overlap,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    pattern = os.path.join(tempfile.gettempdir(), "q51_fp_*")
+    q51_winnow_overlap(spark, sf).count()
+    n_after_first = len(glob.glob(pattern))
+    q51_winnow_overlap(spark, sf).count()
+    assert len(glob.glob(pattern)) == n_after_first, "no new temp roots"
