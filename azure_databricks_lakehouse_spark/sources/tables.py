@@ -76,6 +76,16 @@ _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _CDC_DIR = "_change_data"
 _DV_DIR = "_deletion_vectors"
+_SIDECAR_DIR = os.path.join(_MANIFEST_DIR, "_sidecars")
+
+# parsed stats/bloom sidecar files, cached by absolute path — sidecar
+# files are immutable once written, so entries can never go stale
+_SIDECAR_CACHE: dict[str, tuple[dict, dict]] = {}
+# a commit whose manifest would reference more sidecars than this
+# consolidates them into one (log compaction): keeps the ref list —
+# and the number of files a cold stats load opens — bounded while
+# amortizing the O(live files) merge over many commits
+_SIDECAR_CONSOLIDATE = 24
 
 # file-URI prefix of a table's data root, derived once per root from a
 # one-row probe and cached for the session (see ParquetTable._uri_prefix)
@@ -231,6 +241,57 @@ class ParquetTable:
         with open(_manifest_path(self.root, v)) as fh:
             return json.load(fh)
 
+    # -- stats / bloom sidecar access ---------------------------------------
+
+    def _stats(self, m: dict) -> dict[str, dict]:
+        """Per-file footer stats for manifest ``m`` —
+        ``{file: {physical_col: [lo, hi]}}`` — assembled LAZILY from the
+        manifest's parquet sidecar refs (cached per sidecar; a plain
+        read never touches them).  Entries for files no longer in the
+        manifest are filtered out; legacy inline manifests pass
+        through."""
+        inline = m.get("stats")
+        if inline:
+            return inline
+        refs = m.get("stats_sidecars", [])
+        if not refs:
+            return {}
+        live = set(m["files"])
+        out: dict[str, dict] = {}
+        for ref in refs:
+            s, _b = _load_sidecar(os.path.join(self.root, _SIDECAR_DIR, ref))
+            for f, cols in s.items():
+                if f in live:
+                    out.setdefault(f, {}).update(cols)
+        return out
+
+    def _blooms(self, m: dict) -> dict[str, dict]:
+        """Per-file bloom bitmaps for manifest ``m`` —
+        ``{file: {physical_col: hex}}`` — from the sidecar refs,
+        filtered to the manifest's CURRENT bloom configuration (rows
+        stamped with a different cfg hash are stale and ignored).
+        Legacy inline manifests (logical-keyed) are translated."""
+        inline = m.get("blooms")
+        if inline:
+            return {
+                f: {_physical_name(m, c): v for c, v in cols.items()}
+                for f, cols in inline.items()
+            }
+        cfg = _bloom_cfg_hash(m.get("props"), m.get("colmap"))
+        if cfg is None:
+            return {}
+        live = set(m["files"])
+        out: dict[str, dict] = {}
+        for ref in m.get("stats_sidecars", []):
+            _s, b = _load_sidecar(os.path.join(self.root, _SIDECAR_DIR, ref))
+            for f, cols in b.items():
+                if f not in live:
+                    continue
+                for c, (hex_bmp, row_cfg) in cols.items():
+                    if row_cfg == cfg:
+                        out.setdefault(f, {})[c] = hex_bmp
+        return out
+
     def detail(self) -> dict:
         """Delta ``DESCRIBE DETAIL`` parity: one metadata-only dict of
         the table's current physical state — size, file count, partition
@@ -254,6 +315,7 @@ class ParquetTable:
             "schema": m["schema"],
             "num_dv_masked_files": len(dvs),
             "num_dv_sidecars": len({d for v in dvs.values() for d in v}),
+            "num_stats_sidecars": len(m.get("stats_sidecars", [])),
             "column_mapping": dict(m.get("colmap", {})),
             "retired_columns": list(m.get("retired_cols", [])),
             "properties": dict(m.get("props", {})),
@@ -452,7 +514,7 @@ class ParquetTable:
         for ``col`` are always read; correctness never depends on stats.
         """
         m = self._manifest(version)
-        stats = m.get("stats", {})
+        stats = self._stats(m)
         pcol = _physical_name(m, col)
         keep = []
         for f in m["files"]:
@@ -515,7 +577,7 @@ class ParquetTable:
             return list(m["files"])
         from azure_databricks_lakehouse_spark.plans.pruning import may_match
 
-        stats = m.get("stats", {})
+        stats = self._stats(m)
         part_cols = m["partition_by"]
         # footer stats and hive directories carry PHYSICAL column names;
         # the predicate speaks LOGICAL — re-key per file (identity map
@@ -711,7 +773,6 @@ class ParquetTable:
         dvs = {f: v for f, v in old_dvs.items() if f not in gone and f not in drop}
         for f in dv_dest:
             dvs[f] = dvs.get(f, []) + dv_rels
-        old_stats = m.get("stats", {})
         version = _commit(
             self.root,
             version=m["version"] + 1,
@@ -720,12 +781,10 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation="DELETE",
             merged_schema=m.get("merged_schema", False),
-            stats={
-                **{f: old_stats[f] for f in carried if f in old_stats},
-                **_file_stats(os.path.join(self.root, _DATA_DIR), files),
-            },
+            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
             props=m.get("props", {}),
-            blooms=self._blooms_for_commit(m, carried, files),
+            blooms=self._compute_blooms(files, m),
+            parent=m,
             cdc_files=cdc_files,
             dvs=dvs,
             colmap=m.get("colmap", {}),
@@ -886,7 +945,6 @@ class ParquetTable:
         dvs = {f: v for f, v in old_dvs.items() if f not in rewrite_set}
         for f in dv_dest:
             dvs[f] = dvs.get(f, []) + dv_rels
-        old_stats = m.get("stats", {})
         version = _commit(
             self.root,
             version=m["version"] + 1,
@@ -895,12 +953,10 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation="UPDATE",
             merged_schema=m.get("merged_schema", False),
-            stats={
-                **{f: old_stats[f] for f in carried if f in old_stats},
-                **_file_stats(os.path.join(self.root, _DATA_DIR), files),
-            },
+            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
             props=m.get("props", {}),
-            blooms=self._blooms_for_commit(m, carried, files),
+            blooms=self._compute_blooms(files, m),
+            parent=m,
             cdc_files=cdc_files,
             dvs=dvs,
             colmap=m.get("colmap", {}),
@@ -930,9 +986,8 @@ class ParquetTable:
             partition_by=old["partition_by"],
             operation="RESTORE",
             merged_schema=old.get("merged_schema", False),
-            stats=old.get("stats", {}),
             props=old.get("props", {}),
-            blooms=old.get("blooms", {}),
+            parent=old,  # sidecar refs (and legacy inline) travel back
             dvs=old.get("dvs", {}),
             colmap=old.get("colmap", {}),
             retired_cols=old.get("retired_cols", []),
@@ -987,6 +1042,17 @@ class ParquetTable:
                     os.link(os.path.join(src_dv, rel), dest)
                 except OSError:
                     shutil.copy2(os.path.join(src_dv, rel), dest)
+        # stats/bloom sidecars travel too (hardlinked like the data):
+        # the clone's manifests reference its OWN copies, so either
+        # side's VACUUM can never strand the other
+        src_sc = os.path.join(self.root, _SIDECAR_DIR)
+        dst_sc = os.path.join(dest_root, _SIDECAR_DIR)
+        for ref in m.get("stats_sidecars", []):
+            os.makedirs(dst_sc, exist_ok=True)
+            try:
+                os.link(os.path.join(src_sc, ref), os.path.join(dst_sc, ref))
+            except OSError:
+                shutil.copy2(os.path.join(src_sc, ref), os.path.join(dst_sc, ref))
         _commit(
             dest_root,
             version=0,
@@ -995,9 +1061,8 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation=f"CLONE {os.path.abspath(self.root)}@v{m['version']}",
             merged_schema=m.get("merged_schema", False),
-            stats=m.get("stats", {}),
             props=m.get("props", {}),
-            blooms=m.get("blooms", {}),
+            parent=m,
             dvs=dvs,
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
@@ -1337,17 +1402,13 @@ class ParquetTable:
                 (new if c == old else c): e for c, e in gen.items()
             }
         bloom = props.get("bloom")
-        blooms = None
         if bloom and old in bloom["cols"]:
             props["bloom"] = {
                 **bloom, "cols": [new if c == old else c for c in bloom["cols"]]
             }
-            # per-file bitmaps are keyed by logical name: follow along
-            # (content stays valid — the data never moved)
-            blooms = {
-                f: {new if c == old else c: bmp for c, bmp in per.items()}
-                for f, per in m.get("blooms", {}).items()
-            }
+            # sidecar bitmaps are keyed by PHYSICAL name and stamped
+            # with a cfg hash over physical names — both invariant under
+            # a rename, so no bitmap is touched or invalidated
         new_schema = StructType(
             [
                 StructField(new, f.dataType, f.nullable, f.metadata)
@@ -1362,7 +1423,6 @@ class ParquetTable:
             "RENAME COLUMN",
             schema=new_schema,
             colmap=colmap,
-            blooms=blooms,
         )
 
     def _commit_props(
@@ -1373,7 +1433,6 @@ class ParquetTable:
         schema: str | None = None,
         colmap: dict | None = None,
         retired_cols: list | None = None,
-        blooms: dict | None = None,
     ) -> int:
         """Metadata-only commit: same files/stats/DVs; new props and —
         for ALTER TABLE — a new schema/column mapping.  A schema change
@@ -1388,9 +1447,8 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation=operation,
             merged_schema=m.get("merged_schema", False) or schema is not None,
-            stats=m.get("stats", {}),
             props=props,
-            blooms=m.get("blooms", {}) if blooms is None else blooms,
+            parent=m,
             cdc_files=[],
             dvs=m.get("dvs", {}),
             colmap=m.get("colmap", {}) if colmap is None else colmap,
@@ -1499,9 +1557,9 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation="SET BLOOM INDEX",
             merged_schema=m.get("merged_schema", False),
-            stats=m.get("stats", {}),
             props=props,
             blooms=self._compute_blooms(m["files"], {**m, "props": props}),
+            parent=m,
             dvs=m.get("dvs", {}),
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
@@ -1517,8 +1575,8 @@ class ParquetTable:
             raise ValueError("scan_eq probes equality; NULL never matches")
         m = self._manifest(version)
         cfg = m.get("props", {}).get("bloom")
-        blooms = m.get("blooms", {})
-        stats = m.get("stats", {})
+        blooms = self._blooms(m)
+        stats = self._stats(m)
         pos = None
         if cfg and col in cfg["cols"]:
             pos = _bloom_positions(_bloom_canon(value), cfg["m"], cfg["k"])
@@ -1533,7 +1591,7 @@ class ParquetTable:
                 except TypeError:  # incomparable stat type: stats can't prune
                     pass
             if pos is not None:
-                bmp = blooms.get(f, {}).get(col)
+                bmp = blooms.get(f, {}).get(pcol)
                 if bmp is not None:
                     bits = int(bmp, 16) if bmp else 0
                     if not all((bits >> p) & 1 for p in pos):
@@ -1603,16 +1661,6 @@ class ParquetTable:
                 per_col[c] = format(bits, "x")
             out[rel] = per_col
         return out
-
-    def _blooms_for_commit(
-        self, m: dict, carried: list[str], new_files: list[str]
-    ) -> dict[str, dict]:
-        """Blooms for the next manifest: carried files keep theirs (file
-        names are immutable, so they can never go stale), new files are
-        bloomed now iff an index is configured."""
-        old = m.get("blooms", {})
-        kept = {f: old[f] for f in carried if f in old}
-        return {**kept, **self._compute_blooms(new_files, m)}
 
     # -- write paths --------------------------------------------------------
 
@@ -1748,9 +1796,10 @@ class ParquetTable:
                     partition_by=m["partition_by"],
                     operation="APPEND",
                     merged_schema=bool(new_cols) or m.get("merged_schema", False),
-                    stats={**m.get("stats", {}), **stats},
+                    stats=stats,
                     props=props,
-                    blooms={**m.get("blooms", {}), **new_blooms},
+                    blooms=new_blooms,
+                    parent=m,
                     dvs=m.get("dvs", {}),
                     colmap=m.get("colmap", {}),
                     retired_cols=m.get("retired_cols", []),
@@ -1790,7 +1839,9 @@ class ParquetTable:
             merged_schema=False,
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
             props={**m.get("props", {}), **(extra_props or {})},
-            blooms=self._blooms_for_commit(m, [], files),
+            # no parent: nothing carries over, so dead-file sidecar refs
+            # are dropped here (old versions keep their own manifests)
+            blooms=self._compute_blooms(files, m),
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
             metrics={
@@ -1918,7 +1969,6 @@ class ParquetTable:
         )
         files = _write_files(_to_physical_df(merged, m), self.root, part_cols)
         data_root = os.path.join(self.root, _DATA_DIR)
-        old_stats = m.get("stats", {})
         version = _commit(
             self.root,
             version=m["version"] + 1,
@@ -1927,12 +1977,10 @@ class ParquetTable:
             partition_by=part_cols,
             operation="MERGE",
             merged_schema=bool(widened) or m.get("merged_schema", False),
-            stats={
-                **{f: old_stats[f] for f in carried if f in old_stats},
-                **_file_stats(data_root, files),
-            },
+            stats=_file_stats(data_root, files),
             props=m.get("props", {}),
-            blooms=self._blooms_for_commit(m, carried, files),
+            blooms=self._compute_blooms(files, m),
+            parent=m,
             dvs={
                 f: v
                 for f, v in m.get("dvs", {}).items()
@@ -2053,7 +2101,6 @@ class ParquetTable:
                 part_cols,
                 preserve_layout=True,
             )
-        old_stats = m.get("stats", {})
         version = _commit(
             self.root,
             version=m["version"] + 1,
@@ -2062,12 +2109,10 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation="OPTIMIZE",
             merged_schema=m.get("merged_schema", False),
-            stats={
-                **{f: old_stats[f] for f in carried if f in old_stats},
-                **_file_stats(data_root, files),
-            },
+            stats=_file_stats(data_root, files),
             props=m.get("props", {}),
-            blooms=self._blooms_for_commit(m, carried, files),
+            blooms=self._compute_blooms(files, m),
+            parent=m,
             dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
@@ -2108,7 +2153,6 @@ class ParquetTable:
             self.root,
             m["partition_by"],
         )
-        old_stats = m.get("stats", {})
         version = _commit(
             self.root,
             version=m["version"] + 1,
@@ -2117,12 +2161,10 @@ class ParquetTable:
             partition_by=m["partition_by"],
             operation="OPTIMIZE",  # data-preserving: CDF skips it
             merged_schema=m.get("merged_schema", False),
-            stats={
-                **{f: old_stats[f] for f in carried if f in old_stats},
-                **_file_stats(os.path.join(self.root, _DATA_DIR), files),
-            },
+            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
             props=m.get("props", {}),
-            blooms=self._blooms_for_commit(m, carried, files),
+            blooms=self._compute_blooms(files, m),
+            parent=m,
             dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
             colmap=m.get("colmap", {}),
             retired_cols=m.get("retired_cols", []),
@@ -2152,10 +2194,12 @@ class ParquetTable:
         referenced: set[str] = set()
         referenced_cdc: set[str] = set()
         referenced_dv: set[str] = set()
+        referenced_sc: set[str] = set()
         for v in keep:
             m = self._manifest(v)
             referenced.update(m["files"])
             referenced_cdc.update(m.get("cdc_files", []))
+            referenced_sc.update(m.get("stats_sidecars", []))
             for dv_rels in m.get("dvs", {}).values():
                 referenced_dv.update(dv_rels)
         removed = 0
@@ -2179,6 +2223,9 @@ class ParquetTable:
         removed += _sweep(os.path.join(self.root, _CDC_DIR), referenced_cdc)
         # DV sidecars likewise: superseded by OPTIMIZE/purge or rewrites
         removed += _sweep(os.path.join(self.root, _DV_DIR), referenced_dv)
+        # stats/bloom sidecars: kept iff a surviving manifest points at
+        # them (consolidation + expired versions orphan the rest)
+        removed += _sweep(os.path.join(self.root, _SIDECAR_DIR), referenced_sc)
         for v in vs[:-keep_versions]:
             os.remove(_manifest_path(self.root, v))
         now = time.time()
@@ -2689,6 +2736,93 @@ def _write_files(
     return sorted(rels)
 
 
+def _bloom_cfg_hash(props: dict | None, colmap: dict | None) -> str | None:
+    """Identity of a bloom-index configuration, over the PHYSICAL column
+    names — so a metadata-only RENAME (same physical identity) keeps
+    every existing bitmap valid, while re-configuring the index (cols /
+    m / k changed) invalidates stale sidecar rows at load time."""
+    cfg = (props or {}).get("bloom")
+    if not cfg:
+        return None
+    import hashlib
+
+    phys = sorted((colmap or {}).get(c, c) for c in cfg["cols"])
+    return hashlib.md5(
+        f"{cfg['m']}:{cfg['k']}:{','.join(phys)}".encode()
+    ).hexdigest()[:12]
+
+
+def _write_sidecar(
+    root: str,
+    stats: dict[str, dict],
+    bloom_rows: dict[str, dict],
+) -> str:
+    """Persist per-file stats and bloom bitmaps as ONE immutable parquet
+    sidecar under ``_manifest/_sidecars/``; returns its file name.
+
+    ``stats``: ``{file: {physical_col: [lo, hi]}}``; ``bloom_rows``:
+    ``{file: {physical_col: (hex_bitmap, cfg_hash)}}``.  lo/hi are
+    JSON-encoded per cell so heterogeneous column types round-trip
+    exactly.  Driver-side pyarrow write — the payload is metadata the
+    driver already holds, sized ∝ THIS COMMIT's new files, never the
+    table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {"file": [], "column": [], "lo": [], "hi": [], "bloom": [], "bloom_cfg": []}
+    for f in sorted(stats):
+        for c in sorted(stats[f]):
+            lo, hi = stats[f][c]
+            cols["file"].append(f)
+            cols["column"].append(c)
+            cols["lo"].append(json.dumps(lo))
+            cols["hi"].append(json.dumps(hi))
+            cols["bloom"].append(None)
+            cols["bloom_cfg"].append(None)
+    for f in sorted(bloom_rows):
+        for c in sorted(bloom_rows[f]):
+            hex_bmp, cfg = bloom_rows[f][c]
+            cols["file"].append(f)
+            cols["column"].append(c)
+            cols["lo"].append(None)
+            cols["hi"].append(None)
+            cols["bloom"].append(hex_bmp)
+            cols["bloom_cfg"].append(cfg)
+    sdir = os.path.join(root, _SIDECAR_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    name = f"sc-{uuid.uuid4().hex[:12]}.parquet"
+    tmp = os.path.join(sdir, f".tmp-{name}")
+    pq.write_table(
+        pa.table({k: pa.array(v, type=pa.string()) for k, v in cols.items()}),
+        tmp,
+    )
+    os.replace(tmp, os.path.join(sdir, name))
+    return name
+
+
+def _load_sidecar(path: str) -> tuple[dict, dict]:
+    """Parse (with per-path cache) one sidecar parquet back into
+    ``(stats, bloom_rows)`` in the `_write_sidecar` shapes."""
+    path = os.path.abspath(path)
+    cached = _SIDECAR_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    stats: dict[str, dict] = {}
+    bloom_rows: dict[str, dict] = {}
+    for f, c, lo, hi, b, cfg in zip(
+        *(t.column(n).to_pylist() for n in ("file", "column", "lo", "hi", "bloom", "bloom_cfg"))
+    ):
+        if lo is not None:
+            stats.setdefault(f, {})[c] = [json.loads(lo), json.loads(hi)]
+        if b is not None:
+            bloom_rows.setdefault(f, {})[c] = (b, cfg)
+    _SIDECAR_CACHE[path] = (stats, bloom_rows)
+    return stats, bloom_rows
+
+
 def _file_stats(data_root: str, rels: list[str]) -> dict[str, dict]:
     """Per-file column min/max from the parquet footers (no data read).
 
@@ -2733,6 +2867,27 @@ def _file_stats(data_root: str, rels: list[str]) -> dict[str, dict]:
     return out
 
 
+def _consolidate_sidecars(
+    root: str, refs: list[str], live_files: set[str]
+) -> str:
+    """Merge ``refs`` into one sidecar holding only entries for
+    ``live_files`` (all bloom configs preserved — staleness is decided
+    at load time); returns the new sidecar's name.  O(live entries),
+    run every ~`_SIDECAR_CONSOLIDATE` commits — the log-compaction
+    moment that keeps both the ref list and dead-file garbage bounded."""
+    stats: dict[str, dict] = {}
+    bloom_rows: dict[str, dict] = {}
+    for ref in refs:
+        s, b = _load_sidecar(os.path.join(root, _SIDECAR_DIR, ref))
+        for f, cols in s.items():
+            if f in live_files:
+                stats.setdefault(f, {}).update(cols)
+        for f, cols in b.items():
+            if f in live_files:
+                bloom_rows.setdefault(f, {}).update(cols)
+    return _write_sidecar(root, stats, bloom_rows)
+
+
 def _commit(
     root: str,
     version: int,
@@ -2749,6 +2904,7 @@ def _commit(
     colmap: dict[str, str] | None = None,
     retired_cols: list[str] | None = None,
     metrics: dict | None = None,
+    parent: dict | None = None,
 ) -> int:
     """Atomically publish a manifest version (write-temp + rename — the
     commit point, mirroring Delta's `_delta_log` JSON commit).
@@ -2757,7 +2913,52 @@ def _commit(
     constraints, bloom-index config) — the equivalent of Delta's
     ``metaData.configuration``; every DML path threads the current
     manifest's props through so properties survive any commit, and
-    RESTORE brings a version's properties back with its data."""
+    RESTORE brings a version's properties back with its data.
+
+    ``stats`` / ``blooms`` are THIS COMMIT's new-file entries only
+    (stats keyed by physical column from the footers; blooms keyed
+    logical as `_compute_blooms` builds them — translated to physical
+    here).  They land in a parquet sidecar under ``_manifest/_sidecars``
+    sized ∝ the change; entries for files carried from ``parent`` ride
+    its sidecar refs untouched.  The manifest itself holds only the
+    file list + sidecar pointers, so the per-commit JSON payload — and
+    every reader's manifest parse — stays bounded by the file list,
+    never by per-file statistics (the round-5 O(table) driver cost)."""
+    cmap = colmap or {}
+    refs: list[str] = []
+    fold_stats: dict[str, dict] = {}
+    fold_blooms: dict[str, dict] = {}
+    live = set(files)
+    if parent is not None:
+        refs = list(parent.get("stats_sidecars", []))
+        # legacy manifests (pre-sidecar) carried stats/blooms inline:
+        # fold the still-live entries forward into this commit's sidecar
+        # once, after which the table is fully on the sidecar format
+        pmap = parent.get("colmap", {}) or {}
+        pcfg = _bloom_cfg_hash(parent.get("props"), pmap)
+        for f, cols in (parent.get("stats") or {}).items():
+            if f in live:
+                fold_stats[f] = dict(cols)
+        for f, cols in (parent.get("blooms") or {}).items():
+            if f in live:
+                fold_blooms[f] = {
+                    pmap.get(c, c): (v, pcfg) for c, v in cols.items()
+                }
+    cfg = _bloom_cfg_hash(props, cmap)
+    bloom_rows = dict(fold_blooms)
+    for f, cols in (blooms or {}).items():
+        merged = dict(bloom_rows.get(f, {}))
+        merged.update({cmap.get(c, c): (v, cfg) for c, v in cols.items()})
+        bloom_rows[f] = merged
+    new_stats = dict(fold_stats)
+    for f, cols in (stats or {}).items():
+        merged = dict(new_stats.get(f, {}))
+        merged.update(cols)
+        new_stats[f] = merged
+    if new_stats or bloom_rows:
+        refs.append(_write_sidecar(root, new_stats, bloom_rows))
+    if len(refs) > _SIDECAR_CONSOLIDATE:
+        refs = [_consolidate_sidecars(root, refs, live)]
     manifest = {
         "version": version,
         "operation": operation,
@@ -2766,9 +2967,10 @@ def _commit(
         "schema": schema,
         "partition_by": partition_by,
         "merged_schema": merged_schema,
-        "stats": stats or {},
+        # per-file min/max stats and bloom bitmaps live in parquet
+        # sidecars (see docstring); these are the pointers
+        "stats_sidecars": refs,
         "props": props or {},
-        "blooms": blooms or {},
         "cdc_files": cdc_files or [],
         # merge-on-read deletion vectors: data file -> the DV sidecar
         # parquet files (under _deletion_vectors/) holding its deleted

@@ -50,7 +50,7 @@ def test_selective_delete_rewrites_only_matching_files(spark, root):
     # data correct; stats carried for untouched files
     assert t.read().count() == 199
     assert t.read().filter("k = 2").count() == 0
-    assert all(f in m["stats"] for f in untouched_before)
+    assert all(f in t._stats(m) for f in untouched_before)
 
 
 def test_delete_with_column_condition_still_narrows_rewrite(spark, root):

@@ -117,7 +117,8 @@ def test_vacuum_removes_old_versions(spark, root):
     t.overwrite(_rows(spark, [(2, "b", "y")]))
     old_files = set(t._manifest(0)["files"])
     removed = t.vacuum(keep_versions=1)
-    assert removed == len(old_files)
+    # v0's data files plus its now-unreferenced stats sidecar
+    assert removed == len(old_files) + 1
     data_root = os.path.join(root, "data")
     on_disk = {
         os.path.relpath(os.path.join(d, f), data_root)
@@ -689,7 +690,7 @@ def test_bloom_on_string_keys_and_clone_carry(spark, root, tmp_path):
     )
     t.set_bloom_index(["uid"], m_bits=2048)
     c = t.clone(str(tmp_path / "fork"))
-    assert c._manifest(0).get("blooms")  # bitmaps travelled with the clone
+    assert c._blooms(c._manifest(0))  # bitmaps travelled with the clone
     got = c.scan_eq("uid", "user-42").collect()
     assert len(got) == 1 and got[0]["n"] == 42
 
