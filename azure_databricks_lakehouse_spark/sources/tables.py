@@ -2005,6 +2005,8 @@ class ParquetTable:
         zorder_by: Sequence[str] | None = None,
         n_files: int | None = None,
         where: str | None = None,
+        incremental: bool = False,
+        boundary_below_mb: float | None = None,
     ) -> int:
         """D6/D7 parity: compact small files toward ``target_file_mb`` and
         optionally cluster by ``zorder_by`` columns with TRUE interleaved
@@ -2026,8 +2028,24 @@ class ParquetTable:
         mode to the files its prunable predicate may touch — the knob
         that z-orders yesterday's partition instead of 7 years; an
         unprunable predicate raises rather than silently rewriting the
-        world.  Explicit ``n_files`` (or ``zorder_by``) requests a
-        deliberate layout and rewrites the full scope."""
+        world.  Explicit ``n_files`` (or ``zorder_by`` without
+        ``incremental``) requests a deliberate layout and rewrites the
+        full scope.
+
+        **Incremental clustering** (Delta liquid-clustering's core
+        trick): every z-order commit records its clustering columns and
+        the commit prefixes of the files it wrote in the versioned
+        props.  ``optimize(zorder_by=..., incremental=True)`` then
+        rewrites ONLY in-scope files NOT produced by a recorded
+        clustered commit (new appends / DML rewrites) plus any
+        DV-masked file — rolling maintenance costs the change, never
+        the layout.  ``boundary_below_mb`` additionally folds in
+        already-clustered files below that size (boundary merges, so
+        many small incremental layers re-merge instead of accumulating);
+        re-running with nothing new is a no-op.  A plain ``optimize()``
+        on a table with clustering state auto-routes here — routine
+        compaction must never silently destroy a clustered layout
+        (Delta's OPTIMIZE on a ``CLUSTER BY`` table behaves the same)."""
         m = self._manifest()
         part_cols = m["partition_by"]
         data_root = os.path.join(self.root, _DATA_DIR)
@@ -2044,11 +2062,41 @@ class ParquetTable:
                     "(supported: col-vs-literal comparisons, IN, BETWEEN, "
                     "IS NULL, AND/OR)"
                 )
+        cluster_state = m.get("props", {}).get("clustering")
+        if zorder_by is None and n_files is None and cluster_state:
+            # plain compaction on a clustered table: re-cluster the new
+            # files into the existing layout instead of shredding it
+            zorder_by = list(cluster_state["cols"])
+            incremental = True
         scope = self._prune_files(m, pred)
         size = {f: os.path.getsize(os.path.join(data_root, f)) for f in scope}
         threshold = target_file_mb * 1024 * 1024
         dvs_map = m.get("dvs", {})
-        if zorder_by or n_files is not None:
+        incr_compatible = bool(
+            zorder_by
+            and incremental
+            and cluster_state
+            and list(cluster_state["cols"]) == list(zorder_by)
+        )
+        if incr_compatible:
+            prefixes = set(cluster_state.get("prefixes", []))
+            clustered = {f for f in scope if _commit_prefix(f) in prefixes}
+            boundary = (
+                {
+                    f
+                    for f in clustered
+                    if size[f] < boundary_below_mb * 1024 * 1024
+                }
+                if boundary_below_mb
+                else set()
+            )
+            rewrite = sorted(
+                {f for f in scope if f not in clustered}
+                # merge-on-read debt inside the layout is folded away too
+                | {f for f in clustered if f in dvs_map}
+                | boundary
+            )
+        elif zorder_by or n_files is not None:
             rewrite = list(scope)
         else:
             by_dir: dict[str, list[str]] = {}
@@ -2101,6 +2149,23 @@ class ParquetTable:
                 part_cols,
                 preserve_layout=True,
             )
+        props = dict(m.get("props", {}))
+        if zorder_by:
+            # clustering state: the commit prefixes whose files ARE the
+            # clustered layout.  Incremental passes extend the surviving
+            # prefixes; a full re-cluster resets the state to this
+            # commit.  Prefixes are O(maintenance runs), pruned to those
+            # still owning a live file — never O(files).
+            new_prefix = {_commit_prefix(f) for f in files}
+            if incr_compatible:
+                alive = {_commit_prefix(f) for f in carried}
+                kept = set(cluster_state.get("prefixes", [])) & alive
+            else:
+                kept = set()
+            props["clustering"] = {
+                "cols": list(zorder_by),
+                "prefixes": sorted(kept | new_prefix),
+            }
         version = _commit(
             self.root,
             version=m["version"] + 1,
@@ -2110,7 +2175,7 @@ class ParquetTable:
             operation="OPTIMIZE",
             merged_schema=m.get("merged_schema", False),
             stats=_file_stats(data_root, files),
-            props=m.get("props", {}),
+            props=props,
             blooms=self._compute_blooms(files, m),
             parent=m,
             dvs={f: v for f, v in dvs_map.items() if f not in rewrite_set},
@@ -2647,6 +2712,13 @@ def _zvalue(df: DataFrame, zorder_cols: list[str], bits: int = _ZORDER_BITS) -> 
         for b in bucket_ids:
             z = F.shiftleft(z, 1) + F.shiftright(b, bit).bitwiseAND(F.lit(1))
     return z
+
+
+def _commit_prefix(rel_file: str) -> str:
+    """The commit id a data file was written under (`_write_files`
+    names every file ``<commit_id>-<task_file>``) — the unit the
+    incremental-clustering state tracks."""
+    return os.path.basename(rel_file).split("-", 1)[0]
 
 
 def _uri_to_path(uri: str) -> str:
