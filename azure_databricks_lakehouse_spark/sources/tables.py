@@ -106,6 +106,15 @@ class Commit:
     metrics: dict = None
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit logically conflicts with this operation —
+    it removed or re-masked files this operation read/rewrote, or
+    changed the schema/constraints it validated against.  The caller
+    must recompute against the new snapshot (Delta's
+    ``ConcurrentDeleteReadException`` family).  Disjoint concurrent
+    operations do NOT raise this: they rebase and commit."""
+
+
 class ConstraintViolationError(ValueError):
     """A write (or ADD CONSTRAINT over existing data) violates a table
     CHECK or NOT NULL constraint.  Carries per-constraint violation
@@ -696,6 +705,120 @@ class ParquetTable:
             subdir=_DV_DIR,
         )
 
+    def _rebase_target(self, base: dict, touched: set[str]) -> dict:
+        """Delta's conflict matrix for a DML that computed against
+        ``base`` and mutated ``touched`` files: walk every commit that
+        landed since, RAISE :class:`ConcurrentModificationError` when
+        one logically conflicts (removed / re-DV'd a touched file, or
+        changed the schema, column mapping, or constraints the DML
+        validated against), otherwise return the latest manifest to
+        rebase onto.  Concurrent APPENDs never conflict: their new rows
+        were not visible to this operation's snapshot
+        (write-serializable isolation, Delta's default)."""
+        latest_v = self.latest_version()
+        prev = base
+        for v in range(base["version"] + 1, latest_v + 1):
+            cur = self._manifest(v)
+            if (
+                cur["schema"] != base["schema"]
+                or cur.get("colmap", {}) != base.get("colmap", {})
+                or cur.get("retired_cols", []) != base.get("retired_cols", [])
+                or cur["partition_by"] != base["partition_by"]
+            ):
+                raise ConcurrentModificationError(
+                    f"concurrent commit v{v} ({cur['operation']}) changed "
+                    "the table schema/mapping; recompute against the new "
+                    "snapshot"
+                )
+            bp, cp = base.get("props", {}), cur.get("props", {})
+            if any(
+                bp.get(k) != cp.get(k)
+                for k in ("check_constraints", "not_null", "generated")
+            ):
+                raise ConcurrentModificationError(
+                    f"concurrent commit v{v} ({cur['operation']}) changed "
+                    "table constraints this operation validated against"
+                )
+            removed = set(prev["files"]) - set(cur["files"])
+            overlap = removed & touched
+            dv_overlap = {
+                f
+                for f in touched
+                if cur.get("dvs", {}).get(f) != prev.get("dvs", {}).get(f)
+            }
+            if overlap or dv_overlap:
+                raise ConcurrentModificationError(
+                    f"concurrent commit v{v} ({cur['operation']}) modified "
+                    f"files this operation read: "
+                    f"{sorted(overlap | dv_overlap)[:5]}"
+                )
+            prev = cur
+        return prev
+
+    def _commit_dml_rebase(
+        self,
+        base: dict,
+        operation: str,
+        touched: set[str],
+        removed_by_us: set[str],
+        new_files: list[str],
+        dv_dest: list[str],
+        dv_rels: list[str],
+        cdc_files: list[str],
+        metrics: dict,
+        max_retries: int = 10,
+    ) -> int:
+        """Publish a DELETE/UPDATE commit with logical conflict
+        detection: on a version collision the loser checks the winner's
+        commits via :meth:`_rebase_target` — disjoint operations (e.g.
+        concurrent deletes on different partitions, any append) REBASE
+        onto the new snapshot and commit without recomputing (the
+        expensive file writes happened once); overlapping ones raise
+        the typed error.  This is Delta's commit-conflict protocol in
+        place of round-5's raise-on-any-collision."""
+        data_root = os.path.join(self.root, _DATA_DIR)
+        stats_new = _file_stats(data_root, new_files)
+        blooms_new = self._compute_blooms(new_files, base)
+        m = base
+        for attempt in range(max_retries):
+            carried = [f for f in m["files"] if f not in removed_by_us]
+            dvs = {
+                f: v
+                for f, v in m.get("dvs", {}).items()
+                if f not in removed_by_us
+            }
+            for f in dv_dest:
+                dvs[f] = dvs.get(f, []) + dv_rels
+            try:
+                version = _commit(
+                    self.root,
+                    version=m["version"] + 1,
+                    files=carried + new_files,
+                    schema=base["schema"],
+                    partition_by=base["partition_by"],
+                    operation=operation,
+                    merged_schema=m.get("merged_schema", False),
+                    stats=stats_new,
+                    props=m.get("props", {}),
+                    blooms=blooms_new,
+                    parent=m,
+                    cdc_files=cdc_files,
+                    dvs=dvs,
+                    colmap=base.get("colmap", {}),
+                    retired_cols=base.get("retired_cols", []),
+                    metrics=metrics,
+                )
+            except FileExistsError:
+                time.sleep(min(0.05 * (attempt + 1), 0.5))
+                m = self._rebase_target(base, touched)
+                continue
+            self._post_commit()
+            return version
+        raise ConcurrentModificationError(
+            f"{operation} lost the commit race {max_retries} times at "
+            f"{self.root}; extreme contention — back off and retry"
+        )
+
     def delete(
         self,
         condition,
@@ -741,7 +864,6 @@ class ParquetTable:
         touched = sorted([*drop, *rewrite, *dv_dest])
         n_rows = sum(h for _l, h in stats.values())
         gone = set(drop) | set(rewrite)
-        carried = [f for f in m["files"] if f not in gone]
         files: list[str] = []
         cdc_files: list[str] = []
         dv_rels: list[str] = []
@@ -769,26 +891,15 @@ class ParquetTable:
                 [inv.get(c, c) for c in m["partition_by"]],
                 subdir=_CDC_DIR,
             )
-        old_dvs = m.get("dvs", {})
-        dvs = {f: v for f, v in old_dvs.items() if f not in gone and f not in drop}
-        for f in dv_dest:
-            dvs[f] = dvs.get(f, []) + dv_rels
-        version = _commit(
-            self.root,
-            version=m["version"] + 1,
-            files=carried + files,
-            schema=m["schema"],
-            partition_by=m["partition_by"],
-            operation="DELETE",
-            merged_schema=m.get("merged_schema", False),
-            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
-            props=m.get("props", {}),
-            blooms=self._compute_blooms(files, m),
-            parent=m,
+        return self._commit_dml_rebase(
+            m,
+            "DELETE",
+            touched=set(touched),
+            removed_by_us=gone,
+            new_files=files,
+            dv_dest=dv_dest,
+            dv_rels=dv_rels,
             cdc_files=cdc_files,
-            dvs=dvs,
-            colmap=m.get("colmap", {}),
-            retired_cols=m.get("retired_cols", []),
             metrics={
                 "rows_deleted": n_rows,
                 "files_dropped": len(drop),
@@ -797,8 +908,6 @@ class ParquetTable:
                 "files_added": len(files),
             },
         )
-        self._post_commit()
-        return version
 
     def update(
         self,
@@ -843,7 +952,6 @@ class ParquetTable:
         touched = sorted([*rewrite, *dv_dest])
         n_rows = sum(h for _l, h in stats.values())
         rewrite_set = set(rewrite)
-        carried = [f for f in m["files"] if f not in rewrite_set]
         files: list[str] = []
         cdc_files: list[str] = []
         dv_rels: list[str] = []
@@ -941,26 +1049,15 @@ class ParquetTable:
                 self.root,
                 m["partition_by"],
             )
-        old_dvs = m.get("dvs", {})
-        dvs = {f: v for f, v in old_dvs.items() if f not in rewrite_set}
-        for f in dv_dest:
-            dvs[f] = dvs.get(f, []) + dv_rels
-        version = _commit(
-            self.root,
-            version=m["version"] + 1,
-            files=carried + files,
-            schema=m["schema"],
-            partition_by=m["partition_by"],
-            operation="UPDATE",
-            merged_schema=m.get("merged_schema", False),
-            stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
-            props=m.get("props", {}),
-            blooms=self._compute_blooms(files, m),
-            parent=m,
+        return self._commit_dml_rebase(
+            m,
+            "UPDATE",
+            touched=set(touched),
+            removed_by_us=rewrite_set,
+            new_files=files,
+            dv_dest=dv_dest,
+            dv_rels=dv_rels,
             cdc_files=cdc_files,
-            dvs=dvs,
-            colmap=m.get("colmap", {}),
-            retired_cols=m.get("retired_cols", []),
             metrics={
                 "rows_updated": n_rows,
                 "files_rewritten": len(rewrite),
@@ -968,8 +1065,6 @@ class ParquetTable:
                 "files_added": len(files),
             },
         )
-        self._post_commit()
-        return version
 
     def restore(self, version: int) -> int:
         """Delta-parity ``RESTORE TABLE ... TO VERSION AS OF``: publish a
@@ -1701,10 +1796,13 @@ class ParquetTable:
         append **rebases** — re-reads the latest manifest, re-validates the
         schema against it, and retries with its file list plus ours.  The
         expensive part (writing the parquet files) happens exactly once;
-        only the metadata commit loops.  Non-additive DML (merge/delete/
-        update/overwrite) deliberately does NOT auto-retry: a rebase there
-        would have to recompute against the new snapshot, which is the
-        caller's decision."""
+        only the metadata commit loops.  DELETE/UPDATE apply Delta's
+        conflict matrix instead (see `_commit_dml_rebase`): disjoint
+        concurrent commits rebase and land, overlapping ones raise
+        ConcurrentModificationError.  MERGE/OVERWRITE/OPTIMIZE raise
+        the typed error on any collision — they read the whole logical
+        snapshot, so a sound automatic rebase would amount to
+        recomputing, which is the caller's decision."""
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be set together")
 
@@ -1829,8 +1927,9 @@ class ParquetTable:
         files = _write_files(
             _to_physical_df(df, m), self.root, m["partition_by"]
         )
-        version = _commit(
-            self.root,
+        version = _commit_typed(
+            "OVERWRITE",
+            root=self.root,
             version=m["version"] + 1,
             files=files,
             schema=df.schema.json(),
@@ -1969,8 +2068,9 @@ class ParquetTable:
         )
         files = _write_files(_to_physical_df(merged, m), self.root, part_cols)
         data_root = os.path.join(self.root, _DATA_DIR)
-        version = _commit(
-            self.root,
+        version = _commit_typed(
+            "MERGE",
+            root=self.root,
             version=m["version"] + 1,
             files=carried + files,
             schema=merged.schema.json() if widened else m["schema"],
@@ -2166,8 +2266,9 @@ class ParquetTable:
                 "cols": list(zorder_by),
                 "prefixes": sorted(kept | new_prefix),
             }
-        version = _commit(
-            self.root,
+        version = _commit_typed(
+            "OPTIMIZE",
+            root=self.root,
             version=m["version"] + 1,
             files=carried + files,
             schema=m["schema"],
@@ -2218,8 +2319,9 @@ class ParquetTable:
             self.root,
             m["partition_by"],
         )
-        version = _commit(
-            self.root,
+        version = _commit_typed(
+            "OPTIMIZE",
+            root=self.root,
             version=m["version"] + 1,
             files=carried + files,
             schema=m["schema"],
@@ -2958,6 +3060,20 @@ def _consolidate_sidecars(
             if f in live_files:
                 bloom_rows.setdefault(f, {}).update(cols)
     return _write_sidecar(root, stats, bloom_rows)
+
+
+def _commit_typed(op_label: str, **kwargs) -> int:
+    """`_commit`, with a version collision surfaced as the typed
+    :class:`ConcurrentModificationError` — for snapshot-wide operations
+    (MERGE/OVERWRITE/OPTIMIZE) where a sound automatic rebase would
+    amount to recomputing, which is the caller's decision."""
+    try:
+        return _commit(**kwargs)
+    except FileExistsError as e:
+        raise ConcurrentModificationError(
+            f"{op_label} collided with a concurrent commit; recompute "
+            "against the new snapshot and retry"
+        ) from e
 
 
 def _commit(

@@ -1,0 +1,124 @@
+"""Logical conflict detection for concurrent DML (Delta's conflict
+matrix): disjoint concurrent operations rebase and BOTH land; operations
+touching the same files raise a typed ConcurrentModificationError
+instead of a raw version-collision error.
+
+The interleaving is simulated deterministically: writer B plans against
+a pinned stale snapshot (its first `_manifest()` call is patched to
+return the pre-commit base), so the commit collision and conflict walk
+are exercised on every run — no thread-timing lottery.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.tables import (
+    ConcurrentModificationError,
+    ParquetTable,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _table(spark, root):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", i * 10) for i in range(100)],
+        "k int, part string, v int",
+    )
+    return ParquetTable.create(spark, root, df, partition_by=["part"])
+
+
+def _stale_writer(spark, root):
+    """A second handle whose FIRST latest-manifest read returns the
+    CURRENT snapshot even after other writers commit."""
+    t2 = ParquetTable.for_path(spark, root)
+    base = t2._manifest()
+    orig = t2._manifest
+    state = {"first": True}
+
+    def patched(version=None):
+        if version is None and state["first"]:
+            state["first"] = False
+            return base
+        return orig(version)
+
+    t2._manifest = patched
+    return t2
+
+
+def test_disjoint_partition_deletes_both_land(spark, root):
+    t = _table(spark, root)
+    b = _stale_writer(spark, root)
+    t.delete("part = 'a' AND k < 10")  # writer A commits v1
+    v = b.delete("part = 'b' AND k >= 90")  # planned on v0 -> rebases
+    assert v == 2, "loser must rebase onto the winner and commit"
+    got = t.read()
+    assert got.count() == 80
+    assert got.filter("k < 10").count() == 0
+    assert got.filter("k >= 90").count() == 0
+    ops = [c.operation for c in t.history()]
+    assert ops[-2:] == ["DELETE", "DELETE"]
+
+
+def test_overlapping_delete_update_raises_typed_error(spark, root):
+    t = _table(spark, root)
+    b = _stale_writer(spark, root)
+    t.delete("part = 'a' AND k = 1")  # rewrites a file in part=a
+    with pytest.raises(ConcurrentModificationError, match="modified files"):
+        b.update("part = 'a' AND k = 2", {"v": F.lit(-1)})
+    # the winner's state is intact, the loser changed nothing
+    assert t.latest_version() == 1
+    assert t.read().count() == 99
+
+
+def test_concurrent_dv_deletes_same_file_conflict(spark, root):
+    """Two merge-on-read deletes masking the SAME file: the loser's CDC
+    and probe counts were computed under a stale mask — conflict, not a
+    silent DV merge (Delta's ConcurrentDeleteDeleteException)."""
+    t = _table(spark, root)
+    b = _stale_writer(spark, root)
+    t.delete("part = 'a' AND k = 1", mode="merge-on-read")
+    with pytest.raises(ConcurrentModificationError, match="modified files"):
+        b.delete("part = 'a' AND k = 2", mode="merge-on-read")
+
+
+def test_concurrent_append_never_conflicts_with_delete(spark, root):
+    """Write-serializable isolation: an append's rows were invisible to
+    the delete's snapshot; the delete rebases and both commits hold."""
+    t = _table(spark, root)
+    b = _stale_writer(spark, root)
+    t.append(
+        spark.createDataFrame([(1000, "a", 1)], "k int, part string, v int")
+    )
+    v = b.delete("part = 'a' AND k < 10")
+    assert v == 2
+    got = t.read()
+    assert got.filter("k = 1000").count() == 1, "appended row survives"
+    assert got.filter("k < 10").count() == 0
+    assert got.count() == 91
+
+
+def test_concurrent_schema_change_conflicts(spark, root):
+    t = _table(spark, root)
+    b = _stale_writer(spark, root)
+    t.rename_column("v", "value")
+    with pytest.raises(ConcurrentModificationError, match="schema"):
+        b.delete("part = 'b' AND k = 60")
+
+
+def test_merge_collision_raises_typed_error(spark, root):
+    """Snapshot-wide operations don't rebase — but the collision error
+    is the typed one, so callers catch ONE exception type."""
+    t = _table(spark, root)
+    b = _stale_writer(spark, root)
+    t.append(
+        spark.createDataFrame([(2000, "b", 2)], "k int, part string, v int")
+    )
+    src = spark.createDataFrame([(1, "a", -1)], "k int, part string, v int")
+    with pytest.raises(ConcurrentModificationError, match="MERGE collided"):
+        b.merge(src, on=["k", "part"])
