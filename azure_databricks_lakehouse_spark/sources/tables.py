@@ -1520,6 +1520,63 @@ class ParquetTable:
             colmap=colmap,
         )
 
+    def alter_column_type(self, col: str, new_type: str) -> int:
+        """Delta type-widening parity: ``ALTER TABLE ... ALTER COLUMN
+        col TYPE new_type`` as a METADATA-ONLY commit — no data file is
+        rewritten.  Only lossless widenings are allowed (tinyint →
+        smallint → int → bigint, float → double, and decimal growth
+        that shrinks neither the scale nor the integer digits); anything
+        else raises.
+
+        Reads after the widening use an explicit physical schema built
+        from the manifest, which Spark's parquet readers honor with
+        widening type promotion (int32 files read as LongType etc.) —
+        the footer-merge path would refuse the int/long mix outright.
+        Files written before the ALTER keep their bytes forever; files
+        written after carry the new type; time travel to a pre-widen
+        version reads under the old schema unchanged."""
+        from pyspark.sql.types import StructField, StructType
+
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"no such column: {col}")
+        old_field = schema[col]
+        new_field = self.spark.range(1).select(
+            F.lit(None).cast(new_type).alias(col)
+        ).schema[0]
+        if not _widening_ok(old_field.dataType, new_field.dataType):
+            raise ValueError(
+                f"cannot change {col!r} from "
+                f"{old_field.dataType.simpleString()} to "
+                f"{new_field.dataType.simpleString()}: only lossless "
+                "widenings (integral up-rank, float->double, decimal "
+                "growth) are metadata-only"
+            )
+        inv = _logical_inverse(m)
+        if col in [inv.get(c, c) for c in m["partition_by"]]:
+            raise ValueError(
+                f"cannot widen partition column {col!r} (values live in "
+                "directory names, not parquet columns)"
+            )
+        props = dict(m.get("props", {}))
+        widened = list(props.get("type_widened", []))
+        if col not in widened:
+            props["type_widened"] = widened + [col]
+        new_schema = StructType(
+            [
+                StructField(
+                    col, new_field.dataType, f.nullable, f.metadata
+                )
+                if f.name == col
+                else f
+                for f in schema.fields
+            ]
+        ).json()
+        return self._commit_props(
+            m, props, "ALTER COLUMN TYPE", schema=new_schema
+        )
+
     def _commit_props(
         self,
         m: dict,
@@ -1705,12 +1762,10 @@ class ParquetTable:
             return {}
         m_bits, k, cols = cfg["m"], cfg["k"], cfg["cols"]
         data_root = os.path.join(self.root, _DATA_DIR)
-        reader = self.spark.read.option("basePath", data_root)
-        if m.get("merged_schema"):
-            reader = reader.option("mergeSchema", "true")
-        df = _to_logical_df(
-            reader.parquet(*[os.path.join(data_root, f) for f in files]), m
-        )
+        # the shared read path handles column mapping AND widened types
+        # (explicit-schema promotion); input_file_name() resolves through
+        # its projections because it binds to the scan, not a column
+        df = self._read_files(files, m)
         present = [c for c in cols if c in df.columns]
         if not present:
             return {}
@@ -2613,15 +2668,39 @@ class ParquetTable:
         reader = self.spark.read.option(
             "basePath", os.path.join(self.root, _DATA_DIR)
         )
-        # column-mapped tables need schema union regardless: files
-        # written before and after a rename/re-add carry DIFFERENT
-        # physical column sets, and a sampled-footer schema would
-        # silently hide the other generation's columns
-        if (
+        if manifest.get("props", {}).get("type_widened"):
+            # a widened table mixes parquet physical types per file
+            # generation (int32 beside int64): the footer-merge path
+            # refuses that, but an EXPLICIT schema makes Spark's
+            # readers apply widening type promotion per file — and
+            # files lacking a column still surface it as NULLs, so this
+            # subsumes mergeSchema for evolved tables too
+            from pyspark.sql.types import StructField, StructType
+
+            schema = _schema_from_json(self.spark, manifest["schema"])
+            cmap = manifest.get("colmap", {})
+            reader = reader.schema(
+                StructType(
+                    [
+                        StructField(
+                            cmap.get(f.name, f.name),
+                            f.dataType,
+                            f.nullable,
+                            f.metadata,
+                        )
+                        for f in schema.fields
+                    ]
+                )
+            )
+        elif (
             manifest.get("merged_schema")
             or manifest.get("colmap")
             or manifest.get("retired_cols")
         ):
+            # column-mapped tables need schema union regardless: files
+            # written before and after a rename/re-add carry DIFFERENT
+            # physical column sets, and a sampled-footer schema would
+            # silently hide the other generation's columns
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(
             *[os.path.join(self.root, _DATA_DIR, f) for f in files]
@@ -2814,6 +2893,39 @@ def _zvalue(df: DataFrame, zorder_cols: list[str], bits: int = _ZORDER_BITS) -> 
         for b in bucket_ids:
             z = F.shiftleft(z, 1) + F.shiftright(b, bit).bitwiseAND(F.lit(1))
     return z
+
+
+def _widening_ok(old_dt, new_dt) -> bool:
+    """True iff ``old_dt -> new_dt`` is a lossless widening Spark's
+    parquet readers promote natively: integral up-rank, float->double,
+    or decimal growth losing neither scale nor integer digits.
+    (bigint->double is deliberately excluded: longs past 2^53 lose
+    precision — Delta's type-widening table draws the same line.)"""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ranks = {ByteType: 0, ShortType: 1, IntegerType: 2, LongType: 3}
+    ro, rn = ranks.get(type(old_dt)), ranks.get(type(new_dt))
+    if ro is not None and rn is not None:
+        return rn > ro
+    if isinstance(old_dt, FloatType) and isinstance(new_dt, DoubleType):
+        return True
+    if isinstance(old_dt, DecimalType) and isinstance(new_dt, DecimalType):
+        return (
+            new_dt.scale >= old_dt.scale
+            and new_dt.precision - new_dt.scale
+            >= old_dt.precision - old_dt.scale
+            and (new_dt.precision, new_dt.scale)
+            != (old_dt.precision, old_dt.scale)
+        )
+    return False
 
 
 def _commit_prefix(rel_file: str) -> str:

@@ -285,3 +285,114 @@ def test_batch_cdf_spans_rename_under_current_names(spark, tmp_path):
         (2, "delete", 2, "y"),
         (4, "insert", 3, "z"),
     ]
+
+
+def _widen_table(spark, tmp_path):
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    root = str(tmp_path / "wide")
+    t = ParquetTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, float(i) / 2, "p1") for i in range(100)],
+            "k int, x float, part string",
+        ),
+        partition_by=["part"],
+    )
+    return t
+
+
+def test_alter_column_type_widens_metadata_only(spark, tmp_path):
+    """int->long and float->double are one metadata commit: no data
+    file is rewritten, old files read under the widened schema, and
+    post-widen appends store the new type."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    t = _widen_table(spark, tmp_path)
+    data_root = os.path.join(t.root, "data")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(data_root, f))
+        for f in t._manifest()["files"]
+    }
+    t.alter_column_type("k", "bigint")
+    t.alter_column_type("x", "double")
+    assert {
+        f: os.path.getmtime(os.path.join(data_root, f)) for f in mtimes
+    } == mtimes, "widening must not touch a data file"
+    got = t.read()
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert dict(got.dtypes)["x"] == "double"
+    assert got.count() == 100
+    # appends now carry genuinely-long values beside the int32 files
+    t.append(
+        spark.createDataFrame(
+            [(2**40, 1.5, "p1")], "k bigint, x double, part string"
+        )
+    )
+    assert t.read().filter(F.col("k") == 2**40).count() == 1
+    assert t.read().count() == 101
+    # stats pruning still correct across both file generations
+    assert t.scan("k", lo=2**39).count() == 1
+    assert t.scan("k", lo=0, hi=10).count() == 11
+    # time travel: pre-widen versions read under the OLD schema
+    old = t.read(version=0)
+    assert dict(old.dtypes)["k"] == "int"
+    assert old.count() == 100
+
+
+def test_widening_rejects_lossy_changes(spark, tmp_path):
+    import pytest
+
+    t = _widen_table(spark, tmp_path)
+    for bad in [("k", "int"), ("k", "float"), ("k", "string"),
+                ("x", "float"), ("part", "bigint")]:
+        with pytest.raises(ValueError):
+            t.alter_column_type(*bad)
+
+
+def test_widened_decimal_and_dml(spark, tmp_path):
+    """Decimal growth widens metadata-only, and DML (probe + rewrite +
+    DV) runs over the mixed-generation files."""
+    import pyspark.sql.functions as F
+
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    root = str(tmp_path / "dec")
+    t = ParquetTable.create(
+        spark,
+        root,
+        spark.sql(
+            "select id as k, cast(id + 0.25 as decimal(6,2)) amt "
+            "from range(50)"
+        ),
+    )
+    t.alter_column_type("amt", "decimal(14,4)")
+    t.append(
+        spark.sql(
+            "select 1000 as k, cast(123456789.1234 as decimal(14,4)) amt"
+        )
+    )
+    assert t.read().count() == 51
+    t.delete("k = 7", mode="merge-on-read")
+    assert t.read().count() == 50
+    t.update(F.col("k") == 8, {"amt": F.lit(None).cast("decimal(14,4)")})
+    assert t.read().filter("amt is null").count() == 1
+
+
+def test_widening_composes_with_rename(spark, tmp_path):
+    """Widen then rename (or vice versa): explicit-schema reads resolve
+    the physical column under the mapping at the widened type."""
+    t = _widen_table(spark, tmp_path)
+    t.alter_column_type("k", "bigint")
+    t.rename_column("k", "key")
+    t.append(
+        spark.createDataFrame(
+            [(2**40, 9.9, "p1")], "key bigint, x float, part string"
+        )
+    )
+    got = t.read()
+    assert dict(got.dtypes)["key"] == "bigint"
+    assert got.filter("key >= 0").count() == 101
