@@ -940,6 +940,14 @@ class ParquetTable:
         unknown = set(assignments) - set(schema_cols)
         if unknown:
             raise ValueError(f"UPDATE references unknown columns {sorted(unknown)}")
+        ident_assigned = set(assignments) & set(
+            m.get("props", {}).get("identity", {})
+        )
+        if ident_assigned:
+            raise ValueError(
+                f"UPDATE assigns identity columns {sorted(ident_assigned)}; "
+                "they are GENERATED ALWAYS"
+            )
         cond_col, pred = self._as_condition(condition)
         cond = F.coalesce(cond_col, F.lit(False))
         candidates = self._prune_files(m, pred)
@@ -1360,6 +1368,96 @@ class ParquetTable:
             schema=new_schema,
             colmap=colmap,
         )
+
+    # -- identity columns (GENERATED ALWAYS AS IDENTITY) --------------------
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """Delta parity: ``ADD COLUMN name BIGINT GENERATED ALWAYS AS
+        IDENTITY (START WITH start INCREMENT BY step)`` — one
+        metadata-only commit.  Every subsequent append assigns the
+        column itself (a write providing explicit values refuses —
+        ALWAYS means always), allocating a contiguous id range per
+        commit from a high-water mark in the VERSIONED props:
+
+        - assignment is the distributed prefix-sum (window over
+          partition TOTALS only — no global single-partition window);
+        - the range is reserved at commit time through the optimistic
+          commit loop: a concurrent identity append moves the high
+          water, the loser detects its stale reservation on rebase and
+          re-assigns, so concurrent appends get DISJOINT ids (gaps can
+          exist across aborted attempts — Delta's contract too);
+        - RESTORE rolls the high water back with the data (same props
+          channel as constraints/txns), so a restored table resumes
+          numbering consistently with its visible rows.
+
+        Rows written BEFORE the column existed surface NULL ids (the
+        `add_column` contract); Delta sidesteps this by allowing
+        identity only at CREATE."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        taken = {_physical_name(m, c) for c in schema.fieldNames()} | set(
+            m.get("retired_cols", [])
+        )
+        colmap = dict(m.get("colmap", {}))
+        if name in taken:
+            colmap[name] = f"{name}__r{m['version'] + 1}"
+        ident = dict(m.get("props", {}).get("identity", {}))
+        ident[name] = {"start": int(start), "step": int(step), "high_water": None}
+        props = {**m.get("props", {}), "identity": ident}
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, LongType())]
+        ).json()
+        return self._commit_props(
+            m, props, "ADD IDENTITY COLUMN", schema=new_schema, colmap=colmap
+        )
+
+    def _refuse_explicit_identity(self, df: DataFrame, m: dict, op: str):
+        ident = m.get("props", {}).get("identity", {})
+        explicit = [c for c in ident if c in df.columns]
+        if explicit:
+            raise ValueError(
+                f"{op} provides explicit values for identity columns "
+                f"{explicit}; they are GENERATED ALWAYS — omit them"
+            )
+        return ident
+
+    def _assign_identity(
+        self, df: DataFrame, ident: dict, m: dict
+    ) -> tuple[DataFrame, dict]:
+        """``df`` with each identity column assigned a contiguous range
+        from its high water; returns ``(df, bases)`` where ``bases``
+        maps column -> first allocated value (the commit advances the
+        high water by the written row count)."""
+        if not ident:
+            return df, {}
+        from azure_databricks_lakehouse_spark.operators.packing import (
+            distributed_cumsum,
+        )
+
+        work = df.withColumn("_idc_one", F.lit(1)).withColumn(
+            "_idc_ord", F.monotonically_increasing_id()
+        )
+        work = distributed_cumsum(work, "_idc_one", "_idc_ord", out_col="_idc_idx")
+        bases = {}
+        for c, cfg in ident.items():
+            hw = cfg.get("high_water")
+            base = cfg["start"] if hw is None else hw + cfg["step"]
+            bases[c] = base
+            work = work.withColumn(
+                c,
+                (
+                    F.lit(base) + F.lit(cfg["step"]) * F.col("_idc_idx")
+                ).cast("long"),
+            )
+        return work.drop("_idc_one", "_idc_ord", "_idc_idx"), bases
 
     # -- ALTER TABLE (metadata-only schema evolution) -----------------------
 
@@ -1878,7 +1976,11 @@ class ParquetTable:
         if _txn_seen(m0):
             return m0["version"]
         df = self._apply_generated(df, m0)
+        self._refuse_explicit_identity(df, m0, "APPEND")
         self._enforce_current(df, m0, "APPEND")
+        hw_used: dict | None = None
+        id_bases: dict = {}
+        n_written = 0
         for attempt in range(max_retries):
             m = self._manifest()
             if _txn_seen(m):
@@ -1912,12 +2014,32 @@ class ParquetTable:
                     f"columns {sorted(shadow)} collide with renamed/"
                     "dropped physical columns; use add_column() first"
                 )
+            ident = m.get("props", {}).get("identity", {})
+            hw_now = {c: cfg.get("high_water") for c, cfg in ident.items()}
+            if files is not None and ident and hw_now != hw_used:
+                # a concurrent identity append consumed our reserved id
+                # range: the written files carry stale ids — reclaim
+                # them and re-assign from the rebased high water (the
+                # only rebase case that must re-write; plain appends
+                # never loop here)
+                for f in files:
+                    try:
+                        os.unlink(os.path.join(data_root, f))
+                    except OSError:
+                        pass
+                files = None
             if files is None:
+                out_df = df
+                if ident:
+                    out_df, id_bases = self._assign_identity(df, ident, m)
+                    hw_used = hw_now
                 files = _write_files(
-                    _to_physical_df(df, m), self.root, m["partition_by"]
+                    _to_physical_df(out_df, m), self.root, m["partition_by"]
                 )
                 stats = _file_stats(data_root, files)
                 new_blooms = self._compute_blooms(files, m)
+                if ident:
+                    n_written = _file_rows(data_root, files)
             if new_cols:
                 # UNION with the re-read manifest schema, not df.schema
                 # alone: a rebase after another writer's schema evolution
@@ -1939,6 +2061,21 @@ class ParquetTable:
                 props = {
                     **props,
                     "txns": {**props.get("txns", {}), txn_app: txn_version},
+                }
+            if ident and n_written:
+                # advance each identity high water to the last id this
+                # commit allocated — the reservation becomes durable
+                # exactly when the commit does
+                props = {
+                    **props,
+                    "identity": {
+                        c: {
+                            **cfg,
+                            "high_water": id_bases[c]
+                            + cfg["step"] * (n_written - 1),
+                        }
+                        for c, cfg in ident.items()
+                    },
                 }
             try:
                 version = _commit(
@@ -1978,10 +2115,25 @@ class ParquetTable:
         double-applies the next delta)."""
         m = self._manifest()
         df = self._apply_generated(df, m)
+        ident = self._refuse_explicit_identity(df, m, "OVERWRITE")
         self._enforce_current(df, m, "OVERWRITE")
+        df, id_bases = self._assign_identity(df, ident, m)
         files = _write_files(
             _to_physical_df(df, m), self.root, m["partition_by"]
         )
+        id_props = {}
+        if ident:
+            # numbering continues past replaced rows (Delta's contract:
+            # identity never reuses values)
+            n = _file_rows(os.path.join(self.root, _DATA_DIR), files)
+            if n:
+                id_props["identity"] = {
+                    c: {
+                        **cfg,
+                        "high_water": id_bases[c] + cfg["step"] * (n - 1),
+                    }
+                    for c, cfg in ident.items()
+                }
         version = _commit_typed(
             "OVERWRITE",
             root=self.root,
@@ -1992,7 +2144,7 @@ class ParquetTable:
             operation="OVERWRITE",
             merged_schema=False,
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
-            props={**m.get("props", {}), **(extra_props or {})},
+            props={**m.get("props", {}), **(extra_props or {}), **id_props},
             # no parent: nothing carries over, so dead-file sidecar refs
             # are dropped here (old versions keep their own manifests)
             blooms=self._compute_blooms(files, m),
@@ -2036,6 +2188,14 @@ class ParquetTable:
         over by reference (partition-pruned MERGE; the 100 TB path).
         """
         m = self._manifest()
+        if m.get("props", {}).get("identity"):
+            raise ValueError(
+                "MERGE is not supported on tables with identity columns: "
+                "whenMatchedUpdateAll replaces whole rows, which would "
+                "require explicit identity values (GENERATED ALWAYS "
+                "forbids them).  Use append/delete/update, or drop the "
+                "identity property first."
+            )
         keys = list(on)
         part_cols = m["partition_by"]
         inv = _logical_inverse(m)
@@ -3107,6 +3267,17 @@ def _load_sidecar(path: str) -> tuple[dict, dict]:
             bloom_rows.setdefault(f, {})[c] = (b, cfg)
     _SIDECAR_CACHE[path] = (stats, bloom_rows)
     return stats, bloom_rows
+
+
+def _file_rows(data_root: str, rels: list[str]) -> int:
+    """Total row count of written files, from parquet footers (no data
+    read) — how an identity commit learns its allocation size."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(data_root, r)).metadata.num_rows
+        for r in rels
+    )
 
 
 def _file_stats(data_root: str, rels: list[str]) -> dict[str, dict]:

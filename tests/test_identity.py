@@ -1,0 +1,110 @@
+"""Identity columns (GENERATED ALWAYS AS IDENTITY): per-commit range
+reservation through the versioned props' high-water mark — contiguous
+ids within a commit, disjoint across concurrent appends, rolled back by
+RESTORE with the data, explicit values refused."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+
+@pytest.fixture()
+def t(spark, tmp_path):
+    tbl = ParquetTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        spark.createDataFrame([], "v string"),
+    )
+    tbl.add_identity_column("id", start=100, step=10)
+    return tbl
+
+
+def _rows(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+def test_append_assigns_contiguous_range(spark, t):
+    t.append(_rows(spark, ["a", "b", "c"]).repartition(3))
+    got = {r["v"]: r["id"] for r in t.read().collect()}
+    assert sorted(got.values()) == [100, 110, 120], got
+    t.append(_rows(spark, ["d", "e"]))
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == [100, 110, 120, 130, 140], "ranges chain with no reuse"
+    hw = t.properties()["identity"]["id"]["high_water"]
+    assert hw == 140
+
+
+def test_explicit_identity_values_refuse(spark, t):
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(spark.createDataFrame([("x", 1)], "v string, id long"))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.overwrite(spark.createDataFrame([("x", 1)], "v string, id long"))
+    t.append(_rows(spark, ["a"]))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.update(F.col("v") == "a", {"id": F.lit(5)})
+    with pytest.raises(ValueError, match="identity columns"):
+        t.merge(spark.createDataFrame([("a", 1)], "v string, id long"), on=["v"])
+
+
+def test_concurrent_identity_appends_get_disjoint_ids(spark, t):
+    """Writer B plans against a stale snapshot; on rebase it must
+    detect the consumed id range, re-assign, and commit disjoint ids."""
+    b = ParquetTable.for_path(spark, t.root)
+    base = b._manifest()
+    orig = b._manifest
+    state = {"first": True}
+
+    def patched(version=None):
+        if version is None and state["first"]:
+            state["first"] = False
+            return base
+        return orig(version)
+
+    b._manifest = patched
+    t.append(_rows(spark, ["a1", "a2"]))  # writer A: ids 100, 110
+    b.append(_rows(spark, ["b1", "b2", "b3"]))  # planned stale -> rebases
+    rows = t.read().collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [100, 110, 120, 130, 140], f"disjoint + gap-free: {ids}"
+    assert len({r["id"] for r in rows}) == 5
+
+
+def test_restore_rolls_high_water_back(spark, t):
+    t.append(_rows(spark, ["a", "b"]))  # v: ids 100, 110
+    v_after_first = t.latest_version()
+    t.append(_rows(spark, ["c"]))  # id 120
+    t.restore(v_after_first)
+    assert t.properties()["identity"]["id"]["high_water"] == 110
+    t.append(_rows(spark, ["d"]))
+    got = {r["v"]: r["id"] for r in t.read().collect()}
+    assert got == {"a": 100, "b": 110, "d": 120}, (
+        "restored numbering resumes consistently with visible rows"
+    )
+
+
+def test_overwrite_never_reuses_ids(spark, t):
+    t.append(_rows(spark, ["a", "b"]))
+    t.overwrite(_rows(spark, ["x", "y", "z"]))
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == [120, 130, 140], "numbering continues past replaced rows"
+
+
+def test_identity_composes_with_generated_and_delete(spark, tmp_path):
+    t = ParquetTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        spark.createDataFrame([], "v string"),
+    )
+    t.add_identity_column("id")
+    t.add_generated_column("v_up", "string", "upper(v)")
+    t.append(_rows(spark, ["a", "b", "c"]))
+    assert {(r["id"], r["v_up"]) for r in t.read().collect()} == {
+        (1, "A"), (2, "B"), (3, "C"),
+    }
+    t.delete("id = 2")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
+    t.append(_rows(spark, ["d"]))
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3, 4]
