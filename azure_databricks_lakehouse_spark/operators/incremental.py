@@ -52,20 +52,38 @@ _COUNT = "n_rows"
 _INSERT_TYPES = ("insert", "update_postimage")
 
 
+_HLL_LGK = 12
+
+
 def _aggregate(
     df: DataFrame,
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
     sign=None,
 ) -> DataFrame:
     weight = F.lit(1) if sign is None else sign
     aggs = [F.sum(F.col(c) * weight).alias(c) for c in sum_cols]
     aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    # per-group HLL sketch: the mergeable state that lets the NEXT
+    # refresh fold inserted values in without touching the base
+    aggs += [
+        F.hll_sketch_agg(F.col(c), F.lit(_HLL_LGK)).alias(f"_sk_{c}")
+        for c in distinct_cols
+    ]
     aggs.append(F.sum(weight).alias(_COUNT))
-    return df.groupBy(*group_cols).agg(*aggs)
+    out = df.groupBy(*group_cols).agg(*aggs)
+    if distinct_cols:
+        out = out.withColumns(
+            {
+                f"nd_{c}": F.hll_sketch_estimate(F.col(f"_sk_{c}"))
+                for c in distinct_cols
+            }
+        )
+    return out
 
 
 def _null_safe_on(left: DataFrame, right: DataFrame, cols: Sequence[str]):
@@ -115,18 +133,32 @@ def refresh_sum_aggregate(
     sum_cols: Sequence[str],
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
 ) -> int:
     """Create or incrementally refresh the aggregate table at
     ``agg_root`` — ``group_cols`` + per-column sums (+ optional
-    ``min_<c>``/``max_<c>`` extrema) + ``n_rows`` — to match ``base``'s
-    CURRENT version.  Returns the base version the aggregate now
-    reflects.  Idempotent: refreshing with no new base commits is a
-    no-op (no commit written)."""
+    ``min_<c>``/``max_<c>`` extrema, + optional ``nd_<c>`` approximate
+    distinct counts) + ``n_rows`` — to match ``base``'s CURRENT
+    version.  Returns the base version the aggregate now reflects.
+    Idempotent: refreshing with no new base commits is a no-op (no
+    commit written).
+
+    ``distinct_cols`` maintain ``COUNT(DISTINCT c)`` through mergeable
+    HLL sketches (``operators/sketches``' algebra): each group stores
+    its sketch blob (``_sk_<c>``, ~KBs at any cardinality) beside the
+    estimate, and an append-only refresh folds the INSERTED values'
+    sketch into it with ``hll_union`` — no base access, exact
+    sketch-merge path.  Sketches cannot retract, so a group touched by
+    any delete/update falls back to the same targeted-group rescan the
+    extrema use: only the touched groups are recomputed from the
+    pinned base, never the table."""
     spark = base.spark
     base_version = base.latest_version()
 
     def _full(tbl_read: DataFrame) -> DataFrame:
-        return _aggregate(tbl_read, group_cols, sum_cols, min_cols, max_cols)
+        return _aggregate(
+            tbl_read, group_cols, sum_cols, min_cols, max_cols, distinct_cols
+        )
 
     if not is_table(agg_root):
         # pin the snapshot to the stamped version: reading latest-at-
@@ -165,6 +197,20 @@ def refresh_sum_aggregate(
     for c in max_cols:
         d_aggs.append(F.max(F.when(is_ins, F.col(c))).alias(f"_d_ins_max_{c}"))
         d_aggs.append(F.max(F.when(~is_ins, F.col(c))).alias(f"_d_del_max_{c}"))
+    for c in distinct_cols:
+        d_aggs.append(
+            F.hll_sketch_agg(
+                F.when(is_ins, F.col(c)), F.lit(_HLL_LGK)
+            ).alias(f"_d_ins_sk_{c}")
+        )
+    if distinct_cols:
+        # any retraction in the group invalidates its sketch (HLL can't
+        # forget a value) — the targeted-rescan trigger
+        d_aggs.append(
+            F.sum(F.when(~is_ins, F.lit(1)).otherwise(F.lit(0))).alias(
+                "_d_retractions"
+            )
+        )
     d_aggs.append(F.sum(sign).alias(f"_d_{_COUNT}"))
     delta = changes.groupBy(*group_cols).agg(*d_aggs)
 
@@ -176,6 +222,10 @@ def refresh_sum_aggregate(
     # sides reconstructs the key (incl. a genuine NULL group) exactly
     keys = [F.coalesce(cur[c], delta[c]).alias(c) for c in group_cols]
     needs_rescan = _extrema_rescan_cond(cur, delta, min_cols, max_cols)
+    if distinct_cols:
+        needs_rescan = needs_rescan | (
+            F.coalesce(delta["_d_retractions"], F.lit(0)) > 0
+        )
     out_cols = keys + [
         (
             F.coalesce(cur[c], F.lit(0)) + F.coalesce(delta[f"_d_{c}"], F.lit(0))
@@ -190,6 +240,14 @@ def refresh_sum_aggregate(
         F.greatest(cur[f"max_{c}"], delta[f"_d_ins_max_{c}"]).alias(f"max_{c}")
         for c in max_cols
     ]
+    for c in distinct_cols:
+        cur_sk, ins_sk = cur[f"_sk_{c}"], delta[f"_d_ins_sk_{c}"]
+        out_cols.append(
+            F.when(cur_sk.isNull(), ins_sk)
+            .when(ins_sk.isNull(), cur_sk)
+            .otherwise(F.hll_union(cur_sk, ins_sk))
+            .alias(f"_sk_{c}")
+        )
     out_cols.append(
         (
             F.coalesce(cur[_COUNT], F.lit(0))
@@ -199,9 +257,16 @@ def refresh_sum_aggregate(
     merged = merged.select(*out_cols, needs_rescan.alias("_rescan")).filter(
         F.col(_COUNT) > 0
     )
+    if distinct_cols:
+        merged = merged.withColumns(
+            {
+                f"nd_{c}": F.hll_sketch_estimate(F.col(f"_sk_{c}"))
+                for c in distinct_cols
+            }
+        )
 
     extra_props = {_WATERMARK: base_version}
-    if min_cols or max_cols:
+    if min_cols or max_cols or distinct_cols:
         rescan_keys = merged.filter(F.col("_rescan")).select(*group_cols)
         # delta and cur are both group-cardinality-bounded, so this
         # count is cheap — and it is the audit trail that the fallback

@@ -205,3 +205,84 @@ def test_refresh_tracks_merge_on_read_deletes(spark, tmp_path):
     refresh_sum_aggregate(base, agg_root, group_cols=["k"], sum_cols=["v"])
     assert _read_agg(spark, agg_root) == _agg_of(base.read())
     assert _read_agg(spark, agg_root) == {"a": (10, 1), "b": (12, 2)}
+
+
+def _nd_of(spark, root):
+    return {
+        r["k"]: r["nd_id"]
+        for r in ParquetTable.for_path(spark, root).read().collect()
+    }
+
+
+def test_distinct_counts_sketch_merge_on_append_only(spark, tmp_path):
+    """Append-only refresh maintains nd_<c> via hll_union of the
+    inserted values' sketch — the exact sketch-merge path: ZERO rescan
+    groups recorded, and the estimate matches the exact distinct count
+    (HLL is exact at these cardinalities)."""
+    from azure_databricks_lakehouse_spark.operators.incremental import (
+        _LAST_RESCAN,
+    )
+
+    base_root, agg_root = str(tmp_path / "base"), str(tmp_path / "agg")
+    base = ParquetTable.create(
+        spark,
+        base_root,
+        spark.createDataFrame(
+            [("a", 1, 1), ("a", 1, 2), ("a", 2, 3), ("b", 3, 4)], _SCHEMA
+        ),
+    )
+    refresh_sum_aggregate(
+        base, agg_root, group_cols=["k"], sum_cols=["v"],
+        distinct_cols=["id"],
+    )
+    assert _nd_of(spark, agg_root) == {"a": 3, "b": 1}
+    # two appends: new ids, one repeated id (distinct count must not
+    # double-count id=2 for group a)
+    base.append(spark.createDataFrame([("a", 9, 2), ("a", 9, 7)], _SCHEMA))
+    base.append(spark.createDataFrame([("b", 9, 8), ("c", 9, 9)], _SCHEMA))
+    refresh_sum_aggregate(
+        base, agg_root, group_cols=["k"], sum_cols=["v"],
+        distinct_cols=["id"],
+    )
+    assert _nd_of(spark, agg_root) == {"a": 4, "b": 2, "c": 1}
+    props = ParquetTable.for_path(spark, agg_root).properties()
+    assert props[_LAST_RESCAN] == 0, "append-only must not rescan"
+
+
+def test_distinct_counts_rescan_only_deleted_groups(spark, tmp_path):
+    """Sketches cannot retract: a delete touching group 'a' forces a
+    recompute of EXACTLY that group (audited via the rescan counter);
+    untouched groups keep their merged sketches."""
+    from azure_databricks_lakehouse_spark.operators.incremental import (
+        _LAST_RESCAN,
+    )
+
+    base_root, agg_root = str(tmp_path / "base"), str(tmp_path / "agg")
+    base = ParquetTable.create(
+        spark,
+        base_root,
+        spark.createDataFrame(
+            [("a", 1, 1), ("a", 1, 2), ("b", 3, 4), ("b", 3, 5), ("c", 1, 6)],
+            _SCHEMA,
+        ),
+    )
+    refresh_sum_aggregate(
+        base, agg_root, group_cols=["k"], sum_cols=["v"],
+        distinct_cols=["id"],
+    )
+    base.delete(F.col("id") == 1)  # group a only
+    base.append(spark.createDataFrame([("c", 9, 7)], _SCHEMA))
+    refresh_sum_aggregate(
+        base, agg_root, group_cols=["k"], sum_cols=["v"],
+        distinct_cols=["id"],
+    )
+    assert _nd_of(spark, agg_root) == {"a": 1, "b": 2, "c": 2}
+    props = ParquetTable.for_path(spark, agg_root).properties()
+    assert props[_LAST_RESCAN] == 1, "only the deleted group rescans"
+    # a group deleted to zero rows disappears entirely
+    base.delete(F.col("k") == "b")
+    refresh_sum_aggregate(
+        base, agg_root, group_cols=["k"], sum_cols=["v"],
+        distinct_cols=["id"],
+    )
+    assert set(_nd_of(spark, agg_root)) == {"a", "c"}
