@@ -203,8 +203,15 @@ class ParquetTable:
         df: DataFrame,
         partition_by: Sequence[str] | None = None,
         mode: str = "error",
+        cluster_by: Sequence[str] | None = None,
     ) -> "ParquetTable":
-        """Create a table from ``df`` (S7-style overwrite creates v0)."""
+        """Create a table from ``df`` (S7-style overwrite creates v0).
+
+        ``cluster_by`` is Delta liquid clustering's ``CREATE TABLE ...
+        CLUSTER BY``: v0 is written z-ordered on the given columns and
+        the clustering state is recorded, so every later plain
+        ``optimize()`` auto-maintains the layout incrementally — the
+        from-birth half of the round-6 incremental-clustering story."""
         if is_table(root):
             if mode == "error":
                 raise FileExistsError(f"table exists: {root}")
@@ -212,16 +219,37 @@ class ParquetTable:
                 return cls(spark, root)
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
-        files = _write_files(df, root, list(partition_by or ()))
+        part_cols = list(partition_by or ())
+        props: dict = {}
+        if cluster_by:
+            missing = set(cluster_by) - set(df.columns)
+            if missing:
+                raise ValueError(f"cluster_by columns not in df: {sorted(missing)}")
+            n_files = max(1, df.rdd.getNumPartitions())
+            zval = _zvalue(df, list(cluster_by))
+            df = (
+                df.withColumn("__zval", zval)
+                .repartitionByRange(n_files, *part_cols, "__zval")
+                .sortWithinPartitions(*part_cols, "__zval")
+                .drop("__zval")
+            )
+            files = _write_files(df, root, part_cols, preserve_layout=True)
+            props["clustering"] = {
+                "cols": list(cluster_by),
+                "prefixes": sorted({_commit_prefix(f) for f in files}),
+            }
+        else:
+            files = _write_files(df, root, part_cols)
         _commit(
             root,
             version=0,
             files=files,
             schema=df.schema.json(),
-            partition_by=list(partition_by or ()),
+            partition_by=part_cols,
             operation="CREATE",
             merged_schema=False,
             stats=_file_stats(os.path.join(root, _DATA_DIR), files),
+            props=props,
         )
         return cls(spark, root)
 
@@ -1545,6 +1573,12 @@ class ParquetTable:
                 f"column {name!r} is bloom-indexed; reconfigure the "
                 "index first (set_bloom_index without it)"
             )
+        clu = props.get("clustering")
+        if clu and name in clu["cols"]:
+            # the layout can no longer be maintained on a dropped key:
+            # clear the state so the next OPTIMIZE doesn't try to
+            # z-order by a column that no longer exists
+            props = {k: v for k, v in props.items() if k != "clustering"}
         physical = _physical_name(m, name)
         colmap = {l: p for l, p in m.get("colmap", {}).items() if l != name}
         retired = list(m.get("retired_cols", [])) + [physical]
@@ -1602,6 +1636,14 @@ class ParquetTable:
             # sidecar bitmaps are keyed by PHYSICAL name and stamped
             # with a cfg hash over physical names — both invariant under
             # a rename, so no bitmap is touched or invalidated
+        clu = props.get("clustering")
+        if clu and old in clu["cols"]:
+            # clustering state follows the rename so incremental
+            # maintenance keeps matching (the layout itself is physical
+            # and unaffected)
+            props["clustering"] = {
+                **clu, "cols": [new if c == old else c for c in clu["cols"]]
+            }
         new_schema = StructType(
             [
                 StructField(new, f.dataType, f.nullable, f.metadata)

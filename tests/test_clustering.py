@@ -117,3 +117,55 @@ def test_incremental_folds_deletion_vectors_in_layout(spark, root):
     assert masked not in set(m2["files"])
     assert not m2["dvs"]
     assert t.read().count() == 4095
+
+
+def test_clustering_state_follows_rename_and_clears_on_drop(spark, root):
+    """Rename of a clustering column keeps incremental maintenance
+    matching (the physical layout didn't move); dropping one clears the
+    state so auto-routed OPTIMIZE can't z-order a ghost column."""
+    t = ParquetTable.create(spark, root, _grid(spark, 1024))
+    t.optimize(zorder_by=["x"], n_files=4)
+    clustered = set(t._manifest()["files"])
+    t.rename_column("x", "bucket")
+    assert t._manifest()["props"]["clustering"]["cols"] == ["bucket"]
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, 500000)], "bucket int, y int, id int"
+        )
+    )
+    t.optimize(zorder_by=["bucket"], incremental=True)
+    assert clustered <= set(t._manifest()["files"]), (
+        "rename must not force a full re-cluster"
+    )
+    # dropping the clustering key clears the state; plain optimize
+    # falls back to ordinary compaction without error
+    t.drop_column("y")  # non-clustering drop keeps state
+    assert "clustering" in t._manifest()["props"]
+    t.drop_column("bucket")
+    assert "clustering" not in t._manifest()["props"]
+    t.optimize()  # no ghost-column z-order
+
+
+def test_create_cluster_by_is_liquid_from_birth(spark, root):
+    """CREATE TABLE ... CLUSTER BY: v0 lands z-ordered with recorded
+    state, and routine plain optimize() maintains the layout
+    incrementally — the full liquid-clustering lifecycle without the
+    caller ever passing zorder_by."""
+    t = ParquetTable.create(
+        spark, root, _grid(spark, 4096).repartition(16), cluster_by=["x", "y"]
+    )
+    m0 = t._manifest(0)
+    assert m0["props"]["clustering"]["cols"] == ["x", "y"]
+    total = len(m0["files"])
+    assert total >= 8
+    pruned = t.scan("y", lo=0, hi=3)
+    assert len(pruned.inputFiles()) <= total // 2, "born clustered"
+    clustered = set(m0["files"])
+    t.append(_grid(spark, 100, id_base=600000))
+    t.optimize()  # plain maintenance, no zorder_by argument
+    m = t._manifest()
+    assert clustered <= set(m["files"])
+    assert t.read().count() == 4196
+    assert t.scan("y", lo=0, hi=3).count() == 4 * 64 + sum(
+        1 for i in range(100) if i % 64 <= 3
+    )
