@@ -418,34 +418,37 @@ def q51_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|"
         f"{_WINNOW_K}|{_WINNOW_W}|poly".encode()
     ).hexdigest()[:16]
+    # per-user root (no cross-user /tmp collisions); one subdir per
+    # content key, PUBLISHED atomically via rename — a concurrent
+    # session either reuses the winner's build or discards its own,
+    # and no rmtree ever touches a directory another reader holds open
+    uid = getattr(os, "getuid", lambda: 0)()
     fp_root = os.path.join(
         tempfile.gettempdir(),
-        f"q51_fp_{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]}",
+        f"q51_fp_u{uid}_"
+        f"{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]}",
     )
-    table_dir = os.path.join(fp_root, "fps")
-    marker = os.path.join(fp_root, "KEY")
-    if is_table(table_dir) and os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == key:
-                tbl = ParquetTable.for_path(spark, table_dir)
-                return fingerprint_overlap_pairs(
-                    tbl.read(),
-                    min_shared=_OVERLAP_MIN,
-                    min_containment=_CONTAINMENT_MIN,
-                    max_doc_freq=_MAX_DOC_FREQ,
-                )
-    if os.path.isdir(fp_root):
-        shutil.rmtree(fp_root)
-    os.makedirs(fp_root, exist_ok=True)
-    tbl = materialize_fingerprint_table(
-        corpus,
-        table_dir,
-        k=_WINNOW_K,
-        w=_WINNOW_W,
-        hash="poly",
-    )
-    with open(marker, "w") as fh:
-        fh.write(key)
+    build_dir = os.path.join(fp_root, key)
+    table_dir = os.path.join(build_dir, "fps")
+    if not is_table(table_dir):
+        os.makedirs(fp_root, exist_ok=True)
+        tmp_build = build_dir + f".tmp-{os.getpid()}"
+        materialize_fingerprint_table(
+            corpus,
+            os.path.join(tmp_build, "fps"),
+            k=_WINNOW_K,
+            w=_WINNOW_W,
+            hash="poly",
+        )
+        try:
+            os.rename(tmp_build, build_dir)
+        except OSError:
+            shutil.rmtree(tmp_build, ignore_errors=True)  # lost the race
+        # best-effort sweep of superseded keys (source data changed)
+        for d in os.listdir(fp_root):
+            if d != key and ".tmp-" not in d:
+                shutil.rmtree(os.path.join(fp_root, d), ignore_errors=True)
+    tbl = ParquetTable.for_path(spark, table_dir)
     return fingerprint_overlap_pairs(
         tbl.read(),
         min_shared=_OVERLAP_MIN,

@@ -79,8 +79,11 @@ _DV_DIR = "_deletion_vectors"
 _SIDECAR_DIR = os.path.join(_MANIFEST_DIR, "_sidecars")
 
 # parsed stats/bloom sidecar files, cached by absolute path — sidecar
-# files are immutable once written, so entries can never go stale
+# files are immutable once written, so entries can never go stale.
+# Bounded FIFO: a long-lived maintenance session would otherwise pin
+# every superseded consolidation generation it ever read
 _SIDECAR_CACHE: dict[str, tuple[dict, dict]] = {}
+_SIDECAR_CACHE_MAX = 256
 # a commit whose manifest would reference more sidecars than this
 # consolidates them into one (log compaction): keeps the ref list —
 # and the number of files a cold stats load opens — bounded while
@@ -759,13 +762,18 @@ class ParquetTable:
                     "snapshot"
                 )
             bp, cp = base.get("props", {}), cur.get("props", {})
+            # "bloom" is checked too: this operation's new-file bitmaps
+            # were built under the BASE config, and committing them
+            # stamped with a rebased config's hash would make scan_eq
+            # prune real matches (positions mod the wrong m_bits)
             if any(
                 bp.get(k) != cp.get(k)
-                for k in ("check_constraints", "not_null", "generated")
+                for k in ("check_constraints", "not_null", "generated", "bloom")
             ):
                 raise ConcurrentModificationError(
                     f"concurrent commit v{v} ({cur['operation']}) changed "
-                    "table constraints this operation validated against"
+                    "table constraints or index config this operation "
+                    "validated/built against"
                 )
             removed = set(prev["files"]) - set(cur["files"])
             overlap = removed & touched
@@ -1485,7 +1493,10 @@ class ParquetTable:
                     F.lit(base) + F.lit(cfg["step"]) * F.col("_idc_idx")
                 ).cast("long"),
             )
-        return work.drop("_idc_one", "_idc_ord", "_idc_idx"), bases
+        # select EXACTLY the intended columns: the prefix-sum keeps
+        # internal helper columns (e.g. its partition offset), and any
+        # stray column here would be silently written into data files
+        return work.select(*df.columns, *ident.keys()), bases
 
     # -- ALTER TABLE (metadata-only schema evolution) -----------------------
 
@@ -1579,6 +1590,14 @@ class ParquetTable:
             # clear the state so the next OPTIMIZE doesn't try to
             # z-order by a column that no longer exists
             props = {k: v for k, v in props.items() if k != "clustering"}
+        ident = props.get("identity", {})
+        if name in ident:
+            # a dropped identity column stops assigning — otherwise
+            # every later append would write ghost ids into the retired
+            # physical column and keep advancing the high water
+            props["identity"] = {
+                c: cfg for c, cfg in ident.items() if c != name
+            }
         physical = _physical_name(m, name)
         colmap = {l: p for l, p in m.get("colmap", {}).items() if l != name}
         retired = list(m.get("retired_cols", [])) + [physical]
@@ -1643,6 +1662,13 @@ class ParquetTable:
             # and unaffected)
             props["clustering"] = {
                 **clu, "cols": [new if c == old else c for c in clu["cols"]]
+            }
+        ident = props.get("identity", {})
+        if old in ident:
+            # identity registry follows too: the GENERATED ALWAYS
+            # refusal and assignment must key the CURRENT logical name
+            props["identity"] = {
+                (new if c == old else c): cfg for c, cfg in ident.items()
             }
         new_schema = StructType(
             [
@@ -2509,12 +2535,19 @@ class ParquetTable:
         props = dict(m.get("props", {}))
         if zorder_by:
             # clustering state: the commit prefixes whose files ARE the
-            # clustered layout.  Incremental passes extend the surviving
-            # prefixes; a full re-cluster resets the state to this
-            # commit.  Prefixes are O(maintenance runs), pruned to those
-            # still owning a live file — never O(files).
+            # clustered layout.  Prefixes are O(maintenance runs),
+            # pruned to those still owning a live file — never
+            # O(files).  Any same-column z-order KEEPS the surviving
+            # carried prefixes: a `where`-scoped full re-cluster
+            # rewrote only its scope, and forgetting the out-of-scope
+            # files' clustered status would make the next routine
+            # optimize() rewrite the rest of the table — the O(table)
+            # surprise the incremental contract exists to prevent.
+            # Changing the clustering COLUMNS resets the state.
             new_prefix = {_commit_prefix(f) for f in files}
-            if incr_compatible:
+            if cluster_state and list(cluster_state["cols"]) == list(
+                zorder_by
+            ):
                 alive = {_commit_prefix(f) for f in carried}
                 kept = set(cluster_state.get("prefixes", [])) & alive
             else:
@@ -2523,6 +2556,11 @@ class ParquetTable:
                 "cols": list(zorder_by),
                 "prefixes": sorted(kept | new_prefix),
             }
+        elif cluster_state is not None:
+            # explicit n_files rewrite WITHOUT z-ordering on a clustered
+            # table: the layout is deliberately shredded — drop the
+            # state instead of leaving it stale
+            props.pop("clustering", None)
         version = _commit_typed(
             "OPTIMIZE",
             root=self.root,
@@ -2601,7 +2639,7 @@ class ParquetTable:
         return version
 
     def vacuum(
-        self, keep_versions: int = 1, staging_ttl_seconds: float = 3600.0
+        self, keep_versions: int = 1, staging_ttl_seconds: float = 86400.0
     ) -> int:
         """D8 parity: delete data files unreferenced by the newest
         ``keep_versions`` manifests, and drop older manifests.  Time travel
@@ -3307,6 +3345,8 @@ def _load_sidecar(path: str) -> tuple[dict, dict]:
             stats.setdefault(f, {})[c] = [json.loads(lo), json.loads(hi)]
         if b is not None:
             bloom_rows.setdefault(f, {})[c] = (b, cfg)
+    while len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
     _SIDECAR_CACHE[path] = (stats, bloom_rows)
     return stats, bloom_rows
 

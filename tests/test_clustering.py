@@ -169,3 +169,32 @@ def test_create_cluster_by_is_liquid_from_birth(spark, root):
     assert t.scan("y", lo=0, hi=3).count() == 4 * 64 + sum(
         1 for i in range(100) if i % 64 <= 3
     )
+
+
+def test_scoped_full_zorder_keeps_out_of_scope_state(spark, tmp_path):
+    """optimize(zorder_by=, where=) re-clusters its scope but must NOT
+    forget the out-of-scope files' clustered status — the next plain
+    optimize() would otherwise rewrite the rest of the table."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("p1" if i % 2 else "p2", i // 64, i % 64, i) for i in range(4096)],
+        "part string, x int, y int, id int",
+    )
+    t = ParquetTable.create(spark, root, df, partition_by=["part"])
+    t.optimize(zorder_by=["x"], n_files=8)
+    out_of_scope = {
+        f for f in t._manifest()["files"] if "part=p2" in f
+    }
+    t.optimize(zorder_by=["x"], where="part = 'p1'")
+    v = t.latest_version()
+    assert out_of_scope <= set(t._manifest()["files"])
+    # routine maintenance now finds nothing unclustered: no-op
+    assert t.optimize() == v, "plain optimize must not rewrite p2"
+
+
+def test_explicit_nfiles_rewrite_clears_clustering_state(spark, root):
+    t = ParquetTable.create(spark, root, _grid(spark, 1024))
+    t.optimize(zorder_by=["x"], n_files=4)
+    assert "clustering" in t._manifest()["props"]
+    t.optimize(n_files=2)  # deliberate un-clustered layout
+    assert "clustering" not in t._manifest()["props"]

@@ -108,3 +108,23 @@ def test_identity_composes_with_generated_and_delete(spark, tmp_path):
     assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
     t.append(_rows(spark, ["d"]))
     assert sorted(r["id"] for r in t.read().collect()) == [1, 3, 4]
+
+
+def test_identity_registry_follows_rename_and_drop(spark, t):
+    """Rename keeps GENERATED ALWAYS enforcement + assignment on the
+    new name; drop stops assignment entirely (no ghost ids into the
+    retired physical column)."""
+    t.append(_rows(spark, ["a"]))
+    t.rename_column("id", "uid")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(spark.createDataFrame([("x", 1)], "v string, uid long"))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.update(F.col("v") == "a", {"uid": F.lit(5)})
+    t.append(_rows(spark, ["b"]))  # assignment continues under new name
+    assert {r["v"]: r["uid"] for r in t.read().collect()} == {
+        "a": 100, "b": 110,
+    }
+    t.drop_column("uid")
+    assert "identity" not in t.properties() or not t.properties()["identity"]
+    t.append(_rows(spark, ["c"]))  # plain append, no ghost assignment
+    assert set(t.read().columns) == {"v"}

@@ -773,7 +773,7 @@ def test_vacuum_sweeps_stale_staging_dirs(spark, tmp_path):
     os.makedirs(stale)
     with open(os.path.join(stale, "part-0.parquet"), "wb") as fh:
         fh.write(b"junk")
-    old = _time.time() - 7200
+    old = _time.time() - 2 * 86400  # well past the 24 h default TTL
     os.utime(stale, (old, old))
     fresh = os.path.join(root, "_staging_cafe00000000")
     os.makedirs(fresh)
