@@ -61,7 +61,7 @@ def distributed_cumsum(
     return (
         local.join(F.broadcast(offsets), "_ps_pid")
         .withColumn(out_col, (F.col("_ps_local") + F.col("_ps_offset")).cast("long"))
-        .drop("_ps_pid", "_ps_local")
+        .drop("_ps_pid", "_ps_local", "_ps_offset")
     )
 
 

@@ -363,10 +363,16 @@ class ParquetTable:
             "last_modified": m["timestamp"],
         }
 
-    def history(self) -> list[Commit]:
-        """D5 companion: the table's commit log, oldest first."""
+    def history(self, limit: int | None = None) -> list[Commit]:
+        """D5 companion: the table's commit log, oldest first.
+        ``limit`` returns only the NEWEST that many commits (Delta's
+        ``DESCRIBE HISTORY ... LIMIT``) — the listing stays one
+        directory read, and only the requested manifests are parsed."""
+        vs = self._versions()
+        if limit is not None:
+            vs = vs[-limit:]
         out = []
-        for v in self._versions():
+        for v in vs:
             m = self._manifest(v)
             out.append(
                 Commit(

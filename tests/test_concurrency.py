@@ -122,3 +122,16 @@ def test_merge_collision_raises_typed_error(spark, root):
     src = spark.createDataFrame([(1, "a", -1)], "k int, part string, v int")
     with pytest.raises(ConcurrentModificationError, match="MERGE collided"):
         b.merge(src, on=["k", "part"])
+
+
+def test_concurrent_bloom_reconfig_conflicts_with_dml(spark, root):
+    """A DML's new-file bitmaps are built under its snapshot's bloom
+    config; rebasing onto a reconfigured index would stamp them with
+    the wrong cfg hash and scan_eq would prune real matches — so it's
+    a conflict, not a rebase."""
+    t = _table(spark, root)
+    t.set_bloom_index(["k"], m_bits=2048)
+    b = _stale_writer(spark, root)
+    t.set_bloom_index(["k"], m_bits=4096)
+    with pytest.raises(ConcurrentModificationError, match="index config"):
+        b.delete("part = 'b' AND k = 60")

@@ -799,3 +799,14 @@ def test_q51_reuses_its_fingerprint_cache(spark):
     n_after_first = len(glob.glob(pattern))
     q51_winnow_overlap(spark, sf).count()
     assert len(glob.glob(pattern)) == n_after_first, "no new temp roots"
+
+
+def test_history_limit_parses_only_newest(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    for i in range(3):
+        t.append(_rows(spark, [(10 + i, "b", "y")]))
+    full = t.history()
+    tail = t.history(limit=2)
+    assert [c.version for c in tail] == [c.version for c in full[-2:]]
+    assert all(c.operation == "APPEND" for c in tail)
