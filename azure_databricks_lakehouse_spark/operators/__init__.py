@@ -22,6 +22,13 @@ from azure_databricks_lakehouse_spark.operators.mixture import (
     plan_mixture,
     realize_mixture,
 )
+from azure_databricks_lakehouse_spark.operators.chunking import (
+    chunk_documents,
+)
+from azure_databricks_lakehouse_spark.operators.linedup import (
+    remove_duplicate_lines,
+    repeated_lines,
+)
 from azure_databricks_lakehouse_spark.operators.pq import (
     PQCodebook,
     ivfpq_search,
@@ -53,4 +60,7 @@ __all__ = [
     "pq_encode",
     "pq_search",
     "ivfpq_search",
+    "chunk_documents",
+    "remove_duplicate_lines",
+    "repeated_lines",
 ]
