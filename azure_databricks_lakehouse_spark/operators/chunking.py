@@ -34,13 +34,15 @@ def chunk_documents(
     *,
     chunk_tokens: int = 512,
     stride: int | None = None,
+    keep_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
-    """``(id_col, chunk_id, start_token, n_chunk_tokens, chunk_text)``
-    — one row per sliding window.  ``stride`` defaults to
+    """``(id_col, *keep_cols, chunk_id, start_token, n_chunk_tokens,
+    chunk_text)`` — one row per sliding window.  ``stride`` defaults to
     ``chunk_tokens`` (no overlap); ``stride < chunk_tokens`` overlaps
     adjacent chunks by the difference.  The final chunk may be shorter;
     a document shorter than ``chunk_tokens`` yields exactly one chunk;
-    an empty document yields none."""
+    an empty document yields none.  ``keep_cols`` are carried through
+    unchanged (replicated onto every window of their document)."""
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
     stride = chunk_tokens if stride is None else stride
@@ -65,6 +67,7 @@ def chunk_documents(
     )
     out = docs.select(
         id_col,
+        *keep_cols,
         n.alias("__n"),
         toks.alias("__toks"),
         F.posexplode(starts).alias("chunk_id", "start_token"),
@@ -72,6 +75,7 @@ def chunk_documents(
     n_chunk = F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start_token"))
     return out.select(
         id_col,
+        *keep_cols,
         "chunk_id",
         "start_token",
         n_chunk.alias("n_chunk_tokens"),

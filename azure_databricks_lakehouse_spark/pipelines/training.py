@@ -6,6 +6,9 @@ applied to a *pretraining corpus* — each stage is an operator this
 engine already ships, composed in the order production pipelines run
 them:
 
+0. **boilerplate strip** (optional) — CCNet-style corpus-repeated-line
+   removal (`operators/linedup`) before any scoring, so nav/footer
+   text can't skew quality signals or glue near-dup pairs together.
 1. **quality gate** — learned hashed-n-gram scorer when weights are
    supplied (`operators/quality`), else the q25-style stopword/length
    heuristics; optionally stacked with a CCNet-style LM perplexity cap
@@ -25,9 +28,11 @@ them:
    the fewest rows — then optional **domain-mixture reweighting**
    (`operators/mixture`): temperature or explicit weights, computed on
    the CLEAN corpus so dedup cannot eat the upsampled copies.
-6. **deterministic shuffle + packing manifest** — reproducible
-   pseudo-random order (`operators/shuffle`'s hash key as the packing
-   order) and the concat-and-chunk sequence manifest
+6. **deterministic shuffle + packing manifest** — optional
+   sliding-window chunking first (`operators/chunking`: long documents
+   become bounded overlapping windows, each its own packing unit), then
+   reproducible pseudo-random order (`operators/shuffle`'s hash key as
+   the packing order) and the concat-and-chunk sequence manifest
    (`operators/packing`, distributed prefix sum).
 
 Every stage is DataFrame-native (zero UDFs); nothing here collects
@@ -99,6 +104,10 @@ def prepare_training_corpus(
     max_doc_freq: int | None = 50,
     max_len: int | None = None,
     cc_algorithm: str = "star",
+    boilerplate_min_count: int | None = None,
+    boilerplate_min_line_chars: int = 10,
+    chunk_tokens: int | None = None,
+    chunk_stride: int | None = None,
     domain_col: str | None = None,
     mixture_temperature: float | None = None,
     mixture_weights: dict | None = None,
@@ -125,6 +134,26 @@ def prepare_training_corpus(
 
     if audit:
         stages["input"] = docs.count()
+
+    # 0. optional CCNet boilerplate strip (`operators/linedup`):
+    # corpus-repeated lines (nav bars, cookie banners, footers) are
+    # removed BEFORE quality scoring and dedup — footer text otherwise
+    # skews stopword/perplexity signals and holds near-dup pairs
+    # together through their shared boilerplate rather than their
+    # content.  Documents that were ALL boilerplate drop here.
+    if boilerplate_min_count is not None:
+        from azure_databricks_lakehouse_spark.operators.linedup import (
+            remove_duplicate_lines,
+        )
+
+        docs = remove_duplicate_lines(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            min_count=boilerplate_min_count,
+            min_line_chars=boilerplate_min_line_chars,
+        ).drop("n_lines_removed")
+        docs = _note("line_dedup", docs)
 
     # 1. quality gate.  The learned path ALSO requires min_quality_grams
     # n-grams: gram-less documents (empty/NULL/single-word) score exactly
@@ -251,12 +280,38 @@ def prepare_training_corpus(
     else:
         scrubbed = scrubbed.withColumn("_epoch", F.lit(1))
 
-    # 6. deterministic shuffle order + packing manifest (_epoch is part
-    # of the shuffle key so repeated-domain copies spread through the
-    # training order instead of sitting adjacent)
+    # 5c. optional sliding-window chunking (`operators/chunking`): split
+    # long documents into model-sized overlapping windows so the packing
+    # units are bounded — applied LAST in the content path (after
+    # redaction, on the final epoch-replicated set) so every window
+    # inherits clean text, and before shuffle+pack so each window gets
+    # its own position in the training order.  The corpus unit becomes
+    # (id, chunk_id, _epoch); non-text columns replicate onto windows.
+    unit_cols = [id_col, "_epoch"]
+    if chunk_tokens is not None:
+        from azure_databricks_lakehouse_spark.operators.chunking import (
+            chunk_documents,
+        )
+
+        carried = [c for c in scrubbed.columns if c not in (id_col, text_col)]
+        scrubbed = chunk_documents(
+            scrubbed,
+            text_col=text_col,
+            id_col=id_col,
+            chunk_tokens=chunk_tokens,
+            stride=chunk_stride,
+            keep_cols=carried,
+        ).withColumnRenamed("chunk_text", text_col)
+        unit_cols = [id_col, "chunk_id", "_epoch"]
+        scrubbed = _note("chunking", scrubbed)
+
+    # 6. deterministic shuffle order + packing manifest (_epoch — and
+    # chunk_id when chunking — are part of the shuffle key so repeated
+    # copies and sibling windows spread through the training order
+    # instead of sitting adjacent)
     shuffled = scrubbed.withColumn(
         "_order",
-        F.xxhash64(F.lit(shuffle_seed), F.col(id_col), F.col("_epoch")),
+        F.xxhash64(F.lit(shuffle_seed), *[F.col(c) for c in unit_cols]),
     )
     n_tokens = F.size(
         F.regexp_extract_all(
@@ -267,15 +322,14 @@ def prepare_training_corpus(
     )
     manifest = pack_manifest(
         shuffled.select(
-            id_col, "_epoch", "_order", n_tokens.alias("n_tokens")
+            *unit_cols, "_order", n_tokens.alias("n_tokens")
         ),
         token_col="n_tokens",
         order_col="_order",
         capacity=seq_capacity,
-        keep_cols=[id_col, "_epoch"],
+        keep_cols=unit_cols,
     ).select(
-        id_col,
-        "_epoch",
+        *unit_cols,
         "n_tokens",
         "start_offset",
         "start_seq",

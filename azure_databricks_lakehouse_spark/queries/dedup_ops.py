@@ -103,10 +103,63 @@ corpus AS (
 """
 
 
-# --- q27: exact dedup (hash-groupBy clusters, keep-min canonical) ----------
+# --- q27: exact dedup at document AND line granularity ---------------------
+# Line parts run over a synthetic multi-line page corpus: each document
+# plus two per-source boilerplate footer lines — the CCNet scenario
+# (per-site navigation/footer text repeated across otherwise-distinct
+# pages) that whole-document dedup cannot touch.
+_LINE_MIN_COUNT = 5
+_LINE_MIN_CHARS = 10
+
+
+def _page_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("(c) 2026 "), F.col("source"), F.lit(" all rights reserved")
+            ),
+            F.concat(F.lit("contact: admin@"), F.col("source"), F.lit(".example.com")),
+        ).alias("text"),
+    )
+
+
+_PAGES_SQL = """
+pages AS (
+  SELECT doc_id,
+         text || chr(10) || '(c) 2026 ' || source || ' all rights reserved'
+              || chr(10) || 'contact: admin@' || source || '.example.com' AS text
+  FROM documents
+)
+"""
+
+
 def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a tagged union across three granularities (round-6
+    corpus consolidation under the driver's 50-query budget):
+
+    - ``part='doc'``: md5-fingerprint clusters over the variant corpus
+      (the original q27 — one hash-shuffle on the fingerprint);
+    - ``part='line'``: corpus-repeated boilerplate lines from
+      ``operators/linedup.repeated_lines`` over the page corpus, shaped
+      as line-granularity dedup clusters (fingerprint = normalized line
+      key, members = the pages carrying the line);
+    - ``part='line_rebuilt'``: the full ``remove_duplicate_lines``
+      output per page, pinned by fingerprint = md5 of the reassembled
+      text — a byte-exact oracle check of boilerplate stripping AND
+      in-order reassembly (n_copies carries n_lines_removed).
+    """
+    from azure_databricks_lakehouse_spark.operators.linedup import (
+        _line_key,
+        remove_duplicate_lines,
+        repeated_lines,
+    )
+
     corpus = _variant_corpus(spark, sf_dir)
-    return (
+    doc_part = (
         corpus.select("doc_id", F.md5("text").alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
@@ -124,18 +177,113 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("member_ids"),
         )
         .filter(F.col("n_copies") > 1)
+        .select(F.lit("doc").alias("part"), "*")
     )
+
+    pages = _page_corpus(spark, sf_dir)
+    boiler = repeated_lines(
+        pages, min_count=_LINE_MIN_COUNT, min_line_chars=_LINE_MIN_CHARS
+    )
+    keyed = (
+        pages.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\n")).alias("__line"),
+        )
+        .filter(F.length(F.trim(F.col("__line"))) >= _LINE_MIN_CHARS)
+        .select("doc_id", _line_key(F.col("__line")).alias("line_key"))
+    )
+    line_part = (
+        keyed.join(boiler, "line_key")
+        .groupBy("line_key", "n_occurrences")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("member_ids"),
+        )
+        .select(
+            F.lit("line").alias("part"),
+            F.col("line_key").alias("fingerprint"),
+            "canonical_id",
+            F.col("n_occurrences").alias("n_copies"),
+            "member_ids",
+        )
+    )
+
+    rebuilt_part = remove_duplicate_lines(
+        pages, min_count=_LINE_MIN_COUNT, min_line_chars=_LINE_MIN_CHARS
+    ).select(
+        F.lit("line_rebuilt").alias("part"),
+        F.md5("text").alias("fingerprint"),
+        F.col("doc_id").alias("canonical_id"),
+        F.col("n_lines_removed").cast("long").alias("n_copies"),
+        F.col("doc_id").cast("string").alias("member_ids"),
+    )
+
+    return doc_part.unionByName(line_part).unionByName(rebuilt_part)
 
 
 _Q27_SQL = f"""
-{_CORPUS_SQL}
-SELECT md5(text) AS fingerprint,
+{_CORPUS_SQL},
+{_PAGES_SQL.strip()},
+plines AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+         unnest(string_split(text, chr(10))) AS line,
+         len(string_split(text, chr(10))) AS n_total
+  FROM pages
+),
+keyed AS (
+  SELECT doc_id, pos, line, n_total,
+         CASE WHEN length(trim(line)) >= {_LINE_MIN_CHARS}
+              THEN md5(regexp_replace(trim(lower(line)), '\\s+', ' ', 'g'))
+         END AS key
+  FROM plines
+),
+line_part AS (
+  SELECT key AS fingerprint,
+         MIN(doc_id) AS canonical_id,
+         COUNT(*) AS n_copies,
+         array_to_string(list_sort(list(DISTINCT doc_id)), '|') AS member_ids
+  FROM keyed
+  WHERE key IS NOT NULL
+  GROUP BY key
+  HAVING COUNT(*) >= {_LINE_MIN_COUNT}
+),
+survivors AS (
+  SELECT k.doc_id, k.pos, k.line, k.n_total
+  FROM keyed k
+  ANTI JOIN line_part b ON k.key = b.fingerprint
+),
+rebuilt_part AS (
+  SELECT md5(array_to_string(
+           list_transform(
+             list_sort(list(struct_pack(p := pos, l := line))),
+             s -> s.l),
+           chr(10))) AS fingerprint,
+         doc_id AS canonical_id,
+         CAST(any_value(n_total) - COUNT(*) AS BIGINT) AS n_copies,
+         CAST(doc_id AS VARCHAR) AS member_ids
+  FROM survivors
+  GROUP BY doc_id
+)
+SELECT 'doc' AS part,
+       md5(text) AS fingerprint,
        MIN(doc_id) AS canonical_id,
        COUNT(*) AS n_copies,
        array_to_string(list_sort(list(doc_id)), '|') AS member_ids
 FROM corpus
 GROUP BY md5(text)
 HAVING COUNT(*) > 1
+UNION ALL
+SELECT 'line', fingerprint, canonical_id, n_copies, member_ids FROM line_part
+UNION ALL
+SELECT 'line_rebuilt', fingerprint, canonical_id, n_copies, member_ids
+FROM rebuilt_part
 """
 
 

@@ -33,29 +33,123 @@ _TOKENS = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
 
 
-# --- q24: tokenization + token counting (per-document stats) ---------------
+# --- q24: tokenization + token counting, doc- AND chunk-level --------------
+# Sliding-window parameters for the chunk part (operators/chunking):
+# stride < chunk gives 16-token overlap between adjacent windows.
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
 def q24_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token stats at document granularity UNION at sliding-window chunk
+    granularity (tagged union ``part='doc'|'chunk'``; round-6 corpus
+    consolidation — the driver checks at most 50 queries, so the
+    chunking operator earns its oracle row here instead of growing the
+    corpus).  The chunk part routes through
+    ``operators/chunking.chunk_documents`` (chunk={chunk}, stride={stride})
+    and re-derives the same stats per window, which pins the window
+    algebra (starts, trailing-window drop, slice bounds) AND the
+    reassembled chunk text (length + type counts) against the SQL twin.
+    Both sides are pure projections, so the union plan stays
+    shuffle-free.  Chunk rows keep original case (the chunker preserves
+    text verbatim); doc rows lower-case first, as before.""".format(
+        chunk=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    )
+    from azure_databricks_lakehouse_spark.operators.chunking import chunk_documents
+
     t = bind(spark, sf_dir, "documents")
     toks = _TOKENS
     n_tokens = F.size(toks)
     compact_len = F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", ""))
-    return t["documents"].select(
+    docs = t["documents"].select(
         "doc_id",
-        "n_chars",
+        F.lit("doc").alias("part"),
+        F.lit(0).alias("ord"),
+        F.lit(0).alias("start_token"),
+        F.col("n_chars"),
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_types"),
         (compact_len / n_tokens).alias("avg_token_len"),
     )
+    chunks = chunk_documents(
+        t["documents"].select("doc_id", "text"),
+        chunk_tokens=_CHUNK_TOKENS,
+        stride=_CHUNK_STRIDE,
+    )
+    ctoks = F.split(F.col("chunk_text"), " ")
+    c_compact = F.length(F.regexp_replace(F.col("chunk_text"), " ", ""))
+    chunk_rows = chunks.select(
+        "doc_id",
+        F.lit("chunk").alias("part"),
+        F.col("chunk_id").alias("ord"),
+        "start_token",
+        F.length("chunk_text").cast("long").alias("n_chars"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+        F.size(F.array_distinct(ctoks)).alias("n_types"),
+        (c_compact / F.col("n_chunk_tokens")).alias("avg_token_len"),
+    )
+    return docs.unionByName(chunk_rows)
 
 
 _Q24_SQL = f"""
-SELECT doc_id,
-       n_chars,
-       len({_TOKENS_SQL}) AS n_tokens,
-       len(list_distinct({_TOKENS_SQL})) AS n_types,
-       length(regexp_replace(trim(lower(text)), '\\s+', '', 'g'))
-         / len({_TOKENS_SQL}) AS avg_token_len
-FROM documents
+WITH doc_part AS (
+  SELECT doc_id,
+         'doc' AS part,
+         0 AS ord,
+         0 AS start_token,
+         n_chars,
+         len({_TOKENS_SQL}) AS n_tokens,
+         len(list_distinct({_TOKENS_SQL})) AS n_types,
+         length(regexp_replace(trim(lower(text)), '\\s+', '', 'g'))
+           / len({_TOKENS_SQL}) AS avg_token_len
+  FROM documents
+),
+ctoks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+cstarts AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_filter(
+           range(0, len(t), {_CHUNK_STRIDE}),
+           s -> s = 0 OR s - {_CHUNK_STRIDE} + {_CHUNK_TOKENS} < len(t)
+         ) AS ss
+  FROM ctoks
+),
+cwin AS (
+  SELECT doc_id,
+         unnest(range(0, len(ss))) AS ord,
+         unnest(ss) AS start_token,
+         t, n
+  FROM cstarts
+),
+cslice AS (
+  SELECT doc_id, ord, start_token,
+         least({_CHUNK_TOKENS}, n - start_token) AS nct,
+         array_to_string(
+           list_slice(t, start_token + 1,
+                      start_token + least({_CHUNK_TOKENS}, n - start_token)),
+           ' ') AS ct
+  FROM cwin
+),
+chunk_part AS (
+  SELECT doc_id,
+         'chunk' AS part,
+         ord,
+         start_token,
+         length(ct) AS n_chars,
+         nct AS n_tokens,
+         len(list_distinct(string_split(ct, ' '))) AS n_types,
+         length(replace(ct, ' ', '')) / nct AS avg_token_len
+  FROM cslice
+)
+SELECT doc_id, part, ord, start_token, n_chars, n_tokens, n_types, avg_token_len
+FROM doc_part
+UNION ALL
+SELECT doc_id, part, ord, start_token, n_chars, n_tokens, n_types, avg_token_len
+FROM chunk_part
 """
 
 

@@ -183,3 +183,76 @@ def test_domain_mixture_stage(spark):
     man = res.manifest
     assert man.count() == mixed.count()
     assert man.select("doc_id", "_epoch").distinct().count() == man.count()
+
+
+def test_boilerplate_stage_strips_repeated_lines(spark):
+    """Stage 0 (operators/linedup): the per-site footer repeated across
+    documents is stripped before quality/dedup; a document that was ALL
+    boilerplate drops entirely; bodies pass through byte-identical."""
+    footer = "copyright example site all rights reserved"
+    bodies = {
+        0: "the committee published a report on the quality of the water "
+           "and the effect of the new treatment plant in the valley",
+        1: "a survey of the harbor found that the tide carries most of the "
+           "sediment into the channel during the winter storms",
+        2: "the library extended its hours for the term and the students "
+           "of the college made heavy use of the reading rooms",
+        3: "farmers in the district planted barley along the river because "
+           "the spring floods had enriched the soil of the plain",
+        4: "the museum restored a collection of maps from the archive and "
+           "put the earliest charts of the coast on display",
+    }
+    rows = [(i, bodies[i] + "\n" + footer) for i in range(5)]
+    rows.append((9, footer))  # nothing but the footer
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    res = prepare_training_corpus(
+        docs,
+        boilerplate_min_count=3,
+        max_doc_freq=None,
+        decontaminate_max_fp_doc_frac=None,
+    )
+    assert res.audit["input"] == 6
+    assert res.audit["line_dedup"] == 5  # all-boilerplate doc 9 gone
+    texts = {r["doc_id"]: r["text"] for r in res.corpus.collect()}
+    assert set(texts) == set(range(5))
+    for i, body in bodies.items():
+        assert texts[i] == body  # footer stripped, body untouched
+
+
+def test_chunking_stage_bounds_packing_units(spark):
+    """Stage 5c (operators/chunking): long documents become bounded
+    windows, each owning its own manifest slot; windows reconstruct the
+    document; no manifest unit exceeds the chunk size."""
+    long_text = "the quality of the water in the region is good and " * 12
+    long_text = " ".join(long_text.split())  # 132 tokens
+    short_text = "the report of the board covers the quality of the water today"
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id int, text string"
+    )
+    res = prepare_training_corpus(
+        docs,
+        chunk_tokens=32,
+        max_doc_freq=None,
+        decontaminate_max_fp_doc_frac=None,
+    )
+    assert res.audit["chunking"] == 6  # ceil(132/32)=5 windows + 1
+    corpus = res.corpus.collect()
+    assert {(r["doc_id"], r["chunk_id"]) for r in corpus} == {
+        (1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (2, 0),
+    }
+    rebuilt = " ".join(
+        r["text"]
+        for r in sorted(corpus, key=lambda r: r["chunk_id"])
+        if r["doc_id"] == 1
+    )
+    assert rebuilt == long_text
+    man = res.manifest.collect()
+    assert len(man) == 6
+    assert all(r["n_tokens"] <= 32 for r in man)
+    # every (doc, chunk, epoch) unit owns a distinct manifest slot
+    assert len({(r["doc_id"], r["chunk_id"], r["_epoch"]) for r in man}) == 6
+    # manifest stays contiguous over chunk units
+    ordered = sorted(man, key=lambda r: r["start_offset"])
+    assert ordered[0]["start_offset"] == 0
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur["start_offset"] == prev["start_offset"] + prev["n_tokens"]
