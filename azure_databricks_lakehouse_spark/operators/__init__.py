@@ -29,6 +29,10 @@ from azure_databricks_lakehouse_spark.operators.linedup import (
     remove_duplicate_lines,
     repeated_lines,
 )
+from azure_databricks_lakehouse_spark.operators.spandup import (
+    remove_repeated_spans,
+    repeated_span_windows,
+)
 from azure_databricks_lakehouse_spark.operators.pq import (
     PQCodebook,
     ivfpq_search,
@@ -62,5 +66,7 @@ __all__ = [
     "ivfpq_search",
     "chunk_documents",
     "remove_duplicate_lines",
+    "remove_repeated_spans",
+    "repeated_span_windows",
     "repeated_lines",
 ]

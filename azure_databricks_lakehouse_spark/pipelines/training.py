@@ -18,7 +18,11 @@ them:
    per digest (hash-shuffle on the digest, q27's policy).
 3. **fuzzy dedup** — winnowing fingerprints → bucketed containment
    pairs → connected components → keep each cluster's canonical member
-   (q47/q51/q52's stack, via `operators/fingerprints` + `components`).
+   (q47/q51/q52's stack, via `operators/fingerprints` + `components`);
+   optionally followed by exact repeated-SPAN removal
+   (`operators/spandup`, ExactSubstr-style): shared passages below the
+   containment threshold are cut out of every carrier instead of
+   costing a whole document.
 4. **decontamination** — drop documents sharing any winnowing
    fingerprint with the benchmark/eval set (broadcast probe,
    `operators/fingerprints.decontaminate`).
@@ -104,6 +108,8 @@ def prepare_training_corpus(
     max_doc_freq: int | None = 50,
     max_len: int | None = None,
     cc_algorithm: str = "star",
+    span_dedup_tokens: int | None = None,
+    span_dedup_min_count: int = 2,
     boilerplate_min_count: int | None = None,
     boilerplate_min_line_chars: int = 10,
     chunk_tokens: int | None = None,
@@ -229,6 +235,33 @@ def prepare_training_corpus(
     )
     kept = kept.join(losers, id_col, "left_anti")
     kept = _note("fuzzy_dedup", kept)
+
+    # 3b. optional exact repeated-SPAN removal (`operators/spandup`,
+    # ExactSubstr-style): surviving documents can still share long
+    # passages below the fuzzy-dedup containment threshold — remove the
+    # passages themselves rather than either document.  Runs after
+    # document-level dedup (whole near-dups are already gone, so spans
+    # here are genuine partial overlaps) and before decontamination and
+    # redaction so every downstream stage sees the final text.
+    # Documents reduced to nothing but repeated spans are culled.
+    if span_dedup_tokens is not None:
+        from azure_databricks_lakehouse_spark.operators.spandup import (
+            remove_repeated_spans,
+        )
+
+        kept = (
+            remove_repeated_spans(
+                kept,
+                text_col=text_col,
+                id_col=id_col,
+                span_tokens=span_dedup_tokens,
+                min_count=span_dedup_min_count,
+                max_len=max_len,
+            )
+            .filter(F.length(F.col(text_col)) > 0)
+            .drop("n_tokens_removed", "n_spans_removed")
+        )
+        kept = _note("span_dedup", kept)
 
     # 4. decontamination vs the benchmark/eval set
     # min_shared=2 by default: at k=8 a single shared fingerprint can be

@@ -256,3 +256,52 @@ def test_chunking_stage_bounds_packing_units(spark):
     assert ordered[0]["start_offset"] == 0
     for prev, cur in zip(ordered, ordered[1:]):
         assert cur["start_offset"] == prev["start_offset"] + prev["n_tokens"]
+
+
+def test_span_dedup_stage_cuts_shared_passages(spark):
+    """Stage 3b (operators/spandup): a passage shared by two documents
+    that fuzzy dedup keeps (containment below threshold) is cut out of
+    both carriers; a document that was nothing but the passage culls."""
+    shared_a = (
+        "the committee agreed that the harbor works should begin in the "
+        "spring after the thaw"
+    )
+    shared_b = (
+        "no boats may enter the narrow channel while the dredging crews "
+        "are still at work near the old pier"
+    )
+    bodies = {
+        1: "a survey of the harbor found that the tide carries most of the "
+           "sediment into the channel during the winter storms",
+        2: "the library extended its hours for the term and the students "
+           "of the college made heavy use of the reading rooms",
+        3: "the museum restored a collection of maps from the archive and "
+           "put the earliest charts of the coast on display",
+    }
+    # doc 4 is repeated material from TWO different carriers, so its
+    # containment against either stays below the fuzzy threshold — only
+    # the span stage can empty it
+    docs = spark.createDataFrame(
+        [
+            (1, bodies[1] + " " + shared_a),
+            (2, shared_b + " " + bodies[2]),
+            (3, bodies[3]),
+            (4, shared_a + " " + shared_b),
+        ],
+        "doc_id int, text string",
+    )
+    res = prepare_training_corpus(
+        docs,
+        span_dedup_tokens=8,
+        min_containment=0.8,
+        max_doc_freq=None,
+        decontaminate_max_fp_doc_frac=None,
+    )
+    assert res.audit["fuzzy_dedup"] == 4
+    assert res.audit["span_dedup"] == 3  # doc 4 reduced to empty -> culled
+    texts = {r["doc_id"]: r["text"] for r in res.corpus.collect()}
+    assert set(texts) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert texts[i] == bodies[i]
+        assert "harbor works" not in texts[i]
+        assert "dredging" not in texts[i]
