@@ -110,6 +110,7 @@ corpus AS (
 # pages) that whole-document dedup cannot touch.
 _LINE_MIN_COUNT = 5
 _LINE_MIN_CHARS = 10
+_SPAN_TOKENS = 8
 
 
 def _page_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,12 +151,22 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``part='line_rebuilt'``: the full ``remove_duplicate_lines``
       output per page, pinned by fingerprint = md5 of the reassembled
       text — a byte-exact oracle check of boilerplate stripping AND
-      in-order reassembly (n_copies carries n_lines_removed).
-    """
+      in-order reassembly (n_copies carries n_lines_removed);
+    - ``part='span_rebuilt'``: ``operators/spandup.remove_repeated_spans``
+      over the variant corpus (span_tokens={span}), pinned the same way
+      (n_copies carries n_tokens_removed) — the exact copies rebuild
+      empty, the head-truncated near-copies lose their shared run.  The
+      engine keys windows by xxhash64; the oracle re-derives removal
+      from the window TEXT with a gaps-and-islands interval merge, so
+      the comparison also proves the hash keying loses nothing.
+    """.format(span=_SPAN_TOKENS)
     from azure_databricks_lakehouse_spark.operators.linedup import (
         _line_key,
         remove_duplicate_lines,
         repeated_lines,
+    )
+    from azure_databricks_lakehouse_spark.operators.spandup import (
+        remove_repeated_spans,
     )
 
     corpus = _variant_corpus(spark, sf_dir)
@@ -224,7 +235,21 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("member_ids"),
     )
 
-    return doc_part.unionByName(line_part).unionByName(rebuilt_part)
+    span_part = remove_repeated_spans(
+        corpus, span_tokens=_SPAN_TOKENS, min_count=2
+    ).select(
+        F.lit("span_rebuilt").alias("part"),
+        F.md5("text").alias("fingerprint"),
+        F.col("doc_id").alias("canonical_id"),
+        F.col("n_tokens_removed").alias("n_copies"),
+        F.col("doc_id").cast("string").alias("member_ids"),
+    )
+
+    return (
+        doc_part.unionByName(line_part)
+        .unionByName(rebuilt_part)
+        .unionByName(span_part)
+    )
 
 
 _Q27_SQL = f"""
@@ -270,6 +295,60 @@ rebuilt_part AS (
          CAST(doc_id AS VARCHAR) AS member_ids
   FROM survivors
   GROUP BY doc_id
+),
+stoks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM corpus
+),
+swin AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(t) - {_SPAN_TOKENS})) AS s,
+         unnest(list_transform(
+           generate_series(0, len(t) - {_SPAN_TOKENS}),
+           i -> array_to_string(list_slice(t, i + 1, i + {_SPAN_TOKENS}), ' ')
+         )) AS w
+  FROM stoks
+  WHERE len(t) >= {_SPAN_TOKENS}
+),
+srep AS (
+  SELECT w FROM swin GROUP BY w HAVING COUNT(*) >= 2
+),
+smarks AS (
+  SELECT sw.doc_id, sw.s FROM swin sw JOIN srep USING (w)
+),
+sbrk AS (
+  SELECT doc_id, s,
+         CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                   <= {_SPAN_TOKENS} THEN 0 ELSE 1 END AS brk
+  FROM smarks
+),
+sgrp AS (
+  SELECT doc_id, s,
+         SUM(brk) OVER (
+           PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING
+         ) AS g
+  FROM sbrk
+),
+sregions AS (
+  SELECT doc_id, MIN(s) AS lo, MAX(s) + {_SPAN_TOKENS} AS hi
+  FROM sgrp GROUP BY doc_id, g
+),
+sivl AS (
+  SELECT doc_id, list(struct_pack(lo := lo, hi := hi)) AS ivl
+  FROM sregions GROUP BY doc_id
+),
+span_rebuilt AS (
+  SELECT c.doc_id,
+         list_filter(
+           c.t,
+           (x, i) -> len(list_filter(
+             COALESCE(v.ivl, CAST([] AS STRUCT(lo BIGINT, hi BIGINT)[])),
+             r -> i - 1 >= r.lo AND i - 1 < r.hi)) = 0
+         ) AS kept,
+         len(c.t) AS n_all
+  FROM stoks c LEFT JOIN sivl v USING (doc_id)
 )
 SELECT 'doc' AS part,
        md5(text) AS fingerprint,
@@ -284,6 +363,14 @@ SELECT 'line', fingerprint, canonical_id, n_copies, member_ids FROM line_part
 UNION ALL
 SELECT 'line_rebuilt', fingerprint, canonical_id, n_copies, member_ids
 FROM rebuilt_part
+UNION ALL
+SELECT 'span_rebuilt',
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark
+       md5(COALESCE(array_to_string(kept, ' '), '')),
+       doc_id,
+       CAST(n_all - len(kept) AS BIGINT),
+       CAST(doc_id AS VARCHAR)
+FROM span_rebuilt
 """
 
 
