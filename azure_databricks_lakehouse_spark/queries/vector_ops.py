@@ -84,6 +84,30 @@ _COSINE_SQL = _cos_sql("q", "c")
 
 # --- q30: brute-force cosine top-k (exact baseline) ------------------------
 def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid first-stage retrieval as a tagged union (round-6 corpus
+    consolidation under the driver's 50-query budget):
+
+    - ``part='dense'``: the original brute-force cosine top-k over
+      ``embeddings`` (query set broadcast, corpus never shuffles);
+    - ``part='bm25'``: Okapi BM25 top-k over ``documents`` through
+      ``operators/retrieval.bm25_topk`` — the sparse/keyword half.
+      Query workload = every %{mod} document probing with its own text
+      (self-hit excluded), mirroring the dense query set, since
+      ``vec_id`` and ``doc_id`` share the 0..N id space;
+    - ``part='rrf'``: reciprocal-rank fusion of the two lists
+      (``operators/retrieval.rrf_fuse``, k0=60) — the standard hybrid
+      retriever for RAG / hard-negative mining.
+
+    Ranks are integers, so the oracle hash cannot be tripped by float
+    formatting; internally every score is a token-sorted sequential
+    fold so both engines sum in the same order (see
+    ``operators/retrieval`` determinism note).
+    """.format(mod=_QUERY_MOD)
+    from azure_databricks_lakehouse_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
     t = bind(spark, sf_dir, "embeddings")
     vecs = _with_norm(t["embeddings"])
     q = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
@@ -98,12 +122,58 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
+    dense = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank")
     )
 
+    td = bind(spark, sf_dir, "documents")
+    docs = td["documents"].select("doc_id", "text")
+    # keyword-length queries: the first {n} tokens of each query doc.
+    # Whole-document queries degenerate on a small-vocabulary corpus
+    # (every doc matches on every term — candidate volume Q×N×|doc|);
+    # short queries keep the candidate volume Q×Σdf(term) of a real
+    # keyword workload.
+    qtoks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # query set = the dense query set (ids that HAVE an embedding), so
+    # every fused query is a true dense+sparse hybrid — and the sparse
+    # probe cost tracks the dense workload, not the whole doc table
+    queries = (
+        docs.filter(F.col("doc_id") % _QUERY_MOD == 0)
+        .join(
+            t["embeddings"].select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(qtoks, 1, _BM25_QUERY_TOKENS), " ").alias("text"),
+        )
+    )
+    sparse = bm25_topk(docs, queries, k=_TOP_K, exclude_self=True)
+
+    fused = rrf_fuse(
+        [dense.select("query_id", F.col("neighbor_id").alias("doc_id"), "rank"), sparse],
+        k=_TOP_K,
+    )
+
+    tag = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("part"),
+        "query_id",
+        F.col(df.columns[1]).alias("neighbor_id"),
+        "rank",
+    )
+    return (
+        tag(dense, "dense")
+        .unionByName(tag(sparse, "bm25"))
+        .unionByName(tag(fused, "rrf"))
+    )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY_TOKENS = 8  # keyword-length query: first 8 tokens of the doc
 
 _Q30_SQL = f"""
 WITH vecs AS ({_NORM_SQL}),
@@ -116,8 +186,80 @@ ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
+),
+dense_top AS (
+  SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {_TOP_K}
+),
+dtoks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+lengths AS (SELECT doc_id, len(toks) AS dl FROM dtoks),
+tf AS (
+  SELECT doc_id, unnest(toks) AS token FROM dtoks
+),
+tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY doc_id, token),
+bstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lengths),
+vocab AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY token),
+qterms AS (
+  SELECT doc_id AS query_id,
+         unnest(list_distinct(list_slice(toks, 1, {_BM25_QUERY_TOKENS}))) AS token
+  FROM dtoks
+  WHERE doc_id % {_QUERY_MOD} = 0
+    AND doc_id IN (SELECT vec_id FROM embeddings)
+),
+matched AS (
+  SELECT q.query_id, t.doc_id, q.token,
+         ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+           * (CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0}
+              / (CAST(t.tf AS DOUBLE)
+                 + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * l.dl / s.avgdl))) AS c
+  FROM qterms q
+  JOIN tfc t USING (token)
+  JOIN vocab v USING (token)
+  JOIN lengths l ON t.doc_id = l.doc_id
+  CROSS JOIN bstats s
+),
+bm25s AS (
+  SELECT query_id, doc_id,
+         list_sum(list_transform(
+           list_sort(list(struct_pack(t := token, c := c))),
+           x -> x.c)) AS bm25
+  FROM matched GROUP BY query_id, doc_id
+),
+sparse_ranked AS (
+  SELECT query_id, doc_id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm25s WHERE doc_id <> query_id
+),
+sparse_top AS (
+  SELECT query_id, neighbor_id, rank FROM sparse_ranked WHERE rank <= {_TOP_K}
+),
+rrf AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(
+           list_sort(list(struct_pack(l := lst, s := s))),
+           x -> x.s)) AS score
+  FROM (
+    SELECT query_id, neighbor_id, 0 AS lst, 1.0 / (60.0 + rank) AS s FROM dense_top
+    UNION ALL
+    SELECT query_id, neighbor_id, 1 AS lst, 1.0 / (60.0 + rank) AS s FROM sparse_top
+  )
+  GROUP BY query_id, neighbor_id
+),
+rrf_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM rrf
 )
-SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {_TOP_K}
+SELECT 'dense' AS part, query_id, neighbor_id, rank FROM dense_top
+UNION ALL
+SELECT 'bm25' AS part, query_id, neighbor_id, rank FROM sparse_top
+UNION ALL
+SELECT 'rrf' AS part, query_id, neighbor_id, rank
+FROM rrf_ranked WHERE rank <= {_TOP_K}
 """
 
 
