@@ -29,6 +29,11 @@ from azure_databricks_lakehouse_spark.operators.linedup import (
     remove_duplicate_lines,
     repeated_lines,
 )
+from azure_databricks_lakehouse_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    rrf_fuse,
+)
 from azure_databricks_lakehouse_spark.operators.spandup import (
     remove_repeated_spans,
     repeated_span_windows,
@@ -68,5 +73,8 @@ __all__ = [
     "remove_duplicate_lines",
     "remove_repeated_spans",
     "repeated_span_windows",
+    "bm25_scores",
+    "bm25_topk",
+    "rrf_fuse",
     "repeated_lines",
 ]

@@ -2173,11 +2173,58 @@ class ParquetTable:
                 time.sleep(min(0.05 * (attempt + 1), 0.5))
                 continue
             self._post_commit()
+            self._maybe_auto_compact(files)
             return version
         raise FileExistsError(
             f"append lost the commit race {max_retries} times at {self.root}; "
             "extreme contention — back off and retry"
         )
+
+    def _maybe_auto_compact(self, written_files: Sequence[str]) -> None:
+        """Delta ``autoCompact`` parity: when the table property
+        ``autoCompact`` is set (``True`` or ``{"target_file_mb": M,
+        "min_small_files": K}``), an append checks the small-file debt of
+        the partition directories IT touched — stat cost ∝ those dirs,
+        never the table — and, past ``min_small_files`` small files in
+        any of them, runs an incremental OPTIMIZE scoped to exactly
+        those dirs as a separate follow-up commit (Delta's auto
+        compaction is likewise a post-write OPTIMIZE transaction).  On a
+        clustered table the scoped optimize auto-routes to incremental
+        re-clustering, so auto-compact composes with liquid clustering
+        instead of shredding the layout.  Best-effort by design: a
+        commit collision with a concurrent writer abandons the
+        compaction (the data is already durable; the next append will
+        retry the debt) and never fails the write that triggered it."""
+        m = self._manifest()
+        ac = m.get("props", {}).get("autoCompact")
+        if not ac:
+            return
+        cfg = ac if isinstance(ac, dict) else {}
+        target_mb = int(cfg.get("target_file_mb", 128))
+        min_small = int(cfg.get("min_small_files", 4))
+        data_root = os.path.join(self.root, _DATA_DIR)
+        threshold = target_mb * 1024 * 1024
+        dirs = {os.path.dirname(f) for f in written_files}
+        debt: dict[str, int] = {}
+        for f in m["files"]:
+            d = os.path.dirname(f)
+            if d in dirs:
+                try:
+                    small = (
+                        os.path.getsize(os.path.join(data_root, f))
+                        < threshold
+                    )
+                except OSError:
+                    continue
+                if small:
+                    debt[d] = debt.get(d, 0) + 1
+        hot = sorted(d for d, n in debt.items() if n >= min_small)
+        if not hot:
+            return
+        try:
+            self.optimize(target_file_mb=target_mb, partitions=hot)
+        except (ConcurrentModificationError, FileExistsError):
+            pass  # another writer owns the layout right now; debt keeps
 
     def overwrite(self, df: DataFrame, extra_props: dict | None = None) -> int:
         """S7 parity: replace table contents (old files stay on disk for
@@ -2396,6 +2443,7 @@ class ParquetTable:
         where: str | None = None,
         incremental: bool = False,
         boundary_below_mb: float | None = None,
+        partitions: Sequence[str] | None = None,
     ) -> int:
         """D6/D7 parity: compact small files toward ``target_file_mb`` and
         optionally cluster by ``zorder_by`` columns with TRUE interleaved
@@ -2458,6 +2506,13 @@ class ParquetTable:
             zorder_by = list(cluster_state["cols"])
             incremental = True
         scope = self._prune_files(m, pred)
+        if partitions is not None:
+            # restrict to the given hive partition directories (relative;
+            # '' = unpartitioned root) — the auto-compact hook, which
+            # already knows WHICH dirs a write touched and must not pay
+            # a predicate parse or a full-table stat to scope to them
+            pdirs = {p.rstrip("/") for p in partitions}
+            scope = [f for f in scope if os.path.dirname(f) in pdirs]
         size = {f: os.path.getsize(os.path.join(data_root, f)) for f in scope}
         threshold = target_file_mb * 1024 * 1024
         dvs_map = m.get("dvs", {})
