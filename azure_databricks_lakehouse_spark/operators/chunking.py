@@ -54,7 +54,12 @@ def chunk_documents(
     toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array()).otherwise(
         toks
     )
-    n = F.size(toks)
+    # materialize tokens BEFORE the start-filter lambda: expressions
+    # inside a higher-order-function lambda body are re-evaluated per
+    # element, so referencing size(split(...)) there re-tokenizes the
+    # document once per window — O(len²/stride) per doc
+    base = docs.select(id_col, *keep_cols, toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
     starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
         F.array()
     )
@@ -65,11 +70,11 @@ def chunk_documents(
         starts,
         lambda s: (s == 0) | (s - stride + chunk_tokens < n),
     )
-    out = docs.select(
+    out = base.select(
         id_col,
         *keep_cols,
         n.alias("__n"),
-        toks.alias("__toks"),
+        F.col("__toks"),
         F.posexplode(starts).alias("chunk_id", "start_token"),
     )
     n_chunk = F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start_token"))

@@ -162,11 +162,17 @@ def winnow_kgram_hashes(
         txt = txt.substr(1, max_len)
     eligible = df.filter(F.length(txt) >= k + w - 1)
     if hash == "xxh":
+        # materialize the normalized text BEFORE the k-gram lambda:
+        # expressions inside a higher-order-function lambda body are
+        # re-evaluated per element, so substr-ing the raw normalization
+        # chain re-ran its regexes once per character position —
+        # O(len²) regex work per document
+        normed = eligible.select(id_col, txt.alias("__txt"))
         grams = F.transform(
-            _positions(F.length(txt) - (k - 1)),
-            lambda i: txt.substr(i, F.lit(k)),
+            _positions(F.length("__txt") - (k - 1)),
+            lambda i: F.col("__txt").substr(i, F.lit(k)),
         )
-        return eligible.select(
+        return normed.select(
             id_col, F.transform(grams, lambda g: F.xxhash64(g)).alias("hs")
         )
     if hash == "poly":

@@ -76,15 +76,16 @@ def repeated_span_windows(
         raise ValueError("span_tokens must be >= 1")
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
-    toks = _tokens(F.col(text_col))
-    if max_len is not None:
-        toks = F.slice(toks, 1, max_len)
-    n = F.size(toks)
-    keys = F.transform(
-        F.sequence(F.lit(0), n - span_tokens),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, span_tokens), " ")),
-    )
-    windows = docs.select(
+    # materialize the token array BEFORE the window lambda: expressions
+    # referenced inside a higher-order-function lambda are re-evaluated
+    # per element (no subexpression elimination across the lambda
+    # boundary), so leaving the regex split inline re-tokenizes the
+    # whole document once per window — O(len²) per doc, measured 7×
+    # slower at sf0.1
+    base = docs.select(_mat_tokens(docs, text_col, max_len).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    keys = _window_keys(F.col("__toks"), n, span_tokens)
+    windows = base.select(
         F.explode(F.when(n >= span_tokens, keys).otherwise(F.array())).alias(
             "window_key"
         )
@@ -93,6 +94,22 @@ def repeated_span_windows(
         windows.groupBy("window_key")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def _mat_tokens(docs: DataFrame, text_col: str, max_len: int | None):
+    toks = _tokens(F.col(text_col))
+    if max_len is not None:
+        toks = F.slice(toks, 1, max_len)
+    return toks
+
+
+def _window_keys(toks_attr: Column, n: Column, span_tokens: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(0), n - span_tokens),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(toks_attr, i + 1, span_tokens), " ")
+        ),
     )
 
 
@@ -122,15 +139,12 @@ def remove_repeated_spans(
         max_len=max_len,
     )
 
-    toks = _tokens(F.col(text_col))
-    if max_len is not None:
-        toks = F.slice(toks, 1, max_len)
-    n = F.size(toks)
-    keys = F.transform(
-        F.sequence(F.lit(0), n - span_tokens),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, span_tokens), " ")),
+    sbase = docs.select(
+        F.col(id_col), _mat_tokens(docs, text_col, max_len).alias("__toks")
     )
-    starts = docs.select(
+    n = F.size(F.col("__toks"))
+    keys = _window_keys(F.col("__toks"), n, span_tokens)
+    starts = sbase.select(
         F.col(id_col),
         F.posexplode(F.when(n >= span_tokens, keys).otherwise(F.array())).alias(
             "__start", "window_key"
@@ -176,25 +190,35 @@ def remove_repeated_spans(
         )
     )
 
-    out = docs.join(merged, id_col, "left")
-    toks_o = _tokens(F.col(text_col))
-    if max_len is not None:
-        toks_o = F.slice(toks_o, 1, max_len)
-    ivs = F.coalesce(
-        F.col("__intervals"), F.array().cast("array<struct<lo:long,hi:long>>")
+    other_cols = [c for c in docs.columns if c != text_col]
+    out = (
+        docs.join(merged, id_col, "left")
+        # materialized ONCE per row (see the lambda-boundary note above):
+        # the kept-filter lambda and both size() audits read attributes,
+        # never re-tokenize
+        .withColumn("__toks", _mat_tokens(docs, text_col, max_len))
+        .withColumn(
+            "__ivs",
+            F.coalesce(
+                F.col("__intervals"),
+                F.array().cast("array<struct<lo:long,hi:long>>"),
+            ),
+        )
     )
     # keep token positions outside every merged interval; intervals per
     # document are few (merged, disjoint), so the exists() scan is cheap
     kept = F.filter(
-        toks_o,
+        F.col("__toks"),
         lambda _t, i: ~F.exists(
-            ivs, lambda v: (i >= v["lo"]) & (i < v["hi"])
+            F.col("__ivs"), lambda v: (i >= v["lo"]) & (i < v["hi"])
         ),
     )
-    other_cols = [c for c in docs.columns if c != text_col]
+    out = out.withColumn("__kept", kept)
     return out.select(
         *other_cols,
-        F.array_join(kept, " ").alias(text_col),
-        (F.size(toks_o) - F.size(kept)).cast("long").alias("n_tokens_removed"),
-        F.size(ivs).cast("long").alias("n_spans_removed"),
+        F.array_join(F.col("__kept"), " ").alias(text_col),
+        (F.size(F.col("__toks")) - F.size(F.col("__kept")))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.size(F.col("__ivs")).cast("long").alias("n_spans_removed"),
     )
