@@ -1356,6 +1356,70 @@ class ParquetTable:
             ],
         )
 
+    def _apply_defaults(self, df: DataFrame, m: dict) -> DataFrame:
+        """Fill DEFAULT-bearing columns the writer omitted.  Explicit
+        values — including explicit NULLs — always win (Delta's insert
+        semantics: a default applies only when the column is absent
+        from the write, never as NULL-coalescing)."""
+        defaults = m.get("props", {}).get("defaults", {})
+        missing = {c: e for c, e in defaults.items() if c not in df.columns}
+        if not missing:
+            return df
+        schema = _schema_from_json(self.spark, m["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        return df.select(
+            "*",
+            *[
+                F.expr(e).cast(types[c]).alias(c)
+                for c, e in missing.items()
+                if c in types
+            ],
+        )
+
+    def set_default(self, col: str, expr: str) -> int:
+        """Delta parity: ``ALTER TABLE t ALTER COLUMN col SET DEFAULT
+        expr`` — one metadata-only commit.  Writes that OMIT the column
+        then store the default instead of NULL; existing rows are
+        untouched (no rewrite — the default is write-time, exactly
+        Delta's contract) and time travel reads history unchanged.
+        The default must be a CONSTANT expression (Delta enforces
+        literal defaults too): a row-dependent fill is a generated
+        column — ``set_generated`` — not a default.  The registry rides
+        the versioned props, so RESTORE rolls it back with the data."""
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"no such column: {col}")
+        props0 = m.get("props", {})
+        if col in props0.get("generated", {}):
+            raise ValueError(
+                f"column {col!r} is generated; generated columns fill "
+                "themselves"
+            )
+        if col in props0.get("identity", {}):
+            raise ValueError(f"column {col!r} is an identity column")
+        try:
+            # constant check: resolvable with no input columns at all
+            self.spark.sql(f"SELECT ({expr}) AS v").collect()
+        except Exception as ex:
+            raise ValueError(
+                f"default for {col!r} must be a constant expression "
+                f"({expr!r}): {ex}"
+            ) from None
+        defaults = dict(props0.get("defaults", {}))
+        props = {**props0, "defaults": {**defaults, col: expr}}
+        return self._commit_props(m, props, "SET DEFAULT")
+
+    def drop_default(self, col: str) -> int:
+        """Remove a column default (omitting writers go back to NULL)."""
+        m = self._manifest()
+        defaults = dict(m.get("props", {}).get("defaults", {}))
+        if col not in defaults:
+            raise ValueError(f"column {col!r} has no default")
+        del defaults[col]
+        props = {**m.get("props", {}), "defaults": defaults}
+        return self._commit_props(m, props, "DROP DEFAULT")
+
     def set_generated(self, col: str, expr: str) -> int:
         """Declare an EXISTING column generated: writers may omit it
         (the expression fills it in) and stored values are enforced to
@@ -2050,6 +2114,7 @@ class ParquetTable:
         if _txn_seen(m0):
             return m0["version"]
         df = self._apply_generated(df, m0)
+        df = self._apply_defaults(df, m0)
         self._refuse_explicit_identity(df, m0, "APPEND")
         self._enforce_current(df, m0, "APPEND")
         hw_used: dict | None = None
@@ -2236,6 +2301,7 @@ class ParquetTable:
         double-applies the next delta)."""
         m = self._manifest()
         df = self._apply_generated(df, m)
+        df = self._apply_defaults(df, m)
         ident = self._refuse_explicit_identity(df, m, "OVERWRITE")
         self._enforce_current(df, m, "OVERWRITE")
         df, id_bases = self._assign_identity(df, ident, m)
@@ -2337,6 +2403,7 @@ class ParquetTable:
         if source_meta_cols:
             source = source.drop(*source_meta_cols)
         source = self._apply_generated(source, m)
+        source = self._apply_defaults(source, m)
         extra = set(target.columns) - set(source.columns)
         if extra:
             # whenMatchedUpdateAll replaces whole rows: a source missing

@@ -132,3 +132,58 @@ def test_generated_column_queryable_in_dml_conditions(spark, root):
     t.delete("bucket = 2")  # amounts 100..140 -> k 10..14
     assert t.read().count() == 15
     assert t.read().filter("k IN (10, 11, 12, 13, 14)").count() == 0
+
+
+# -- column DEFAULT values (write-time fill, Delta ALTER COLUMN SET DEFAULT) --
+
+
+def test_default_fills_omitted_column(spark, tmp_path):
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    root = str(tmp_path / "tdef")
+    t = ParquetTable.create(
+        spark, root, spark.createDataFrame([(1, "us")], "k int, region string")
+    )
+    t.set_default("region", "'emea'")
+    t.append(spark.createDataFrame([(2,)], "k int"))          # omitted -> default
+    t.append(spark.createDataFrame([(3, None)], "k int, region string"))
+    t.append(spark.createDataFrame([(4, "apac")], "k int, region string"))
+    rows = {r["k"]: r["region"] for r in t.read().collect()}
+    assert rows == {1: "us", 2: "emea", 3: None, 4: "apac"}, (
+        "default applies ONLY when the column is absent; explicit NULL wins"
+    )
+    # history is untouched: version 0 still reads its original values
+    assert {r["k"] for r in t.read(version=0).collect()} == {1}
+    # drop: omitting writers go back to NULL
+    t.drop_default("region")
+    t.append(spark.createDataFrame([(5,)], "k int"))
+    assert {r["k"]: r["region"] for r in t.read().collect()}[5] is None
+
+
+def test_default_validation_and_restore(spark, tmp_path):
+    import pytest
+
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    root = str(tmp_path / "tdefv")
+    t = ParquetTable.create(
+        spark, root, spark.createDataFrame([(1, 10)], "k int, n int")
+    )
+    with pytest.raises(ValueError, match="constant"):
+        t.set_default("n", "k + 1")      # row-dependent -> generated, not default
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_default("missing", "1")
+    v_before = t.set_default("n", "7")
+    # a generated column may not ALSO take a default
+    t2 = ParquetTable.create(
+        spark,
+        str(tmp_path / "tgen"),
+        spark.createDataFrame([(1, 2)], "k int, twice int"),
+    )
+    t2.set_generated("twice", "k * 2")
+    with pytest.raises(ValueError, match="generated"):
+        t2.set_default("twice", "0")
+    # RESTORE rolls the default registry back with the data
+    t.restore(v_before - 1)
+    t.append(spark.createDataFrame([(2,)], "k int"))
+    assert {r["k"]: r["n"] for r in t.read().collect()}[2] is None
