@@ -1356,6 +1356,109 @@ class ParquetTable:
             ],
         )
 
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        root: str,
+        partition_by: Sequence[str] | None = None,
+    ) -> "ParquetTable":
+        """``CONVERT TO DELTA`` parity: adopt an existing plain-parquet
+        directory (optionally hive-partitioned) as a versioned table
+        WITHOUT rewriting a byte of data.  Every parquet file is
+        renamed into the table's data tree preserving its partition
+        subpath — a filesystem metadata operation, the local-disk
+        equivalent of Delta's in-place adoption — and manifest v0
+        references it; footer statistics are collected once per file
+        (the same statistics scan ``CONVERT TO DELTA`` performs), so
+        data skipping works from the first query.
+
+        ``partition_by`` must name the hive layout's columns in
+        directory order — each entry ``"name"`` or ``"name type"``
+        (Delta's ``PARTITIONED BY (col type)`` clause on CONVERT, which
+        likewise cannot infer the writer's intent: directory value
+        ``part=2`` is int to partition discovery even when the writer
+        meant string).  A file that does not match the declared layout
+        aborts the conversion before anything moves.  Refuses a root
+        that is already a table."""
+        if is_table(root):
+            raise FileExistsError(f"already a table: {root}")
+        specs = [(p.split()[0], " ".join(p.split()[1:]) or None)
+                 for p in (partition_by or ())]
+        part_cols = [n for n, _t in specs]
+        found: list[str] = []
+        for dirpath, _dirs, fnames in os.walk(root):
+            rel_dir = os.path.relpath(dirpath, root)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            if rel_dir.split(os.sep)[0].startswith(("_", ".")):
+                continue  # _SUCCESS-style metadata dirs are not data
+            for fn in sorted(fnames):
+                if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                    continue
+                found.append(os.path.join(rel_dir, fn) if rel_dir else fn)
+        if not found:
+            raise ValueError(f"no parquet files under {root}")
+        for rel in found:
+            segs = [s for s in os.path.dirname(rel).split(os.sep) if s]
+            if len(segs) != len(part_cols) or any(
+                not seg.startswith(col + "=")
+                for col, seg in zip(part_cols, segs)
+            ):
+                raise ValueError(
+                    f"file {rel!r} does not match PARTITIONED BY "
+                    f"{part_cols} — the declared partitioning must agree "
+                    "with the hive layout (nothing was moved)"
+                )
+        commit_id = uuid.uuid4().hex[:12]
+        data_root = os.path.join(root, _DATA_DIR)
+        rels: list[str] = []
+        for rel in found:
+            dest_rel = os.path.join(
+                os.path.dirname(rel), f"{commit_id}-{os.path.basename(rel)}"
+            )
+            dest = os.path.join(data_root, dest_rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(root, rel), dest)
+            rels.append(dest_rel)
+        for rel in found:  # sweep the now-empty original partition dirs
+            d = os.path.dirname(rel)
+            while d:
+                try:
+                    os.rmdir(os.path.join(root, d))
+                except OSError:
+                    break
+                d = os.path.dirname(d)
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        schema = spark.read.parquet(data_root).schema
+        declared = {n: t for n, t in specs if t}
+        if declared:
+            from pyspark.sql.types import StructField, StructType
+
+            types = {
+                n: spark.createDataFrame([], f"x {t}").schema[0].dataType
+                for n, t in declared.items()
+            }
+            schema = StructType(
+                [
+                    StructField(f.name, types[f.name], f.nullable)
+                    if f.name in types
+                    else f
+                    for f in schema.fields
+                ]
+            )
+        _commit(
+            root,
+            version=0,
+            files=rels,
+            schema=schema.json(),
+            partition_by=part_cols,
+            operation="CONVERT",
+            merged_schema=False,
+            stats=_file_stats(data_root, rels),
+            props={},
+        )
+        return cls(spark, root)
+
     def _apply_defaults(self, df: DataFrame, m: dict) -> DataFrame:
         """Fill DEFAULT-bearing columns the writer omitted.  Explicit
         values — including explicit NULLs — always win (Delta's insert
@@ -3036,40 +3139,37 @@ class ParquetTable:
         reader = self.spark.read.option(
             "basePath", os.path.join(self.root, _DATA_DIR)
         )
-        if manifest.get("props", {}).get("type_widened"):
-            # a widened table mixes parquet physical types per file
-            # generation (int32 beside int64): the footer-merge path
-            # refuses that, but an EXPLICIT schema makes Spark's
-            # readers apply widening type promotion per file — and
-            # files lacking a column still surface it as NULLs, so this
-            # subsumes mergeSchema for evolved tables too
-            from pyspark.sql.types import StructField, StructType
+        # ALWAYS read under the manifest's explicit (physical-named)
+        # schema — never footer sampling or partition-value inference:
+        # - partition columns get their DECLARED types (inference would
+        #   silently read a string partition value "2" back as int,
+        #   diverging from the manifest schema — found via CONVERT,
+        #   latent for every numeric-looking string partition);
+        # - a widened table mixes parquet physical types per file
+        #   generation (int32 beside int64): the footer-merge path
+        #   refuses that, an explicit schema applies type promotion;
+        # - files from before a schema evolution / rename lack columns
+        #   the manifest declares — they surface as typed NULLs, which
+        #   subsumes mergeSchema (and `_fill_missing`'s coalesce patch
+        #   computes generated columns through their expression);
+        # - retired physical columns are simply never read.
+        from pyspark.sql.types import StructField, StructType
 
-            schema = _schema_from_json(self.spark, manifest["schema"])
-            cmap = manifest.get("colmap", {})
-            reader = reader.schema(
-                StructType(
-                    [
-                        StructField(
-                            cmap.get(f.name, f.name),
-                            f.dataType,
-                            f.nullable,
-                            f.metadata,
-                        )
-                        for f in schema.fields
-                    ]
-                )
+        schema = _schema_from_json(self.spark, manifest["schema"])
+        cmap = manifest.get("colmap", {})
+        reader = reader.schema(
+            StructType(
+                [
+                    StructField(
+                        cmap.get(f.name, f.name),
+                        f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
             )
-        elif (
-            manifest.get("merged_schema")
-            or manifest.get("colmap")
-            or manifest.get("retired_cols")
-        ):
-            # column-mapped tables need schema union regardless: files
-            # written before and after a rename/re-add carry DIFFERENT
-            # physical column sets, and a sampled-footer schema would
-            # silently hide the other generation's columns
-            reader = reader.option("mergeSchema", "true")
+        )
         df = reader.parquet(
             *[os.path.join(self.root, _DATA_DIR, f) for f in files]
         )
