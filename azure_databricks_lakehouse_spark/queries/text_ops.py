@@ -29,7 +29,13 @@ from azure_databricks_lakehouse_spark.sources.catalog import bind
 # languages (classic heuristic; no external model).
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-_TOKENS = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+def _tokens_col():
+    # Built lazily: pyspark-classic Column construction needs an active
+    # SparkContext, and this module must stay importable (queries()
+    # registry enumeration) before any session exists.
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
 
 
@@ -58,7 +64,7 @@ def q24_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_databricks_lakehouse_spark.operators.chunking import chunk_documents
 
     t = bind(spark, sf_dir, "documents")
-    toks = _TOKENS
+    toks = _tokens_col()
     n_tokens = F.size(toks)
     compact_len = F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", ""))
     docs = t["documents"].select(
@@ -156,7 +162,7 @@ FROM chunk_part
 # --- q25: language-ID heuristic + quality scoring --------------------------
 def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "documents")
-    toks = _TOKENS
+    toks = _tokens_col()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
     stop_ratio = n_stop / n_tokens
@@ -195,7 +201,7 @@ def q26_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "documents")
     return (
         t["documents"]
-        .select(F.explode(_TOKENS).alias("token"))
+        .select(F.explode(_tokens_col()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
@@ -342,7 +348,7 @@ _DUP_TOK_MAX = 0.60     # 1 - distinct/total tokens
 
 def q53_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "documents")
-    toks = _TOKENS
+    toks = _tokens_col()
     docs = t["documents"].select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_toks")
     )
@@ -504,7 +510,7 @@ def q55_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = bind(spark, sf_dir, "documents")
     docs = t["documents"].select(
-        "doc_id", F.size(_TOKENS).alias("n_tokens")
+        "doc_id", F.size(_tokens_col()).alias("n_tokens")
     )
     return pack_manifest(
         docs, token_col="n_tokens", order_col="doc_id", capacity=_PACK_CAPACITY

@@ -1,0 +1,1009 @@
+"""Delta-flavored SQL front-end for the lakehouse table layer.
+
+Reference parity: the reference drives its lakehouse through SQL strings —
+``spark.sql("CREATE TABLE IF NOT EXISTS bronze.rx_claims USING DELTA
+LOCATION ...")`` (``bronze/bronze_rx_claims_load.py:77``,
+``gold/gold_rx_claims_load.py:79-232``), ``README.md:50`` ("Use Databricks
+SQL or Spark SQL to query curated tables") and
+``bronze_silver_gold/readme.md:96-109`` (routine ``OPTIMIZE`` / ``Z-ORDER``
+/ ``VACUUM`` maintenance).  Open-source Spark cannot parse Delta DDL/DML
+against this engine's versioned-parquet tables, so :class:`Lakehouse`
+closes the gap: it recognizes the Delta-style statement forms the
+reference (and a Databricks user generally) writes, routes them to the
+:class:`~.tables.ParquetTable` API — which owns all the pruning, deletion
+-vector, conflict-detection, and clustering machinery — and hands plain
+queries to Catalyst via ``spark.sql`` after rewriting lakehouse table
+references (including ``VERSION AS OF`` / ``TIMESTAMP AS OF`` and the
+``table_changes`` TVF) into snapshot temp views.
+
+Scale stance: this module is a string→API router.  Parsing cost is
+O(statement length) on the driver; every data-touching path is exactly
+the same file-pruned / broadcast-aware / codegen table-layer code the
+Python API exercises, so nothing here changes any query plan.
+
+Honest limits (each raises with a message naming the supported form):
+
+- ``MERGE`` supports the reference's clause shapes — ``WHEN MATCHED
+  [AND p] THEN UPDATE SET *`` / ``THEN DELETE`` and ``WHEN NOT MATCHED
+  THEN INSERT *`` (``gold/gold_rx_claims_load.py:216-221`` uses exactly
+  updateAll + insertAll) — not per-column ``UPDATE SET c = e`` clauses.
+- Time-travel rewriting recognizes table names immediately after
+  ``FROM`` / ``JOIN``; a lakehouse table aliased through a correlated
+  nested reference still works because the CURRENT snapshot of every
+  referenced table is registered as a view under its own name first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
+
+_CATALOG_FILE = "_lakehouse_catalog.json"
+
+
+def _ci(pattern: str) -> re.Pattern:
+    return re.compile(pattern, re.IGNORECASE | re.DOTALL)
+
+
+def _strip_stmt(stmt: str) -> str:
+    """Drop ``--`` line comments (outside quotes) and the trailing ``;``."""
+    out: list[str] = []
+    quote = None
+    i = 0
+    while i < len(stmt):
+        ch = stmt[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and stmt[i : i + 2] == "--":
+            j = stmt.find("\n", i)
+            if j < 0:
+                break
+            i = j  # keep the newline as whitespace
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out).strip().rstrip(";").strip()
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 outside quotes/backticks."""
+    parts: list[str] = []
+    depth = 0
+    quote = None
+    cur: list[str] = []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _unquote_ident(name: str) -> str:
+    name = name.strip()
+    if name.startswith("`") and name.endswith("`"):
+        return name[1:-1]
+    return name
+
+
+def _ident_list(raw: str) -> list[str]:
+    return [_unquote_ident(c) for c in _split_top(raw, ",")]
+
+
+class Lakehouse:
+    """Name→table catalog plus the ``sql()`` dispatcher.
+
+    ``warehouse`` (optional) is the default parent directory for tables
+    created without an explicit ``LOCATION``; when given, the
+    name→path registry persists to ``<warehouse>/_lakehouse_catalog.json``
+    so a fresh session (or another process) sees the same catalog —
+    the metastore-registration story of S9, one JSON file instead of a
+    Hive service.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self._paths: dict[str, str] = {}
+        self._asof_seq = 0
+        if warehouse:
+            os.makedirs(warehouse, exist_ok=True)
+            cat = os.path.join(warehouse, _CATALOG_FILE)
+            if os.path.exists(cat):
+                with open(cat) as fh:
+                    self._paths.update(json.load(fh))
+
+    # -- catalog ------------------------------------------------------------
+
+    def _save_catalog(self) -> None:
+        if self.warehouse:
+            cat = os.path.join(self.warehouse, _CATALOG_FILE)
+            tmp = cat + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(self._paths, fh, indent=1, sort_keys=True)
+            os.replace(tmp, cat)
+
+    def register(self, name: str, path: str) -> None:
+        """Bind ``name`` to an existing table path (external-table DDL)."""
+        if not is_table(path):
+            raise ValueError(f"not a lakehouse table: {path}")
+        self._paths[name] = os.path.abspath(path)
+        self._save_catalog()
+
+    def tables(self) -> dict[str, str]:
+        return dict(self._paths)
+
+    def table(self, name: str) -> ParquetTable:
+        name = _unquote_ident(name)
+        if name not in self._paths:
+            raise KeyError(
+                f"unknown table {name!r}; known: {sorted(self._paths)}"
+            )
+        return ParquetTable.for_path(self.spark, self._paths[name])
+
+    def _default_location(self, name: str) -> str:
+        if not self.warehouse:
+            raise ValueError(
+                f"CREATE TABLE {name} needs LOCATION '...' (this Lakehouse "
+                "was built without a warehouse directory)"
+            )
+        return os.path.join(self.warehouse, name.replace(".", "__"))
+
+    # -- status frames ------------------------------------------------------
+
+    def _status(self, op: str, name: str, version: int | None) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(op, name, version)], "operation string, table string, version int"
+        )
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        """Execute one statement; always returns a DataFrame (like
+        ``spark.sql``): query results for queries, a one-row status frame
+        for DDL/DML."""
+        stmt = _strip_stmt(statement)
+        head = stmt.split(None, 2)
+        kw = head[0].upper() if head else ""
+        if kw in ("SELECT", "WITH", "VALUES"):
+            return self._run_query(stmt)
+        if kw == "CREATE":
+            return self._create(stmt)
+        if kw == "CONVERT":
+            return self._convert(stmt)
+        if kw == "MERGE":
+            return self._merge(stmt)
+        if kw == "DELETE":
+            return self._delete(stmt)
+        if kw == "UPDATE":
+            return self._update(stmt)
+        if kw == "INSERT":
+            return self._insert(stmt)
+        if kw == "OPTIMIZE":
+            return self._optimize(stmt)
+        if kw == "VACUUM":
+            return self._vacuum(stmt)
+        if kw == "DESCRIBE" or kw == "DESC":
+            return self._describe(stmt)
+        if kw == "RESTORE":
+            return self._restore(stmt)
+        if kw == "ALTER":
+            return self._alter(stmt)
+        if kw == "DROP":
+            return self._drop(stmt)
+        if kw == "SHOW":
+            return self._show(stmt)
+        raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    # -- queries (SELECT / WITH, AS OF, table_changes) ----------------------
+
+    _ASOF = _ci(
+        r"\b(FROM|JOIN)\s+(`?[\w.]+`?)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)')"
+    )
+    _TVF = _ci(
+        r"\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+    )
+
+    def _run_query(self, stmt: str) -> DataFrame:
+        # 1. table_changes('name', start[, end]) → CDF view
+        def tvf(match: re.Match) -> str:
+            name, start, end = match.group(1), match.group(2), match.group(3)
+            df = self.table(name).changes_between(
+                int(start), int(end) if end else None
+            )
+            self._asof_seq += 1
+            view = f"__lh_cdf_{self._asof_seq}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        stmt = self._TVF.sub(tvf, stmt)
+
+        # 2. name VERSION/TIMESTAMP AS OF → pinned snapshot view
+        def asof(match: re.Match) -> str:
+            prefix, name = match.group(1), _unquote_ident(match.group(2))
+            if name not in self._paths:
+                return match.group(0)  # not ours — leave for Catalyst
+            t = self.table(name)
+            version = (
+                int(match.group(3))
+                if match.group(3) is not None
+                else t.version_at(match.group(4))
+            )
+            self._asof_seq += 1
+            view = f"__lh_asof_{self._asof_seq}"
+            t.read(version).createOrReplaceTempView(view)
+            return f"{prefix} {view}"
+
+        stmt = self._ASOF.sub(asof, stmt)
+
+        # 3. every referenced lakehouse table → current-snapshot view.
+        # Dotted names (the reference's `bronze.rx_claims` style) cannot
+        # be temp-view names, so they register mangled and the statement
+        # text is rewritten to match.
+        for name in self._paths:
+            if re.search(rf"\b{re.escape(name)}\b", stmt):
+                view = self._view_name(name)
+                self.table(name).register(view)
+                if view != name:
+                    stmt = re.sub(rf"\b{re.escape(name)}\b", view, stmt)
+        return self.spark.sql(stmt)
+
+    @staticmethod
+    def _view_name(name: str) -> str:
+        return name.replace(".", "__") if "." in name else name
+
+    # -- CREATE -------------------------------------------------------------
+
+    _CREATE = _ci(
+        r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>`?[\w.]+`?)\s*(?P<rest>.*)$"
+    )
+
+    def _create(self, stmt: str) -> DataFrame:
+        m = self._CREATE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported CREATE form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group("name"))
+        replace = bool(m.group("replace"))
+        if_not_exists = bool(m.group("ine"))
+        rest = m.group("rest").strip()
+
+        clone = _ci(
+            r"^(?:SHALLOW\s+|DEEP\s+)?CLONE\s+(`?[\w.]+`?)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            r"(?:\s+LOCATION\s+'([^']*)')?$"
+        ).match(rest)
+        if clone:
+            src = self.table(clone.group(1))
+            version = int(clone.group(2)) if clone.group(2) else None
+            dest = clone.group(3) or self._default_location(name)
+            if name in self._paths and if_not_exists:
+                return self._status("CREATE TABLE (exists)", name, None)
+            src.clone(dest, version=version)
+            self.register(name, dest)
+            return self._status("CLONE", name, 0)
+
+        # column defs?
+        coldefs = None
+        if rest.startswith("("):
+            depth = 0
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    coldefs = rest[1:i]
+                    rest = rest[i + 1 :].strip()
+                    break
+
+        opts = self._create_options(rest)
+        if name in self._paths and if_not_exists:
+            return self._status("CREATE TABLE (exists)", name, None)
+
+        if opts["as_select"] is not None:  # CTAS
+            df = self._run_query(opts["as_select"])
+            location = opts["location"] or self._default_location(name)
+            if is_table(location):
+                if not replace:
+                    raise FileExistsError(f"table exists: {location}")
+                t = ParquetTable.for_path(self.spark, location)
+                t.overwrite(df)
+            else:
+                t = ParquetTable.create(
+                    self.spark,
+                    location,
+                    df,
+                    partition_by=opts["partitioned_by"] or None,
+                    cluster_by=opts["cluster_by"] or None,
+                )
+            if opts["properties"]:
+                t.set_properties(opts["properties"])
+            self.register(name, location)
+            return self._status("CREATE TABLE AS SELECT", name, t.latest_version())
+
+        if coldefs is None:
+            # registration form: CREATE TABLE name USING DELTA LOCATION '...'
+            location = opts["location"]
+            if not location:
+                raise ValueError(
+                    "CREATE TABLE without columns needs LOCATION '...' "
+                    "(the reference's registration form) or AS SELECT"
+                )
+            if not is_table(location):
+                raise ValueError(
+                    f"no lakehouse table at {location!r}; for a plain "
+                    "parquet directory run CONVERT TO DELTA first"
+                )
+            self.register(name, location)
+            return self._status("CREATE TABLE (registered)", name, None)
+
+        # empty table with declared schema
+        location = opts["location"] or self._default_location(name)
+        if is_table(location) and not replace:
+            raise FileExistsError(f"table exists: {location}")
+        return self._create_with_schema(name, coldefs, location, opts, replace)
+
+    def _create_options(self, rest: str) -> dict:
+        opts = {
+            "location": None,
+            "partitioned_by": [],
+            "cluster_by": [],
+            "properties": {},
+            "as_select": None,
+        }
+        asm = _ci(r"\bAS\s+(SELECT|WITH|VALUES)\b").search(rest)
+        if asm:
+            opts["as_select"] = rest[asm.start() :].split(None, 1)[1]
+            rest = rest[: asm.start()]
+        loc = _ci(r"\bLOCATION\s+'([^']*)'").search(rest)
+        if loc:
+            opts["location"] = loc.group(1)
+        part = _ci(r"\bPARTITIONED\s+BY\s*\(([^)]*)\)").search(rest)
+        if part:
+            opts["partitioned_by"] = _ident_list(part.group(1))
+        clu = _ci(r"\bCLUSTER\s+BY\s*\(([^)]*)\)").search(rest)
+        if clu:
+            opts["cluster_by"] = _ident_list(clu.group(1))
+        props = _ci(r"\bTBLPROPERTIES\s*\(").search(rest)
+        if props:
+            depth, start = 0, props.end() - 1
+            for i in range(start, len(rest)):
+                depth += rest[i] == "("
+                depth -= rest[i] == ")"
+                if depth == 0:
+                    opts["properties"] = self._parse_props(rest[start + 1 : i])
+                    break
+        return opts
+
+    @staticmethod
+    def _parse_props(raw: str) -> dict:
+        out = {}
+        for item in _split_top(raw, ","):
+            k, _, v = item.partition("=")
+            k = k.strip().strip("'\"")
+            v = v.strip()
+            if v.startswith("'") or v.startswith('"'):
+                out[k] = v[1:-1]
+            elif v.lower() in ("true", "false"):
+                out[k] = v.lower() == "true"
+            else:
+                try:
+                    out[k] = int(v)
+                except ValueError:
+                    out[k] = v
+        return out
+
+    _COLDEF = _ci(
+        r"^(?P<name>`?\w+`?)\s+(?P<type>[\w]+(?:\s*\([^)]*\))?(?:\s*<.*>)?)"
+        r"(?P<rest>.*)$"
+    )
+
+    def _create_with_schema(
+        self,
+        name: str,
+        coldefs: str,
+        location: str,
+        opts: dict,
+        replace: bool = False,
+    ) -> DataFrame:
+        plain: list[tuple[str, str]] = []
+        not_null: list[str] = []
+        defaults: dict[str, str] = {}
+        generated: list[tuple[str, str, str]] = []
+        identity: list[tuple[str, int, int]] = []
+        for item in _split_top(coldefs, ","):
+            cm = self._COLDEF.match(item.strip())
+            if not cm:
+                raise ValueError(f"cannot parse column definition: {item!r}")
+            col = _unquote_ident(cm.group("name"))
+            dtype = cm.group("type").strip()
+            tail = cm.group("rest").strip()
+            ident = _ci(
+                r"GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+"
+                r"INCREMENT\s+BY\s+(-?\d+)\s*\))?"
+            ).search(tail)
+            gen = _ci(r"GENERATED\s+ALWAYS\s+AS\s*\((?P<e>.*)\)\s*$").search(tail)
+            if ident:
+                identity.append(
+                    (
+                        col,
+                        int(ident.group(1) or 1),
+                        int(ident.group(2) or 1),
+                    )
+                )
+                continue
+            if gen and not ident:
+                generated.append((col, dtype, gen.group("e")))
+                continue
+            plain.append((col, dtype))
+            if _ci(r"\bNOT\s+NULL\b").search(tail):
+                not_null.append(col)
+            dm = _ci(r"\bDEFAULT\s+(.+?)(?:\s+NOT\s+NULL)?\s*$").search(tail)
+            if dm:
+                defaults[col] = dm.group(1).strip()
+        if not plain:
+            raise ValueError("a table needs at least one non-generated column")
+        ddl = ", ".join(f"`{c}` {t}" for c, t in plain)
+        empty = self.spark.createDataFrame([], ddl)
+        if is_table(location):
+            if not replace:
+                raise FileExistsError(f"table exists: {location}")
+            t = ParquetTable.for_path(self.spark, location)
+            t.overwrite(empty)  # history survives, Delta REPLACE style
+        else:
+            t = ParquetTable.create(
+                self.spark,
+                location,
+                empty,
+                partition_by=opts["partitioned_by"] or None,
+            )
+        for col, start, step in identity:
+            t.add_identity_column(col, start=start, step=step)
+        for col, dtype, expr in generated:
+            t.add_generated_column(col, dtype, expr)
+        for col in not_null:
+            t.set_not_null(col)
+        for col, expr in defaults.items():
+            t.set_default(col, expr)
+        if opts["properties"]:
+            t.set_properties(opts["properties"])
+        if opts["cluster_by"]:
+            # empty table: record intent only; first optimize applies it
+            t.set_properties({"clustering_intent": opts["cluster_by"]})
+        self.register(name, location)
+        return self._status("CREATE TABLE", name, t.latest_version())
+
+    # -- CONVERT ------------------------------------------------------------
+
+    _CONVERT = _ci(
+        r"^CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`"
+        r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?$"
+    )
+
+    def _convert(self, stmt: str) -> DataFrame:
+        m = self._CONVERT.match(stmt)
+        if not m:
+            raise ValueError(
+                "supported form: CONVERT TO DELTA parquet.`/path` "
+                "[PARTITIONED BY (col type, ...)]"
+            )
+        path = m.group(1)
+        parts = (
+            [p.strip() for p in _split_top(m.group(2), ",")]
+            if m.group(2)
+            else None
+        )
+        ParquetTable.convert(self.spark, path, partition_by=parts)
+        return self._status("CONVERT", path, 0)
+
+    # -- MERGE --------------------------------------------------------------
+
+    _MERGE = _ci(
+        r"^MERGE\s+INTO\s+(?P<tgt>`?[\w.]+`?)(?:\s+AS)?\s*(?P<ta>\w+)?\s+"
+        r"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|`?[\w.]+`?)(?:\s+AS)?"
+        r"\s*(?P<sa>\w+)?\s+ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+.*)$"
+    )
+
+    def _merge(self, stmt: str) -> DataFrame:
+        m = self._MERGE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported MERGE form: {stmt[:80]!r}")
+        tgt_name = _unquote_ident(m.group("tgt"))
+        t_alias = m.group("ta") or tgt_name
+        s_alias = m.group("sa")
+        src_raw = m.group("src").strip()
+        table = self.table(tgt_name)
+
+        if src_raw.startswith("("):
+            source = self._run_query(src_raw[1:-1].strip())
+            s_alias = s_alias or "src"
+        else:
+            src_name = _unquote_ident(src_raw)
+            s_alias = s_alias or src_name
+            if src_name in self._paths:
+                source = self.table(src_name).read()
+            else:
+                source = self.spark.table(src_name)
+
+        keys = self._merge_keys(m.group("on"), t_alias, s_alias)
+
+        update_all = insert_all = False
+        delete_pred = None
+        for clause in _ci(r"\bWHEN\b").split(m.group("clauses")):
+            clause = clause.strip()
+            if not clause:
+                continue
+            cm = _ci(
+                r"^(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+"
+                r"THEN\s+(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)\s*$"
+            ).match(clause)
+            if not cm:
+                raise ValueError(
+                    f"unsupported MERGE clause {clause!r}; supported: "
+                    "WHEN MATCHED [AND p] THEN UPDATE SET * | DELETE, "
+                    "WHEN NOT MATCHED THEN INSERT * "
+                    "(the reference's updateAll/insertAll shape, "
+                    "gold/gold_rx_claims_load.py:216-221)"
+                )
+            action = cm.group("action").upper().split()[0]
+            pred = cm.group("pred")
+            if cm.group("not"):
+                if action != "INSERT":
+                    raise ValueError("WHEN NOT MATCHED supports only INSERT *")
+                insert_all = True
+            elif action == "UPDATE":
+                update_all = True
+            elif action == "DELETE":
+                if pred is None:
+                    raise ValueError(
+                        "WHEN MATCHED THEN DELETE needs AND <predicate> "
+                        "over source columns (unconditional delete-on-match "
+                        "composes with UPDATE SET * ambiguously)"
+                    )
+                delete_pred = F.expr(self._strip_alias(pred, s_alias, t_alias))
+
+        if not update_all and not insert_all:
+            raise ValueError("MERGE needs UPDATE SET * and/or INSERT *")
+        # merge() is updateAll+insertAll; narrow the source for the
+        # one-sided forms so SQL semantics hold exactly.  The key-set
+        # frame is aggregated to DISTINCT keys before joining, and AQE
+        # picks the join strategy (broadcast when the key set is small).
+        if update_all != insert_all:
+            tgt_keys = table.read().select(*keys).distinct()
+            how = "semi" if update_all else "anti"
+            source = source.join(tgt_keys, on=keys, how=how)
+        # UPDATE SET * / INSERT * take the TARGET's column set (Delta's
+        # star expansion): source-only columns (CDC op flags, sequence
+        # numbers) are meta columns consumed by the clauses, never
+        # schema-evolved into the table.
+        meta = [c for c in source.columns if c not in table.read().columns]
+        version = table.merge(
+            source,
+            on=keys,
+            when_matched_delete=delete_pred,
+            source_meta_cols=meta,
+        )
+        return self._status("MERGE", tgt_name, version)
+
+    @staticmethod
+    def _merge_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
+        keys = []
+        for term in _ci(r"\bAND\b").split(on):
+            em = re.match(
+                r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term.strip()
+            )
+            if not em:
+                raise ValueError(
+                    f"MERGE ON term {term.strip()!r} must be "
+                    "t.col = s.col (equi-key conjunction)"
+                )
+            a1, c1, a2, c2 = em.groups()
+            if {a1, a2} != {t_alias, s_alias}:
+                raise ValueError(
+                    f"MERGE ON aliases {a1!r}/{a2!r} must be the target "
+                    f"({t_alias!r}) and source ({s_alias!r}) aliases"
+                )
+            if c1 != c2:
+                raise ValueError(
+                    f"MERGE ON {term.strip()!r}: differently-named key "
+                    "columns are not supported — rename in the source"
+                )
+            keys.append(c1)
+        return keys
+
+    @staticmethod
+    def _strip_alias(pred: str, s_alias: str, t_alias: str) -> str:
+        if re.search(rf"\b{re.escape(t_alias)}\s*\.", pred):
+            raise ValueError(
+                "WHEN MATCHED AND <pred> THEN DELETE may reference only "
+                "SOURCE columns (the engine's when_matched_delete contract)"
+            )
+        return re.sub(rf"\b{re.escape(s_alias)}\s*\.", "", pred)
+
+    # -- DELETE / UPDATE / INSERT -------------------------------------------
+
+    _DELETE = _ci(r"^DELETE\s+FROM\s+(`?[\w.]+`?)(?:\s+WHERE\s+(.*))?$")
+
+    def _delete(self, stmt: str) -> DataFrame:
+        m = self._DELETE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported DELETE form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(1))
+        cond = m.group(2) or "true"
+        table = self.table(name)
+        version = table.delete(cond)
+        c = table.history(limit=1)[0]
+        n = (
+            (c.metrics or {}).get("rows_deleted", 0)
+            if c.version == version and c.operation == "DELETE"
+            else 0  # zero-match delete commits nothing
+        )
+        return self.spark.createDataFrame(
+            [(name, version, n)],
+            "table string, version int, num_affected_rows long",
+        )
+
+    _UPDATE = _ci(
+        r"^UPDATE\s+(`?[\w.]+`?)\s+SET\s+(.+?)(?:\s+WHERE\s+(.*))?$"
+    )
+
+    def _update(self, stmt: str) -> DataFrame:
+        m = self._UPDATE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported UPDATE form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(1))
+        assignments = {}
+        for item in _split_top(m.group(2), ","):
+            col, eq, expr = item.partition("=")
+            if not eq:
+                raise ValueError(f"bad SET item: {item!r}")
+            assignments[_unquote_ident(col)] = F.expr(expr.strip())
+        cond = m.group(3) or "true"
+        table = self.table(name)
+        version = table.update(cond, assignments)
+        c = table.history(limit=1)[0]
+        n = (
+            (c.metrics or {}).get("rows_updated", 0)
+            if c.version == version and c.operation == "UPDATE"
+            else 0  # zero-match update commits nothing
+        )
+        return self.spark.createDataFrame(
+            [(name, version, n)],
+            "table string, version int, num_affected_rows long",
+        )
+
+    _INSERT = _ci(
+        r"^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        r"(?P<name>`?[\w.]+`?)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+        r"(?P<body>(?:SELECT|WITH|VALUES)\b.*)$"
+    )
+
+    def _insert(self, stmt: str) -> DataFrame:
+        m = self._INSERT.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported INSERT form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group("name"))
+        table = self.table(name)
+        body = m.group("body")
+        if body.upper().startswith("VALUES"):
+            df = self.spark.sql(f"SELECT * FROM ({body})")
+        else:
+            df = self._run_query(body)
+        manifest_schema = table.read().schema
+        props = table.properties()
+        auto_cols = set(props.get("identity", {})) | set(
+            props.get("generated", {})
+        )
+        if m.group("cols"):
+            names = _ident_list(m.group("cols"))
+        else:
+            names = [f.name for f in manifest_schema.fields
+                     if f.name not in auto_cols]
+        if len(names) != len(df.columns):
+            raise ValueError(
+                f"INSERT provides {len(df.columns)} columns but "
+                f"{name} expects {len(names)} ({names})"
+            )
+        types = {f.name: f.dataType for f in manifest_schema.fields}
+        df = df.select(
+            *[
+                F.col(old).cast(types[new]).alias(new)
+                if new in types
+                else F.col(old).alias(new)
+                for old, new in zip(df.columns, names)
+            ]
+        )
+        if m.group("mode").upper() == "OVERWRITE":
+            version = table.overwrite(df)
+        else:
+            version = table.append(df)
+        return self._status(f"INSERT {m.group('mode').upper()}", name, version)
+
+    # -- maintenance --------------------------------------------------------
+
+    _OPTIMIZE = _ci(
+        r"^OPTIMIZE\s+(`?[\w.]+`?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?"
+        r"(?P<full>\s+FULL)?$"
+    )
+
+    def _optimize(self, stmt: str) -> DataFrame:
+        m = self._OPTIMIZE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported OPTIMIZE form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(1))
+        table = self.table(name)
+        where = m.group("where")
+        zcols = _ident_list(m.group("z")) if m.group("z") else None
+        full = bool(m.group("full"))
+        if zcols is None and full:
+            # OPTIMIZE t FULL (liquid clustering): re-cluster everything
+            clu = table.properties().get("clustering")
+            if not clu:
+                raise ValueError(f"{name} has no clustering to re-run FULL")
+            zcols = clu["cols"]
+        if zcols is None:
+            intent = table.properties().get("clustering_intent")
+            if intent:
+                version = table.optimize(zorder_by=intent, where=where)
+                table.set_properties({"clustering_intent": None})
+                return self._status("OPTIMIZE (cluster by intent)", name, version)
+        version = table.optimize(
+            zorder_by=zcols,
+            where=where,
+            incremental=bool(zcols) and not full,
+        )
+        return self._status("OPTIMIZE", name, version)
+
+    _VACUUM = _ci(
+        r"^VACUUM\s+(`?[\w.]+`?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?$"
+    )
+
+    def _vacuum(self, stmt: str) -> DataFrame:
+        m = self._VACUUM.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported VACUUM form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(1))
+        table = self.table(name)
+        if m.group(2) is not None:
+            # Delta's hour-based retention mapped onto the engine's
+            # version-count vacuum: keep every version still live within
+            # the window, plus the one current AT the cutoff (files a
+            # reader pinned at the horizon could still reference).
+            cutoff = time.time() - float(m.group(2)) * 3600.0
+            try:
+                horizon = table.version_at(cutoff)
+            except ValueError:
+                horizon = 0  # whole history is younger than the window
+            keep = table.latest_version() - horizon + 1
+        else:
+            keep = 1
+        n = table.vacuum(keep_versions=keep)
+        return self.spark.createDataFrame(
+            [(name, n)], "table string, files_deleted int"
+        )
+
+    _DESCRIBE = _ci(
+        r"^DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+(`?[\w.]+`?)"
+        r"(?:\s+LIMIT\s+(\d+))?$"
+    )
+
+    def _describe(self, stmt: str) -> DataFrame:
+        m = self._DESCRIBE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported DESCRIBE form: {stmt[:80]!r}")
+        what = m.group(1).upper()
+        table = self.table(m.group(2))
+        if what == "HISTORY":
+            limit = int(m.group(3)) if m.group(3) else None
+            rows = [
+                (
+                    c.version,
+                    float(c.timestamp),
+                    c.operation,
+                    c.n_files,
+                    json.dumps(c.metrics or {}, sort_keys=True),
+                )
+                for c in table.history(limit=limit)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version int, timestamp double, operation string, "
+                "num_files int, operation_metrics string",
+            ).orderBy(F.col("version").desc())
+        d = table.detail()
+        row = (
+            "lakehouse-parquet",
+            d["location"],
+            d["version"],
+            d["num_files"],
+            d["size_bytes"],
+            d["partition_columns"],
+            (d["properties"].get("clustering") or {}).get("cols", []),
+            float(d["created_at"]),
+            float(d["last_modified"]),
+            json.dumps(d["properties"], sort_keys=True, default=str),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "format string, location string, version int, num_files int, "
+            "size_in_bytes long, partition_columns array<string>, "
+            "clustering_columns array<string>, created_at double, "
+            "last_modified double, properties string",
+        )
+
+    _RESTORE = _ci(
+        r"^RESTORE\s+(?:TABLE\s+)?(`?[\w.]+`?)\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']*)')$"
+    )
+
+    def _restore(self, stmt: str) -> DataFrame:
+        m = self._RESTORE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported RESTORE form: {stmt[:80]!r}")
+        table = self.table(m.group(1))
+        version = (
+            int(m.group(2))
+            if m.group(2) is not None
+            else table.version_at(m.group(3))
+        )
+        new_version = table.restore(version)
+        return self._status("RESTORE", _unquote_ident(m.group(1)), new_version)
+
+    # -- ALTER TABLE --------------------------------------------------------
+
+    def _alter(self, stmt: str) -> DataFrame:
+        m = _ci(r"^ALTER\s+TABLE\s+(`?[\w.]+`?)\s+(.*)$").match(stmt)
+        if not m:
+            raise ValueError(f"unsupported ALTER form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(1))
+        table = self.table(name)
+        action = m.group(2).strip()
+
+        am = _ci(
+            r"^ADD\s+COLUMNS?\s*\(?\s*(`?\w+`?)\s+([\w]+(?:\s*\([^)]*\))?)"
+            r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+"
+            r"(?:IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY"
+            r"\s+(-?\d+)\s*\))?|\((.+)\)))?\s*\)?$"
+        ).match(action)
+        if am:
+            col, dtype = _unquote_ident(am.group(1)), am.group(2)
+            if _ci(r"IDENTITY").search(action):
+                v = table.add_identity_column(
+                    col, start=int(am.group(3) or 1), step=int(am.group(4) or 1)
+                )
+            elif am.group(5):
+                v = table.add_generated_column(col, dtype, am.group(5))
+            else:
+                v = table.add_column(col, dtype)
+            return self._status("ALTER ADD COLUMN", name, v)
+
+        dm = _ci(r"^DROP\s+COLUMN\s+(`?\w+`?)$").match(action)
+        if dm:
+            return self._status(
+                "ALTER DROP COLUMN", name, table.drop_column(_unquote_ident(dm.group(1)))
+            )
+        rm = _ci(r"^RENAME\s+COLUMN\s+(`?\w+`?)\s+TO\s+(`?\w+`?)$").match(action)
+        if rm:
+            v = table.rename_column(
+                _unquote_ident(rm.group(1)), _unquote_ident(rm.group(2))
+            )
+            return self._status("ALTER RENAME COLUMN", name, v)
+        cm = _ci(
+            r"^(?:ALTER|CHANGE)\s+COLUMN\s+(`?\w+`?)\s+(.*)$"
+        ).match(action)
+        if cm:
+            col = _unquote_ident(cm.group(1))
+            sub = cm.group(2).strip()
+            tm = _ci(r"^TYPE\s+([\w()<>, ]+)$").match(sub)
+            if tm:
+                return self._status(
+                    "ALTER COLUMN TYPE", name,
+                    table.alter_column_type(col, tm.group(1).strip()),
+                )
+            if _ci(r"^SET\s+NOT\s+NULL$").match(sub):
+                return self._status(
+                    "ALTER SET NOT NULL", name, table.set_not_null(col)
+                )
+            if _ci(r"^DROP\s+NOT\s+NULL$").match(sub):
+                return self._status(
+                    "ALTER DROP NOT NULL", name, table.drop_not_null(col)
+                )
+            sd = _ci(r"^SET\s+DEFAULT\s+(.+)$").match(sub)
+            if sd:
+                return self._status(
+                    "ALTER SET DEFAULT", name, table.set_default(col, sd.group(1))
+                )
+            if _ci(r"^DROP\s+DEFAULT$").match(sub):
+                return self._status(
+                    "ALTER DROP DEFAULT", name, table.drop_default(col)
+                )
+            raise ValueError(f"unsupported ALTER COLUMN action: {sub!r}")
+        sp = _ci(r"^SET\s+TBLPROPERTIES\s*\((.*)\)$").match(action)
+        if sp:
+            v = table.set_properties(self._parse_props(sp.group(1)))
+            return self._status("ALTER SET TBLPROPERTIES", name, v)
+        up = _ci(r"^UNSET\s+TBLPROPERTIES\s*\((.*)\)$").match(action)
+        if up:
+            keys = [k.strip().strip("'\"") for k in _split_top(up.group(1), ",")]
+            v = table.set_properties({k: None for k in keys})
+            return self._status("ALTER UNSET TBLPROPERTIES", name, v)
+        ac = _ci(r"^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)$").match(action)
+        if ac:
+            v = table.add_check_constraint(ac.group(1), ac.group(2))
+            return self._status("ALTER ADD CONSTRAINT", name, v)
+        dc = _ci(r"^DROP\s+CONSTRAINT\s+(\w+)$").match(action)
+        if dc:
+            return self._status(
+                "ALTER DROP CONSTRAINT", name, table.drop_constraint(dc.group(1))
+            )
+        cb = _ci(r"^CLUSTER\s+BY\s*\(([^)]*)\)$").match(action)
+        if cb:
+            # liquid-clustering ALTER: re-key the layout going forward
+            v = table.optimize(zorder_by=_ident_list(cb.group(1)))
+            return self._status("ALTER CLUSTER BY", name, v)
+        raise ValueError(f"unsupported ALTER action: {action[:80]!r}")
+
+    # -- DROP / SHOW --------------------------------------------------------
+
+    _DROP = _ci(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(`?[\w.]+`?)$")
+
+    def _drop(self, stmt: str) -> DataFrame:
+        m = self._DROP.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported DROP form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(2))
+        if name not in self._paths:
+            if m.group(1):
+                return self._status("DROP TABLE (absent)", name, None)
+            raise KeyError(f"unknown table {name!r}")
+        # external-table semantics: the catalog entry goes, data stays
+        # (matching the reference's LOCATION-based registrations)
+        del self._paths[name]
+        self._save_catalog()
+        self.spark.catalog.dropTempView(name)
+        return self._status("DROP TABLE", name, None)
+
+    def _show(self, stmt: str) -> DataFrame:
+        if not _ci(r"^SHOW\s+TABLES$").match(stmt):
+            raise ValueError(f"unsupported SHOW form: {stmt[:80]!r}")
+        rows = sorted(self._paths.items())
+        return self.spark.createDataFrame(
+            rows or [("", "")], "table string, location string"
+        ).filter(F.col("table") != "")

@@ -1,0 +1,283 @@
+"""SQL front-end (`sources/sql.Lakehouse`): Delta-flavored statements
+routed to the table layer.
+
+The reference drives its lakehouse with SQL strings
+(`bronze/bronze_rx_claims_load.py:77`, `gold/gold_rx_claims_load.py:79-232`,
+`bronze_silver_gold/readme.md:96-109`); these tests assert that a user can
+paste those statement shapes here unchanged and hit the same versioned
+table machinery the Python API exercises.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return Lakehouse(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk(spark, tmp_path, rows, name="t", lh=None, partition_by=None):
+    df = spark.createDataFrame(rows, "id int, cat string, amt double")
+    root = str(tmp_path / f"tbl_{name}")
+    t = ParquetTable.create(spark, root, df, partition_by=partition_by)
+    if lh is not None:
+        lh.register(name, root)
+    return t
+
+
+def test_reference_registration_form_and_select(spark, tmp_path, lh):
+    # the reference's exact CREATE shape: register an existing location
+    t = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    lh.sql(
+        f"CREATE TABLE IF NOT EXISTS bronze.rx_claims USING DELTA "
+        f"LOCATION '{t.root}'"
+    )
+    got = lh.sql(
+        "SELECT id, amt FROM bronze.rx_claims WHERE cat = 'a' -- comment\n"
+    ).collect()
+    assert [(r.id, r.amt) for r in got] == [(1, 1.0)]
+    # IF NOT EXISTS is a no-op the second time (reference re-runs cells)
+    lh.sql(
+        f"CREATE TABLE IF NOT EXISTS bronze.rx_claims USING DELTA "
+        f"LOCATION '{t.root}'"
+    )
+
+
+def test_ctas_insert_and_time_travel(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], name="src", lh=lh)
+    lh.sql("CREATE TABLE derived USING DELTA AS SELECT id, amt * 2 AS amt2 FROM src")
+    assert {r.amt2 for r in lh.sql("SELECT * FROM derived").collect()} == {2.0, 4.0}
+    lh.sql("INSERT INTO derived VALUES (3, 6.0)")
+    assert lh.sql("SELECT count(*) AS n FROM derived").collect()[0].n == 3
+    # v0 still has 2 rows
+    assert (
+        lh.sql("SELECT count(*) AS n FROM derived VERSION AS OF 0").collect()[0].n
+        == 2
+    )
+    lh.sql("INSERT OVERWRITE derived SELECT id, amt FROM src WHERE id = 1")
+    assert lh.sql("SELECT count(*) AS n FROM derived").collect()[0].n == 1
+
+
+def test_delete_update_report_counts_and_prune(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(i, "a" if i % 2 else "b", float(i)) for i in range(10)], lh=lh)
+    r = lh.sql("DELETE FROM t WHERE id >= 8").collect()[0]
+    assert r.num_affected_rows == 2
+    r = lh.sql("UPDATE t SET amt = amt + 100, cat = upper(cat) WHERE id = 0").collect()[0]
+    assert r.num_affected_rows == 1
+    row = lh.sql("SELECT cat, amt FROM t WHERE id = 0").collect()[0]
+    assert (row.cat, row.amt) == ("B", 100.0)
+    # SQL UPDATE semantics: RHS reads the PRE-update row
+    lh.sql("UPDATE t SET amt = CAST(id AS DOUBLE), id = CAST(amt AS INT) WHERE id = 1")
+    swapped = lh.sql("SELECT id, amt FROM t WHERE amt = 1.0").collect()[0]
+    assert (swapped.id, swapped.amt) == (1, 1.0)
+
+
+def test_merge_reference_shape(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], lh=lh)
+    src = spark.createDataFrame(
+        [(2, "b2", 20.0), (3, "c", 3.0)], "id int, cat string, amt double"
+    )
+    src.createOrReplaceTempView("updates")
+    lh.sql(
+        "MERGE INTO t AS tgt USING updates AS s ON tgt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM t").collect()}
+    assert got == {(1, "a", 1.0), (2, "b2", 20.0), (3, "c", 3.0)}
+    # idempotent: run again, byte-identical result (readme.md:68-70)
+    lh.sql(
+        "MERGE INTO t AS tgt USING updates AS s ON tgt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM t").collect()} == got
+
+
+def test_merge_one_sided_and_delete_clause(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], lh=lh)
+    src = spark.createDataFrame(
+        [(2, "b9", 9.0), (7, "g", 7.0)], "id int, cat string, amt double"
+    )
+    src.createOrReplaceTempView("u1")
+    # update-only: row 7 must NOT be inserted
+    lh.sql(
+        "MERGE INTO t USING u1 AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert {r.id for r in lh.sql("SELECT id FROM t").collect()} == {1, 2}
+    assert lh.sql("SELECT amt FROM t WHERE id = 2").collect()[0].amt == 9.0
+    # insert-only: row 2 must NOT be touched
+    src2 = spark.createDataFrame(
+        [(2, "zz", 0.0), (5, "e", 5.0)], "id int, cat string, amt double"
+    )
+    src2.createOrReplaceTempView("u2")
+    lh.sql("MERGE INTO t USING u2 AS s ON t.id = s.id WHEN NOT MATCHED THEN INSERT *")
+    assert lh.sql("SELECT amt FROM t WHERE id = 2").collect()[0].amt == 9.0
+    assert {r.id for r in lh.sql("SELECT id FROM t").collect()} == {1, 2, 5}
+    # CDC shape: delete clause driven by a source flag column
+    cdc = spark.createDataFrame(
+        [(5, "e", 5.0, "D"), (6, "f", 6.0, "I")],
+        "id int, cat string, amt double, op string",
+    )
+    cdc.createOrReplaceTempView("cdc")
+    lh.sql(
+        "MERGE INTO t USING (SELECT * FROM cdc) AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    ids = {r.id for r in lh.sql("SELECT id FROM t").collect()}
+    assert ids == {1, 2, 6}
+    # the op meta column must not have schema-evolved into the table
+    assert "op" not in lh.table("t").read().columns
+
+
+def test_merge_rejects_unsupported_clauses(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    spark.createDataFrame([(1, "x", 9.0)], "id int, cat string, amt double")\
+        .createOrReplaceTempView("s0")
+    with pytest.raises(ValueError, match="updateAll/insertAll"):
+        lh.sql(
+            "MERGE INTO t USING s0 AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET amt = s.amt"
+        )
+    with pytest.raises(ValueError, match="equi-key"):
+        lh.sql(
+            "MERGE INTO t USING s0 AS s ON t.id > s.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_optimize_vacuum_history_detail(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i, "a", float(i))], t.read().schema))
+    before = len(t._manifest()["files"])
+    lh.sql("OPTIMIZE t")
+    assert len(t._manifest()["files"]) < before
+    hist = lh.sql("DESCRIBE HISTORY t").collect()
+    assert hist[0].operation == "OPTIMIZE" and hist[-1].operation == "CREATE"
+    assert lh.sql("DESCRIBE HISTORY t LIMIT 2").count() == 2
+    detail = lh.sql("DESCRIBE DETAIL t").collect()[0]
+    assert detail.num_files == len(t._manifest()["files"])
+    assert detail.version == t.latest_version()
+    # RETAIN 0 HOURS → only the newest version's files survive
+    deleted = lh.sql("VACUUM t RETAIN 0 HOURS").collect()[0].files_deleted
+    assert deleted > 0
+    with pytest.raises(Exception):
+        t.read(version=0).collect()
+
+
+def test_optimize_zorder_routes_to_clustering(spark, tmp_path, lh):
+    rows = [(i, "c" + str(i % 4), float(i)) for i in range(100)]
+    t = _mk(spark, tmp_path, rows, lh=lh)
+    lh.sql("OPTIMIZE t ZORDER BY (id, amt)")
+    clu = t.detail()["properties"]["clustering"]
+    assert clu["cols"] == ["id", "amt"]
+    # second z-order with SAME columns is incremental: no new files → no-op
+    v = t.latest_version()
+    lh.sql("OPTIMIZE t ZORDER BY (id, amt)")
+    assert t.latest_version() == v
+
+
+def test_restore_and_table_changes_tvf(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    t.append(spark.createDataFrame([(2, "b", 2.0)], t.read().schema))
+    t.append(spark.createDataFrame([(3, "c", 3.0)], t.read().schema))
+    cdf = lh.sql(
+        "SELECT id, _change_type, _commit_version "
+        "FROM table_changes('t', 0, 2) ORDER BY id"
+    ).collect()
+    assert [(r.id, r._change_type, r._commit_version) for r in cdf] == [
+        (2, "insert", 1),
+        (3, "insert", 2),
+    ]
+    lh.sql("RESTORE TABLE t TO VERSION AS OF 1")
+    assert {r.id for r in lh.sql("SELECT id FROM t").collect()} == {1, 2}
+
+
+def test_alter_forms(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    lh.sql("ALTER TABLE t ADD COLUMN note string")
+    lh.sql("ALTER TABLE t RENAME COLUMN note TO memo")
+    lh.sql("ALTER TABLE t ALTER COLUMN memo SET DEFAULT 'n/a'")
+    lh.sql("INSERT INTO t (id, cat, amt) VALUES (2, 'b', 2.0)")
+    assert (
+        lh.sql("SELECT memo FROM t WHERE id = 2").collect()[0].memo == "n/a"
+    )
+    lh.sql("ALTER TABLE t ALTER COLUMN id TYPE bigint")
+    assert dict(t.read().dtypes)["id"] == "bigint"
+    lh.sql("ALTER TABLE t ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    with pytest.raises(Exception, match="amt_pos"):
+        lh.sql("INSERT INTO t (id, cat, amt) VALUES (9, 'x', -1.0)")
+    lh.sql("ALTER TABLE t DROP CONSTRAINT amt_pos")
+    lh.sql("INSERT INTO t (id, cat, amt) VALUES (9, 'x', -1.0)")
+    lh.sql("ALTER TABLE t SET TBLPROPERTIES ('owner' = 'etl', 'retries' = 3)")
+    props = t.properties()
+    assert props["owner"] == "etl" and props["retries"] == 3
+    lh.sql("ALTER TABLE t DROP COLUMN memo")
+    assert "memo" not in t.read().columns
+
+
+def test_create_with_schema_identity_generated(spark, tmp_path, lh):
+    loc = str(tmp_path / "sch")
+    lh.sql(
+        "CREATE TABLE ledger ("
+        "  entry_id bigint GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),"
+        "  amount double NOT NULL,"
+        "  cat string DEFAULT 'misc',"
+        "  amount_x2 double GENERATED ALWAYS AS (amount * 2)"
+        f") USING DELTA LOCATION '{loc}'"
+    )
+    lh.sql("INSERT INTO ledger (amount) VALUES (1.5), (2.5)")
+    rows = lh.sql("SELECT * FROM ledger ORDER BY entry_id").collect()
+    assert [r.entry_id for r in rows] == [10, 15]
+    assert [r.cat for r in rows] == ["misc", "misc"]
+    assert [r.amount_x2 for r in rows] == [3.0, 5.0]
+    with pytest.raises(Exception):
+        lh.sql("INSERT INTO ledger (amount) VALUES (NULL)")  # NOT NULL
+
+
+def test_convert_then_register(spark, tmp_path, lh):
+    raw = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, cat string")\
+        .write.parquet(raw)
+    lh.sql(f"CONVERT TO DELTA parquet.`{raw}`")
+    lh.sql(f"CREATE TABLE adopted USING DELTA LOCATION '{raw}'")
+    assert lh.sql("SELECT count(*) AS n FROM adopted").collect()[0].n == 2
+
+
+def test_shallow_clone_version_pin(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    t.append(spark.createDataFrame([(2, "b", 2.0)], t.read().schema))
+    dest = str(tmp_path / "cl")
+    lh.sql(f"CREATE TABLE t_dev SHALLOW CLONE t VERSION AS OF 0 LOCATION '{dest}'")
+    assert lh.sql("SELECT count(*) AS n FROM t_dev").collect()[0].n == 1
+
+
+def test_catalog_persists_and_drop(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    # a fresh Lakehouse over the same warehouse sees the registration
+    lh2 = Lakehouse(spark, warehouse=lh.warehouse)
+    assert lh2.sql("SELECT count(*) AS n FROM t").collect()[0].n == 1
+    shown = {r.table for r in lh2.sql("SHOW TABLES").collect()}
+    assert shown == {"t"}
+    lh2.sql("DROP TABLE t")
+    assert lh2.sql("SHOW TABLES").count() == 0
+    assert os.path.isdir(t.root)  # external semantics: data intact
+    lh2.sql("DROP TABLE IF EXISTS t")  # absent + IF EXISTS: no raise
+    with pytest.raises(KeyError):
+        lh2.sql("DROP TABLE t")
+
+
+def test_unsupported_statement_raises(spark, lh):
+    with pytest.raises(ValueError, match="unsupported"):
+        lh.sql("GRANT SELECT ON t TO role")
