@@ -139,13 +139,19 @@ class Lakehouse:
         self.spark = spark
         self.warehouse = warehouse
         self._paths: dict[str, str] = {}
+        self._views: dict[str, str] = {}  # name -> stored SELECT text
         self._asof_seq = 0
         if warehouse:
             os.makedirs(warehouse, exist_ok=True)
             cat = os.path.join(warehouse, _CATALOG_FILE)
             if os.path.exists(cat):
                 with open(cat) as fh:
-                    self._paths.update(json.load(fh))
+                    raw = json.load(fh)
+                if "tables" in raw or "views" in raw:
+                    self._paths.update(raw.get("tables", {}))
+                    self._views.update(raw.get("views", {}))
+                else:  # pre-views flat format
+                    self._paths.update(raw)
 
     # -- catalog ------------------------------------------------------------
 
@@ -154,7 +160,12 @@ class Lakehouse:
             cat = os.path.join(self.warehouse, _CATALOG_FILE)
             tmp = cat + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump(self._paths, fh, indent=1, sort_keys=True)
+                json.dump(
+                    {"tables": self._paths, "views": self._views},
+                    fh,
+                    indent=1,
+                    sort_keys=True,
+                )
             os.replace(tmp, cat)
 
     def register(self, name: str, path: str) -> None:
@@ -227,6 +238,8 @@ class Lakehouse:
             return self._drop(stmt)
         if kw == "SHOW":
             return self._show(stmt)
+        if kw == "REORG":
+            return self._reorg(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
 
     # -- queries (SELECT / WITH, AS OF, table_changes) ----------------------
@@ -271,7 +284,25 @@ class Lakehouse:
 
         stmt = self._ASOF.sub(asof, stmt)
 
-        # 3. every referenced lakehouse table → current-snapshot view.
+        # 3. stored views expand first (their bodies reference tables);
+        # recursion covers views-on-views, a seen-set breaks cycles.
+        expanding = getattr(self, "_expanding", set())
+        for vname, body in self._views.items():
+            if vname in expanding or not re.search(
+                rf"\b{re.escape(vname)}\b", stmt
+            ):
+                continue
+            self._expanding = expanding | {vname}
+            try:
+                df = self._run_query(body)
+            finally:
+                self._expanding = expanding
+            view = self._view_name(vname)
+            df.createOrReplaceTempView(view)
+            if view != vname:
+                stmt = re.sub(rf"\b{re.escape(vname)}\b", view, stmt)
+
+        # 4. every referenced lakehouse table → current-snapshot view.
         # Dotted names (the reference's `bronze.rx_claims` style) cannot
         # be temp-view names, so they register mangled and the statement
         # text is rewritten to match.
@@ -294,7 +325,27 @@ class Lakehouse:
         r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>`?[\w.]+`?)\s*(?P<rest>.*)$"
     )
 
+    _CREATE_VIEW = _ci(
+        r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>`?[\w.]+`?)\s+AS\s+"
+        r"(?P<body>(?:SELECT|WITH)\b.*)$"
+    )
+
     def _create(self, stmt: str) -> DataFrame:
+        vm = self._CREATE_VIEW.match(stmt)
+        if vm:
+            name = _unquote_ident(vm.group("name"))
+            if name in self._views and vm.group("ine"):
+                return self._status("CREATE VIEW (exists)", name, None)
+            if name in self._views and not vm.group("replace"):
+                raise ValueError(f"view exists: {name}")
+            if name in self._paths:
+                raise ValueError(f"{name} is a table, not a view")
+            body = vm.group("body")
+            self._run_query(body)  # validate now, not at first read
+            self._views[name] = body
+            self._save_catalog()
+            return self._status("CREATE VIEW", name, None)
         m = self._CREATE.match(stmt)
         if not m:
             raise ValueError(f"unsupported CREATE form: {stmt[:80]!r}")
@@ -896,23 +947,36 @@ class Lakehouse:
         table = self.table(name)
         action = m.group(2).strip()
 
-        am = _ci(
-            r"^ADD\s+COLUMNS?\s*\(?\s*(`?\w+`?)\s+([\w]+(?:\s*\([^)]*\))?)"
-            r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+"
-            r"(?:IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY"
-            r"\s+(-?\d+)\s*\))?|\((.+)\)))?\s*\)?$"
-        ).match(action)
-        if am:
-            col, dtype = _unquote_ident(am.group(1)), am.group(2)
-            if _ci(r"IDENTITY").search(action):
-                v = table.add_identity_column(
-                    col, start=int(am.group(3) or 1), step=int(am.group(4) or 1)
-                )
-            elif am.group(5):
-                v = table.add_generated_column(col, dtype, am.group(5))
-            else:
-                v = table.add_column(col, dtype)
-            return self._status("ALTER ADD COLUMN", name, v)
+        am = _ci(r"^ADD\s+COLUMNS?\s+(.*)$").match(action)
+        if am and not _ci(r"^ADD\s+CONSTRAINT\b").match(action):
+            raw = am.group(1).strip()
+            if raw.startswith("(") and raw.endswith(")"):
+                raw = raw[1:-1]
+            v = None
+            one = _ci(
+                r"^(?P<col>`?\w+`?)\s+(?P<type>[\w]+(?:\s*\([^)]*\))?"
+                r"(?:\s*<.*>)?)"
+                r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+"
+                r"(?:IDENTITY(?:\s*\(\s*START\s+WITH\s+(?P<st>-?\d+)\s+"
+                r"INCREMENT\s+BY\s+(?P<by>-?\d+)\s*\))?"
+                r"|\((?P<gen>.+)\)))?\s*$"
+            )
+            for item in _split_top(raw, ","):
+                cm = one.match(item.strip())
+                if not cm:
+                    raise ValueError(f"cannot parse ADD COLUMN item: {item!r}")
+                col, dtype = _unquote_ident(cm.group("col")), cm.group("type")
+                if _ci(r"\bIDENTITY\b").search(item):
+                    v = table.add_identity_column(
+                        col,
+                        start=int(cm.group("st") or 1),
+                        step=int(cm.group("by") or 1),
+                    )
+                elif cm.group("gen"):
+                    v = table.add_generated_column(col, dtype, cm.group("gen"))
+                else:
+                    v = table.add_column(col, dtype)
+            return self._status("ALTER ADD COLUMNS", name, v)
 
         dm = _ci(r"^DROP\s+COLUMN\s+(`?\w+`?)$").match(action)
         if dm:
@@ -982,15 +1046,25 @@ class Lakehouse:
 
     # -- DROP / SHOW --------------------------------------------------------
 
-    _DROP = _ci(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(`?[\w.]+`?)$")
+    _DROP = _ci(r"^DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(`?[\w.]+`?)$")
 
     def _drop(self, stmt: str) -> DataFrame:
         m = self._DROP.match(stmt)
         if not m:
             raise ValueError(f"unsupported DROP form: {stmt[:80]!r}")
-        name = _unquote_ident(m.group(2))
+        if m.group(1).upper() == "VIEW":
+            name = _unquote_ident(m.group(3))
+            if name not in self._views:
+                if m.group(2):
+                    return self._status("DROP VIEW (absent)", name, None)
+                raise KeyError(f"unknown view {name!r}")
+            del self._views[name]
+            self._save_catalog()
+            self.spark.catalog.dropTempView(self._view_name(name))
+            return self._status("DROP VIEW", name, None)
+        name = _unquote_ident(m.group(3))
         if name not in self._paths:
-            if m.group(1):
+            if m.group(2):
                 return self._status("DROP TABLE (absent)", name, None)
             raise KeyError(f"unknown table {name!r}")
         # external-table semantics: the catalog entry goes, data stays
@@ -1001,9 +1075,60 @@ class Lakehouse:
         return self._status("DROP TABLE", name, None)
 
     def _show(self, stmt: str) -> DataFrame:
-        if not _ci(r"^SHOW\s+TABLES$").match(stmt):
-            raise ValueError(f"unsupported SHOW form: {stmt[:80]!r}")
-        rows = sorted(self._paths.items())
-        return self.spark.createDataFrame(
-            rows or [("", "")], "table string, location string"
-        ).filter(F.col("table") != "")
+        if _ci(r"^SHOW\s+TABLES$").match(stmt):
+            rows = sorted(self._paths.items())
+            return self.spark.createDataFrame(
+                rows or [("", "")], "table string, location string"
+            ).filter(F.col("table") != "")
+        if _ci(r"^SHOW\s+VIEWS$").match(stmt):
+            rows = sorted(self._views.items())
+            return self.spark.createDataFrame(
+                rows or [("", "")], "view string, body string"
+            ).filter(F.col("view") != "")
+        tp = _ci(r"^SHOW\s+TBLPROPERTIES\s+(`?[\w.]+`?)$").match(stmt)
+        if tp:
+            props = self.table(tp.group(1)).properties()
+            rows = sorted(
+                (k, json.dumps(v, sort_keys=True, default=str))
+                for k, v in props.items()
+            )
+            return self.spark.createDataFrame(
+                rows or [("", "")], "key string, value string"
+            ).filter(F.col("key") != "")
+        pm = _ci(r"^SHOW\s+PARTITIONS\s+(`?[\w.]+`?)$").match(stmt)
+        if pm:
+            # metadata-only: partition values come from the manifest's
+            # file paths, never a data scan
+            from urllib.parse import unquote
+
+            table = self.table(pm.group(1))
+            m = table._manifest()
+            if not m["partition_by"]:
+                raise ValueError(f"{pm.group(1)} is not partitioned")
+            inv_cols = m["partition_by"]
+            seen = sorted({os.path.dirname(f) for f in m["files"]})
+            rows = []
+            for d in seen:
+                vals = {}
+                for seg in d.split("/"):
+                    k, _, v = seg.partition("=")
+                    vals[k] = unquote(v)
+                rows.append(tuple(vals.get(c) for c in inv_cols))
+            schema = ", ".join(f"`{c}` string" for c in inv_cols)
+            return self.spark.createDataFrame(rows, schema)
+        raise ValueError(f"unsupported SHOW form: {stmt[:80]!r}")
+
+    _REORG = _ci(
+        r"^REORG\s+TABLE\s+(`?[\w.]+`?)(?:\s+WHERE\s+(.+?))?"
+        r"\s+APPLY\s*\(\s*PURGE\s*\)$"
+    )
+
+    def _reorg(self, stmt: str) -> DataFrame:
+        m = self._REORG.match(stmt)
+        if not m:
+            raise ValueError(
+                "supported form: REORG TABLE t [WHERE p] APPLY (PURGE)"
+            )
+        name = _unquote_ident(m.group(1))
+        version = self.table(name).purge_deletion_vectors(where=m.group(2))
+        return self._status("REORG (PURGE)", name, version)

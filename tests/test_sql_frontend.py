@@ -281,3 +281,53 @@ def test_catalog_persists_and_drop(spark, tmp_path, lh):
 def test_unsupported_statement_raises(spark, lh):
     with pytest.raises(ValueError, match="unsupported"):
         lh.sql("GRANT SELECT ON t TO role")
+
+
+def test_views_persist_and_expand(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], lh=lh)
+    lh.sql("CREATE VIEW a_rows AS SELECT * FROM t WHERE cat = 'a'")
+    lh.sql("CREATE VIEW a_total AS SELECT sum(amt) AS s FROM a_rows")  # view-on-view
+    assert lh.sql("SELECT s FROM a_total").collect()[0].s == 4.0
+    # views are logical: new data shows up without re-creating them
+    lh.sql("INSERT INTO t VALUES (4, 'a', 10.0)")
+    assert lh.sql("SELECT s FROM a_total").collect()[0].s == 14.0
+    # persisted across Lakehouse instances
+    lh2 = Lakehouse(spark, warehouse=lh.warehouse)
+    assert lh2.sql("SELECT s FROM a_total").collect()[0].s == 14.0
+    assert {r.view for r in lh2.sql("SHOW VIEWS").collect()} == {"a_rows", "a_total"}
+    lh2.sql("DROP VIEW a_rows")
+    with pytest.raises(KeyError):
+        lh2.sql("DROP VIEW a_rows")
+    lh2.sql("DROP VIEW IF EXISTS a_rows")
+
+
+def test_show_partitions_and_tblproperties(spark, tmp_path, lh):
+    _mk(
+        spark,
+        tmp_path,
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        lh=lh,
+        partition_by=["cat"],
+    )
+    parts = {r.cat for r in lh.sql("SHOW PARTITIONS t").collect()}
+    assert parts == {"a", "b"}
+    lh.sql("ALTER TABLE t SET TBLPROPERTIES ('team' = 'data')")
+    props = {r.key: r.value for r in lh.sql("SHOW TBLPROPERTIES t").collect()}
+    assert props["team"] == '"data"'
+
+
+def test_reorg_purges_deletion_vectors(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(i, "a", float(i)) for i in range(100)], lh=lh)
+    lh.sql("DELETE FROM t WHERE id = 3")  # selective → deletion vector
+    if t.detail()["num_dv_masked_files"] == 0:
+        pytest.skip("delete did not take the DV path at this size")
+    lh.sql("REORG TABLE t APPLY (PURGE)")
+    assert t.detail()["num_dv_masked_files"] == 0
+    assert lh.sql("SELECT count(*) AS n FROM t").collect()[0].n == 99
+
+
+def test_alter_add_columns_multi(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    lh.sql("ALTER TABLE t ADD COLUMNS (note string, score double)")
+    cols = t.read().columns
+    assert "note" in cols and "score" in cols
