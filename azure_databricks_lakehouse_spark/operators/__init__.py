@@ -38,6 +38,10 @@ from azure_databricks_lakehouse_spark.operators.spandup import (
     remove_repeated_spans,
     repeated_span_windows,
 )
+from azure_databricks_lakehouse_spark.operators.semdedup import (
+    SemDedupResult,
+    semantic_dedup,
+)
 from azure_databricks_lakehouse_spark.operators.pq import (
     PQCodebook,
     ivfpq_search,
@@ -47,6 +51,8 @@ from azure_databricks_lakehouse_spark.operators.pq import (
 )
 
 __all__ = [
+    "SemDedupResult",
+    "semantic_dedup",
     "Rule",
     "apply_rules",
     "completeness",

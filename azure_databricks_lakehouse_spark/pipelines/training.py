@@ -110,6 +110,10 @@ def prepare_training_corpus(
     cc_algorithm: str = "star",
     span_dedup_tokens: int | None = None,
     span_dedup_min_count: int = 2,
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "emb",
+    semantic_threshold: float = 0.95,
+    semantic_k: int = 16,
     boilerplate_min_count: int | None = None,
     boilerplate_min_line_chars: int = 10,
     chunk_tokens: int | None = None,
@@ -262,6 +266,34 @@ def prepare_training_corpus(
             .drop("n_tokens_removed", "n_spans_removed")
         )
         kept = _note("span_dedup", kept)
+
+    # 3c. optional SemDeDup (`operators/semdedup`): clustering-based
+    # semantic dedup over a document-embedding table — catches
+    # paraphrase-level duplicates the fingerprint stages cannot see.
+    # Runs after the text-level dedups (cheaper stages first, and an
+    # exact copy should be charged to exact-dedup in the audit, not
+    # here); only embeddings of still-surviving documents participate.
+    if embeddings is not None:
+        from azure_databricks_lakehouse_spark.operators.semdedup import (
+            semantic_dedup,
+        )
+
+        live_embs = embeddings.join(
+            kept.select(id_col), on=id_col, how="semi"
+        )
+        sem = semantic_dedup(
+            live_embs,
+            k=semantic_k,
+            threshold=semantic_threshold,
+            id_col=id_col,
+            emb_col=embedding_col,
+        )
+        kept = kept.join(
+            sem.removed.select(F.col("removed_id").alias(id_col)),
+            on=id_col,
+            how="anti",
+        )
+        kept = _note("semantic_dedup", kept)
 
     # 4. decontamination vs the benchmark/eval set
     # min_shared=2 by default: at k=8 a single shared fingerprint can be

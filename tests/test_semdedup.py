@@ -1,0 +1,130 @@
+"""SemDeDup (`operators/semdedup.py`): clustering-based semantic dedup."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.operators.semdedup import semantic_dedup
+from azure_databricks_lakehouse_spark.plans.audit import physical_plan
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Two well-separated regions; each holds a group of near-identical
+    vectors plus singletons.  Group members are tiny rotations of one
+    base vector (cosine > 0.999 within a group, < 0.2 across regions)."""
+    rows = []
+    base_a = [1.0, 0.0, 0.05, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.05]
+    # group A: ids 1..4 near-identical, increasing distance from center
+    for i in range(4):
+        rows.append((1 + i, _unit([1.0, 0.001 * i, 0.05, 0.0])))
+    # group B: ids 11..13 near-identical
+    for i in range(3):
+        rows.append((11 + i, _unit([0.0, 1.0, 0.001 * i, 0.05])))
+    # singletons far from both groups (within-region but dissimilar)
+    rows.append((21, _unit([0.6, 0.0, 0.8, 0.0])))
+    rows.append((22, _unit([0.0, 0.6, 0.0, 0.8])))
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+
+def test_one_survivor_per_duplicate_group(spark, corpus):
+    res = semantic_dedup(corpus, k=2, threshold=0.99)
+    kept = {r.vec_id for r in res.kept.collect()}
+    # exactly one survivor from each near-identical group
+    assert len(kept & {1, 2, 3, 4}) == 1
+    assert len(kept & {11, 12, 13}) == 1
+    # singletons survive untouched
+    assert {21, 22} <= kept
+    removed = res.removed.collect()
+    assert {r.removed_id for r in removed} == ({1, 2, 3, 4} | {11, 12, 13}) - kept
+    # every removal cites an earlier-ranked keeper with cosine >= threshold
+    assert all(r.cosine >= 0.99 for r in removed)
+
+
+def test_keeps_farthest_from_centroid(spark, corpus):
+    res = semantic_dedup(corpus, k=2, threshold=0.99)
+    kept = {r.vec_id for r in res.kept.collect()}
+    asg = {r.vec_id: r for r in res.assignments.collect()}
+    # group A's survivor is its farthest-from-centroid member
+    survivor_a = next(i for i in kept if i in {1, 2, 3, 4})
+    group_cell = asg[survivor_a].cell
+    dists = {
+        i: asg[i].centroid_dist
+        for i in (1, 2, 3, 4)
+        if asg[i].cell == group_cell
+    }
+    assert asg[survivor_a].centroid_dist == max(dists.values())
+
+
+def test_deterministic_and_pretrained_centroids(spark, corpus):
+    r1 = semantic_dedup(corpus, k=2, threshold=0.99)
+    r2 = semantic_dedup(corpus, k=2, threshold=0.99)
+    assert {r.vec_id for r in r1.kept.collect()} == {
+        r.vec_id for r in r2.kept.collect()
+    }
+    # pre-trained centroids short-circuit training and give the same answer
+    from azure_databricks_lakehouse_spark.operators.ann import train_kmeans
+
+    cents = train_kmeans(corpus, k=2, id_col="vec_id", emb_col="emb")
+    r3 = semantic_dedup(corpus, threshold=0.99, centroids=cents)
+    assert {r.vec_id for r in r3.kept.collect()} == {
+        r.vec_id for r in r1.kept.collect()
+    }
+
+
+def test_threshold_one_removes_only_exact_copies(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),          # exact copy of 1
+        (3, _unit([1.0, 0.01])),  # near but not exact
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    res = semantic_dedup(df, k=1, threshold=1.0)
+    kept = {r.vec_id for r in res.kept.collect()}
+    assert 3 in kept and len(kept & {1, 2}) == 1
+
+
+def test_zero_vectors_kept_not_compared(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    res = semantic_dedup(df, k=1, threshold=0.99)
+    kept = {r.vec_id for r in res.kept.collect()}
+    assert 3 in kept and len(kept) == 2
+    asg = {r.vec_id: r.cell for r in res.assignments.collect()}
+    assert asg[3] is None
+
+
+def test_max_cluster_size_guard(spark, corpus):
+    with pytest.raises(ValueError, match="increase k"):
+        semantic_dedup(corpus, k=2, threshold=0.99, max_cluster_size=2)
+
+
+def test_plan_no_cartesian_no_python(spark, corpus):
+    res = semantic_dedup(corpus, k=2, threshold=0.99)
+    for df in (res.kept, res.removed):
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_e2e_on_sf_embeddings(spark, sf_dir):
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = semantic_dedup(
+        emb, k=8, threshold=0.995, id_col="vec_id", emb_col="embedding"
+    )
+    n_in = emb.count()
+    n_kept = res.kept.count()
+    n_removed = res.removed.count()
+    assert n_kept + n_removed == n_in
+    assert res.kept.columns == emb.columns  # pass-through schema

@@ -305,3 +305,44 @@ def test_span_dedup_stage_cuts_shared_passages(spark):
         assert texts[i] == bodies[i]
         assert "harbor works" not in texts[i]
         assert "dredging" not in texts[i]
+
+
+def test_semantic_dedup_stage_culls_paraphrase(spark):
+    """A paraphrase shares no 8-gram fingerprints with its original (every
+    content word replaced) but sits at cosine ~1 in embedding space —
+    only the SemDeDup stage can cull it."""
+    paraphrase = (
+        "a panel released the yearly summary about how clean district "
+        "rivers are plus what the recent purification facility changed "
+        "around the basin"
+    )
+    docs = _DOCS + [(7, paraphrase)]
+    emb_rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),   # exact-dup doc: culled before us
+        (3, [1.0, 0.03, 0.0, 0.0]),   # fuzzy-dup doc: culled before us
+        (4, [0.0, 0.0, 1.0, 0.1]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.5, 0.5, 0.5, 0.5]),
+        (7, [1.0, 0.021, 0.0, 0.0]),  # paraphrase of 1: semantic dup
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id int, text string")
+    embs = spark.createDataFrame(emb_rows, "doc_id int, emb array<double>")
+    res = prepare_training_corpus(
+        df,
+        benchmark=bench,
+        embeddings=embs,
+        semantic_k=2,
+        semantic_threshold=0.999,
+    )
+    # without the stage, 7 survives (no shared fingerprints with 1)
+    base = prepare_training_corpus(
+        df, benchmark=bench
+    )
+    assert 7 in {r.doc_id for r in base.corpus.collect()}
+    # with it, exactly one of {1, 7} survives and the audit shows the cut
+    survivors = {r.doc_id for r in res.corpus.collect()}
+    assert len(survivors & {1, 7}) == 1
+    assert 4 in survivors
+    assert res.audit["semantic_dedup"] == res.audit["span_dedup" if "span_dedup" in res.audit else "fuzzy_dedup"] - 1
