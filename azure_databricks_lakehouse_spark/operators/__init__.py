@@ -38,6 +38,12 @@ from azure_databricks_lakehouse_spark.operators.spandup import (
     remove_repeated_spans,
     repeated_span_windows,
 )
+from azure_databricks_lakehouse_spark.operators.urlfilter import (
+    UrlFilterResult,
+    filter_urls,
+    host_suffixes,
+    url_parts,
+)
 from azure_databricks_lakehouse_spark.operators.semdedup import (
     SemDedupResult,
     semantic_dedup,
@@ -51,6 +57,10 @@ from azure_databricks_lakehouse_spark.operators.pq import (
 )
 
 __all__ = [
+    "UrlFilterResult",
+    "filter_urls",
+    "host_suffixes",
+    "url_parts",
     "SemDedupResult",
     "semantic_dedup",
     "Rule",

@@ -1,0 +1,181 @@
+"""URL/domain filtering for web-scale training corpora.
+
+The C4 / RefinedWeb front gate: before any text-level processing, web
+documents are culled by WHERE they came from — blocklisted domains
+(spam/adult/SEO farms), non-content URL shapes, and per-domain caps so
+no single site dominates the corpus (RefinedWeb §3.1 caps documents per
+registered domain; C4 applies a domain badlist).  The reference has no
+web-ingest stage, so the design citations are the public pipeline
+papers; the operator lives beside the other corpus gates in
+``pipelines/training``.
+
+Spark-first shape — everything is codegen'd builtins:
+
+- URL parsing is ONE projection of ``regexp_extract`` calls (host,
+  path, scheme), no UDF;
+- blocklist matching is suffix semantics (``ads.example.com`` matches a
+  listed ``example.com``): each host explodes into its O(#labels)
+  domain suffixes and equi-joins the blocklist — the broadcast-join
+  formulation of "endswith any of N patterns", which at N = millions of
+  listed domains stays a hash join instead of an N-way OR scan;
+- per-domain caps are one window ranked by a seeded hash (deterministic
+  uniform draw, no bias toward crawl order).
+
+At 100 TB: the explode multiplies rows by ~4 (mean label count) inside
+a map-side stage feeding a broadcast join probe — no corpus shuffle;
+the cap's window shuffles on the registered domain once.  A pathological
+hot domain (half the crawl) is exactly what the cap removes, and the
+hash ranking keeps the window's per-key sort bounded by the cap's
+partition, not a global sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# scheme://host[:port]/path — scheme optional (protocol-relative and
+# bare-host forms appear in crawl data)
+_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://)?(?:[^/@?#]*@)?([^/:?#]+)"
+_PATH_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://)?[^/?#]*([^?#]*)"
+
+
+def url_parts(url: F.Column) -> dict[str, F.Column]:
+    """``host`` (lowercased, port/userinfo stripped) and ``path`` as
+    Column expressions — one codegen projection, no UDF."""
+    host = F.lower(F.trim(F.regexp_extract(url, _HOST_RE, 1)))
+    return {
+        # a "host" containing whitespace is a non-URL string the regex
+        # happened to accept — normalize it to '' so callers get ONE
+        # invalid marker
+        "host": F.when(host.rlike(r"\s"), F.lit("")).otherwise(host),
+        "path": F.regexp_extract(url, _PATH_RE, 1),
+    }
+
+
+def host_suffixes(host: F.Column) -> F.Column:
+    """All dot-suffixes of a host: ``a.b.example.com`` →
+    ``[a.b.example.com, b.example.com, example.com, com]``.  Built from
+    one split + transform over the label array (the array is a lambda
+    input, not a re-evaluated chain — lambda-boundary safe because
+    ``labels`` is bound once per row by ``transform``'s first arg)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+    )
+
+
+@dataclass(frozen=True)
+class UrlFilterResult:
+    kept: DataFrame
+    removed: DataFrame  # id, host, reason ('blocklist' | 'domain_cap')
+
+
+def filter_urls(
+    docs: DataFrame,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocklist: Sequence[str] | DataFrame = (),
+    allowlist: Sequence[str] = (),
+    max_docs_per_domain: int | None = None,
+    domain_labels: int = 2,
+    seed: int = 0,
+) -> UrlFilterResult:
+    """Cull documents by URL.
+
+    ``blocklist`` lists domains (suffix semantics — listing
+    ``example.com`` blocks every subdomain); a DataFrame blocklist must
+    have a single ``domain`` column, so million-entry badlists stay
+    distributed until the join broadcast decision.  ``allowlist``
+    domains are exempt from the blocklist (C4's pattern for
+    known-good subdomains of otherwise-listed hosts).
+    ``max_docs_per_domain`` keeps at most N documents per registered
+    domain (last ``domain_labels`` host labels), chosen by a seeded
+    deterministic hash so reruns keep the same sample and crawl order
+    carries no bias.  Rows whose URL has no parseable host are removed
+    with reason ``'bad_url'`` (a crawl row without provenance cannot be
+    governed, so it cannot pass a provenance gate).
+    """
+    spark = docs.sparkSession
+    parts = url_parts(F.col(url_col))
+    with_host = docs.withColumn("__host", parts["host"])
+    bad = with_host.filter(
+        F.col(url_col).isNull() | (F.col("__host") == "")
+    ).select(
+        id_col,
+        F.col("__host").alias("host"),
+        F.lit("bad_url").alias("reason"),
+    )
+    live = with_host.filter(
+        F.col(url_col).isNotNull() & (F.col("__host") != "")
+    )
+
+    if isinstance(blocklist, DataFrame):
+        block_df = blocklist.select(F.lower("domain").alias("__suffix")).distinct()
+    else:
+        block_df = spark.createDataFrame(
+            [(d.lower(),) for d in blocklist] or [("",)], "__suffix string"
+        ).filter(F.col("__suffix") != "")
+    allow = {d.lower() for d in allowlist}
+
+    # suffix match: explode hosts into their suffixes, equi-join the list
+    sufs = live.select(
+        id_col,
+        F.col("__host"),
+        F.explode(host_suffixes(F.col("__host"))).alias("__suffix"),
+    )
+    blocked_ids = (
+        sufs.join(block_df, on="__suffix")
+        .select(id_col, "__host")
+        .distinct()
+    )
+    if allow:
+        allowed = sufs.filter(
+            F.col("__suffix").isin(*sorted(allow))
+        ).select(id_col).distinct()
+        blocked_ids = blocked_ids.join(allowed, on=id_col, how="anti")
+    removed_block = blocked_ids.select(
+        id_col,
+        F.col("__host").alias("host"),
+        F.lit("blocklist").alias("reason"),
+    )
+    live = live.join(blocked_ids.select(id_col), on=id_col, how="anti")
+
+    removed_parts = [bad, removed_block]
+    if max_docs_per_domain is not None:
+        labels = F.split(F.col("__host"), r"\.")
+        reg = F.array_join(
+            F.slice(labels, -F.least(F.size(labels), F.lit(domain_labels)), domain_labels),
+            ".",
+        )
+        ranked = live.withColumn("__reg", reg).withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__reg").orderBy(
+                    F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+                )
+            ),
+        )
+        over = ranked.filter(F.col("__rk") > max_docs_per_domain)
+        removed_parts.append(
+            over.select(
+                id_col,
+                F.col("__host").alias("host"),
+                F.lit("domain_cap").alias("reason"),
+            )
+        )
+        live = (
+            ranked.filter(F.col("__rk") <= max_docs_per_domain)
+            .drop("__reg", "__rk")
+        )
+
+    removed = removed_parts[0]
+    for part in removed_parts[1:]:
+        removed = removed.unionByName(part)
+    return UrlFilterResult(kept=live.drop("__host"), removed=removed)

@@ -114,6 +114,10 @@ def prepare_training_corpus(
     embedding_col: str = "emb",
     semantic_threshold: float = 0.95,
     semantic_k: int = 16,
+    url_col: str | None = None,
+    url_blocklist: tuple | list | DataFrame = (),
+    url_allowlist: tuple | list = (),
+    max_docs_per_domain: int | None = None,
     boilerplate_min_count: int | None = None,
     boilerplate_min_line_chars: int = 10,
     chunk_tokens: int | None = None,
@@ -144,6 +148,27 @@ def prepare_training_corpus(
 
     if audit:
         stages["input"] = docs.count()
+
+    # -1. optional URL/domain gate (`operators/urlfilter`, the C4/
+    # RefinedWeb front gate): provenance-based culls run FIRST — they
+    # are the cheapest per row (one projection + a broadcast-join
+    # probe) and everything they remove is work every later stage
+    # never pays for.
+    if url_col is not None:
+        from azure_databricks_lakehouse_spark.operators.urlfilter import (
+            filter_urls,
+        )
+
+        docs = filter_urls(
+            docs,
+            url_col=url_col,
+            id_col=id_col,
+            blocklist=url_blocklist,
+            allowlist=url_allowlist,
+            max_docs_per_domain=max_docs_per_domain,
+            seed=shuffle_seed,
+        ).kept
+        docs = _note("url_filter", docs)
 
     # 0. optional CCNet boilerplate strip (`operators/linedup`):
     # corpus-repeated lines (nav bars, cookie banners, footers) are

@@ -346,3 +346,32 @@ def test_semantic_dedup_stage_culls_paraphrase(spark):
     assert len(survivors & {1, 7}) == 1
     assert 4 in survivors
     assert res.audit["semantic_dedup"] == res.audit["span_dedup" if "span_dedup" in res.audit else "fuzzy_dedup"] - 1
+
+
+def test_url_gate_runs_first(spark):
+    docs = [(i, url, text) for (i, text), url in zip(
+        _DOCS,
+        [
+            "https://archive.example.org/report",
+            "https://mirror.spamfarm.biz/copy",   # blocklisted -> culled here
+            "https://archive.example.org/report2",
+            "https://board.example.org/contact",
+            "https://deals.example.org/win",
+            "https://quiz.example.org/daily",
+        ],
+    )]
+    df = spark.createDataFrame(docs, "doc_id int, url string, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id int, text string")
+    res = prepare_training_corpus(
+        df,
+        benchmark=bench,
+        url_col="url",
+        url_blocklist=["spamfarm.biz"],
+    )
+    # doc 2 (the exact duplicate) is now charged to the URL gate, so
+    # exact-dedup has nothing left to cull
+    assert res.audit["url_filter"] == 5
+    assert res.audit["exact_dedup"] == res.audit["quality"]
+    survivors = {r.doc_id for r in res.corpus.collect()}
+    assert survivors == {1, 4}
+    assert "url" in res.corpus.columns  # pass-through of extra columns

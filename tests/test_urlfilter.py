@@ -1,0 +1,120 @@
+"""URL/domain filtering (`operators/urlfilter.py`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.operators.urlfilter import (
+    filter_urls,
+    host_suffixes,
+    url_parts,
+)
+from azure_databricks_lakehouse_spark.plans.audit import physical_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_url_parsing_variants(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "https://WWW.Example.COM/a/b?q=1#frag"),
+            (2, "http://user:pw@sub.site.org:8080/path"),
+            (3, "//cdn.host.net/asset.js"),
+            (4, "ftp://files.example.com/pub"),
+        ],
+    )
+    parts = url_parts(F.col("url"))
+    got = {
+        r.doc_id: (r.host, r.path)
+        for r in df.select(
+            "doc_id", parts["host"].alias("host"), parts["path"].alias("path")
+        ).collect()
+    }
+    assert got[1] == ("www.example.com", "/a/b")
+    assert got[2] == ("sub.site.org", "/path")
+    assert got[3] == ("cdn.host.net", "/asset.js")
+    assert got[4] == ("files.example.com", "/pub")
+
+
+def test_host_suffixes(spark):
+    df = spark.createDataFrame([("a.b.example.com",)], "h string")
+    out = df.select(host_suffixes(F.col("h")).alias("s")).collect()[0].s
+    assert out == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_blocklist_suffix_semantics_and_allowlist(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "https://spam.example.com/x"),      # subdomain of listed
+            (2, "https://example.com/y"),           # exactly listed
+            (3, "https://notexample.com/z"),        # NOT a suffix match
+            (4, "https://good.example.com/w"),      # allowlisted subdomain
+            (5, "https://clean.org/v"),
+        ],
+    )
+    res = filter_urls(
+        df,
+        blocklist=["example.com"],
+        allowlist=["good.example.com"],
+    )
+    kept = {r.doc_id for r in res.kept.collect()}
+    assert kept == {3, 4, 5}
+    removed = {r.doc_id: r.reason for r in res.removed.collect()}
+    assert removed == {1: "blocklist", 2: "blocklist"}
+
+
+def test_dataframe_blocklist(spark):
+    df = _docs(spark, [(1, "https://bad.net/a"), (2, "https://ok.net/b")])
+    bl = spark.createDataFrame([("bad.net",)], "domain string")
+    res = filter_urls(df, blocklist=bl)
+    assert {r.doc_id for r in res.kept.collect()} == {2}
+
+
+def test_domain_cap_is_deterministic_and_registered_domain(spark):
+    rows = [(i, f"https://s{i % 7}.bigsite.com/p{i}") for i in range(50)]
+    rows += [(100 + i, f"https://small.org/p{i}") for i in range(3)]
+    df = _docs(spark, rows)
+    res = filter_urls(df, max_docs_per_domain=5)
+    kept = res.kept
+    # all bigsite subdomains share one registered domain -> capped at 5
+    n_big = kept.filter(F.col("url").contains("bigsite")).count()
+    assert n_big == 5
+    assert kept.filter(F.col("url").contains("small.org")).count() == 3
+    reasons = {r.reason for r in res.removed.collect()}
+    assert reasons == {"domain_cap"}
+    # deterministic across reruns; different seed -> (almost surely) a
+    # different sample of the same size
+    again = filter_urls(df, max_docs_per_domain=5)
+    assert {r.doc_id for r in again.kept.collect()} == {
+        r.doc_id for r in kept.collect()
+    }
+    other = filter_urls(df, max_docs_per_domain=5, seed=99)
+    assert other.kept.count() == kept.count()
+
+
+def test_unparseable_urls_removed_with_reason(spark):
+    df = _docs(spark, [(1, None), (2, "   "), (3, "https://ok.com/a")])
+    res = filter_urls(df, blocklist=[])
+    assert {r.doc_id for r in res.kept.collect()} == {3}
+    assert {r.doc_id: r.reason for r in res.removed.collect()} == {
+        1: "bad_url",
+        2: "bad_url",
+    }
+
+
+def test_counts_partition_and_plan(spark):
+    df = _docs(
+        spark,
+        [(i, f"https://h{i}.example.com/x") for i in range(10)]
+        + [(50, "https://keep.org/y")],
+    )
+    res = filter_urls(df, blocklist=["example.com"], max_docs_per_domain=5)
+    assert res.kept.count() + res.removed.count() == df.count()
+    plan = physical_plan(res.kept)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
