@@ -240,7 +240,60 @@ class Lakehouse:
             return self._show(stmt)
         if kw == "REORG":
             return self._reorg(stmt)
+        if kw == "COPY":
+            return self._copy_into(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    _COPY = _ci(
+        r"^COPY\s+INTO\s+(?P<name>`?[\w.]+`?)\s+FROM\s+'(?P<src>[^']+)'\s+"
+        r"FILEFORMAT\s*=\s*(?P<fmt>\w+)"
+        r"(?:\s+PATTERN\s*=\s*'(?P<pat>[^']*)')?"
+        r"(?:\s+FORMAT_OPTIONS\s*\((?P<fo>[^)]*)\))?"
+        r"(?:\s+COPY_OPTIONS\s*\((?P<co>[^)]*)\))?$"
+    )
+
+    def _copy_into(self, stmt: str) -> DataFrame:
+        m = self._COPY.match(stmt)
+        if not m:
+            raise ValueError(
+                "supported form: COPY INTO t FROM '<dir>' FILEFORMAT = X "
+                "[PATTERN = '<glob>'] [FORMAT_OPTIONS('k'='v',...)] "
+                "[COPY_OPTIONS('mergeSchema'='true'|'force'='true')]"
+            )
+        name = _unquote_ident(m.group("name"))
+        fo = self._parse_props(m.group("fo")) if m.group("fo") else {}
+        co = {
+            str(k).lower(): v
+            for k, v in (
+                self._parse_props(m.group("co")) if m.group("co") else {}
+            ).items()
+        }
+
+        def _flag(key: str) -> bool:
+            v = co.get(key.lower(), False)
+            return v is True or str(v).lower() == "true"
+
+        res = self.table(name).copy_into(
+            m.group("src"),
+            fileformat=m.group("fmt").lower(),
+            pattern=m.group("pat"),
+            format_options={k: str(v) for k, v in fo.items()},
+            merge_schema=_flag("mergeSchema"),
+            force=_flag("force"),
+        )
+        return self.spark.createDataFrame(
+            [
+                (
+                    name,
+                    res["version"],
+                    res["files_loaded"],
+                    res["files_skipped"],
+                    res["rows_loaded"],
+                )
+            ],
+            "table string, version int, num_files_loaded int, "
+            "num_files_skipped int, num_rows_loaded long",
+        )
 
     # -- queries (SELECT / WITH, AS OF, table_changes) ----------------------
 

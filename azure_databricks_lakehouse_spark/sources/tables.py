@@ -77,6 +77,7 @@ _DATA_DIR = "data"
 _CDC_DIR = "_change_data"
 _DV_DIR = "_deletion_vectors"
 _SIDECAR_DIR = os.path.join(_MANIFEST_DIR, "_sidecars")
+_LEDGER_DIR = "_copy_ledger"
 
 # parsed stats/bloom sidecar files, cached by absolute path — sidecar
 # files are immutable once written, so entries can never go stale.
@@ -2166,6 +2167,7 @@ class ParquetTable:
         max_retries: int = 20,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        props_update=None,
     ) -> int:
         """S6/D4 parity: append; new columns allowed iff ``merge_schema``
         (``.option("mergeSchema","true")`` on the reference's Bronze
@@ -2319,6 +2321,12 @@ class ParquetTable:
                         for c, cfg in ident.items()
                     },
                 }
+            if props_update is not None:
+                # a FUNCTION of the rebased props, not a static dict:
+                # rebase-safe prop mutation (e.g. copy_into appending its
+                # ledger shard must append to the list a concurrent
+                # winner committed, not the one this writer first read)
+                props = props_update(props)
             try:
                 version = _commit(
                     self.root,
@@ -2347,6 +2355,120 @@ class ParquetTable:
             f"append lost the commit race {max_retries} times at {self.root}; "
             "extreme contention — back off and retry"
         )
+
+    def copy_into(
+        self,
+        source_dir: str,
+        *,
+        fileformat: str = "parquet",
+        pattern: str | None = None,
+        format_options: dict | None = None,
+        merge_schema: bool = False,
+        force: bool = False,
+    ) -> dict:
+        """Databricks ``COPY INTO`` parity: idempotent batch file
+        ingestion — load files from ``source_dir`` into the table,
+        skipping every file a previous COPY INTO already loaded, so
+        re-running the same statement over a growing landing directory
+        ingests exactly the new files (the batch counterpart of the
+        engine's streaming file source; the reference's bronze job
+        re-reads its whole landing glob every run,
+        ``bronze/bronze_rx_claims_load.py:38-42``, and relies on
+        append-only landing semantics — COPY INTO removes that
+        reliance).
+
+        Idempotency keys on the file PATH (Delta's contract: a
+        re-uploaded file under the same name is NOT reloaded;
+        ``force=True`` is the documented escape hatch that loads every
+        match regardless, accepting duplicates).  Size and mtime ride
+        in the ledger for audit.
+
+        The loaded-file ledger is NOT stored in the manifest props —
+        that would re-introduce the O(loaded-files) manifest growth the
+        stats sidecars were moved out for.  Each COPY INTO commit
+        writes ONE parquet ledger shard under ``_copy_ledger/`` listing
+        the files it loaded, and the props carry only the shard NAMES
+        (O(#copy runs)); the skip check reads the shards distributed
+        and anti-joins on path, so per-run cost is ∝ listing + change,
+        never ∝ table.  Ledger shard + data files + props land in ONE
+        commit via the rebase-safe ``props_update`` hook (a crash
+        before the commit leaves an unreferenced shard that VACUUM
+        sweeps).  ``pattern`` is an fnmatch glob over the path relative
+        to ``source_dir``.
+
+        Returns ``{"version", "files_loaded", "files_skipped",
+        "rows_loaded"}`` (version unchanged when nothing new matched).
+        """
+        import fnmatch
+        import uuid
+
+        fmt = fileformat.lower()
+        listing: list[tuple[str, int, int]] = []
+        for dirpath, _dirs, fnames in os.walk(source_dir):
+            for fname in sorted(fnames):
+                if fname.startswith((".", "_")):
+                    continue  # Spark's own hidden/metadata convention
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, source_dir)
+                if pattern is not None and not fnmatch.fnmatch(rel, pattern):
+                    continue
+                st = os.stat(full)
+                listing.append((full, st.st_size, st.st_mtime_ns))
+        m = self._manifest()
+        shards = m.get("props", {}).get("copy_ledger", [])
+        n_total = len(listing)
+        if listing and shards and not force:
+            cand = self.spark.createDataFrame(
+                listing, "path string, size long, mtime_ns long"
+            )
+            ledger = self.spark.read.parquet(
+                *[os.path.join(self.root, _LEDGER_DIR, s) for s in shards]
+            )
+            new_paths = {
+                r["path"]
+                for r in cand.join(
+                    ledger.select("path"), on="path", how="anti"
+                ).collect()
+            }
+            listing = [t for t in listing if t[0] in new_paths]
+        if not listing:
+            return {
+                "version": m["version"],
+                "files_loaded": 0,
+                "files_skipped": n_total,
+                "rows_loaded": 0,
+            }
+        reader = self.spark.read.options(**(format_options or {}))
+        df = reader.format(fmt).load([t[0] for t in listing])
+        rows = df.count()  # one pass over the NEW files only
+        shard_name = f"ledger-{uuid.uuid4().hex}.parquet"
+        shard_dir = os.path.join(self.root, _LEDGER_DIR, shard_name)
+        loaded_at = time.time()
+        self.spark.createDataFrame(
+            [(p, s, mt, loaded_at) for p, s, mt in listing],
+            "path string, size long, mtime_ns long, loaded_at double",
+        ).coalesce(1).write.mode("overwrite").parquet(shard_dir)
+        try:
+            version = self.append(
+                df,
+                merge_schema=merge_schema,
+                props_update=lambda props: {
+                    **props,
+                    "copy_ledger": [
+                        *props.get("copy_ledger", []),
+                        shard_name,
+                    ],
+                },
+            )
+        except BaseException:
+            shutil.rmtree(shard_dir, ignore_errors=True)
+            raise
+        return {
+            "version": version,
+            "files_loaded": len(listing),
+            "files_skipped": n_total - len(listing),
+            "rows_loaded": rows,
+        }
 
     def _maybe_auto_compact(self, written_files: Sequence[str]) -> None:
         """Delta ``autoCompact`` parity: when the table property
@@ -2888,11 +3010,15 @@ class ParquetTable:
         referenced_cdc: set[str] = set()
         referenced_dv: set[str] = set()
         referenced_sc: set[str] = set()
+        referenced_ledger: set[str] = set()
         for v in keep:
             m = self._manifest(v)
             referenced.update(m["files"])
             referenced_cdc.update(m.get("cdc_files", []))
             referenced_sc.update(m.get("stats_sidecars", []))
+            referenced_ledger.update(
+                m.get("props", {}).get("copy_ledger", [])
+            )
             for dv_rels in m.get("dvs", {}).values():
                 referenced_dv.update(dv_rels)
         removed = 0
@@ -2919,6 +3045,17 @@ class ParquetTable:
         # stats/bloom sidecars: kept iff a surviving manifest points at
         # them (consolidation + expired versions orphan the rest)
         removed += _sweep(os.path.join(self.root, _SIDECAR_DIR), referenced_sc)
+        # COPY INTO ledger shards are parquet DIRECTORIES; one survives
+        # iff a kept manifest's props still list it (a crash between
+        # shard write and commit orphans one — swept here)
+        ledger_root = os.path.join(self.root, _LEDGER_DIR)
+        if os.path.isdir(ledger_root):
+            for name in os.listdir(ledger_root):
+                if name not in referenced_ledger:
+                    shutil.rmtree(
+                        os.path.join(ledger_root, name), ignore_errors=True
+                    )
+                    removed += 1
         for v in vs[:-keep_versions]:
             os.remove(_manifest_path(self.root, v))
         now = time.time()
