@@ -814,6 +814,7 @@ class Lakehouse:
     _INSERT = _ci(
         r"^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
         r"(?P<name>`?[\w.]+`?)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+        r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+)?"
         r"(?P<body>(?:SELECT|WITH|VALUES)\b.*)$"
     )
 
@@ -844,14 +845,28 @@ class Lakehouse:
                 f"{name} expects {len(names)} ({names})"
             )
         types = {f.name: f.dataType for f in manifest_schema.fields}
-        df = df.select(
-            *[
-                F.col(old).cast(types[new]).alias(new)
-                if new in types
-                else F.col(old).alias(new)
-                for old, new in zip(df.columns, names)
-            ]
-        )
+        if set(df.columns) == set(names) and len(set(df.columns)) == len(
+            df.columns
+        ):
+            # the SELECT already names the target columns: align BY NAME
+            # (the manifest stores partition columns last, so positional
+            # mapping would silently cross-assign a reordered SELECT)
+            df = df.select(
+                *[F.col(c).cast(types.get(c, df.schema[c].dataType)).alias(c)
+                  for c in names]
+            )
+        else:
+            df = df.select(
+                *[
+                    F.col(old).cast(types[new]).alias(new)
+                    if new in types
+                    else F.col(old).alias(new)
+                    for old, new in zip(df.columns, names)
+                ]
+            )
+        if m.group("rw"):
+            version = table.overwrite_where(df, m.group("rw").strip())
+            return self._status("INSERT REPLACE WHERE", name, version)
         if m.group("mode").upper() == "OVERWRITE":
             version = table.overwrite(df)
         else:

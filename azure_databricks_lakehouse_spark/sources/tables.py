@@ -1117,6 +1117,127 @@ class ParquetTable:
             },
         )
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        condition,
+        mode: str = "auto",
+        dv_threshold: float = 0.5,
+    ) -> int:
+        """Delta ``replaceWhere`` parity: atomically replace exactly the
+        rows matching ``condition`` with ``df`` — the idempotent
+        partition/region reload (re-running a day's backfill replaces
+        that day and nothing else), where a full :meth:`overwrite`
+        rewrites the world and delete-then-append is two commits with a
+        torn state in between.
+
+        Same file-pruned machinery as :meth:`delete` for the removal
+        side (drop whole files / copy-on-write / deletion-vector split,
+        cost ∝ files the predicate can touch), plus the incoming
+        frame's files, in ONE commit.  Delta's constraint is enforced:
+        every incoming row must satisfy ``condition`` (otherwise the
+        operation would not be idempotent — rerunning it would delete
+        rows the previous run inserted outside the region); violation
+        raises before anything is written.  CDF consumers get the exact
+        row-level diff from the commit's CDC sidecar (deleted rows +
+        inserted rows — the same sidecar contract as UPDATE).  Refused
+        on identity tables (GENERATED ALWAYS columns cannot take the
+        incoming frame's explicit values, and assigning fresh ids would
+        break the reload-idempotence this operation exists for).
+
+        Concurrency follows the DML conflict matrix
+        (:meth:`_commit_dml_rebase`): commits touching disjoint files
+        rebase and land; a concurrent writer of the replaced region
+        raises ``ConcurrentModificationError``.
+        """
+        m = self._manifest()
+        if m.get("props", {}).get("identity"):
+            raise ValueError(
+                "replaceWhere is not supported on tables with identity "
+                "columns; use delete + append, or drop the identity "
+                "property first"
+            )
+        df = self._apply_generated(df, m)
+        df = self._apply_defaults(df, m)
+        self._enforce_current(df, m, "REPLACE_WHERE")
+        cond_col, pred = self._as_condition(condition)
+        cond = F.coalesce(cond_col, F.lit(False))
+        stray = df.filter(~cond).limit(1).count()
+        if stray:
+            raise ValueError(
+                "replaceWhere: the incoming frame holds rows NOT matching "
+                f"{condition!r}; Delta's contract requires every written "
+                "row to satisfy the replacement predicate"
+            )
+        candidates = self._prune_files(m, pred)
+        stats = self._match_stats(m, candidates, cond)
+        drop, rewrite, dv_dest = self._split_dml_modes(
+            stats, mode, dv_threshold, allow_drop=True
+        )
+        touched = sorted([*drop, *rewrite, *dv_dest])
+        n_deleted = sum(h for _l, h in stats.values())
+        gone = set(drop) | set(rewrite)
+        files: list[str] = []
+        dv_rels: list[str] = []
+        if rewrite:
+            files = _write_files(
+                _to_physical_df(
+                    self._read_files_aligned(rewrite, m).filter(~cond), m
+                ),
+                self.root,
+                m["partition_by"],
+            )
+        if dv_dest:
+            dv_rels = self._write_dv_entries(
+                self._read_files_aligned(dv_dest, m, keep_pos=True).filter(cond)
+            )
+        new_files = _write_files(
+            _to_physical_df(df, m), self.root, m["partition_by"]
+        )
+        n_inserted = _file_rows(
+            os.path.join(self.root, _DATA_DIR), new_files
+        )
+        # one CDC sidecar carries the full row-level diff: the deleted
+        # rows AND the inserted region (same contract UPDATE uses)
+        inv = _logical_inverse(m)
+        deleted_rows = (
+            self._read_files_aligned(touched, m)
+            .filter(cond)
+            .withColumn("_change_type", F.lit("delete"))
+            if touched
+            else None
+        )
+        inserted_rows = df.withColumn("_change_type", F.lit("insert"))
+        cdc_df = (
+            deleted_rows.unionByName(inserted_rows)
+            if deleted_rows is not None
+            else inserted_rows
+        )
+        cdc_files = _write_files(
+            cdc_df,
+            self.root,
+            [inv.get(c, c) for c in m["partition_by"]],
+            subdir=_CDC_DIR,
+        )
+        return self._commit_dml_rebase(
+            m,
+            "REPLACE_WHERE",
+            touched=set(touched),
+            removed_by_us=gone,
+            new_files=files + new_files,
+            dv_dest=dv_dest,
+            dv_rels=dv_rels,
+            cdc_files=cdc_files,
+            metrics={
+                "rows_deleted": n_deleted,
+                "rows_inserted": n_inserted,
+                "files_dropped": len(drop),
+                "files_rewritten": len(rewrite),
+                "files_dv_masked": len(dv_dest),
+                "files_added": len(files) + len(new_files),
+            },
+        )
+
     def restore(self, version: int) -> int:
         """Delta-parity ``RESTORE TABLE ... TO VERSION AS OF``: publish a
         new commit that references the old version's files verbatim —
