@@ -242,7 +242,26 @@ class Lakehouse:
             return self._reorg(stmt)
         if kw == "COPY":
             return self._copy_into(stmt)
+        if kw == "FSCK":
+            return self._fsck(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    _FSCK = _ci(
+        r"^FSCK\s+REPAIR\s+TABLE\s+(`?[\w.]+`?)(\s+DRY\s+RUN)?$"
+    )
+
+    def _fsck(self, stmt: str) -> DataFrame:
+        m = self._FSCK.match(stmt)
+        if not m:
+            raise ValueError(
+                "supported form: FSCK REPAIR TABLE t [DRY RUN]"
+            )
+        name = _unquote_ident(m.group(1))
+        res = self.table(name).fsck(dry_run=bool(m.group(2)))
+        return self.spark.createDataFrame(
+            [(name, res["version"], len(res["missing_files"]), bool(m.group(2)))],
+            "table string, version int, missing_files int, dry_run boolean",
+        )
 
     _COPY = _ci(
         r"^COPY\s+INTO\s+(?P<name>`?[\w.]+`?)\s+FROM\s+'(?P<src>[^']+)'\s+"
@@ -911,7 +930,8 @@ class Lakehouse:
         return self._status("OPTIMIZE", name, version)
 
     _VACUUM = _ci(
-        r"^VACUUM\s+(`?[\w.]+`?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?$"
+        r"^VACUUM\s+(`?[\w.]+`?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+        r"(\s+DRY\s+RUN)?$"
     )
 
     def _vacuum(self, stmt: str) -> DataFrame:
@@ -933,9 +953,11 @@ class Lakehouse:
             keep = table.latest_version() - horizon + 1
         else:
             keep = 1
-        n = table.vacuum(keep_versions=keep)
+        dry = bool(m.group(3))
+        n = table.vacuum(keep_versions=keep, dry_run=dry)
         return self.spark.createDataFrame(
-            [(name, n)], "table string, files_deleted int"
+            [(name, n, dry)],
+            "table string, files_deleted int, dry_run boolean",
         )
 
     _DESCRIBE = _ci(

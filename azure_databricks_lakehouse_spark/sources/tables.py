@@ -1238,6 +1238,46 @@ class ParquetTable:
             },
         )
 
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Spark's dynamic partition overwrite
+        (``partitionOverwriteMode=dynamic``) as a lakehouse commit:
+        replace exactly the partitions PRESENT in ``df``, leave every
+        other partition untouched — the common ETL reload shape when
+        the caller knows the affected partitions only by what it
+        computed.  Implemented as :meth:`overwrite_where` with the
+        predicate derived from ``df``'s distinct partition tuples
+        (partition cardinality is metadata-sized by definition — it
+        names directories), so it inherits the single-commit atomicity,
+        CDF sidecar, and conflict handling.  Requires a partitioned
+        table."""
+        m = self._manifest()
+        part_cols = m["partition_by"]
+        if not part_cols:
+            raise ValueError(
+                "overwrite_partitions needs a partitioned table; use "
+                "overwrite() for full replacement"
+            )
+        inv = _logical_inverse(m)
+        lpart = [inv.get(c, c) for c in part_cols]
+        tuples = df.select(*lpart).distinct().collect()
+        if not tuples:
+            return m["version"]  # empty frame replaces nothing
+        def _lit(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return repr(v)
+
+        disjuncts = []
+        for row in tuples:
+            terms = [
+                f"`{c}` IS NULL" if row[c] is None else f"`{c}` = {_lit(row[c])}"
+                for c in lpart
+            ]
+            disjuncts.append("(" + " AND ".join(terms) + ")")
+        return self.overwrite_where(df, " OR ".join(disjuncts))
+
     def restore(self, version: int) -> int:
         """Delta-parity ``RESTORE TABLE ... TO VERSION AS OF``: publish a
         new commit that references the old version's files verbatim —
@@ -3113,7 +3153,10 @@ class ParquetTable:
         return version
 
     def vacuum(
-        self, keep_versions: int = 1, staging_ttl_seconds: float = 86400.0
+        self,
+        keep_versions: int = 1,
+        staging_ttl_seconds: float = 86400.0,
+        dry_run: bool = False,
     ) -> int:
         """D8 parity: delete data files unreferenced by the newest
         ``keep_versions`` manifests, and drop older manifests.  Time travel
@@ -3124,7 +3167,12 @@ class ParquetTable:
         ``staging_ttl_seconds`` — a writer that crashed between
         ``_write_files`` and its commit leaves one behind, referenced by
         nothing (the TTL protects a concurrent in-flight write; Delta's
-        VACUUM applies the same uncommitted-file retention logic)."""
+        VACUUM applies the same uncommitted-file retention logic).
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) counts what a
+        real run would remove — same walk, zero deletions, no manifest
+        dropped — so an operator can see the blast radius before
+        shrinking the time-travel horizon."""
         vs = self._versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
@@ -3152,9 +3200,14 @@ class ParquetTable:
                 for fname in fnames:
                     full = os.path.join(dirpath, fname)
                     if os.path.relpath(full, root_dir) not in keep_rels:
-                        os.remove(full)
+                        if not dry_run:
+                            os.remove(full)
                         n += 1
-                if dirpath != root_dir and not os.listdir(dirpath):
+                if (
+                    not dry_run
+                    and dirpath != root_dir
+                    and not os.listdir(dirpath)
+                ):
                     os.rmdir(dirpath)
             return n
 
@@ -3173,12 +3226,15 @@ class ParquetTable:
         if os.path.isdir(ledger_root):
             for name in os.listdir(ledger_root):
                 if name not in referenced_ledger:
-                    shutil.rmtree(
-                        os.path.join(ledger_root, name), ignore_errors=True
-                    )
+                    if not dry_run:
+                        shutil.rmtree(
+                            os.path.join(ledger_root, name),
+                            ignore_errors=True,
+                        )
                     removed += 1
-        for v in vs[:-keep_versions]:
-            os.remove(_manifest_path(self.root, v))
+        if not dry_run:
+            for v in vs[:-keep_versions]:
+                os.remove(_manifest_path(self.root, v))
         now = time.time()
         for name in os.listdir(self.root):
             if not name.startswith("_staging_"):
@@ -3189,11 +3245,51 @@ class ParquetTable:
                     os.path.isdir(full)
                     and now - os.path.getmtime(full) > staging_ttl_seconds
                 ):
-                    shutil.rmtree(full)
+                    if not dry_run:
+                        shutil.rmtree(full)
                     removed += 1
             except OSError:
                 pass  # concurrent writer finished its move mid-sweep
         return removed
+
+    def fsck(self, dry_run: bool = False) -> dict:
+        """Delta ``FSCK REPAIR TABLE`` parity: drop manifest references
+        to data files that no longer exist on storage (out-of-band
+        deletion, partial restore, storage loss) so reads stop failing
+        on the missing tail.  Metadata-only: one stat per referenced
+        file, one commit; DV entries and (via parent-ref consolidation)
+        stats for the dropped references go with them.  ``dry_run``
+        reports without committing.  Returns ``{"missing_files",
+        "version"}``."""
+        m = self._manifest()
+        data_root = os.path.join(self.root, _DATA_DIR)
+        missing = [
+            f
+            for f in m["files"]
+            if not os.path.exists(os.path.join(data_root, f))
+        ]
+        if dry_run or not missing:
+            return {"missing_files": missing, "version": m["version"]}
+        gone = set(missing)
+        version = _commit(
+            self.root,
+            version=m["version"] + 1,
+            files=[f for f in m["files"] if f not in gone],
+            schema=m["schema"],
+            partition_by=m["partition_by"],
+            operation="FSCK",
+            merged_schema=m.get("merged_schema", False),
+            props=m.get("props", {}),
+            parent=m,
+            dvs={
+                f: v for f, v in m.get("dvs", {}).items() if f not in gone
+            },
+            colmap=m.get("colmap", {}),
+            retired_cols=m.get("retired_cols", []),
+            metrics={"files_removed": len(missing)},
+        )
+        self._post_commit()
+        return {"missing_files": missing, "version": version}
 
     def cache(self) -> DataFrame:
         """D9 parity: cached snapshot of the current version."""
@@ -3287,6 +3383,17 @@ class ParquetTable:
             m = _at_end(m_v)
             if m["operation"] == "OPTIMIZE":
                 continue
+            if m["operation"] == "FSCK":
+                # the removed rows' bytes are LOST — reconstructing the
+                # delete half of the diff is impossible, and silently
+                # skipping would hand consumers a stream missing real
+                # deletions.  Same stance as Delta: repair breaks CDF
+                # continuity across the repaired version.
+                raise ValueError(
+                    f"version {v} is an FSCK repair; its removed rows "
+                    "cannot be reconstructed — restart the CDF consumer "
+                    "from a snapshot at or after this version"
+                )
             cdc = m.get("cdc_files", [])
             if cdc:
                 # DELETE/UPDATE commits record their exact row deltas as

@@ -135,3 +135,29 @@ def test_refused_on_identity_tables(spark, tmp_path):
             spark.createDataFrame([(2, "a")], "id int, cat string"),
             "cat = 'a'",
         )
+
+
+def test_dynamic_partition_overwrite(spark, table):
+    # payload touches days 1 and 3; day 2 must be untouched
+    df = spark.createDataFrame(
+        [(700, "2024-01-01", 7.0), (701, "2024-01-03", 7.5)],
+        "id int, day string, amt double",
+    ).select(*table.read().columns)
+    v0 = table.latest_version()
+    table.overwrite_partitions(df)
+    after = table.read()
+    assert {r.id for r in after.filter("day = '2024-01-01'").collect()} == {700}
+    assert {r.id for r in after.filter("day = '2024-01-03'").collect()} == {701}
+    assert after.filter("day = '2024-01-02'").count() == 10
+    assert table.latest_version() == v0 + 1  # one commit for both partitions
+    # empty frame replaces nothing, commits nothing
+    empty = spark.createDataFrame([], after.schema)
+    assert table.overwrite_partitions(empty) == v0 + 1
+    # unpartitioned table refuses
+    up = ParquetTable.create(
+        spark,
+        table.root + "_up",
+        spark.createDataFrame([(1,)], "id int"),
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        up.overwrite_partitions(spark.createDataFrame([(2,)], "id int"))
