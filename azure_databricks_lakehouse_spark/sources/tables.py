@@ -1160,6 +1160,7 @@ class ParquetTable:
         df = self._apply_generated(df, m)
         df = self._apply_defaults(df, m)
         self._enforce_current(df, m, "REPLACE_WHERE")
+        df = self._align_append_types(df, m)
         cond_col, pred = self._as_condition(condition)
         cond = F.coalesce(cond_col, F.lit(False))
         stray = df.filter(~cond).limit(1).count()
@@ -2383,6 +2384,7 @@ class ParquetTable:
         df = self._apply_defaults(df, m0)
         self._refuse_explicit_identity(df, m0, "APPEND")
         self._enforce_current(df, m0, "APPEND")
+        df = self._align_append_types(df, m0)
         hw_used: dict | None = None
         id_bases: dict = {}
         n_written = 0
@@ -2517,6 +2519,55 @@ class ParquetTable:
             "extreme contention — back off and retry"
         )
 
+    _INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+    _FLOAT_RANK = {"float": 0, "double": 1}
+
+    def _align_append_types(self, df: DataFrame, m: dict) -> DataFrame:
+        """Write-side type guard: a frame column whose type differs from
+        the manifest's declared type is CAST when the promotion is
+        lossless (integer widening, float→double, integer→double —
+        files then carry the declared type) and REFUSED otherwise.
+        Without this, an append could write e.g. date-typed parquet
+        under a string-declared column — every later read of that file
+        fails with a parquet type mismatch, which is silent corruption
+        deferred to the reader (found via COPY INTO, where CSV schema
+        inference drifts run to run)."""
+        declared = {
+            f.name: f.dataType
+            for f in _schema_from_json(self.spark, m["schema"]).fields
+        }
+        out = []
+        changed = False
+        for f in df.schema.fields:
+            want = declared.get(f.name)
+            if want is None or f.dataType == want:
+                out.append(F.col(f.name))
+                continue
+            have_s = f.dataType.simpleString()
+            want_s = want.simpleString()
+            ok = (
+                (
+                    have_s in self._INT_RANK
+                    and want_s in self._INT_RANK
+                    and self._INT_RANK[have_s] <= self._INT_RANK[want_s]
+                )
+                or (
+                    have_s in self._FLOAT_RANK
+                    and want_s in self._FLOAT_RANK
+                    and self._FLOAT_RANK[have_s] <= self._FLOAT_RANK[want_s]
+                )
+                or (have_s in self._INT_RANK and want_s == "double")
+            )
+            if not ok:
+                raise ValueError(
+                    f"column {f.name!r} arrives as {have_s} but the table "
+                    f"declares {want_s}; no lossless promotion exists — "
+                    "cast explicitly (or ALTER COLUMN TYPE to widen)"
+                )
+            out.append(F.col(f.name).cast(want))
+            changed = True
+        return df.select(*out) if changed else df
+
     def copy_into(
         self,
         source_dir: str,
@@ -2601,6 +2652,21 @@ class ParquetTable:
             }
         reader = self.spark.read.options(**(format_options or {}))
         df = reader.format(fmt).load([t[0] for t in listing])
+        # COPY INTO casts to the TARGET schema (Delta's contract): CSV/
+        # JSON schema inference drifts run to run (a date-looking string
+        # column infers DATE one day), and without the cast those files
+        # would land with a type the declared schema cannot read back
+        declared = {
+            f.name: f.dataType
+            for f in _schema_from_json(self.spark, m["schema"]).fields
+        }
+        df = df.select(
+            *[
+                F.col(c).cast(declared[c]).alias(c) if c in declared
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
         rows = df.count()  # one pass over the NEW files only
         shard_name = f"ledger-{uuid.uuid4().hex}.parquet"
         shard_dir = os.path.join(self.root, _LEDGER_DIR, shard_name)
