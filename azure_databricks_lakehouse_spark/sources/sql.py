@@ -140,6 +140,7 @@ class Lakehouse:
         self.warehouse = warehouse
         self._paths: dict[str, str] = {}
         self._views: dict[str, str] = {}  # name -> stored SELECT text
+        self._cached: set[str] = set()  # CACHE TABLE pins (session-local)
         self._asof_seq = 0
         if warehouse:
             os.makedirs(warehouse, exist_ok=True)
@@ -244,7 +245,29 @@ class Lakehouse:
             return self._copy_into(stmt)
         if kw == "FSCK":
             return self._fsck(stmt)
+        if kw in ("CACHE", "UNCACHE"):
+            return self._cache(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    _CACHE = _ci(r"^(CACHE|UNCACHE)\s+TABLE\s+(`?[\w.]+`?)$")
+
+    def _cache(self, stmt: str) -> DataFrame:
+        m = self._CACHE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported CACHE form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(2))
+        table = self.table(name)
+        view = self._view_name(name)
+        if m.group(1).upper() == "CACHE":
+            # D9 parity: pin the CURRENT snapshot; the registered view
+            # points at the cached frame so later SELECTs reuse it
+            df = table.cache()
+            df.createOrReplaceTempView(view)
+            self._cached.add(name)
+            return self._status("CACHE TABLE", name, table.latest_version())
+        self._cached.discard(name)
+        self.spark.catalog.dropTempView(view)
+        return self._status("UNCACHE TABLE", name, None)
 
     _FSCK = _ci(
         r"^FSCK\s+REPAIR\s+TABLE\s+(`?[\w.]+`?)(\s+DRY\s+RUN)?$"
@@ -379,6 +402,8 @@ class Lakehouse:
         # be temp-view names, so they register mangled and the statement
         # text is rewritten to match.
         for name in self._paths:
+            if name in self._cached:
+                continue  # CACHE TABLE pinned this name to a cached frame
             if re.search(rf"\b{re.escape(name)}\b", stmt):
                 view = self._view_name(name)
                 self.table(name).register(view)

@@ -331,3 +331,13 @@ def test_alter_add_columns_multi(spark, tmp_path, lh):
     lh.sql("ALTER TABLE t ADD COLUMNS (note string, score double)")
     cols = t.read().columns
     assert "note" in cols and "score" in cols
+
+
+def test_cache_table_pins_a_snapshot(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    lh.sql("CACHE TABLE t")
+    lh.sql("INSERT INTO t VALUES (2, 'b', 2.0)")
+    # cached pin: SELECT sees the snapshot taken at CACHE time
+    assert lh.sql("SELECT count(*) AS n FROM t").collect()[0].n == 1
+    lh.sql("UNCACHE TABLE t")
+    assert lh.sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
