@@ -60,7 +60,18 @@ _DATA_DIR = "data"
 _CDC_DIR = "_change_data"
 
 # Operations whose file-diff is NOT pure inserts (see tables.py).
-_REWRITE_OPS = {"DELETE", "UPDATE", "MERGE", "OVERWRITE", "RESTORE"}
+# commits that REMOVE rows; REPLACE_WHERE carries a CDC sidecar (streams
+# exactly), FSCK never can (its rows' bytes are lost — raises unless the
+# consumer opted out of change commits entirely)
+_REWRITE_OPS = {
+    "DELETE",
+    "UPDATE",
+    "MERGE",
+    "OVERWRITE",
+    "RESTORE",
+    "REPLACE_WHERE",
+    "FSCK",
+}
 
 
 def _manifest(root: str, version: int) -> dict:
@@ -93,6 +104,11 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self.root = options["path"]
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
+            # Delta's modern spelling of the same opt-out (this source's
+            # ignoreChanges always meant SKIP the commit, which is
+            # exactly skipChangeCommits' contract)
+            or str(options.get("skipchangecommits", "false")).lower()
+            == "true"
         )
         start = options.get("startingversion")
         self.start_version = int(start) if start is not None else -1

@@ -344,3 +344,42 @@ def write_deduped_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_table_stream(
+    spark: SparkSession,
+    root: str,
+    *,
+    starting_version: int | None = None,
+    skip_change_commits: bool = False,
+    max_versions_per_trigger: int | None = None,
+) -> DataFrame:
+    """Delta ``readStream`` parity: a lakehouse table as a streaming
+    SOURCE of appended rows — the table-to-table pipeline primitive
+    (bronze streams into silver as rows land, no CDC columns in sight).
+
+    Thin composition over the CDF source (`sources/cdf_stream`): append
+    commits stream their added files; a commit that REMOVES rows raises
+    by default — matching Delta, where a plain table stream refuses
+    updates/deletes so a consumer can never silently miss a retraction —
+    and ``skip_change_commits=True`` (Delta's ``skipChangeCommits``)
+    opts into skipping such commits wholesale.  The CDC metadata
+    columns are projected away; pair with
+    :func:`write_stream_to_table`'s checkpointed sinks for exactly-once
+    table-to-table flows.
+    """
+    from azure_databricks_lakehouse_spark.sources.cdf_stream import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    reader = spark.readStream.format("table_changes").option("path", root)
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if skip_change_commits:
+        reader = reader.option("skipChangeCommits", "true")
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "maxVersionsPerTrigger", str(max_versions_per_trigger)
+        )
+    return reader.load().drop("_change_type", "_commit_version")

@@ -318,3 +318,95 @@ def test_sidecar_after_rename_streams_current_names(registered, tmp_path):
         (1, "update_preimage", 1, "x"),
         (2, "delete", 2, "y"),
     ]
+
+
+def test_replace_where_streams_exact_diff(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "trw")
+    t = ParquetTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id int, cat string, amt double"
+        ),
+    )
+    payload = spark.createDataFrame(
+        [(9, "b", 9.0)], "id int, cat string, amt double"
+    ).select(*t.read().columns)
+    t.overwrite_where(payload, "cat = 'b'")
+    # creation inserts (2) + replace delete (1) + replace insert (1)
+    rows = _drain(spark, root, "rw_sink", 4)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["delete"] == {2}
+    assert 9 in by_type["insert"]
+
+
+def test_fsck_raises_in_stream_unless_skipped(registered, tmp_path):
+    import os as _os
+
+    spark = registered
+    root = str(tmp_path / "tfsck")
+    t = ParquetTable.create(
+        spark, root, spark.createDataFrame([(1,)], "id int")
+    )
+    t.append(spark.createDataFrame([(2,)], "id int"))
+    victim = t._manifest()["files"][0]
+    _os.remove(_os.path.join(root, "data", victim))
+    t.fsck()
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("fsck_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="FSCK"):
+        q.awaitTermination()
+    # the raise's advice: restart from a snapshot at/after the repair.
+    # skipChangeCommits + startingVersion at the FSCK version resumes
+    # the stream over post-repair appends only.
+    repair_v = t.latest_version()
+    t.append(spark.createDataFrame([(3,)], "id int"))
+    rows = _drain(
+        spark, root, "fsck_skip_sink", 1,
+        extra_opts={
+            "skipChangeCommits": "true",
+            "startingVersion": str(repair_v),
+        },
+    )
+    assert {r["id"] for r in rows} == {3}
+
+
+def test_read_table_stream_helper(registered, tmp_path):
+    from azure_databricks_lakehouse_spark.streaming.jobs import (
+        read_table_stream,
+    )
+
+    spark = registered
+    root = str(tmp_path / "tats")
+    t = ParquetTable.create(
+        spark, root, spark.createDataFrame([(1, "a")], "id int, cat string")
+    )
+    t.append(spark.createDataFrame([(2, "b")], "id int, cat string"))
+    df = read_table_stream(spark, root)
+    assert set(df.columns) == {"id", "cat"}  # CDC meta projected away
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tats_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("tats_sink").count() >= 2:
+                break
+            time.sleep(0.5)
+        assert {r.id for r in spark.table("tats_sink").collect()} == {1, 2}
+    finally:
+        q.stop()
