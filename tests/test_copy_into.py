@@ -133,3 +133,16 @@ def test_sql_copy_into_form(spark, tmp_path):
         "COPY_OPTIONS('force'='true')"
     ).collect()[0]
     assert forced.num_files_loaded == 1
+
+
+def test_orc_fileformat(spark, tmp_path, table):
+    """ORC ships with Spark (S12 'other formats'): COPY INTO is
+    format-generic, so an ORC landing zone loads the same way."""
+    land = str(tmp_path / "orc_landing")
+    spark.createDataFrame([(1, "x"), (2, "y")], "id int, cat string")\
+        .coalesce(1).write.orc(land)
+    r = table.copy_into(land, fileformat="orc")
+    assert (r["files_loaded"], r["rows_loaded"]) == (1, 2)
+    assert {row.id for row in table.read().collect()} == {1, 2}
+    again = table.copy_into(land, fileformat="orc")
+    assert again["files_loaded"] == 0
