@@ -125,6 +125,11 @@ def semantic_dedup(
         )
     )
     if max_cluster_size is not None:
+        # guard runs BEFORE the quadratic join, so it must execute the
+        # assignment subplan early; materialize it so the later
+        # rank/pair jobs reuse the result instead of recomputing the
+        # crossJoin+window assignment a second time
+        ranked_src = ranked_src.localCheckpoint(eager=True)
         worst = (
             ranked_src.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))

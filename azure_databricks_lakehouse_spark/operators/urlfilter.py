@@ -38,9 +38,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # scheme://host[:port]/path — scheme optional (protocol-relative and
-# bare-host forms appear in crawl data)
-_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://)?(?:[^/@?#]*@)?([^/:?#]+)"
-_PATH_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://)?[^/?#]*([^?#]*)"
+# bare-host forms appear in crawl data).  The scheme class deliberately
+# EXCLUDES '.': real schemes never contain dots, and allowing them made
+# the bare form 'evil.com:8080/x' parse 'evil.com:' as a scheme and
+# '8080' as the host — a concrete blocklist evasion.
+_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+-]*:)?(?://)?(?:[^/@?#]*@)?([^/:?#]+)"
+_PATH_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+-]*:)?(?://)?[^/?#]*([^?#]*)"
+
+# Multi-label public suffixes under which the "registered domain" needs
+# one MORE label (a.co.uk's owner is a.co.uk, not co.uk).  A pragmatic
+# subset of the Mozilla Public Suffix List covering the common ccTLD
+# second-level registries; pass `public_suffixes` to extend/replace.
+_DEFAULT_PUBLIC_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.za", "org.za", "com.mx", "com.ar", "com.tr", "com.sg",
+    "co.kr", "or.kr", "com.tw", "com.hk",
+)
 
 
 def url_parts(url: F.Column) -> dict[str, F.Column]:
@@ -85,6 +104,7 @@ def filter_urls(
     allowlist: Sequence[str] = (),
     max_docs_per_domain: int | None = None,
     domain_labels: int = 2,
+    public_suffixes: Sequence[str] = _DEFAULT_PUBLIC_SUFFIXES,
     seed: int = 0,
 ) -> UrlFilterResult:
     """Cull documents by URL.
@@ -150,10 +170,23 @@ def filter_urls(
     removed_parts = [bad, removed_block]
     if max_docs_per_domain is not None:
         labels = F.split(F.col("__host"), r"\.")
-        reg = F.array_join(
-            F.slice(labels, -F.least(F.size(labels), F.lit(domain_labels)), domain_labels),
-            ".",
-        )
+        n_lab = F.size(labels)
+
+        def _last(k: int) -> F.Column:
+            return F.array_join(
+                F.slice(labels, -F.least(n_lab, F.lit(k)), k), "."
+            )
+
+        # registered domain = last `domain_labels` labels — unless that
+        # lands ON a multi-label public suffix (co.uk), where the owner
+        # is one label deeper (every .co.uk site pooled into one cap
+        # bucket would gut whole country registries)
+        reg = _last(domain_labels)
+        if public_suffixes:
+            reg = F.when(
+                reg.isin(*[p.lower() for p in public_suffixes]),
+                _last(domain_labels + 1),
+            ).otherwise(reg)
         ranked = live.withColumn("__reg", reg).withColumn(
             "__rk",
             F.row_number().over(

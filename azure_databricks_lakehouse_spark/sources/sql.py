@@ -113,6 +113,71 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def _split_cols(s: str) -> list[str]:
+    """Column-definition splitter: like :func:`_split_top` but ALSO
+    tracks ``<...>`` nesting, so generic types (``map<string,int>``,
+    ``struct<a:int,b:string>``) keep their commas.  Only used where the
+    text is a column list — in expression contexts ``<`` is a
+    comparison and must not open a depth level."""
+    parts: list[str] = []
+    depth = 0
+    quote = None
+    cur: list[str] = []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+        elif ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _find_top_keyword(s: str, kw: str) -> int:
+    """Index of the first ``kw`` at paren depth 0 outside quotes (word-
+    boundary match, case-insensitive); -1 if absent.  The literal-blind
+    regex alternative matches a 'where' INSIDE a string constant."""
+    depth = 0
+    quote = None
+    n, k = len(s), len(kw)
+    for i in range(n):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + k].upper() == kw
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + k >= n
+                or not (s[i + k].isalnum() or s[i + k] == "_")
+            )
+        ):
+            return i
+    return -1
+
+
 def _unquote_ident(name: str) -> str:
     name = name.strip()
     if name.startswith("`") and name.endswith("`"):
@@ -140,7 +205,7 @@ class Lakehouse:
         self.warehouse = warehouse
         self._paths: dict[str, str] = {}
         self._views: dict[str, str] = {}  # name -> stored SELECT text
-        self._cached: set[str] = set()  # CACHE TABLE pins (session-local)
+        self._cached: dict[str, DataFrame] = {}  # CACHE pins (session-local)
         self._asof_seq = 0
         if warehouse:
             os.makedirs(warehouse, exist_ok=True)
@@ -260,12 +325,20 @@ class Lakehouse:
         view = self._view_name(name)
         if m.group(1).upper() == "CACHE":
             # D9 parity: pin the CURRENT snapshot; the registered view
-            # points at the cached frame so later SELECTs reuse it
+            # points at the cached frame so later SELECTs reuse it.  A
+            # previous pin for the same name is unpersisted first —
+            # otherwise every CACHE cycle leaks one snapshot's worth of
+            # executor cache memory until the session dies.
+            prev = self._cached.pop(name, None)
+            if prev is not None:
+                prev.unpersist()
             df = table.cache()
             df.createOrReplaceTempView(view)
-            self._cached.add(name)
+            self._cached[name] = df
             return self._status("CACHE TABLE", name, table.latest_version())
-        self._cached.discard(name)
+        prev = self._cached.pop(name, None)
+        if prev is not None:
+            prev.unpersist()
         self.spark.catalog.dropTempView(view)
         return self._status("UNCACHE TABLE", name, None)
 
@@ -395,25 +468,39 @@ class Lakehouse:
             view = self._view_name(vname)
             df.createOrReplaceTempView(view)
             if view != vname:
-                stmt = re.sub(rf"\b{re.escape(vname)}\b", view, stmt)
+                stmt = self._sub_ident(stmt, vname, view)
 
         # 4. every referenced lakehouse table → current-snapshot view.
         # Dotted names (the reference's `bronze.rx_claims` style) cannot
         # be temp-view names, so they register mangled and the statement
-        # text is rewritten to match.
+        # text is rewritten to match.  A name pinned by CACHE TABLE is
+        # NOT re-registered (the pin is the point) but its dotted form
+        # still needs the text rewrite to reach the pinned view.
         for name in self._paths:
-            if name in self._cached:
-                continue  # CACHE TABLE pinned this name to a cached frame
-            if re.search(rf"\b{re.escape(name)}\b", stmt):
-                view = self._view_name(name)
+            if not re.search(rf"\b{re.escape(name)}\b", stmt):
+                continue
+            view = self._view_name(name)
+            if name not in self._cached:
                 self.table(name).register(view)
-                if view != name:
-                    stmt = re.sub(rf"\b{re.escape(name)}\b", view, stmt)
+            if view != name:
+                stmt = self._sub_ident(stmt, name, view)
         return self.spark.sql(stmt)
 
     @staticmethod
     def _view_name(name: str) -> str:
         return name.replace(".", "__") if "." in name else name
+
+    @staticmethod
+    def _sub_ident(stmt: str, name: str, view: str) -> str:
+        """Replace identifier occurrences of ``name`` OUTSIDE single-
+        quoted string literals — a literal that happens to contain the
+        table name ('bronze.rx_claims' in an audit predicate) must not
+        be rewritten into the mangled view name."""
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        out: list[str] = []
+        for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", stmt)):
+            out.append(seg if i % 2 else pat.sub(view, seg))
+        return "".join(out)
 
     # -- CREATE -------------------------------------------------------------
 
@@ -593,7 +680,7 @@ class Lakehouse:
         defaults: dict[str, str] = {}
         generated: list[tuple[str, str, str]] = []
         identity: list[tuple[str, int, int]] = []
-        for item in _split_top(coldefs, ","):
+        for item in _split_cols(coldefs):
             cm = self._COLDEF.match(item.strip())
             if not cm:
                 raise ValueError(f"cannot parse column definition: {item!r}")
@@ -805,14 +892,21 @@ class Lakehouse:
 
     # -- DELETE / UPDATE / INSERT -------------------------------------------
 
-    _DELETE = _ci(r"^DELETE\s+FROM\s+(`?[\w.]+`?)(?:\s+WHERE\s+(.*))?$")
+    _DELETE = _ci(r"^DELETE\s+FROM\s+(`?[\w.]+`?)(?P<tail>\s+.*)?$")
 
     def _delete(self, stmt: str) -> DataFrame:
         m = self._DELETE.match(stmt)
         if not m:
             raise ValueError(f"unsupported DELETE form: {stmt[:80]!r}")
         name = _unquote_ident(m.group(1))
-        cond = m.group(2) or "true"
+        tail = (m.group("tail") or "").strip()
+        if tail:
+            w = _find_top_keyword(tail, "WHERE")
+            if w != 0:
+                raise ValueError(f"unsupported DELETE form: {stmt[:80]!r}")
+            cond = tail[5:].strip()
+        else:
+            cond = "true"
         table = self.table(name)
         version = table.delete(cond)
         c = table.history(limit=1)[0]
@@ -826,22 +920,24 @@ class Lakehouse:
             "table string, version int, num_affected_rows long",
         )
 
-    _UPDATE = _ci(
-        r"^UPDATE\s+(`?[\w.]+`?)\s+SET\s+(.+?)(?:\s+WHERE\s+(.*))?$"
-    )
+    _UPDATE = _ci(r"^UPDATE\s+(`?[\w.]+`?)\s+SET\s+(?P<tail>.+)$")
 
     def _update(self, stmt: str) -> DataFrame:
         m = self._UPDATE.match(stmt)
         if not m:
             raise ValueError(f"unsupported UPDATE form: {stmt[:80]!r}")
         name = _unquote_ident(m.group(1))
+        tail = m.group("tail")
+        w = _find_top_keyword(tail, "WHERE")
+        set_part, cond = (
+            (tail[:w], tail[w + 5 :].strip()) if w >= 0 else (tail, "true")
+        )
         assignments = {}
-        for item in _split_top(m.group(2), ","):
+        for item in _split_top(set_part, ","):
             col, eq, expr = item.partition("=")
             if not eq:
                 raise ValueError(f"bad SET item: {item!r}")
             assignments[_unquote_ident(col)] = F.expr(expr.strip())
-        cond = m.group(3) or "true"
         table = self.table(name)
         version = table.update(cond, assignments)
         c = table.history(limit=1)[0]
@@ -894,7 +990,12 @@ class Lakehouse:
         ):
             # the SELECT already names the target columns: align BY NAME
             # (the manifest stores partition columns last, so positional
-            # mapping would silently cross-assign a reordered SELECT)
+            # mapping would silently cross-assign a reordered SELECT).
+            # Deliberate divergence from Spark's pure-positional INSERT:
+            # it behaves like Databricks' INSERT ... BY NAME whenever
+            # the names are an exact permutation — the safe reading of
+            # intent under this engine's partition-last column order.
+            # A SELECT with non-target names still maps positionally.
             df = df.select(
                 *[F.col(c).cast(types.get(c, df.schema[c].dataType)).alias(c)
                   for c in names]
@@ -1076,7 +1177,7 @@ class Lakehouse:
                 r"INCREMENT\s+BY\s+(?P<by>-?\d+)\s*\))?"
                 r"|\((?P<gen>.+)\)))?\s*$"
             )
-            for item in _split_top(raw, ","):
+            for item in _split_cols(raw):
                 cm = one.match(item.strip())
                 if not cm:
                     raise ValueError(f"cannot parse ADD COLUMN item: {item!r}")
@@ -1186,7 +1287,10 @@ class Lakehouse:
         # (matching the reference's LOCATION-based registrations)
         del self._paths[name]
         self._save_catalog()
-        self.spark.catalog.dropTempView(name)
+        pinned = self._cached.pop(name, None)
+        if pinned is not None:
+            pinned.unpersist()
+        self.spark.catalog.dropTempView(self._view_name(name))
         return self._status("DROP TABLE", name, None)
 
     def _show(self, stmt: str) -> DataFrame:

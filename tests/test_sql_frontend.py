@@ -341,3 +341,32 @@ def test_cache_table_pins_a_snapshot(spark, tmp_path, lh):
     assert lh.sql("SELECT count(*) AS n FROM t").collect()[0].n == 1
     lh.sql("UNCACHE TABLE t")
     assert lh.sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
+
+
+def test_review_fixes_literals_types_and_dotted_cache(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)])
+    lh.register("bronze.claims", t.root)
+    # dotted CACHE pin must keep SELECTs working (text rewrite to the
+    # mangled pinned view)
+    lh.sql("CACHE TABLE bronze.claims")
+    assert lh.sql("SELECT count(*) AS n FROM bronze.claims").collect()[0].n == 1
+    lh.sql("UNCACHE TABLE bronze.claims")
+    # a string literal containing the table name is NOT rewritten
+    row = lh.sql(
+        "SELECT 'bronze.claims' AS src FROM bronze.claims"
+    ).collect()[0]
+    assert row.src == "bronze.claims"
+    # UPDATE with 'where' inside a literal: the literal survives, the
+    # statement has no real WHERE so every row updates
+    lh.register("t", t.root)
+    lh.sql("UPDATE t SET cat = 'apply where needed'")
+    assert lh.sql("SELECT cat FROM t").collect()[0].cat == "apply where needed"
+    # generic types with commas parse in CREATE and ALTER
+    loc = str(tmp_path / "generic")
+    lh.sql(
+        f"CREATE TABLE gt (id int, m map<string,int>) USING DELTA LOCATION '{loc}'"
+    )
+    lh.sql("ALTER TABLE gt ADD COLUMNS (s struct<a:int,b:string>, tag string)")
+    cols = dict(lh.table("gt").read().dtypes)
+    assert cols["m"] == "map<string,int>"
+    assert cols["s"] == "struct<a:int,b:string>"

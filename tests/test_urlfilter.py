@@ -118,3 +118,22 @@ def test_counts_partition_and_plan(spark):
     plan = physical_plan(res.kept)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bare_host_port_cannot_evade_blocklist(spark):
+    df = _docs(spark, [(1, "evil.com:8080/page"), (2, "good.org:443/x")])
+    res = filter_urls(df, blocklist=["evil.com"])
+    assert {r.doc_id for r in res.kept.collect()} == {2}
+    got = {r.doc_id: r.host for r in res.removed.collect()}
+    assert got == {1: "evil.com"}  # port stripped, not parsed as host
+
+
+def test_public_suffix_aware_domain_cap(spark):
+    rows = [(i, f"https://site{i}.co.uk/p") for i in range(6)]
+    df = _docs(spark, rows)
+    res = filter_urls(df, max_docs_per_domain=2)
+    # each siteN.co.uk is its own registered domain: nothing capped
+    assert res.kept.count() == 6
+    # without suffix awareness they'd all pool into 'co.uk'
+    pooled = filter_urls(df, max_docs_per_domain=2, public_suffixes=())
+    assert pooled.kept.count() == 2
