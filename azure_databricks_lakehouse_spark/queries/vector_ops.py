@@ -83,6 +83,35 @@ _COSINE_SQL = _cos_sql("q", "c")
 
 
 # --- q30: brute-force cosine top-k (exact baseline) ------------------------
+def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over ``embeddings`` — the exactness
+    baseline shared by q30 (its ``part='dense'`` rows) and q32 (the
+    recall denominator).  Factored out in round 7 so q32's baseline is
+    the *dense* list alone, not q30's three-part hybrid union (the
+    round-6 drift that made the recall metric count BM25 keyword
+    neighbors as true nearest neighbors and ran the BM25 pipeline twice
+    per recall branch)."""
+    t = bind(spark, sf_dir, "embeddings")
+    vecs = _with_norm(t["embeddings"])
+    q = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
+    c = vecs.alias("c")
+    sim = _cosine(F.col("q.emb"), F.col("c.emb"), F.col("q.norm"), F.col("c.norm"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid first-stage retrieval as a tagged union (round-6 corpus
     consolidation under the driver's 50-query budget):
@@ -109,24 +138,7 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = bind(spark, sf_dir, "embeddings")
-    vecs = _with_norm(t["embeddings"])
-    q = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
-    c = vecs.alias("c")
-    sim = _cosine(F.col("q.emb"), F.col("c.emb"), F.col("q.norm"), F.col("c.norm"))
-    scored = (
-        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            sim.alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    dense = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    dense = _dense_topk(spark, sf_dir)
 
     td = bind(spark, sf_dir, "documents")
     docs = td["documents"].select("doc_id", "text")
@@ -175,8 +187,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY_TOKENS = 8  # keyword-length query: first 8 tokens of the doc
 
-_Q30_SQL = f"""
-WITH vecs AS ({_NORM_SQL}),
+# Dense CTE chain shared by q30 (part='dense') and q32 (the recall
+# baseline) — factoring it keeps the two engines' notion of "exact
+# top-k" definitionally identical (round-7 fix for the q32 drift).
+_DENSE_CTES = f"""vecs AS ({_NORM_SQL}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COSINE_SQL} AS sim
@@ -189,7 +203,12 @@ ranked AS (
 ),
 dense_top AS (
   SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {_TOP_K}
-),
+)"""
+
+_DENSE_SQL = f"WITH {_DENSE_CTES}\nSELECT query_id, neighbor_id, rank FROM dense_top"
+
+_Q30_SQL = f"""
+WITH {_DENSE_CTES},
 dtoks AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -385,8 +404,15 @@ def q32_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine top-k: ``method='lsh'`` (q31's hyperplane buckets) and
     ``method='ivf'`` (q48's probed coarse quantizer) in one tagged union
     — the standard eval op for any ANN index, now covering the whole
-    index surface (round-3 verdict item 4)."""
-    exact = q30_cosine_topk(spark, sf_dir)
+    index surface (round-3 verdict item 4).
+
+    The baseline is :func:`_dense_topk` — the brute-force cosine list
+    ALONE, k=:data:`_TOP_K` per query (round-7 fix: when q30 grew into a
+    hybrid union, recall silently became "recall against dense+BM25+RRF
+    with duplicate pairs" and the BM25 pipeline ran once per branch).
+    One dense frame feeds both branches; the subplans are identical, so
+    Spark's exchange reuse materializes the shuffle once."""
+    exact = _dense_topk(spark, sf_dir)
 
     def recall_of(approx: DataFrame, method: str) -> DataFrame:
         e, a = exact.alias("e"), approx.alias("a")
@@ -413,7 +439,7 @@ def q32_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q32_sql() -> str:
     return f"""
-WITH exact AS ({_Q30_SQL}),
+WITH exact AS ({_DENSE_SQL}),
 approx_lsh AS ({_q31_sql()}),
 approx_ivf AS ({_q48_sql()})
 SELECT 'lsh' AS method,
