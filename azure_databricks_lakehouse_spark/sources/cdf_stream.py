@@ -110,6 +110,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
             or str(options.get("skipchangecommits", "false")).lower()
             == "true"
         )
+        # plain-table streaming (read_table_stream): the consumer sees
+        # appended ROWS with no _change_type to distinguish a retraction
+        # — so a rewrite commit must FAIL even when it carries a CDC
+        # sidecar.  Without this, sidecar delete/update_preimage rows
+        # would be delivered as if freshly appended (Delta's plain
+        # readStream likewise refuses data-changing commits unless
+        # skipChangeCommits is set).
+        self.plain_stream = (
+            str(options.get("plainstream", "false")).lower() == "true"
+        )
         start = options.get("startingversion")
         self.start_version = int(start) if start is not None else -1
         mv = options.get("maxversionspertrigger")
@@ -192,6 +202,20 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     # honored even when a sidecar exists, matching the
                     # batch escape hatch's semantics
                     continue
+                if self.plain_stream:
+                    # a sidecar records the delta faithfully, but a
+                    # plain stream has no _change_type column to carry
+                    # it — delivering the sidecar rows would hand
+                    # deleted rows / update preimages downstream as
+                    # fresh appends.  Fail loudly instead.
+                    raise ValueError(
+                        f"version {v} is a {op} commit that removes or "
+                        "rewrites rows; a plain table stream delivers "
+                        "appends only. Set skip_change_commits=True to "
+                        "skip such commits, or stream the CDF "
+                        "(format 'table_changes' without plainStream) "
+                        "to consume row-level deltas."
+                    )
                 cdc = m.get("cdc_files", [])
                 if cdc:
                     # the commit recorded its exact row-level delta as a

@@ -841,7 +841,22 @@ class Lakehouse:
         if update_all != insert_all:
             tgt_keys = table.read().select(*keys).distinct()
             how = "semi" if update_all else "anti"
-            source = source.join(tgt_keys, on=keys, how=how)
+            if delete_pred is not None and not update_all:
+                # INSERT *-only + CDC delete (round-7 ADVICE): the
+                # anti-join narrows away MATCHED source rows, but the
+                # delete-flagged ones must reach merge() for
+                # when_matched_delete to fire.  Anti-join only the
+                # non-flagged rows; keep flagged rows wholesale —
+                # merge() treats an unmatched delete row as a no-op
+                # (its CDC contract), so no spurious inserts result.
+                flag = F.coalesce(delete_pred, F.lit(False))
+                source = (
+                    source.filter(~flag)
+                    .join(tgt_keys, on=keys, how="anti")
+                    .unionByName(source.filter(flag))
+                )
+            else:
+                source = source.join(tgt_keys, on=keys, how=how)
         # UPDATE SET * / INSERT * take the TARGET's column set (Delta's
         # star expansion): source-only columns (CDC op flags, sequence
         # numbers) are meta columns consumed by the clauses, never

@@ -373,7 +373,14 @@ def read_table_stream(
     )
 
     spark.dataSource.register(TableChangesDataSource)
-    reader = spark.readStream.format("table_changes").option("path", root)
+    reader = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        # appends-only contract: rewrite commits raise EVEN when they
+        # carry a CDC sidecar — a plain stream has no _change_type to
+        # mark a retraction, so sidecar rows would arrive as appends
+        .option("plainStream", "true")
+    )
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
     if skip_change_commits:

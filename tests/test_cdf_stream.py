@@ -410,3 +410,73 @@ def test_read_table_stream_helper(registered, tmp_path):
         assert {r.id for r in spark.table("tats_sink").collect()} == {1, 2}
     finally:
         q.stop()
+
+
+def test_plain_table_stream_raises_on_delete(registered, tmp_path):
+    """A sidecar-backed DELETE must FAIL a plain table stream (round-7
+    ADVICE): without _change_type downstream, the sidecar's deleted rows
+    would be delivered as fresh appends.  skip_change_commits=True opts
+    into skipping the commit wholesale, Delta-style."""
+    from azure_databricks_lakehouse_spark.streaming.jobs import (
+        read_table_stream,
+    )
+
+    spark = registered
+    root = str(tmp_path / "plaindel")
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")]))
+    t.delete("k = 1")  # v1: writes a CDC sidecar
+    t.append(_rows(spark, [(3, "c", "z")]))  # v2
+
+    q = (
+        read_table_stream(spark, root)
+        .writeStream.format("memory")
+        .queryName("plaindel_fail")
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(Exception, match="removes or rewrites rows"):
+        q.awaitTermination(60)
+
+    # skip_change_commits: v1 skipped entirely; k=1's deletion is NOT
+    # reflected (the documented trade-off), k=2 and k=3 arrive as appends
+    got = (
+        read_table_stream(spark, root, skip_change_commits=True)
+        .writeStream.format("memory")
+        .queryName("plaindel_skip")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("plaindel_skip").count() >= 3:
+                break
+            time.sleep(0.5)
+        ks = sorted(r["k"] for r in spark.table("plaindel_skip").collect())
+        assert ks == [1, 2, 3]  # v0 appends + v2 append; no sidecar rows
+    finally:
+        got.stop()
+
+
+def test_plain_table_stream_raises_on_update(registered, tmp_path):
+    """UPDATE commits (sidecar with update_pre/postimage rows) likewise
+    fail a plain stream — a preimage delivered as an append would
+    double-count the row downstream."""
+    from azure_databricks_lakehouse_spark.streaming.jobs import (
+        read_table_stream,
+    )
+
+    spark = registered
+    root = str(tmp_path / "plainupd")
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.update(F.col("k") == 1, {"v": F.lit("x2")})  # v1: sidecar, pre+post
+
+    q = (
+        read_table_stream(spark, root)
+        .writeStream.format("memory")
+        .queryName("plainupd_fail")
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(Exception, match="removes or rewrites rows"):
+        q.awaitTermination(60)

@@ -140,6 +140,30 @@ def test_merge_one_sided_and_delete_clause(spark, tmp_path, lh):
     assert "op" not in lh.table("t").read().columns
 
 
+def test_merge_delete_plus_insert_only(spark, tmp_path, lh):
+    """Round-7 ADVICE (high): DELETE + INSERT * with no UPDATE SET *
+    must still fire the deletes — the insert-only anti-join used to
+    strip the delete-flagged matched rows before merge() saw them."""
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], lh=lh)
+    cdc = spark.createDataFrame(
+        [
+            (2, "b", 2.0, "D"),   # matched + flagged  -> DELETE
+            (3, "c9", 99.0, "I"),  # matched, unflagged -> no-op (no UPDATE)
+            (9, "i", 9.0, "I"),   # unmatched          -> INSERT
+            (8, "h", 8.0, "D"),   # unmatched delete   -> no-op (CDC contract)
+        ],
+        "id int, cat string, amt double, op string",
+    )
+    cdc.createOrReplaceTempView("cdc2")
+    lh.sql(
+        "MERGE INTO t USING cdc2 AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM t").collect()}
+    assert got == {(1, "a", 1.0), (3, "c", 3.0), (9, "i", 9.0)}
+
+
 def test_merge_rejects_unsupported_clauses(spark, tmp_path, lh):
     _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
     spark.createDataFrame([(1, "x", 9.0)], "id int, cat string, amt double")\
