@@ -240,10 +240,37 @@ def parse_predicate(sql: str) -> Pred | None:
 # -- evaluation --------------------------------------------------------------
 
 
+_TS_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}(?::\d{2})?)(\.\d+)?$"
+)
+
+
+def _canon_ts(s: str) -> str:
+    """Canonicalize timestamp-looking strings so spelling variance
+    (``T`` separator, missing seconds, trailing fraction zeros,
+    ``.000000``) cannot defeat the exact partition-string compare —
+    Spark's partition directories render ``12:01:00`` while a literal
+    may say ``12:01:00.000000``; both must compare equal, and ordering
+    must stay lexicographically correct."""
+    m = _TS_RE.match(s)
+    if not m:
+        return s
+    date, hms, frac = m.groups()
+    if len(hms) == 5:
+        hms += ":00"
+    out = f"{date} {hms}"
+    if frac:
+        frac = frac.rstrip("0")
+        if len(frac) > 1:
+            out += frac
+    return out
+
+
 def _coerce_pair(a, b):
     """Comparable (value, literal) pair or None (→ undecidable).  Both
     partition-dir values (always strings) and stats values meet typed
-    literals here; numbers coerce, strings compare as strings."""
+    literals here; numbers coerce, strings compare as strings
+    (timestamp-shaped strings are canonicalized first)."""
     if isinstance(b, bool):
         if isinstance(a, str):
             return {"true": True, "false": False}.get(a.lower()), b
@@ -256,7 +283,9 @@ def _coerce_pair(a, b):
         except (TypeError, ValueError):
             return None, b
     if isinstance(b, str):
-        return (a if isinstance(a, str) else None), b
+        if not isinstance(a, str):
+            return None, b
+        return _canon_ts(a), _canon_ts(b)
     return None, b
 
 

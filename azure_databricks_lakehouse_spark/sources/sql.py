@@ -23,10 +23,14 @@ Python API exercises, so nothing here changes any query plan.
 
 Honest limits (each raises with a message naming the supported form):
 
-- ``MERGE`` supports the reference's clause shapes — ``WHEN MATCHED
-  [AND p] THEN UPDATE SET *`` / ``THEN DELETE`` and ``WHEN NOT MATCHED
-  THEN INSERT *`` (``gold/gold_rx_claims_load.py:216-221`` uses exactly
-  updateAll + insertAll) — not per-column ``UPDATE SET c = e`` clauses.
+- ``MERGE`` supports the reference's updateAll/insertAll shapes
+  (``gold/gold_rx_claims_load.py:216-221``) on a dedicated fast path,
+  plus the general Delta clause forms — per-column ``UPDATE SET c = e``
+  (expressions may reference both aliases), ``INSERT (cols) VALUES
+  (exprs)``, predicated clauses, ``DELETE`` — via a post-image rewrite
+  feeding the same table-layer merge.  Still out of scope: multiple
+  source rows matching one target row (no duplicate-match detection)
+  and ``WHEN NOT MATCHED BY SOURCE``.
 - Time-travel rewriting recognizes table names immediately after
   ``FROM`` / ``JOIN``; a lakehouse table aliased through a correlated
   nested reference still works because the CURRENT snapshot of every
@@ -75,6 +79,13 @@ def _strip_stmt(stmt: str) -> str:
             if j < 0:
                 break
             i = j  # keep the newline as whitespace
+            continue
+        if ch == "/" and stmt[i : i + 2] == "/*":
+            j = stmt.find("*/", i + 2)
+            if j < 0:
+                break  # unterminated block comment swallows the rest
+            out.append(" ")  # comment acts as a token separator
+            i = j + 2
             continue
         out.append(ch)
         i += 1
@@ -492,13 +503,17 @@ class Lakehouse:
 
     @staticmethod
     def _sub_ident(stmt: str, name: str, view: str) -> str:
-        """Replace identifier occurrences of ``name`` OUTSIDE single-
-        quoted string literals — a literal that happens to contain the
-        table name ('bronze.rx_claims' in an audit predicate) must not
-        be rewritten into the mangled view name."""
+        """Replace identifier occurrences of ``name`` OUTSIDE string
+        literals — a literal that happens to contain the table name
+        ('bronze.rx_claims' in an audit predicate) must not be
+        rewritten into the mangled view name.  Both single- and
+        double-quoted segments are protected: Spark SQL treats
+        ``"..."`` as a string literal by default
+        (spark.sql.ansi.doubleQuotedIdentifiers off)."""
         pat = re.compile(rf"\b{re.escape(name)}\b")
         out: list[str] = []
-        for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", stmt)):
+        lit = r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")"
+        for i, seg in enumerate(re.split(lit, stmt)):
             out.append(seg if i % 2 else pat.sub(view, seg))
         return "".join(out)
 
@@ -796,41 +811,38 @@ class Lakehouse:
                 source = self.spark.table(src_name)
 
         keys = self._merge_keys(m.group("on"), t_alias, s_alias)
+        clauses = self._merge_clauses(m.group("clauses"), t_alias, s_alias)
 
-        update_all = insert_all = False
+        # the star fast path is exactly the reference's updateAll/
+        # insertAll shape: unconditional UPDATE SET * / INSERT *, DELETE
+        # gated by a source predicate.  Anything else — per-column SET,
+        # explicit INSERT columns, predicated update/insert,
+        # unconditional DELETE — takes the ordered-cascade rewrite path.
+        star_only = all(
+            c["payload"] is None
+            and (
+                c["pred"] is not None
+                if c["kind"] == "delete"
+                else c["pred"] is None
+            )
+            for c in clauses
+        )
+        if not star_only:
+            # per-column SET / explicit INSERT columns / ordered or
+            # unconditional clause forms: the rewrite path computes full
+            # post-image rows and feeds the same table-layer merge()
+            return self._merge_percol(
+                table, tgt_name, source, keys, clauses, t_alias, s_alias
+            )
+
+        update_all = any(c["kind"] == "update" for c in clauses)
+        insert_all = any(c["kind"] == "insert" for c in clauses)
         delete_pred = None
-        for clause in _ci(r"\bWHEN\b").split(m.group("clauses")):
-            clause = clause.strip()
-            if not clause:
-                continue
-            cm = _ci(
-                r"^(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+"
-                r"THEN\s+(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)\s*$"
-            ).match(clause)
-            if not cm:
-                raise ValueError(
-                    f"unsupported MERGE clause {clause!r}; supported: "
-                    "WHEN MATCHED [AND p] THEN UPDATE SET * | DELETE, "
-                    "WHEN NOT MATCHED THEN INSERT * "
-                    "(the reference's updateAll/insertAll shape, "
-                    "gold/gold_rx_claims_load.py:216-221)"
+        for c in clauses:
+            if c["kind"] == "delete":
+                delete_pred = F.expr(
+                    self._strip_alias(c["pred"], s_alias, t_alias)
                 )
-            action = cm.group("action").upper().split()[0]
-            pred = cm.group("pred")
-            if cm.group("not"):
-                if action != "INSERT":
-                    raise ValueError("WHEN NOT MATCHED supports only INSERT *")
-                insert_all = True
-            elif action == "UPDATE":
-                update_all = True
-            elif action == "DELETE":
-                if pred is None:
-                    raise ValueError(
-                        "WHEN MATCHED THEN DELETE needs AND <predicate> "
-                        "over source columns (unconditional delete-on-match "
-                        "composes with UPDATE SET * ambiguously)"
-                    )
-                delete_pred = F.expr(self._strip_alias(pred, s_alias, t_alias))
 
         if not update_all and not insert_all:
             raise ValueError("MERGE needs UPDATE SET * and/or INSERT *")
@@ -867,6 +879,260 @@ class Lakehouse:
             on=keys,
             when_matched_delete=delete_pred,
             source_meta_cols=meta,
+        )
+        return self._status("MERGE", tgt_name, version)
+
+    # split only at WHEN that starts a clause — an RHS CASE WHEN inside
+    # a SET assignment must not be torn apart
+    _CLAUSE_SPLIT = _ci(r"\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)")
+
+    def _merge_clauses(
+        self, text: str, t_alias: str, s_alias: str
+    ) -> list[dict]:
+        """Parse the ordered WHEN-clause list.  Each entry is
+        ``{"kind": update|delete|insert, "pred": str|None, "payload"}``
+        where payload is ``None`` for the star forms (``UPDATE SET *``
+        / ``INSERT *`` / ``DELETE``) or a {column: expression-string}
+        map for per-column ``UPDATE SET c = e`` / ``INSERT (cols)
+        VALUES (exprs)``."""
+        out: list[dict] = []
+        supported = (
+            "supported: WHEN MATCHED [AND p] THEN UPDATE SET * | "
+            "UPDATE SET c = e, ... | DELETE; WHEN NOT MATCHED [AND p] "
+            "THEN INSERT * | INSERT (cols) VALUES (exprs) (the "
+            "reference itself uses exactly updateAll/insertAll, "
+            "gold/gold_rx_claims_load.py:216-221)"
+        )
+        for clause in self._CLAUSE_SPLIT.split(text):
+            clause = clause.strip()
+            if not clause:
+                continue
+            cm = _ci(
+                r"^(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+"
+                r"THEN\s+(?P<action>.+)$"
+            ).match(clause)
+            if not cm:
+                raise ValueError(
+                    f"unsupported MERGE clause {clause!r}; {supported}"
+                )
+            neg = bool(cm.group("not"))
+            pred = cm.group("pred")
+            action = cm.group("action").strip()
+            au = re.sub(r"\s+", " ", action.upper())
+            if au == "DELETE":
+                if neg:
+                    raise ValueError(
+                        "DELETE is a WHEN MATCHED clause (an unmatched "
+                        "source row has nothing to delete)"
+                    )
+                out.append({"kind": "delete", "pred": pred, "payload": None})
+            elif au == "UPDATE SET *":
+                if neg:
+                    raise ValueError(
+                        "UPDATE SET * is a WHEN MATCHED clause"
+                    )
+                out.append({"kind": "update", "pred": pred, "payload": None})
+            elif au.startswith("UPDATE SET "):
+                if neg:
+                    raise ValueError("UPDATE SET is a WHEN MATCHED clause")
+                body = _ci(r"^UPDATE\s+SET\s+").sub("", action)
+                assigns: dict[str, str] = {}
+                for a in _split_top(body, ","):
+                    mm = re.match(
+                        r"^\s*(?:(\w+)\s*\.\s*)?`?(\w+)`?\s*=\s*(.+)$",
+                        a.strip(),
+                        re.DOTALL,
+                    )
+                    if not mm:
+                        raise ValueError(
+                            f"unparsable SET assignment {a.strip()!r}; "
+                            "expected col = expression"
+                        )
+                    alias, colname, rhs = mm.groups()
+                    if alias is not None and alias != t_alias:
+                        raise ValueError(
+                            f"SET target {alias}.{colname} must use the "
+                            f"target alias {t_alias!r}"
+                        )
+                    if colname in assigns:
+                        raise ValueError(
+                            f"duplicate SET assignment for {colname!r}"
+                        )
+                    assigns[colname] = rhs.strip()
+                out.append({"kind": "update", "pred": pred, "payload": assigns})
+            elif au == "INSERT *":
+                if not neg:
+                    raise ValueError(
+                        "INSERT * is a WHEN NOT MATCHED clause"
+                    )
+                out.append({"kind": "insert", "pred": pred, "payload": None})
+            else:
+                im = _ci(
+                    r"^INSERT\s*\((?P<cols>[^)]*)\)\s*"
+                    r"VALUES\s*\((?P<vals>.+)\)$"
+                ).match(action)
+                if not im:
+                    raise ValueError(
+                        f"unsupported MERGE clause {clause!r}; {supported}"
+                    )
+                if not neg:
+                    raise ValueError(
+                        "INSERT (cols) VALUES (...) is a WHEN NOT MATCHED "
+                        "clause"
+                    )
+                cols = _ident_list(im.group("cols"))
+                vals = [v.strip() for v in _split_top(im.group("vals"), ",")]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT names {len(cols)} columns but supplies "
+                        f"{len(vals)} values"
+                    )
+                clean: list[str] = []
+                for cident in cols:
+                    if "." in cident:
+                        a, c = cident.split(".", 1)
+                        if a != t_alias:
+                            raise ValueError(
+                                f"INSERT column {cident!r} must use the "
+                                f"target alias {t_alias!r}"
+                            )
+                        cident = c
+                    clean.append(cident)
+                out.append(
+                    {
+                        "kind": "insert",
+                        "pred": pred,
+                        "payload": dict(zip(clean, vals)),
+                    }
+                )
+        if not out:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        return out
+
+    def _merge_percol(
+        self,
+        table,
+        tgt_name: str,
+        source: DataFrame,
+        keys: list[str],
+        clauses: list[dict],
+        t_alias: str,
+        s_alias: str,
+    ) -> DataFrame:
+        """Per-column / ordered-clause MERGE (Delta's general form):
+        rewrite the source into full post-image rows — a LEFT join of
+        source onto the target supplies the pre-image, SET expressions
+        (which may reference BOTH aliases) compute the new values, and
+        clause predicates cascade in statement order exactly as Delta
+        evaluates them — then feed the same table-layer
+        :meth:`~.tables.ParquetTable.merge` the star forms use, so
+        commit atomicity, partition-pruned rewrite, and conflict
+        handling are one code path.
+
+        Scale: the extra pre-image join shuffles source+target on the
+        merge keys once — the same cost class as merge()'s own
+        anti-join (Delta's physical MERGE likewise joins the full
+        target); everything downstream is unchanged."""
+        tgt_df = table.read()
+        types = {f.name: f.dataType for f in tgt_df.schema.fields}
+        tgt_cols = list(types)
+        defaults = table.properties().get("defaults", {})
+        matched_clauses = [c for c in clauses if c["kind"] != "insert"]
+        insert_clauses = [c for c in clauses if c["kind"] == "insert"]
+        for c in clauses:
+            if c["payload"]:
+                unknown = set(c["payload"]) - set(tgt_cols)
+                if unknown:
+                    raise ValueError(
+                        f"MERGE clause targets unknown columns "
+                        f"{sorted(unknown)}; table {tgt_name} has "
+                        f"{tgt_cols}"
+                    )
+        tgt = tgt_df.withColumn("__t_exists", F.lit(True)).alias(t_alias)
+        src = source.alias(s_alias)
+        cond = None
+        for k in keys:
+            c = F.col(f"{s_alias}.{k}") == F.col(f"{t_alias}.{k}")
+            cond = c if cond is None else (cond & c)
+        joined = src.join(tgt, cond, "left")
+        matched = F.col(f"{t_alias}.__t_exists").isNotNull()
+
+        def pred_col(p):
+            return F.lit(True) if p is None else F.expr(p)
+
+        def when_chain(pairs, default):
+            chain = None
+            for p, v in pairs:
+                chain = F.when(p, v) if chain is None else chain.when(p, v)
+            return default if chain is None else chain.otherwise(default)
+
+        delete_flag = F.when(
+            matched,
+            when_chain(
+                [
+                    (pred_col(c["pred"]), F.lit(c["kind"] == "delete"))
+                    for c in matched_clauses
+                ],
+                F.lit(False),
+            ),
+        ).otherwise(F.lit(False))
+
+        ins_keep = F.lit(False)
+        for c in insert_clauses:
+            ins_keep = ins_keep | pred_col(c["pred"])
+
+        def matched_val(col):
+            pre = F.col(f"{t_alias}.{col}")
+            pairs = []
+            for c in matched_clauses:
+                if c["kind"] == "delete":
+                    v = pre  # payload of a delete row is never stored
+                elif c["payload"] is None:  # UPDATE SET *
+                    v = (
+                        F.col(f"{s_alias}.{col}")
+                        if col in source.columns
+                        else pre
+                    )
+                else:
+                    v = (
+                        F.expr(c["payload"][col])
+                        if col in c["payload"]
+                        else pre
+                    )
+                pairs.append((pred_col(c["pred"]), v))
+            return when_chain(pairs, pre)
+
+        def insert_val(col):
+            def one(c):
+                if c["payload"] is None:  # INSERT *
+                    if col in source.columns:
+                        return F.col(f"{s_alias}.{col}")
+                elif col in c["payload"]:
+                    return F.expr(c["payload"][col])
+                if col in defaults:  # unnamed column: declared DEFAULT
+                    return F.expr(defaults[col])
+                return F.lit(None)
+
+            return when_chain(
+                [(pred_col(c["pred"]), one(c)) for c in insert_clauses],
+                F.lit(None),
+            )
+
+        payload = [
+            F.when(matched, matched_val(c))
+            .otherwise(insert_val(c))
+            .cast(types[c])
+            .alias(c)
+            for c in tgt_cols
+        ]
+        rewritten = joined.filter(matched | ins_keep).select(
+            *payload, delete_flag.alias("__merge_delete")
+        )
+        version = table.merge(
+            rewritten,
+            on=keys,
+            when_matched_delete=F.col("__merge_delete"),
+            source_meta_cols=["__merge_delete"],
         )
         return self._status("MERGE", tgt_name, version)
 

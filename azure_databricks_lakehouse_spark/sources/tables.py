@@ -61,6 +61,8 @@ Scale design:
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
@@ -1264,11 +1266,33 @@ class ParquetTable:
         if not tuples:
             return m["version"]  # empty frame replaces nothing
         def _lit(v):
+            # Partition values collect() as Python objects; each type
+            # must render as a literal Spark SQL's parser accepts — the
+            # old repr() fallback produced `datetime.date(2024, 1, 1)`
+            # for date partitions, breaking the canonical day-reload.
             if v is None:
                 return "NULL"
             if isinstance(v, str):
                 return "'" + v.replace("'", "''") + "'"
-            return repr(v)
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, datetime.datetime):
+                # match Spark's partition-dir rendering (no fraction
+                # when zero) so the pruner's exact partition-string
+                # compare sees identical spellings
+                base = v.strftime("%Y-%m-%d %H:%M:%S")
+                if v.microsecond:
+                    base += f".{v.microsecond:06d}".rstrip("0")
+                return f"TIMESTAMP '{base}'"
+            if isinstance(v, datetime.date):
+                return f"DATE '{v.isoformat()}'"
+            if isinstance(v, (int, float, decimal.Decimal)):
+                return str(v)
+            raise TypeError(
+                f"unsupported partition value type {type(v).__name__!r} "
+                f"({v!r}) in dynamic partition overwrite; partition "
+                "columns must be string/numeric/date/timestamp/boolean"
+            )
 
         disjuncts = []
         for row in tuples:
@@ -2592,8 +2616,16 @@ class ParquetTable:
         Idempotency keys on the file PATH (Delta's contract: a
         re-uploaded file under the same name is NOT reloaded;
         ``force=True`` is the documented escape hatch that loads every
-        match regardless, accepting duplicates).  Size and mtime ride
-        in the ledger for audit.
+        match regardless, accepting duplicates).  Paths are
+        ``os.path.realpath``-normalized before both the ledger write
+        and the skip anti-join, so the same landing directory reached
+        via a relative spelling or a symlink still skips.  Size and
+        mtime ride in the ledger for audit.  Caveat (shared with
+        Delta): two COPY INTO runs racing over the same directory can
+        both pass the skip check and double-load — the rebase-safe
+        commit keeps both ledger shards, so ``detect_copy_overlap()``
+        can audit for it after the fact; serialize COPY INTO per table
+        when exact-once matters.
 
         The loaded-file ledger is NOT stored in the manifest props —
         that would re-introduce the O(loaded-files) manifest growth the
@@ -2620,8 +2652,11 @@ class ParquetTable:
             for fname in sorted(fnames):
                 if fname.startswith((".", "_")):
                     continue  # Spark's own hidden/metadata convention
-                full = os.path.join(dirpath, fname)
-                rel = os.path.relpath(full, source_dir)
+                # realpath so the ledger key is spelling-independent:
+                # the same landing dir referenced relatively, absolutely
+                # or through a symlink must hit the same skip-check rows
+                full = os.path.realpath(os.path.join(dirpath, fname))
+                rel = os.path.relpath(os.path.join(dirpath, fname), source_dir)
                 if pattern is not None and not fnmatch.fnmatch(rel, pattern):
                     continue
                 st = os.stat(full)
@@ -2696,6 +2731,28 @@ class ParquetTable:
             "files_skipped": n_total - len(listing),
             "rows_loaded": rows,
         }
+
+    def detect_copy_overlap(self) -> DataFrame:
+        """Audit for the concurrent-COPY INTO race: two racing runs can
+        both pass the skip anti-join and double-load the same files
+        (both ledger shards survive the rebase-safe commit, making the
+        duplication durable).  Returns the source paths loaded by more
+        than one shard with their load count — empty means no overlap.
+        Distributed ledger-shard read; cost ∝ files ever copied, never
+        ∝ table rows."""
+        shards = self._manifest().get("props", {}).get("copy_ledger", [])
+        if not shards:
+            return self.spark.createDataFrame(
+                [], "path string, load_count long"
+            )
+        ledger = self.spark.read.parquet(
+            *[os.path.join(self.root, _LEDGER_DIR, s) for s in shards]
+        )
+        return (
+            ledger.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("load_count"))
+            .filter(F.col("load_count") > 1)
+        )
 
     def _maybe_auto_compact(self, written_files: Sequence[str]) -> None:
         """Delta ``autoCompact`` parity: when the table property

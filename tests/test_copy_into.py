@@ -146,3 +146,23 @@ def test_orc_fileformat(spark, tmp_path, table):
     assert {row.id for row in table.read().collect()} == {1, 2}
     again = table.copy_into(land, fileformat="orc")
     assert again["files_loaded"] == 0
+
+def test_spelling_independent_ledger_and_overlap_audit(spark, tmp_path, table):
+    """Round-7 ADVICE (low): the ledger key is realpath-normalized, so
+    the same landing dir reached through a symlink (or another
+    spelling) still skips; detect_copy_overlap() audits the
+    concurrent-COPY double-load case."""
+    land = str(tmp_path / "landing")
+    _land_csv(land, "a.csv", [(1, "x")])
+    opts = {"header": "true", "inferSchema": "true"}
+    table.copy_into(land, fileformat="csv", format_options=opts)
+    # same directory through a symlink: must skip, not reload
+    link = str(tmp_path / "landing_link")
+    os.symlink(land, link)
+    r = table.copy_into(link, fileformat="csv", format_options=opts)
+    assert (r["files_loaded"], r["files_skipped"]) == (0, 1)
+    assert table.detect_copy_overlap().count() == 0
+    # force=True double-loads by design; the audit surfaces it
+    table.copy_into(land, fileformat="csv", format_options=opts, force=True)
+    dup = table.detect_copy_overlap().collect()
+    assert len(dup) == 1 and dup[0].load_count == 2

@@ -161,3 +161,50 @@ def test_dynamic_partition_overwrite(spark, table):
     )
     with pytest.raises(ValueError, match="partitioned"):
         up.overwrite_partitions(spark.createDataFrame([(2,)], "id int"))
+
+def test_dynamic_partition_overwrite_typed_partitions(spark, tmp_path):
+    """Round-7 ADVICE (medium): date/int/timestamp-partitioned tables
+    must survive dynamic partition overwrite — the old repr() literal
+    fallback rendered `datetime.date(2024, 1, 1)`, which the predicate
+    parser rejects on the canonical day-reload."""
+    import datetime
+
+    rows = [
+        (i, datetime.date(2024, 1, 1 + i % 3), i % 2,
+         datetime.datetime(2024, 1, 1, 12, i % 3, 0))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, day date, bucket int, ts timestamp"
+    )
+    t = ParquetTable.create(
+        spark, str(tmp_path / "typed"), df, partition_by=["day", "bucket"]
+    )
+    reload_df = spark.createDataFrame(
+        [(700, datetime.date(2024, 1, 2), 0,
+          datetime.datetime(2024, 1, 2, 0, 0, 0))],
+        df.schema,
+    )
+    t.overwrite_partitions(reload_df)
+    after = t.read()
+    assert {
+        r.id for r in after.filter("day = DATE '2024-01-02' AND bucket = 0").collect()
+    } == {700}
+    # the sibling (day=2024-01-02, bucket=1) partition is untouched
+    assert after.filter("day = DATE '2024-01-02' AND bucket = 1").count() == 2
+    assert after.filter("day != DATE '2024-01-02'").count() == 8
+
+    # timestamp-partitioned: same contract
+    t2 = ParquetTable.create(
+        spark, str(tmp_path / "typed_ts"),
+        df.select("id", "ts"), partition_by=["ts"],
+    )
+    t2.overwrite_partitions(
+        spark.createDataFrame(
+            [(900, datetime.datetime(2024, 1, 1, 12, 1, 0))],
+            "id int, ts timestamp",
+        )
+    )
+    hit = t2.read().filter("ts = TIMESTAMP '2024-01-01 12:01:00'")
+    assert {r.id for r in hit.collect()} == {900}
+    assert t2.read().count() == 1 + 8  # other two ts partitions intact

@@ -171,13 +171,81 @@ def test_merge_rejects_unsupported_clauses(spark, tmp_path, lh):
     with pytest.raises(ValueError, match="updateAll/insertAll"):
         lh.sql(
             "MERGE INTO t USING s0 AS s ON t.id = s.id "
-            "WHEN MATCHED THEN UPDATE SET amt = s.amt"
+            "WHEN MATCHED THEN FROBNICATE"
+        )
+    with pytest.raises(ValueError, match="NOT MATCHED"):
+        lh.sql(
+            "MERGE INTO t USING s0 AS s ON t.id = s.id "
+            "WHEN MATCHED THEN INSERT *"
         )
     with pytest.raises(ValueError, match="equi-key"):
         lh.sql(
             "MERGE INTO t USING s0 AS s ON t.id > s.id "
             "WHEN MATCHED THEN UPDATE SET *"
         )
+
+
+def test_merge_per_column_update_set(spark, tmp_path, lh):
+    """Round-7 verdict item 2: per-column UPDATE SET with expression
+    RHSs referencing BOTH aliases and pre-image semantics — unnamed
+    columns keep their pre-image values."""
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], lh=lh)
+    spark.createDataFrame(
+        [(1, "zz", 10.0), (2, "yy", 20.0), (9, "ii", 90.0)],
+        "id int, cat string, amt double",
+    ).createOrReplaceTempView("updsrc")
+    lh.sql(
+        "MERGE INTO t USING updsrc AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.amt > 15 THEN UPDATE SET amt = s.amt + t.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, cat, amt) "
+        "VALUES (s.id, upper(s.cat), s.amt / 2)"
+    )
+    got = {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM t").collect()}
+    assert got == {
+        (1, "a", 1.0),     # matched, pred false -> untouched pre-image
+        (2, "b", 22.0),    # matched, pred true -> amt updated, cat kept
+        (3, "c", 3.0),     # unmatched target -> kept
+        (9, "II", 45.0),   # unmatched source -> expression INSERT
+    }
+
+
+def test_merge_clause_order_and_case_when_rhs(spark, tmp_path, lh):
+    """Ordered-cascade semantics: the FIRST matched clause whose
+    predicate holds wins (Delta's evaluation order), and a CASE WHEN
+    inside a SET RHS must not confuse the clause splitter."""
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], lh=lh)
+    spark.createDataFrame(
+        [(1, "del", 0.0), (2, "keep", 5.0), (3, "keep", 50.0)],
+        "id int, cat string, amt double",
+    ).createOrReplaceTempView("ordsrc")
+    lh.sql(
+        "MERGE INTO t USING ordsrc AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.cat = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET "
+        "cat = CASE WHEN s.amt > 10 THEN 'big' ELSE 'small' END"
+    )
+    got = {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM t").collect()}
+    assert got == {(2, "small", 2.0), (3, "big", 3.0)}
+    # id=1 deleted by the first clause even though the second also matches
+
+
+def test_merge_unconditional_delete_and_default_fill(spark, tmp_path, lh):
+    """Unconditional WHEN MATCHED THEN DELETE (ordered path resolves
+    the old ambiguity); INSERT with unnamed columns takes the declared
+    DEFAULT."""
+    t = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], name="dt")
+    t.set_default("cat", "'unknown'")
+    lh.register("dt", t.root)
+    spark.createDataFrame(
+        [(2,), (7,)], "id int"
+    ).createOrReplaceTempView("delsrc")
+    lh.sql(
+        "MERGE INTO dt USING delsrc AS s ON dt.id = s.id "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, 7.5)"
+    )
+    got = {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM dt").collect()}
+    assert got == {(1, "a", 1.0), (7, "unknown", 7.5)}
 
 
 def test_optimize_vacuum_history_detail(spark, tmp_path, lh):
@@ -394,3 +462,43 @@ def test_review_fixes_literals_types_and_dotted_cache(spark, tmp_path, lh):
     cols = dict(lh.table("gt").read().dtypes)
     assert cols["m"] == "map<string,int>"
     assert cols["s"] == "struct<a:int,b:string>"
+
+
+def test_block_comments_and_double_quoted_literals(spark, tmp_path, lh):
+    """Round-7 ADVICE (low): /* */ block comments must strip outside
+    quotes, and double-quoted string literals (Spark's default reading
+    of \"...\") must be protected from dotted-name rewriting."""
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)])
+    lh.register("bronze.claims", t.root)
+    # block comment before and inside the statement
+    got = lh.sql(
+        "/* header\ncomment */ SELECT /* inline */ id FROM bronze.claims"
+    ).collect()
+    assert [r.id for r in got] == [1]
+    # a double-quoted literal containing the dotted table name survives
+    row = lh.sql(
+        'SELECT "bronze.claims" AS src, id FROM bronze.claims'
+    ).collect()[0]
+    assert row.src == "bronze.claims"
+    # a literal containing /* is not treated as a comment
+    row = lh.sql("SELECT '/* not a comment */' AS s FROM bronze.claims").collect()[0]
+    assert row.s == "/* not a comment */"
+
+
+def test_insert_values_multirow_with_defaults_identity(spark, tmp_path, lh):
+    """Round-7 verdict item 8: multi-row INSERT ... VALUES routed
+    through append with DEFAULTs and identity columns honored."""
+    df = spark.createDataFrame([], "name string, score double, tag string")
+    root = str(tmp_path / "ins")
+    t = ParquetTable.create(spark, root, df)
+    t.add_identity_column("rid")
+    t.set_default("tag", "'untagged'")
+    lh.register("ins", root)
+    lh.sql(
+        "INSERT INTO ins (name, score) VALUES "
+        "('a', 1.5), ('b', 2.5), ('c', 3.5)"
+    )
+    rows = lh.sql("SELECT * FROM ins ORDER BY rid").collect()
+    assert [r.name for r in rows] == ["a", "b", "c"]
+    assert all(r.tag == "untagged" for r in rows)
+    assert len({r.rid for r in rows}) == 3  # identity assigned, unique
