@@ -104,8 +104,66 @@ def test_zero_vectors_kept_not_compared(spark):
 
 
 def test_max_cluster_size_guard(spark, corpus):
+    # on_oversize="raise" keeps the old fail-fast contract
     with pytest.raises(ValueError, match="increase k"):
-        semantic_dedup(corpus, k=2, threshold=0.99, max_cluster_size=2)
+        semantic_dedup(
+            corpus, k=2, threshold=0.99, max_cluster_size=2,
+            on_oversize="raise",
+        )
+    with pytest.raises(ValueError, match="on_oversize"):
+        semantic_dedup(corpus, max_cluster_size=2, on_oversize="explode")
+
+
+def test_oversize_split_matches_unsplit(spark, corpus):
+    """Round-7 verdict item 4: a cluster over the cap auto-splits
+    (sub-k-means join-key refinement) instead of raising, and on a
+    corpus whose duplicate groups are tight the survivors match the
+    unsplit run exactly."""
+    ref = semantic_dedup(corpus, k=2, threshold=0.99)
+    split = semantic_dedup(corpus, k=2, threshold=0.99, max_cluster_size=3)
+    assert {r.vec_id for r in split.kept.collect()} == {
+        r.vec_id for r in ref.kept.collect()
+    }
+    assert {r.removed_id for r in split.removed.collect()} == {
+        r.removed_id for r in ref.removed.collect()
+    }
+
+
+def test_oversize_exact_collapse_hot_cluster(spark):
+    """A 10×-oversized degenerate cluster — identical boilerplate
+    embeddings k-means cannot separate — dedups via the exact-collapse
+    pass without raising; survivors match the unsplit reference."""
+    rows = [(i, [0.6, 0.8, 0.0]) for i in range(1, 31)]  # 30 identical
+    rows += [(100, _unit([0.0, 0.1, 1.0])), (101, _unit([1.0, 0.0, 0.1]))]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    ref = semantic_dedup(df, k=2, threshold=0.99)
+    got = semantic_dedup(df, k=2, threshold=0.99, max_cluster_size=3)
+    ref_kept = {r.vec_id for r in ref.kept.collect()}
+    got_kept = {r.vec_id for r in got.kept.collect()}
+    assert got_kept == ref_kept
+    assert len(got_kept & set(range(1, 31))) == 1  # one boilerplate survivor
+    # every removal cites the surviving twin at cosine 1.0
+    rem = got.removed.collect()
+    assert all(r.cosine == 1.0 for r in rem if r.removed_id < 100)
+    # assignments still cover every live row (collapse must not hide rows)
+    assert got.assignments.count() == 32
+
+
+def test_oversize_split_raises_only_when_inseparable(spark):
+    """Distinct but k-means-inseparable vectors that stay over the cap
+    after all rounds still raise — but with the honest message."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, _unit([1.0, rng.uniform(-1e-9, 1e-9), rng.uniform(-1e-9, 1e-9)]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    with pytest.raises(ValueError, match="inseparable"):
+        semantic_dedup(
+            df, k=1, threshold=0.999999, max_cluster_size=2, split_rounds=1
+        )
 
 
 def test_plan_no_cartesian_no_python(spark, corpus):
