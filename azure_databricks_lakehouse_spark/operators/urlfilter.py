@@ -89,6 +89,87 @@ def host_suffixes(host: F.Column) -> F.Column:
     )
 
 
+def psl_registered_domains(
+    hosts: DataFrame, psl: DataFrame, *, host_col: str = "__host"
+) -> DataFrame:
+    """Registered (cap-bucket) domain per host under a full Public
+    Suffix List, as a DataFrame join — the round-7 hardening of the
+    literal ``isin`` subset (a ~40-entry subset mis-groups anything
+    outside it: ``github.io`` sites would pool into one cap bucket,
+    ``com.ng`` registries into ``com.ng`` itself).
+
+    ``psl`` holds one rule per row in its first column, PSL syntax:
+    plain suffixes (``co.uk``), wildcards (``*.ck`` — any single label
+    under ``ck`` is itself a public suffix), exceptions (``!www.ck`` —
+    carve-out from a wildcard).  Prevailing-rule semantics follow
+    publicsuffix.org: an exception beats everything, else the longest
+    match; no match falls back to the implicit ``*`` rule (the TLD is
+    the suffix).  Registered domain = prevailing suffix + one label;
+    a host that IS a public suffix buckets as itself.
+
+    Shape: hosts explode into their O(#labels) suffixes, each suffix
+    contributes itself and its ``*.parent`` form as join keys, and the
+    rule table (~10k rows — broadcast) equi-joins on the key: the
+    hash-join formulation of PSL matching, no UDF, no regex scan over
+    N rules.  Call it on DISTINCT hosts (domain cardinality, not
+    corpus cardinality) and join the result back."""
+    first = psl.columns[0]
+    rules = (
+        psl.select(F.lower(F.trim(F.col(first))).alias("rule"))
+        .filter((F.col("rule") != "") & ~F.col("rule").startswith("//"))
+        .distinct()
+        .select(
+            F.col("rule").startswith("!").alias("exc"),
+            F.regexp_replace("rule", r"^!", "").alias("base"),
+        )
+        .select(F.col("base").alias("__key"), "exc",
+                F.size(F.split("base", r"\.")).alias("base_nlab"))
+    )
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    slab = F.split(F.col("__suffix"), r"\.")
+    snlab = F.size(slab)
+    star = F.concat(
+        F.lit("*."), F.array_join(F.slice(slab, 2, F.size(slab)), ".")
+    )
+    cand = (
+        hosts.select(
+            host_col,
+            F.explode(host_suffixes(F.col(host_col))).alias("__suffix"),
+        )
+        .select(
+            host_col,
+            snlab.alias("__snlab"),
+            F.explode(
+                F.when(
+                    snlab >= 2, F.array(F.col("__suffix"), star)
+                ).otherwise(F.array(F.col("__suffix")))
+            ).alias("__key"),
+        )
+    )
+    # effective public-suffix label count of a match:
+    #   exception rule  -> base minus its leftmost label
+    #   plain/wildcard  -> the matched host-suffix itself
+    ps_nlab = F.when(F.col("exc"), F.col("base_nlab") - 1).otherwise(
+        F.col("__snlab")
+    )
+    best = (
+        cand.join(F.broadcast(rules), on="__key")
+        .groupBy(host_col)
+        .agg(
+            F.max(
+                F.struct(F.col("exc"), ps_nlab.alias("ps_nlab"))
+            ).alias("__b")
+        )
+        .select(host_col, F.col("__b.ps_nlab").alias("__ps"))
+    )
+    k = F.least(n, F.coalesce(F.col("__ps"), F.lit(1)) + 1)
+    return hosts.join(best, on=host_col, how="left").select(
+        host_col,
+        F.array_join(F.slice(labels, -k, k), ".").alias("__reg"),
+    )
+
+
 @dataclass(frozen=True)
 class UrlFilterResult:
     kept: DataFrame
@@ -104,7 +185,7 @@ def filter_urls(
     allowlist: Sequence[str] = (),
     max_docs_per_domain: int | None = None,
     domain_labels: int = 2,
-    public_suffixes: Sequence[str] = _DEFAULT_PUBLIC_SUFFIXES,
+    public_suffixes: Sequence[str] | DataFrame = _DEFAULT_PUBLIC_SUFFIXES,
     seed: int = 0,
 ) -> UrlFilterResult:
     """Cull documents by URL.
@@ -118,7 +199,10 @@ def filter_urls(
     ``max_docs_per_domain`` keeps at most N documents per registered
     domain (last ``domain_labels`` host labels), chosen by a seeded
     deterministic hash so reruns keep the same sample and crawl order
-    carries no bias.  Rows whose URL has no parseable host are removed
+    carries no bias.  ``public_suffixes`` may be a DataFrame holding a
+    full Public Suffix List (one rule per row, wildcard/exception
+    syntax honored — see :func:`psl_registered_domains`); the literal
+    tuple stays the zero-dependency default.  Rows whose URL has no parseable host are removed
     with reason ``'bad_url'`` (a crawl row without provenance cannot be
     governed, so it cannot pass a provenance gate).
     """
@@ -169,25 +253,36 @@ def filter_urls(
 
     removed_parts = [bad, removed_block]
     if max_docs_per_domain is not None:
-        labels = F.split(F.col("__host"), r"\.")
-        n_lab = F.size(labels)
-
-        def _last(k: int) -> F.Column:
-            return F.array_join(
-                F.slice(labels, -F.least(n_lab, F.lit(k)), k), "."
+        if isinstance(public_suffixes, DataFrame):
+            # full-PSL mode (round-7 verdict item 5): registered domain
+            # per DISTINCT host (domain cardinality, never corpus
+            # cardinality), joined back on host.  domain_labels is
+            # superseded — the PSL decides the depth.
+            reg_map = psl_registered_domains(
+                live.select("__host").distinct(), public_suffixes
             )
+            with_reg = live.join(reg_map, on="__host")
+        else:
+            labels = F.split(F.col("__host"), r"\.")
+            n_lab = F.size(labels)
 
-        # registered domain = last `domain_labels` labels — unless that
-        # lands ON a multi-label public suffix (co.uk), where the owner
-        # is one label deeper (every .co.uk site pooled into one cap
-        # bucket would gut whole country registries)
-        reg = _last(domain_labels)
-        if public_suffixes:
-            reg = F.when(
-                reg.isin(*[p.lower() for p in public_suffixes]),
-                _last(domain_labels + 1),
-            ).otherwise(reg)
-        ranked = live.withColumn("__reg", reg).withColumn(
+            def _last(k: int) -> F.Column:
+                return F.array_join(
+                    F.slice(labels, -F.least(n_lab, F.lit(k)), k), "."
+                )
+
+            # registered domain = last `domain_labels` labels — unless
+            # that lands ON a multi-label public suffix (co.uk), where
+            # the owner is one label deeper (every .co.uk site pooled
+            # into one cap bucket would gut whole country registries)
+            reg = _last(domain_labels)
+            if public_suffixes:
+                reg = F.when(
+                    reg.isin(*[p.lower() for p in public_suffixes]),
+                    _last(domain_labels + 1),
+                ).otherwise(reg)
+            with_reg = live.withColumn("__reg", reg)
+        ranked = with_reg.withColumn(
             "__rk",
             F.row_number().over(
                 Window.partitionBy("__reg").orderBy(

@@ -137,3 +137,57 @@ def test_public_suffix_aware_domain_cap(spark):
     # without suffix awareness they'd all pool into 'co.uk'
     pooled = filter_urls(df, max_docs_per_domain=2, public_suffixes=())
     assert pooled.kept.count() == 2
+
+
+def test_psl_dataframe_registered_domains(spark):
+    """Round-7 verdict item 5: a full PSL as a joinable DataFrame —
+    wildcard and exception rules honored, github.io sites capped
+    separately, and a 1k-row synthetic list stays a broadcast join."""
+    from azure_databricks_lakehouse_spark.operators.urlfilter import (
+        psl_registered_domains,
+    )
+
+    rules = (
+        ["co.uk", "github.io", "com.ng", "*.ck", "!www.ck"]
+        + [f"tld{i}" for i in range(1000)]  # pad to 1k rules
+    )
+    psl = spark.createDataFrame([(r,) for r in rules], "suffix string")
+    hosts = spark.createDataFrame(
+        [
+            ("a.b.example.co.uk",),   # co.uk rule -> example.co.uk
+            ("alice.github.io",),     # github.io is a PS -> itself + user
+            ("deep.alice.github.io",),
+            ("shop.com.ng",),         # com.ng rule
+            ("x.foo.ck",),            # wildcard *.ck: foo.ck is a PS
+            ("www.ck",),              # exception !www.ck: PS is ck
+            ("plain.example.com",),   # implicit * rule: com is the PS
+            ("localhost",),           # single label: buckets as itself
+        ],
+        "__host string",
+    )
+    got = {r["__host"]: r["__reg"] for r in psl_registered_domains(hosts, psl).collect()}
+    assert got == {
+        "a.b.example.co.uk": "example.co.uk",
+        "alice.github.io": "alice.github.io",
+        "deep.alice.github.io": "alice.github.io",
+        "shop.com.ng": "shop.com.ng",
+        "x.foo.ck": "x.foo.ck",
+        "www.ck": "www.ck",
+        "plain.example.com": "example.com",
+        "localhost": "localhost",
+    }
+
+
+def test_psl_dataframe_cap_groups_github_io_separately(spark):
+    psl = spark.createDataFrame(
+        [("github.io",), ("co.uk",)], "suffix string"
+    )
+    rows = [(i, f"https://user{i % 3}.github.io/p{i}") for i in range(9)]
+    df = _docs(spark, rows)
+    res = filter_urls(df, max_docs_per_domain=2, public_suffixes=psl)
+    # three users x cap 2 = 6 kept; the literal-subset default would
+    # pool all 9 into 'github.io' and keep only 2
+    assert res.kept.count() == 6
+    assert res.removed.filter("reason = 'domain_cap'").count() == 3
+    pooled = filter_urls(df, max_docs_per_domain=2, public_suffixes=())
+    assert pooled.kept.count() == 2
