@@ -88,23 +88,20 @@ def pipeline_rules() -> list[Rule]:
     ]
 
 
-def process(spark: SparkSession, paths: LakehousePaths) -> SilverResult:
-    """Bronze → Silver incremental run; idempotent under re-execution."""
-    wm = last_watermark(spark, paths, "silver_rx_claims")
-    bronze = ParquetTable.for_path(spark, paths.bronze_claims).read()
-    if wm is not None:
-        bronze = bronze.filter(F.col("ingestion_timestamp") > F.lit(wm))
+def _apply_silver_batch(
+    spark: SparkSession, bronze: DataFrame, paths: LakehousePaths
+) -> tuple[int, int]:
+    """The cleanse → DQ gate → quarantine → dedup → MERGE body shared by
+    the batch run (:func:`process`) and the streaming-native run
+    (:func:`stream`).  Returns ``(n_pass, n_fail)``.  Idempotent per
+    input delta: the quarantine clears-then-appends by bronze load
+    batch, and the silver MERGE replaces matched keys."""
     # P13 columns introspection (bronze/bronze_rx_claims_load.py:104): the
     # corrupt side-channel only exists when the bronze schema captured it.
     if "_corrupt_record" in bronze.columns:
         bronze = bronze.filter(F.col("_corrupt_record").isNull()).drop(
             "_corrupt_record"
         )
-
-    n_incremental = bronze.count()
-    if n_incremental == 0:
-        return SilverResult(0, 0, 0, 0, wm)
-
     tagged = apply_rules(cleanse_and_standardize(bronze), pipeline_rules()).cache()
     try:
         passed, failed = split_by_status(tagged)
@@ -143,12 +140,84 @@ def process(spark: SparkSession, paths: LakehousePaths) -> SilverResult:
             tbl.merge(deduped, on=_KEYS)
         else:
             ParquetTable.create(spark, paths.silver_claims, deduped)
-
-        new_wm = bronze.agg(F.max("ingestion_timestamp")).first()[0]
-        append_watermark(spark, paths, "silver_rx_claims", new_wm)
-        return SilverResult(n_incremental, n_pass, n_fail, n_pass, new_wm)
+        return n_pass, n_fail
     finally:
         tagged.unpersist()
+
+
+def process(spark: SparkSession, paths: LakehousePaths) -> SilverResult:
+    """Bronze → Silver incremental run; idempotent under re-execution."""
+    wm = last_watermark(spark, paths, "silver_rx_claims")
+    bronze = ParquetTable.for_path(spark, paths.bronze_claims).read()
+    if wm is not None:
+        bronze = bronze.filter(F.col("ingestion_timestamp") > F.lit(wm))
+    if "_corrupt_record" in bronze.columns:
+        # filtered here too (not only in the shared body) so
+        # n_incremental counts governable rows, as it always has
+        bronze = bronze.filter(F.col("_corrupt_record").isNull()).drop(
+            "_corrupt_record"
+        )
+
+    n_incremental = bronze.count()
+    if n_incremental == 0:
+        return SilverResult(0, 0, 0, 0, wm)
+
+    n_pass, n_fail = _apply_silver_batch(spark, bronze, paths)
+    new_wm = bronze.agg(F.max("ingestion_timestamp")).first()[0]
+    append_watermark(spark, paths, "silver_rx_claims", new_wm)
+    return SilverResult(n_incremental, n_pass, n_fail, n_pass, new_wm)
+
+
+def stream(
+    spark: SparkSession,
+    paths: LakehousePaths,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming-native bronze → silver (round-7 verdict item 6; SURVEY
+    ST1's "streaming-native" column): the bronze TABLE is the streaming
+    source, so Delta-source offsets (commit versions tracked in the
+    stream checkpoint) replace the manual watermark control table —
+    exactly how a Databricks pipeline graduates from scheduled
+    incremental batch to continuous.
+
+    Each micro-batch runs the same
+    cleanse → DQ gate → quarantine → dedup → MERGE body as
+    :func:`process`, so batch and streaming silver converge to the same
+    table on the same input (asserted in
+    ``tests/test_streaming_medallion.py``): the MERGE makes a replayed
+    micro-batch row-idempotent, and the quarantine clears-then-appends
+    by bronze load batch.  One caveat, stated rather than hidden: the
+    dedup-to-latest window sees ONE micro-batch at a time, so if a
+    claim-line's resend arrives in a LATER micro-batch with an OLDER
+    ``received_date``, last-writer-wins at the MERGE — batch mode,
+    seeing both in one delta, would keep the newer.  Event-ordered
+    sources (the normal case — bronze appends in arrival order) and
+    single-trigger catch-ups are unaffected.
+
+    ``available_now=True`` drains all pending bronze commits and stops
+    (the scheduled-catch-up shape); ``False`` runs continuously.
+    """
+    from azure_databricks_lakehouse_spark.streaming.jobs import (
+        read_table_stream,
+    )
+
+    src = read_table_stream(spark, paths.bronze_claims)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _apply_silver_batch(batch_df.sparkSession, batch_df, paths)
+
+    writer = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def load_reference_table(

@@ -298,33 +298,68 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 continue
             val = urllib.parse.unquote(raw)
             t = dtypes[name]
-            if t in ("tinyint", "smallint", "int", "bigint"):
+            if val == "__HIVE_DEFAULT_PARTITION__":
+                part_vals[name] = None
+            elif t in ("tinyint", "smallint", "int", "bigint"):
                 part_vals[name] = int(val)
             elif t in ("float", "double"):
                 part_vals[name] = float(val)
+            elif t == "boolean":
+                part_vals[name] = val.lower() == "true"
+            elif t == "date":
+                import datetime as _dtmod
+
+                part_vals[name] = _dtmod.date.fromisoformat(val)
+            elif t == "timestamp":
+                import datetime as _dtmod
+
+                v = _dtmod.datetime.fromisoformat(val)
+                part_vals[name] = (
+                    v.replace(tzinfo=_dtmod.timezone.utc)
+                    if v.tzinfo is None
+                    else v
+                )
             else:
-                part_vals[name] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                part_vals[name] = val
 
         table = pq.read_table(partition.path)
         cols = set(table.column_names)
         # column mapping: data files store physical names — read each
         # logical field from its physical column
         phys = dict(partition.renames)
-        for batch in table.to_batches():
-            for r in batch.to_pylist():
+        # Spark writes TIMESTAMP columns as INT96 by default, which
+        # pyarrow surfaces as tz-NAIVE datetimes even though the stored
+        # value is a UTC instant; the engine's arrow serializer then
+        # refuses the naive value.  Re-attach UTC explicitly.
+        import datetime as _dt
+
+        ts_names = {
+            f.name
+            for f in self.schema.fields
+            if f.dataType.simpleString() == "timestamp"
+        }
+
+        def _val(name: str, r: dict):
+            if name == "_commit_version":
+                return partition.version
+            if name == "_change_type":
                 # CDC sidecar files carry _change_type as a real column
                 # (delete / update_preimage / update_postimage); plain
                 # data files are appends, so their rows are inserts
-                yield tuple(
-                    partition.version
-                    if name == "_commit_version"
-                    else (r["_change_type"] if "_change_type" in cols else "insert")
-                    if name == "_change_type"
-                    else r[phys.get(name, name)]
-                    if phys.get(name, name) in cols
-                    else part_vals.get(name)
-                    for name in self.field_names
-                )
+                return r["_change_type"] if "_change_type" in cols else "insert"
+            p = phys.get(name, name)
+            v = r[p] if p in cols else part_vals.get(name)
+            if (
+                name in ts_names
+                and isinstance(v, _dt.datetime)
+                and v.tzinfo is None
+            ):
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return v
+
+        for batch in table.to_batches():
+            for r in batch.to_pylist():
+                yield tuple(_val(name, r) for name in self.field_names)
 
     def commit(self, end: dict) -> None:
         # offsets live in the engine checkpoint; nothing to release —
