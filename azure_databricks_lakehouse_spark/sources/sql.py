@@ -27,10 +27,11 @@ Honest limits (each raises with a message naming the supported form):
   (``gold/gold_rx_claims_load.py:216-221``) on a dedicated fast path,
   plus the general Delta clause forms — per-column ``UPDATE SET c = e``
   (expressions may reference both aliases), ``INSERT (cols) VALUES
-  (exprs)``, predicated clauses, ``DELETE`` — via a post-image rewrite
-  feeding the same table-layer merge.  Still out of scope: multiple
-  source rows matching one target row (no duplicate-match detection)
-  and ``WHEN NOT MATCHED BY SOURCE``.
+  (exprs)``, predicated clauses, ``DELETE``, and ``WHEN NOT MATCHED
+  BY SOURCE [AND p] THEN UPDATE SET ... | DELETE`` — via a post-image
+  rewrite feeding the same table-layer merge.  Multiple source rows
+  matching one target row abort with Delta's nondeterminism error
+  (the table layer's ``validate_source_keys`` guard).
 - Time-travel rewriting recognizes table names immediately after
   ``FROM`` / ``JOIN``; a lakehouse table aliased through a correlated
   nested reference still works because the CURRENT snapshot of every
@@ -819,7 +820,8 @@ class Lakehouse:
         # explicit INSERT columns, predicated update/insert,
         # unconditional DELETE — takes the ordered-cascade rewrite path.
         star_only = all(
-            c["payload"] is None
+            c["kind"] in ("update", "delete", "insert")
+            and c["payload"] is None
             and (
                 c["pred"] is not None
                 if c["kind"] == "delete"
@@ -899,16 +901,18 @@ class Lakehouse:
         supported = (
             "supported: WHEN MATCHED [AND p] THEN UPDATE SET * | "
             "UPDATE SET c = e, ... | DELETE; WHEN NOT MATCHED [AND p] "
-            "THEN INSERT * | INSERT (cols) VALUES (exprs) (the "
-            "reference itself uses exactly updateAll/insertAll, "
-            "gold/gold_rx_claims_load.py:216-221)"
+            "THEN INSERT * | INSERT (cols) VALUES (exprs); WHEN NOT "
+            "MATCHED BY SOURCE [AND p] THEN UPDATE SET c = e, ... | "
+            "DELETE (the reference itself uses exactly "
+            "updateAll/insertAll, gold/gold_rx_claims_load.py:216-221)"
         )
         for clause in self._CLAUSE_SPLIT.split(text):
             clause = clause.strip()
             if not clause:
                 continue
             cm = _ci(
-                r"^(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+"
+                r"^(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+                r"(?:\s+AND\s+(?P<pred>.+?))?\s+"
                 r"THEN\s+(?P<action>.+)$"
             ).match(clause)
             if not cm:
@@ -916,24 +920,50 @@ class Lakehouse:
                     f"unsupported MERGE clause {clause!r}; {supported}"
                 )
             neg = bool(cm.group("not"))
+            bysrc = bool(cm.group("bysrc"))
+            if bysrc and not neg:
+                raise ValueError(
+                    "MATCHED BY SOURCE is not a clause — Delta's "
+                    "target-only form is WHEN NOT MATCHED BY SOURCE"
+                )
             pred = cm.group("pred")
             action = cm.group("action").strip()
             au = re.sub(r"\s+", " ", action.upper())
+            if bysrc and not (au == "DELETE" or au.startswith("UPDATE SET ")):
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports only DELETE or "
+                    "UPDATE SET c = e, ... (there is no source row to "
+                    "INSERT or to star-expand from)"
+                )
             if au == "DELETE":
-                if neg:
+                if neg and not bysrc:
                     raise ValueError(
                         "DELETE is a WHEN MATCHED clause (an unmatched "
-                        "source row has nothing to delete)"
+                        "source row has nothing to delete); target rows "
+                        "absent from the source take WHEN NOT MATCHED "
+                        "BY SOURCE THEN DELETE"
                     )
-                out.append({"kind": "delete", "pred": pred, "payload": None})
+                out.append(
+                    {
+                        "kind": "delete_by_source" if bysrc else "delete",
+                        "pred": pred,
+                        "payload": None,
+                    }
+                )
             elif au == "UPDATE SET *":
                 if neg:
                     raise ValueError(
                         "UPDATE SET * is a WHEN MATCHED clause"
+                        + (
+                            " — BY SOURCE has no source row to expand "
+                            "* from; name the columns"
+                            if bysrc
+                            else ""
+                        )
                     )
                 out.append({"kind": "update", "pred": pred, "payload": None})
             elif au.startswith("UPDATE SET "):
-                if neg:
+                if neg and not bysrc:
                     raise ValueError("UPDATE SET is a WHEN MATCHED clause")
                 body = _ci(r"^UPDATE\s+SET\s+").sub("", action)
                 assigns: dict[str, str] = {}
@@ -959,7 +989,23 @@ class Lakehouse:
                             f"duplicate SET assignment for {colname!r}"
                         )
                     assigns[colname] = rhs.strip()
-                out.append({"kind": "update", "pred": pred, "payload": assigns})
+                if bysrc:
+                    for text_part in [pred or ""] + list(assigns.values()):
+                        if re.search(
+                            rf"\b{re.escape(s_alias)}\s*\.", text_part
+                        ):
+                            raise ValueError(
+                                "WHEN NOT MATCHED BY SOURCE expressions "
+                                "may reference only the target alias "
+                                f"{t_alias!r} — there is no source row"
+                            )
+                out.append(
+                    {
+                        "kind": "update_by_source" if bysrc else "update",
+                        "pred": pred,
+                        "payload": assigns,
+                    }
+                )
             elif au == "INSERT *":
                 if not neg:
                     raise ValueError(
@@ -1037,8 +1083,9 @@ class Lakehouse:
         types = {f.name: f.dataType for f in tgt_df.schema.fields}
         tgt_cols = list(types)
         defaults = table.properties().get("defaults", {})
-        matched_clauses = [c for c in clauses if c["kind"] != "insert"]
+        matched_clauses = [c for c in clauses if c["kind"] in ("update", "delete")]
         insert_clauses = [c for c in clauses if c["kind"] == "insert"]
+        bysrc_clauses = [c for c in clauses if c["kind"].endswith("_by_source")]
         for c in clauses:
             if c["payload"]:
                 unknown = set(c["payload"]) - set(tgt_cols)
@@ -1128,6 +1175,54 @@ class Lakehouse:
         rewritten = joined.filter(matched | ins_keep).select(
             *payload, delete_flag.alias("__merge_delete")
         )
+        if bysrc_clauses:
+            # WHEN NOT MATCHED BY SOURCE: target rows with no source
+            # match, rewritten from the TARGET side (there is no source
+            # row to join — Delta evaluates these clauses over the
+            # target anti-join).  Only rows where some clause FIRES are
+            # emitted; untouched unmatched-target rows are carried over
+            # by merge()'s own anti-join, so partition-pruned rewrite
+            # is preserved.  Cost: one anti-join of the target against
+            # the DISTINCT source key set (AQE broadcasts it when
+            # small) — the same cost class as the pre-image join above.
+            src_keys = source.select(*keys).distinct()
+            unmatched_t = tgt_df.alias(t_alias).join(src_keys, keys, "anti")
+            any_fired = F.lit(False)
+            for c in bysrc_clauses:
+                any_fired = any_fired | pred_col(c["pred"])
+            bysrc_delete = when_chain(
+                [
+                    (
+                        pred_col(c["pred"]),
+                        F.lit(c["kind"] == "delete_by_source"),
+                    )
+                    for c in bysrc_clauses
+                ],
+                F.lit(False),
+            )
+
+            def bysrc_val(col):
+                pre = F.col(f"{t_alias}.{col}")
+                pairs = []
+                for c in bysrc_clauses:
+                    if c["payload"] and col in c["payload"]:
+                        v = F.expr(c["payload"][col])
+                    else:
+                        v = pre
+                    pairs.append((pred_col(c["pred"]), v))
+                return when_chain(pairs, pre)
+
+            bysrc_rows = unmatched_t.filter(any_fired).select(
+                *[bysrc_val(c).cast(types[c]).alias(c) for c in tgt_cols],
+                bysrc_delete.alias("__merge_delete"),
+            )
+            if matched_clauses or insert_clauses:
+                rewritten = rewritten.unionByName(bysrc_rows)
+            else:
+                # by-source-only statement: the source-driven frame is
+                # vacuous no-op updates — skip it so matched target
+                # rows are not pointlessly rewritten
+                rewritten = bysrc_rows
         version = table.merge(
             rewritten,
             on=keys,

@@ -2860,6 +2860,7 @@ class ParquetTable:
         on: Sequence[str],
         when_matched_delete=None,
         source_meta_cols: Sequence[str] = (),
+        validate_source_keys: bool = True,
     ) -> int:
         """D3 parity: keyed upsert with
         ``whenMatchedUpdateAll().whenNotMatchedInsertAll()`` semantics
@@ -2882,6 +2883,17 @@ class ParquetTable:
         When every partition column is part of ``on``, only partitions
         present in the source are rewritten — untouched data files carry
         over by reference (partition-pruned MERGE; the 100 TB path).
+
+        ``validate_source_keys`` (default on, Delta parity): multiple
+        source rows matching the SAME target row make the update
+        nondeterministic, so Delta aborts the merge
+        (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET); without the check
+        this engine's anti-join+union would silently store BOTH source
+        rows.  Duplicate keys that match no target row stay legal —
+        they are plain multi-row inserts, exactly Delta's behavior.
+        Cost: one count-aggregate over the source (∝ source, never the
+        table); the target-side semi-join probe runs only in the rare
+        case the source actually carries duplicate keys.
         """
         m = self._manifest()
         if m.get("props", {}).get("identity"):
@@ -2898,6 +2910,31 @@ class ParquetTable:
         lpart = [inv.get(c, c) for c in part_cols]
         pruned = bool(part_cols) and set(lpart) <= set(keys)
         target = self.read()
+        if validate_source_keys:
+            # collect() is metadata-sized: the frame is pre-aggregated to
+            # duplicate KEYS and limited to 1 row — the guard, not data
+            dup_keys = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .drop("__n")
+            )
+            if dup_keys.limit(1).count() > 0:
+                hit = (
+                    dup_keys.join(target.select(*keys), keys, "left_semi")
+                    .limit(1)
+                    .collect()
+                )
+                if hit:
+                    raise ValueError(
+                        "MERGE aborted: multiple source rows match the "
+                        f"same target row for key {tuple(hit[0])!r} on "
+                        f"{keys} — the update would be nondeterministic "
+                        "(Delta raises the same way). De-duplicate the "
+                        "source on the merge keys first, or pass "
+                        "validate_source_keys=False to accept "
+                        "last-writer-undefined duplicates."
+                    )
         # split the CDC clauses BEFORE schema checks: meta columns are
         # contract-excluded from the payload, delete rows carry no payload
         if when_matched_delete is not None:

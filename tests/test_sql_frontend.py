@@ -248,6 +248,90 @@ def test_merge_unconditional_delete_and_default_fill(spark, tmp_path, lh):
     assert got == {(1, "a", 1.0), (7, "unknown", 7.5)}
 
 
+def test_merge_not_matched_by_source_delete_syncs(spark, tmp_path, lh):
+    """The canonical full-sync statement: target rows absent from the
+    source are deleted, matched rows updated, new rows inserted — one
+    MERGE replaces the reference's truncate-and-reload pattern."""
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], lh=lh)
+    spark.createDataFrame(
+        [(2, "b9", 9.0), (4, "d", 4.0)], "id int, cat string, amt double"
+    ).createOrReplaceTempView("syncsrc")
+    lh.sql(
+        "MERGE INTO t USING syncsrc AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM t").collect()}
+    assert got == {(2, "b9", 9.0), (4, "d", 4.0)}
+
+
+def test_merge_not_matched_by_source_predicated_update(spark, tmp_path, lh):
+    """BY SOURCE UPDATE SET marks stale target rows; the predicate and
+    the SET expressions see only target columns, and unmatched target
+    rows whose predicate is false stay byte-identical (carried over by
+    the pruned rewrite, not re-emitted)."""
+    _mk(
+        spark,
+        tmp_path,
+        [(1, "live", 1.0), (2, "live", 20.0), (3, "live", 30.0)],
+        lh=lh,
+    )
+    spark.createDataFrame(
+        [(1, "x", 0.0)], "id int, cat string, amt double"
+    ).createOrReplaceTempView("presrc")
+    lh.sql(
+        "MERGE INTO t AS tg USING presrc AS s ON tg.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND tg.amt >= 25 "
+        "THEN UPDATE SET cat = 'stale', amt = tg.amt * 0"
+    )
+    got = {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM t").collect()}
+    assert got == {
+        (1, "live", 1.0),    # matched -> untouched (no MATCHED clause)
+        (2, "live", 20.0),   # unmatched, pred false -> untouched
+        (3, "stale", 0.0),   # unmatched, pred true -> rewritten
+    }
+
+
+def test_merge_by_source_clause_validation(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    spark.createDataFrame(
+        [(1, "x", 9.0)], "id int, cat string, amt double"
+    ).createOrReplaceTempView("bs0")
+    base = "MERGE INTO t USING bs0 AS s ON t.id = s.id "
+    with pytest.raises(ValueError, match="only DELETE or"):
+        lh.sql(base + "WHEN NOT MATCHED BY SOURCE THEN INSERT *")
+    with pytest.raises(ValueError, match="no source row to expand"):
+        lh.sql(base + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="only the target alias"):
+        lh.sql(
+            base + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET amt = s.amt"
+        )
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+        lh.sql(base + "WHEN MATCHED BY SOURCE THEN DELETE")
+
+
+def test_merge_duplicate_source_match_aborts_sql(spark, tmp_path, lh):
+    """Delta's nondeterministic-merge abort surfaces through the SQL
+    path too — on both the star fast path and the per-column rewrite."""
+    _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    spark.createDataFrame(
+        [(1, "x", 9.0), (1, "y", 8.0)], "id int, cat string, amt double"
+    ).createOrReplaceTempView("dupsrc")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        lh.sql(
+            "MERGE INTO t USING dupsrc AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="nondeterministic"):
+        lh.sql(
+            "MERGE INTO t USING dupsrc AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET amt = s.amt"
+        )
+    assert lh.sql("SELECT * FROM t").collect()[0].amt == 1.0
+
+
 def test_optimize_vacuum_history_detail(spark, tmp_path, lh):
     t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
     for i in range(2, 6):

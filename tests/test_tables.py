@@ -66,6 +66,33 @@ def test_merge_idempotent_rerun(spark, root):
     assert t.read().count() == 2
 
 
+def test_merge_duplicate_source_match_aborts(spark, root):
+    """Delta parity: two source rows matching the SAME target row make
+    the update nondeterministic, so the merge must abort (Delta's
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET) instead of silently
+    storing both rows as this engine's anti-join+union otherwise
+    would."""
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "old")]))
+    dup = _rows(spark, [(1, "a", "v1"), (1, "a", "v2")])
+    with pytest.raises(ValueError, match="nondeterministic"):
+        t.merge(dup, on=["k"])
+    # the aborted merge committed nothing
+    assert _as_dict(t.read()) == {1: ("a", "old")}
+    assert [c.operation for c in t.history()] == ["CREATE"]
+    # opt-out accepted for callers that want last-writer-undefined
+    t.merge(dup, on=["k"], validate_source_keys=False)
+    assert t.read().filter("k = 1").count() == 2
+
+
+def test_merge_duplicate_unmatched_keys_are_plain_inserts(spark, root):
+    """Duplicate source keys that match NO target row are legal — they
+    are multi-row inserts, exactly Delta's behavior."""
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "old")]))
+    t.merge(_rows(spark, [(7, "b", "x"), (7, "b", "y")]), on=["k"])
+    assert t.read().filter("k = 7").count() == 2
+    assert _as_dict(t.read().filter("k = 1")) == {1: ("a", "old")}
+
+
 def test_partition_pruned_merge_leaves_files_untouched(spark, root):
     df = _rows(spark, [(1, "p1", "a"), (2, "p2", "b"), (3, "p3", "c")])
     t = ParquetTable.create(spark, root, df, partition_by=["part"])
