@@ -157,24 +157,16 @@ def build_dim_provider(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
     )
 
 
-def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
-    """4-way star join + derived measure + MERGE
-    (``gold/gold_rx_claims_load.py:154-232``).
-
-    Incremental: only silver rows updated since the gold watermark join
-    and merge (the MERGE makes replays idempotent; the watermark makes
-    steady-state runs proportional to the delta, not the table — at
-    100 TB re-joining seven years of facts nightly is the bug)."""
-    wm = last_watermark(spark, paths, "gold_fact_rx_claims")
-    claims = ParquetTable.for_path(spark, paths.silver_claims).read()
-    if wm is not None:
-        claims = claims.filter(F.col("silver_updated_timestamp") > F.lit(wm))
-    if is_table(paths.fact_claims) and claims.isEmpty():
-        return ParquetTable.for_path(spark, paths.fact_claims).read().count()
-    dim_member = ParquetTable.for_path(spark, paths.dim_member).read()
-    dim_provider = ParquetTable.for_path(spark, paths.dim_provider).read()
-    dim_date = ParquetTable.for_path(spark, paths.dim_date).read()
-
+def _fact_frame(
+    claims: DataFrame,
+    dim_member: DataFrame,
+    dim_provider: DataFrame,
+    dim_date: DataFrame,
+) -> DataFrame:
+    """The 4-way star join + derived measure as a pure frame transform
+    (``gold/gold_rx_claims_load.py:154-207``) — shared by the batch
+    watermark build and the streaming micro-batch sink so both paths
+    produce byte-identical fact rows from the same silver delta."""
     # Pre-join projections: dims cut to (join key, surrogate) before the
     # join — the reference does this manually (:169,:174,:179,:184);
     # role-playing date dims get aliased keys to stay unambiguous (J3/J4).
@@ -232,6 +224,27 @@ def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
             "service_month", (F.col("service_date_key") / 100).cast("int")
         )
     )
+    return fact
+
+
+def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
+    """4-way star join + derived measure + MERGE
+    (``gold/gold_rx_claims_load.py:154-232``).
+
+    Incremental: only silver rows updated since the gold watermark join
+    and merge (the MERGE makes replays idempotent; the watermark makes
+    steady-state runs proportional to the delta, not the table — at
+    100 TB re-joining seven years of facts nightly is the bug)."""
+    wm = last_watermark(spark, paths, "gold_fact_rx_claims")
+    claims = ParquetTable.for_path(spark, paths.silver_claims).read()
+    if wm is not None:
+        claims = claims.filter(F.col("silver_updated_timestamp") > F.lit(wm))
+    if is_table(paths.fact_claims) and claims.isEmpty():
+        return ParquetTable.for_path(spark, paths.fact_claims).read().count()
+    dim_member = ParquetTable.for_path(spark, paths.dim_member).read()
+    dim_provider = ParquetTable.for_path(spark, paths.dim_provider).read()
+    dim_date = ParquetTable.for_path(spark, paths.dim_date).read()
+    fact = _fact_frame(claims, dim_member, dim_provider, dim_date)
 
     if is_table(paths.fact_claims):
         ParquetTable.for_path(spark, paths.fact_claims).merge(
@@ -290,3 +303,112 @@ def build(
         n_dim_provider=dim_provider.count(),
         n_dim_date=dim_date.count(),
     )
+
+
+def stream(
+    spark: SparkSession,
+    paths: LakehousePaths,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+    date_dim_start: str = "2020-01-01",
+    date_dim_end: str = "2030-12-31",
+):
+    """Streaming-native silver → gold: the silver claims table's CHANGE
+    FEED is the streaming source, completing the continuous medallion
+    (bronze→silver streams in :func:`silver.stream`).
+
+    Silver is MERGE-maintained, so a plain table stream would refuse its
+    rewrite commits; the CDF stream is the correct primitive — exactly
+    Databricks' ``readChangeFeed`` pattern for streaming out of a
+    MERGE-maintained table.  Per micro-batch:
+
+    - preimages dropped, then ONE surviving change per fact key — the
+      row from the HIGHEST commit version (a batch may drain several
+      silver commits that touched the same claim line; applying both
+      would trip merge()'s duplicate-source-match abort, and applying
+      the older one would be wrong),
+    - member/provider dims refreshed (durable surrogate keys make this
+      idempotent and order-safe), then the same :func:`_fact_frame`
+      star join the batch path runs,
+    - upserts MERGE into the fact; rows whose final change is a DELETE
+      retract via ``when_matched_delete`` (unmatched delete rows are
+      no-ops per the CDC contract).
+
+    The stream checkpoint's source offsets replace the gold watermark
+    table — the control table is never touched.  Aggregate tables stay
+    a batch refresh (:func:`build_aggregation_tables`) after/alongside
+    the stream, as on Databricks where they'd be a separate rollup job.
+
+    Scale: cost per trigger ∝ changed silver rows (CDF streams sidecar
+    files, never rescans silver); dims broadcast inside the join; the
+    fact MERGE partition-prunes on ``service_month`` files as ever.
+    """
+    from pyspark.sql.window import Window
+
+    from azure_databricks_lakehouse_spark.sources.cdf_stream import (
+        TableChangesDataSource,
+    )
+
+    if not is_table(paths.dim_date):
+        build_dim_date(spark, paths, date_dim_start, date_dim_end)
+    spark.dataSource.register(TableChangesDataSource)
+    src = (
+        spark.readStream.format("table_changes")
+        .option("path", paths.silver_claims)
+        .load()
+    )
+    keys = ["claim_id", "claim_line_number"]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+        latest = (
+            batch_df.filter(F.col("_change_type") != "update_preimage")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "_commit_version")
+        )
+        if latest.isEmpty():
+            return
+        dim_member = build_dim_member(sess, paths)
+        dim_provider = build_dim_provider(sess, paths)
+        dim_date = ParquetTable.for_path(sess, paths.dim_date).read()
+        upserts = latest.filter(
+            F.col("_change_type") != "delete"
+        ).drop("_change_type")
+        dels = latest.filter(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        if not upserts.isEmpty():
+            fact = _fact_frame(upserts, dim_member, dim_provider, dim_date)
+            if is_table(paths.fact_claims):
+                ParquetTable.for_path(sess, paths.fact_claims).merge(
+                    fact, on=keys
+                )
+            else:
+                ParquetTable.create(
+                    sess,
+                    paths.fact_claims,
+                    fact,
+                    partition_by=["service_month"],
+                )
+        if is_table(paths.fact_claims) and not dels.isEmpty():
+            # delete rows carry the silver pre-image, so the same star
+            # join shapes them into fact rows; the flag retracts every
+            # matched key and no-ops the rest
+            retract = _fact_frame(dels, dim_member, dim_provider, dim_date)
+            ParquetTable.for_path(sess, paths.fact_claims).merge(
+                retract,
+                on=keys,
+                when_matched_delete=F.lit(True),
+            )
+
+    writer = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -103,3 +103,93 @@ def test_streaming_silver_incremental_restart(spark, tmp_path):
     assert float(
         got.filter(F.col("claim_id") == "C004").first()["paid_amount"]
     ) == pytest.approx(9.99)
+
+
+def _fact_rows(spark, lake):
+    return _rowset(
+        ParquetTable.for_path(spark, lake.fact_claims)
+        .read()
+        .drop("gold_created_timestamp")
+    )
+
+
+def _dim_rows(spark, lake, root):
+    return _rowset(
+        ParquetTable.for_path(spark, root).read().drop("dim_created_timestamp")
+    )
+
+
+def test_streaming_gold_converges_with_batch(spark, tmp_path):
+    """Continuous medallion end-to-end: bronze commits stream into
+    silver, silver's CHANGE FEED streams into gold, and the resulting
+    fact/dim tables are row-identical to the scheduled-batch build on
+    the same input — with the stream lake never touching the watermark
+    control table (checkpoint offsets replace it)."""
+    from azure_databricks_lakehouse_spark.pipelines import gold
+    from tests.test_medallion_e2e import _load_reference_tables
+
+    batch_lake = LakehousePaths(str(tmp_path / "batch"))
+    stream_lake = LakehousePaths(str(tmp_path / "stream"))
+    day1 = _land(tmp_path, "day1.csv", _DAY1)
+    day2 = _land(tmp_path, "day2.csv", _DAY2)
+    for lake in (batch_lake, stream_lake):
+        bronze.ingest(spark, lake.bronze_claims, day1, load_id="b1")
+        bronze.ingest(spark, lake.bronze_claims, day2, load_id="b2")
+        _load_reference_tables(spark, lake)
+
+    silver.process(spark, batch_lake)
+    gold.build(spark, batch_lake)
+
+    silver.stream(
+        spark, stream_lake, checkpoint=str(tmp_path / "ck_silver")
+    ).awaitTermination(120)
+    gold.stream(
+        spark, stream_lake, checkpoint=str(tmp_path / "ck_gold")
+    ).awaitTermination(120)
+
+    assert _fact_rows(spark, stream_lake) == _fact_rows(spark, batch_lake)
+    for attr in ("dim_member", "dim_provider"):
+        assert _dim_rows(spark, stream_lake, getattr(stream_lake, attr)) == (
+            _dim_rows(spark, batch_lake, getattr(batch_lake, attr))
+        )
+    assert not os.path.exists(stream_lake.watermarks)
+
+    # aggregates stay a batch rollup over the streamed fact — identical
+    gold.build_aggregation_tables(spark, stream_lake)
+    for attr in ("agg_by_provider", "agg_by_month"):
+        a = _rowset(
+            ParquetTable.for_path(spark, getattr(stream_lake, attr)).read()
+        )
+        b = _rowset(
+            ParquetTable.for_path(spark, getattr(batch_lake, attr)).read()
+        )
+        assert a == b
+
+
+def test_streaming_gold_applies_silver_deletes(spark, tmp_path):
+    """A silver DELETE retracts the fact row on the next trigger — the
+    CDF delete pre-image routes through when_matched_delete instead of
+    being silently re-upserted (or killing the stream)."""
+    from azure_databricks_lakehouse_spark.pipelines import gold
+    from tests.test_medallion_e2e import _load_reference_tables
+
+    lake = LakehousePaths(str(tmp_path / "lk"))
+    bronze.ingest(
+        spark, lake.bronze_claims, _land(tmp_path, "d1.csv", _DAY1), load_id="b1"
+    )
+    _load_reference_tables(spark, lake)
+    silver.stream(
+        spark, lake, checkpoint=str(tmp_path / "cks")
+    ).awaitTermination(120)
+    ckg = str(tmp_path / "ckg")
+    gold.stream(spark, lake, checkpoint=ckg).awaitTermination(120)
+    fact = ParquetTable.for_path(spark, lake.fact_claims)
+    assert fact.read().filter(F.col("claim_id") == "C002").count() == 1
+    n_before = fact.read().count()
+
+    ParquetTable.for_path(spark, lake.silver_claims).delete(
+        "claim_id = 'C002'"
+    )
+    gold.stream(spark, lake, checkpoint=ckg).awaitTermination(120)
+    assert fact.read().filter(F.col("claim_id") == "C002").count() == 0
+    assert fact.read().count() == n_before - 1
