@@ -1,0 +1,319 @@
+"""APPLY CHANGES INTO (`streaming/apply_changes`): declarative CDC apply
+with sequence-based out-of-order protection, SCD1 and SCD2 targets —
+the engine primitive behind DLT's statement of the same name
+(``bronze_silver_gold/readme.md:42-70`` documents the MERGE-based CDC
+pattern this generalizes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.operators.scd import (
+    as_of_view,
+    current_view,
+)
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+from azure_databricks_lakehouse_spark.streaming.apply_changes import (
+    APPLY_SEQ,
+    apply_changes,
+    apply_changes_batch,
+)
+
+
+
+def _events(spark, rows):
+    # rows: (id, name, amt, ts_str, op)
+    return spark.createDataFrame(
+        rows, "id int, name string, amt double, ts string, op string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _state(spark, root):
+    return {
+        r.id: (r.name, r.amt)
+        for r in ParquetTable.for_path(spark, root).read().collect()
+    }
+
+
+KW = dict(keys=["id"], sequence_by="ts", apply_as_deletes="op = 'D'")
+
+
+def test_scd1_create_and_latest_per_key_within_batch(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    res = apply_changes_batch(
+        spark,
+        root,
+        _events(
+            spark,
+            [
+                (1, "a0", 1.0, "2024-01-01 00:00:00", "U"),
+                (1, "a1", 2.0, "2024-01-01 00:05:00", "U"),  # later wins
+                (2, "b0", 5.0, "2024-01-01 00:01:00", "U"),
+            ],
+        ),
+        **KW,
+    )
+    assert res == {"upserted": 2, "deleted": 0, "skipped_late": 0}
+    assert _state(spark, root) == {1: ("a1", 2.0), 2: ("b0", 5.0)}
+    # the applied sequence rides the row for the next batch's floor
+    seqs = {
+        r.id: str(r[APPLY_SEQ])
+        for r in ParquetTable.for_path(spark, root).read().collect()
+    }
+    assert seqs[1] == "2024-01-01 00:05:00"
+
+
+def test_scd1_out_of_order_and_replay(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    b1 = _events(spark, [(1, "new", 9.0, "2024-01-02 00:00:00", "U")])
+    apply_changes_batch(spark, root, b1, **KW)
+    # a LATE event (older ts) in a later batch must not clobber
+    late = _events(spark, [(1, "stale", 0.0, "2024-01-01 00:00:00", "U")])
+    res = apply_changes_batch(spark, root, late, **KW)
+    assert res == {"upserted": 0, "deleted": 0, "skipped_late": 1}
+    assert _state(spark, root) == {1: ("new", 9.0)}
+    # replaying an applied batch is a no-op (equal sequence skipped)
+    res = apply_changes_batch(spark, root, b1, **KW)
+    assert res["upserted"] == 0 and res["skipped_late"] == 1
+    assert _state(spark, root) == {1: ("new", 9.0)}
+
+
+def test_scd1_deletes_and_tie_resolution(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    apply_changes_batch(
+        spark,
+        root,
+        _events(
+            spark,
+            [
+                (1, "a", 1.0, "2024-01-01 00:00:00", "U"),
+                (2, "b", 2.0, "2024-01-01 00:00:00", "U"),
+            ],
+        ),
+        **KW,
+    )
+    # delete beats an OLDER update in the same batch; exact-tie -> delete
+    res = apply_changes_batch(
+        spark,
+        root,
+        _events(
+            spark,
+            [
+                (1, "upd", 9.0, "2024-01-02 00:00:00", "U"),
+                (1, None, None, "2024-01-02 00:10:00", "D"),
+                (2, "tie", 7.0, "2024-01-02 00:00:00", "U"),
+                (2, None, None, "2024-01-02 00:00:00", "D"),
+                (3, None, None, "2024-01-02 00:00:00", "D"),  # unmatched
+            ],
+        ),
+        **KW,
+    )
+    assert res == {"upserted": 0, "deleted": 3, "skipped_late": 0}
+    assert _state(spark, root) == {}
+
+
+def test_scd1_validation_and_except_columns(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    with pytest.raises(ValueError, match="missing required columns"):
+        apply_changes_batch(
+            spark,
+            root,
+            spark.createDataFrame([(1,)], "id int"),
+            keys=["id"],
+            sequence_by="ts",
+        )
+    apply_changes_batch(
+        spark,
+        root,
+        _events(spark, [(1, "a", 1.0, "2024-01-01 00:00:00", "U")]),
+        **KW,
+        except_columns=["op"],
+    )
+    cols = ParquetTable.for_path(spark, root).read().columns
+    assert "op" not in cols and APPLY_SEQ in cols
+
+
+def test_scd2_versions_within_and_across_batches(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    res = apply_changes_batch(
+        spark,
+        root,
+        _events(
+            spark,
+            [
+                # two changes of one key in ONE batch -> chained versions
+                (1, "v1", 1.0, "2024-01-01 00:00:00", "U"),
+                (1, "v2", 2.0, "2024-02-01 00:00:00", "U"),
+                (2, "x", 5.0, "2024-01-15 00:00:00", "U"),
+            ],
+        ),
+        scd_type=2,
+        **KW,
+    )
+    assert res == {"versioned": 3, "closed": 0}
+    cur = {r.id: r.name for r in current_view(spark, root).collect()}
+    assert cur == {1: "v2", 2: "x"}
+    jan = {r.id: r.name for r in as_of_view(spark, root, "2024-01-20 00:00:00").collect()}
+    assert jan == {1: "v1", 2: "x"}
+
+    # cross-batch change closes the stored current version
+    res = apply_changes_batch(
+        spark,
+        root,
+        _events(spark, [(1, "v3", 3.0, "2024-03-01 00:00:00", "U")]),
+        scd_type=2,
+        **KW,
+    )
+    assert res == {"versioned": 1, "closed": 1}
+    hist = (
+        ParquetTable.for_path(spark, root)
+        .read()
+        .filter("id = 1")
+        .orderBy("effective_from")
+        .collect()
+    )
+    assert [r.name for r in hist] == ["v1", "v2", "v3"]
+    assert [r.is_current for r in hist] == [False, False, True]
+    assert str(hist[1].effective_to) == "2024-03-01 00:00:00"
+
+
+def test_scd2_no_change_suppression_and_replay(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    b1 = _events(spark, [(1, "a", 1.0, "2024-01-01 00:00:00", "U")])
+    apply_changes_batch(spark, root, b1, scd_type=2, **KW)
+    # identical payload at a later ts -> no new version
+    res = apply_changes_batch(
+        spark,
+        root,
+        _events(spark, [(1, "a", 1.0, "2024-06-01 00:00:00", "U")]),
+        scd_type=2,
+        **KW,
+    )
+    assert res == {"versioned": 0, "closed": 0}
+    # replay of batch 1 -> floor refuses (equal sequence)
+    res = apply_changes_batch(spark, root, b1, scd_type=2, **KW)
+    assert res == {"versioned": 0, "closed": 0}
+    assert ParquetTable.for_path(spark, root).read().count() == 1
+
+
+def test_scd2_delete_closes_and_fences_late_events(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    apply_changes_batch(
+        spark,
+        root,
+        _events(spark, [(1, "a", 1.0, "2024-01-01 00:00:00", "U")]),
+        scd_type=2,
+        **KW,
+    )
+    res = apply_changes_batch(
+        spark,
+        root,
+        _events(spark, [(1, None, None, "2024-02-01 00:00:00", "D")]),
+        scd_type=2,
+        **KW,
+    )
+    assert res == {"versioned": 0, "closed": 1}
+    assert current_view(spark, root).count() == 0
+    closed = ParquetTable.for_path(spark, root).read().collect()[0]
+    assert str(closed.effective_to) == "2024-02-01 00:00:00"
+    # a late event BEFORE the delete is fenced by the close time...
+    res = apply_changes_batch(
+        spark,
+        root,
+        _events(spark, [(1, "late", 9.0, "2024-01-15 00:00:00", "U")]),
+        scd_type=2,
+        **KW,
+    )
+    assert res == {"versioned": 0, "closed": 0}
+    assert current_view(spark, root).count() == 0
+    # ...but a genuinely newer event re-opens the key
+    res = apply_changes_batch(
+        spark,
+        root,
+        _events(spark, [(1, "back", 2.0, "2024-03-01 00:00:00", "U")]),
+        scd_type=2,
+        **KW,
+    )
+    assert res == {"versioned": 1, "closed": 0}
+    cur = current_view(spark, root).collect()
+    assert len(cur) == 1 and cur[0].name == "back"
+    # reinsert after delete opens a version even with pre-delete values
+    assert ParquetTable.for_path(spark, root).read().count() == 2
+
+
+def test_scd2_in_batch_delete_then_reinsert(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    apply_changes_batch(
+        spark,
+        root,
+        _events(
+            spark,
+            [
+                (1, "a", 1.0, "2024-01-01 00:00:00", "U"),
+                (1, None, None, "2024-02-01 00:00:00", "D"),
+                (1, "a", 1.0, "2024-03-01 00:00:00", "U"),
+            ],
+        ),
+        scd_type=2,
+        **KW,
+    )
+    hist = (
+        ParquetTable.for_path(spark, root)
+        .read()
+        .orderBy("effective_from")
+        .collect()
+    )
+    # delete closes the first interval; identical values re-open after
+    assert [(r.name, r.is_current) for r in hist] == [
+        ("a", False),
+        ("a", True),
+    ]
+    assert str(hist[0].effective_to) == "2024-02-01 00:00:00"
+    assert str(hist[1].effective_from) == "2024-03-01 00:00:00"
+
+
+def test_streaming_apply_changes_scd1(spark, tmp_path):
+    """End-to-end over a real stream: CDC events land as parquet files,
+    apply_changes drains them with availableNow; a second run with new
+    files advances from the checkpoint and respects the floor."""
+    root = str(tmp_path / "target")
+    src_dir = str(tmp_path / "cdc_in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id int, name string, amt double, ts timestamp, op string"
+
+    _events(
+        spark,
+        [
+            (1, "a", 1.0, "2024-01-01 00:00:00", "U"),
+            (2, "b", 2.0, "2024-01-01 00:00:00", "U"),
+        ],
+    ).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    apply_changes(
+        spark, root, stream, checkpoint=ckpt, **KW
+    ).awaitTermination(120)
+    assert _state(spark, root) == {1: ("a", 1.0), 2: ("b", 2.0)}
+
+    _events(
+        spark,
+        [
+            (1, None, None, "2024-01-02 00:00:00", "D"),
+            (2, "late", 0.0, "2023-12-31 00:00:00", "U"),  # fenced
+            (3, "c", 3.0, "2024-01-02 00:00:00", "U"),
+        ],
+    ).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    apply_changes(
+        spark, root, stream, checkpoint=ckpt, **KW
+    ).awaitTermination(120)
+    assert _state(spark, root) == {2: ("b", 2.0), 3: ("c", 3.0)}
+
+    with pytest.raises(ValueError, match="batch DataFrame"):
+        apply_changes(
+            spark,
+            root,
+            _events(spark, []),
+            checkpoint=ckpt,
+            **KW,
+        )
