@@ -99,3 +99,28 @@ def md5_u16_sql(expr: str) -> str:
         f"{hex_nibble_sql(h, i + 1)} * {16 ** (3 - i)}" for i in range(4)
     )
     return f"({terms})"
+
+
+_U24 = 16**6
+
+
+def md5_uniform01(col: Column, seed: int) -> Column:
+    """Deterministic uniform strictly inside (0, 1): ``(raw + 0.5) /
+    2^24`` from the first six md5 nibbles of ``(col, seed)``.  The
+    half-step offset keeps both endpoints out, so downstream
+    ``-ln(-ln(u))`` (Gumbel keys for weighted sampling) can never hit
+    ±inf.  ~16.7M distinct levels; same value for the same (id, seed)
+    in every engine, every partitioning, every rerun."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(f"#{seed}")))
+    raw = F.lit(0)
+    for i in range(1, 7):
+        raw = raw * 16 + hex_nibble(h, i)
+    return (raw.cast("double") + F.lit(0.5)) / F.lit(float(_U24))
+
+
+def md5_uniform01_sql(expr: str, seed: int) -> str:
+    h = f"md5(CAST({expr} AS VARCHAR) || '#{seed}')"
+    raw = "0"
+    for i in range(1, 7):
+        raw = f"({raw} * 16 + {hex_nibble_sql(h, i)})"
+    return f"((CAST({raw} AS DOUBLE) + 0.5) / {float(_U24)})"

@@ -1,0 +1,235 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023).
+
+The published recipe for steering a crawl-scale pretraining corpus
+toward a high-quality target distribution (the method behind
+"select web pages that look like Wikipedia/books"): represent every
+document as hashed n-gram counts, fit two bag-of-buckets unigram models
+(target corpus vs raw pool), score each raw document with the
+log-likelihood ratio, and sample the corpus ∝ exp(score) via Gumbel
+top-k.  Complements :mod:`operators.mixture` (which reweights whole
+DOMAINS): DSIR ranks individual DOCUMENTS.
+
+Spark-first shape, zero UDF:
+
+- **Features** are hashed (uni+bi)-gram counts: one projection builds
+  the gram array (tokens materialized into a column BEFORE the lambda
+  that pairs them — the O(len²) recompute trap), `md5`-derived buckets
+  keep Spark and the DuckDB oracle bit-identical, and one
+  explode + hash-aggregate yields ``(id, bucket, n)`` with map-side
+  partials.  Nothing in the hot path is per-row Python.
+- **Fitting is ∝ dim, not corpus**: each corpus collapses to at most
+  ``dim`` bucket counts (partial-aggregated before the shuffle); the
+  ratio table is built over ``spark.range(dim)`` with corpus totals
+  broadcast-attached as scalar state — no ``collect()`` anywhere.
+- **Scoring** broadcast-joins the dim-row ratio table to the feature
+  counts and folds per-document contributions SORTED BY BUCKET
+  (``collect_list → array_sort → aggregate``), the same sequential-fold
+  trick the BM25/RRF operators use, so double summation order — and
+  therefore the resampled set — is identical in any engine and under
+  any partitioning.
+- **Resampling** is the Gumbel top-k trick: key = score + G where
+  G = -ln(-ln(u)) and u is the deterministic md5 uniform
+  (`functions/hashing.md5_uniform01` — strictly interior, so G is
+  always finite).  Top-k is ``orderBy(...).limit(k)`` —
+  TakeOrderedAndProject, a per-partition heap + driver merge of k
+  rows, never a global sort.
+
+At 100 TB: features and scores are projections + one (id, bucket)
+aggregate; the only broadcast is the dim-row ratio table (KBs); the
+top-k never materializes more than k rows per partition.  Skewed
+documents (pathologically long texts) bound their cost by their own
+token count — there is no cross-document join at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.functions.hashing import (
+    md5_u16,
+    md5_uniform01,
+)
+
+DEFAULT_DIM = 4096
+
+
+@dataclass(frozen=True)
+class ImportanceModel:
+    """Fitted DSIR model: ``ratios`` is a complete ``dim``-row frame
+    ``(bucket int, log_ratio double)`` — every possible feature bucket
+    has a row (unseen buckets carry the smoothed prior ratio), so
+    scoring never needs a fallback constant.  The frame is lazy like
+    any DataFrame; persist it (or write it to a table) when scoring
+    many batches against one fit."""
+
+    ratios: DataFrame
+    dim: int
+    bigrams: bool
+    smoothing: float
+
+
+def _gram_buckets(df: DataFrame, text_col: str, dim: int, bigrams: bool):
+    """Adds ``__bucket`` via posexplode-free explode of the hashed gram
+    array; returns the exploded frame (one row per gram occurrence)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    out = df.withColumn("__toks", toks)
+    grams = F.col("__toks")
+    if bigrams:
+        bi = F.when(
+            F.size("__toks") >= 2,
+            F.zip_with(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                lambda a, b: F.concat(a, F.lit("_"), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(grams, bi)
+    return (
+        out.withColumn("__gram", F.explode(grams))
+        .withColumn("__bucket", md5_u16(F.col("__gram")) % F.lit(dim))
+        .drop("__toks", "__gram")
+    )
+
+
+def feature_counts(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Hashed n-gram counts per document: ``(id, bucket, n)``."""
+    return (
+        _gram_buckets(docs.select(id_col, text_col), text_col, dim, bigrams)
+        .groupBy(id_col, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(id_col, F.col("__bucket").alias("bucket"), F.col("__n").alias("n"))
+    )
+
+
+def _bucket_totals(
+    docs: DataFrame, text_col: str, dim: int, bigrams: bool
+) -> DataFrame:
+    return (
+        _gram_buckets(docs.select(text_col), text_col, dim, bigrams)
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def fit_importance(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> ImportanceModel:
+    """Fit per-bucket log-likelihood ratios log p_target(b)/p_raw(b)
+    with add-``smoothing`` Laplace priors.  ``target_docs`` is the
+    (small) exemplar corpus, ``raw_docs`` the pool to be scored — per
+    the paper, fit the raw side on the pool itself or any sample large
+    enough to estimate bucket frequencies."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (the prior keeps every "
+                         "bucket's probability finite)")
+    spark = target_docs.sparkSession
+    t = _bucket_totals(target_docs, text_col, dim, bigrams)
+    r = _bucket_totals(raw_docs, text_col, dim, bigrams)
+    # corpus totals as broadcast scalar state (no driver collect)
+    t_tot = t.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__t_total"))
+    r_tot = r.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__r_total"))
+    a = float(smoothing)
+    ratios = (
+        spark.range(dim)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(t.withColumnRenamed("cnt", "__tc"), F.col("bucket") == F.col("__bucket"), "left")
+        .drop("__bucket")
+        .join(r.withColumnRenamed("cnt", "__rc"), F.col("bucket") == F.col("__bucket"), "left")
+        .drop("__bucket")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(a))
+                    / (F.col("__t_total") + F.lit(a * dim))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(a))
+                    / (F.col("__r_total") + F.lit(a * dim))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    return ImportanceModel(ratios=ratios, dim=dim, bigrams=bigrams, smoothing=a)
+
+
+def score_importance(
+    docs: DataFrame,
+    model: ImportanceModel,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "importance",
+) -> DataFrame:
+    """Per-document importance log-weight: Σ_b n_b · log_ratio(b).
+
+    Documents with no tokens score 0 (the empty product — they are
+    exactly as likely under either model).  The per-doc sum folds over
+    bucket-sorted contributions, so the double is bit-identical
+    regardless of partitioning or engine."""
+    feats = feature_counts(
+        docs, id_col=id_col, text_col=text_col, dim=model.dim, bigrams=model.bigrams
+    )
+    scores = (
+        feats.join(F.broadcast(model.ratios), "bucket")
+        .withColumn("__c", F.col("n").cast("double") * F.col("log_ratio"))
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "__c"))),
+                    lambda s: s["__c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(out_col)
+        )
+    )
+    return docs.join(scores, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0.0))
+    )
+
+
+def importance_resample(
+    docs: DataFrame,
+    model: ImportanceModel,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Select ``k`` documents ∝ exp(importance) without replacement —
+    the Gumbel top-k equivalence (add independent Gumbel noise to each
+    log-weight, take the k largest).  Deterministic for a given
+    ``seed``: the noise is the md5 uniform of (id, seed), so the same
+    call returns the same k rows on any cluster."""
+    scored = score_importance(
+        docs, model, id_col=id_col, text_col=text_col, out_col="importance"
+    )
+    u = md5_uniform01(F.col(id_col), seed)
+    key = F.col("importance") + (-F.log(-F.log(u)))
+    return (
+        scored.withColumn("__gumbel_key", key)
+        .orderBy(F.col("__gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__gumbel_key")
+    )
