@@ -1172,7 +1172,13 @@ class Lakehouse:
             .alias(c)
             for c in tgt_cols
         ]
-        rewritten = joined.filter(matched | ins_keep).select(
+        # Insert-only MERGE (no WHEN MATCHED clause): matched source rows
+        # must not reach merge() even as no-op updates — Delta permits a
+        # source with duplicate matches to one target row when no matched
+        # clause exists, and validate_source_keys would otherwise abort.
+        # Mirrors the INSERT-* fast path's anti-join semantics.
+        row_keep = (matched | ins_keep) if matched_clauses else (~matched & ins_keep)
+        rewritten = joined.filter(row_keep).select(
             *payload, delete_flag.alias("__merge_delete")
         )
         if bysrc_clauses:

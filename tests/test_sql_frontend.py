@@ -332,6 +332,47 @@ def test_merge_duplicate_source_match_aborts_sql(spark, tmp_path, lh):
     assert lh.sql("SELECT * FROM t").collect()[0].amt == 1.0
 
 
+def test_merge_insert_only_allows_duplicate_matched_source(spark, tmp_path, lh):
+    """Round-8 ADVICE item 1: an insert-only MERGE (no WHEN MATCHED
+    clause) must ACCEPT a source whose duplicate keys match one target
+    row — Delta only aborts when a matched clause would make the update
+    nondeterministic.  Matched duplicates simply don't fire INSERT; the
+    target row stays byte-identical.  Both the per-column rewrite and
+    the INSERT-* star fast path agree."""
+    _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    spark.createDataFrame(
+        [(1, "x", 9.0), (1, "y", 8.0), (5, "n", 5.0)],
+        "id int, cat string, amt double",
+    ).createOrReplaceTempView("insdup")
+    # per-column INSERT (cols) VALUES — previously aborted via
+    # validate_source_keys even though no matched clause existed
+    lh.sql(
+        "MERGE INTO t USING insdup AS s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, cat, amt) "
+        "VALUES (s.id, upper(s.cat), s.amt)"
+    )
+    got = {(r.id, r.cat, r.amt) for r in lh.sql("SELECT * FROM t").collect()}
+    assert got == {(1, "a", 1.0), (5, "N", 5.0)}
+    # star fast path stays consistent (second run: 5 now matched too)
+    lh.sql(
+        "MERGE INTO t USING insdup AS s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert lh.sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
+    # predicated insert-only: unmatched row gated by its predicate
+    spark.createDataFrame(
+        [(1, "z", 7.0), (8, "lo", 0.5), (9, "hi", 9.9)],
+        "id int, cat string, amt double",
+    ).createOrReplaceTempView("insdup2")
+    lh.sql(
+        "MERGE INTO t USING insdup2 AS s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.amt > 1 THEN INSERT (id, cat, amt) "
+        "VALUES (s.id, s.cat, s.amt)"
+    )
+    got = {(r.id, r.cat) for r in lh.sql("SELECT * FROM t").collect()}
+    assert got == {(1, "a"), (5, "N"), (9, "hi")}
+
+
 def test_optimize_vacuum_history_detail(spark, tmp_path, lh):
     t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
     for i in range(2, 6):
