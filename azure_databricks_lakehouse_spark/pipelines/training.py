@@ -122,6 +122,10 @@ def prepare_training_corpus(
     boilerplate_min_line_chars: int = 10,
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_dim: int = 4096,
+    dsir_seed: int = 0,
     domain_col: str | None = None,
     mixture_temperature: float | None = None,
     mixture_weights: dict | None = None,
@@ -340,6 +344,27 @@ def prepare_training_corpus(
             max_fp_doc_frac=decontaminate_max_fp_doc_frac,
         )
         kept = _note("decontaminate", kept)
+
+    # 4b. optional DSIR importance resampling (`operators/dsir`, Xie et
+    # al. 2023): steer the cleaned pool toward a target distribution by
+    # Gumbel-top-k sampling ∝ exp(log-likelihood ratio).  Runs AFTER
+    # dedup/decontamination (duplicate clusters would otherwise inflate
+    # their own selection odds) and BEFORE redaction/packing so the
+    # expensive tail stages only touch selected documents.
+    if dsir_target is not None and dsir_k is not None:
+        from azure_databricks_lakehouse_spark.operators.dsir import (
+            fit_importance,
+            importance_resample,
+        )
+
+        model = fit_importance(
+            dsir_target, kept, text_col=text_col, dim=dsir_dim
+        )
+        kept = importance_resample(
+            kept, model, dsir_k, id_col=id_col, text_col=text_col,
+            seed=dsir_seed,
+        ).drop("importance")
+        kept = _note("dsir_select", kept)
 
     # 5. PII redaction (audit columns dropped from the corpus payload)
     scrubbed = redact(kept, text_col=text_col, audit=False)

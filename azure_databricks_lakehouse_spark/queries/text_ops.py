@@ -220,17 +220,42 @@ LIMIT 50
 
 
 # --- q41: training-data prep capstone (dedup → filter → split) -------------
-def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LLM-ingest pipeline in one plan: exact dedup (keep min doc_id
-    per content fingerprint) → language/quality gate (stopword ratio +
-    length) → deterministic hash split → per-split corpus stats.  Runs
-    over the duplicated variant corpus so the dedup stage has real work.
+# DSIR part parameters (operators/dsir): target exemplars = English docs,
+# raw pool = whole corpus; resample _DSIR_K docs ∝ exp(importance).
+_DSIR_DIM = 4096
+_DSIR_K = 100
+_DSIR_SEED = 7
+_DSIR_TARGET_LANG = "en"
 
-    One window shuffle (fingerprint dedup) + one final aggregate; the
-    filters and split assignment ride along as projections.
-    """
+
+def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-ingest pipeline in one plan, as a tagged union:
+
+    - ``part='pipeline'``: exact dedup (keep min doc_id per content
+      fingerprint) → language/quality gate (stopword ratio + length) →
+      deterministic hash split → per-split corpus stats.  Runs over the
+      duplicated variant corpus so the dedup stage has real work.  One
+      window shuffle + one final aggregate.
+    - ``part='dsir'``: DSIR importance resampling (``operators/dsir``,
+      Xie et al. 2023) — fit hashed-(uni+bi)-gram bucket models on the
+      English exemplar corpus vs the whole pool, score every document
+      with the log-likelihood ratio, Gumbel-top-``k`` resample
+      ∝ exp(importance) (deterministic md5 uniforms, seed {seed}), and
+      aggregate the SELECTED set per language.  ``sum_doc_id`` pins the
+      exact selected membership in the oracle's value hash; a working
+      DSIR makes English dominate the selection, which the oracle
+      verifies quantitatively rather than just directionally.
+
+    Doubles (log-ratios, Gumbel keys) are ORDER-ONLY — the emitted
+    columns are integer aggregates, so last-ulp ln() differences between
+    engines can't flip the hash (same stance as q30's BM25 part).
+    """.format(seed=_DSIR_SEED)
     from pyspark.sql import Window
 
+    from azure_databricks_lakehouse_spark.operators.dsir import (
+        fit_importance,
+        importance_resample,
+    )
     from azure_databricks_lakehouse_spark.queries.dedup_ops import _variant_corpus
 
     corpus = _variant_corpus(spark, sf_dir)
@@ -244,7 +269,7 @@ def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
     )
-    return (
+    pipeline = (
         corpus.withColumn("canonical", canonical)
         .filter(F.col("doc_id") == F.col("canonical"))
         .withColumn("n_tokens", n_tokens)
@@ -253,16 +278,48 @@ def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("sum_doc_id"),
         )
+        .select(F.lit("pipeline").alias("part"), "split", "n_docs",
+                "total_tokens", "sum_doc_id")
     )
+    docs = bind(spark, sf_dir, "documents")["documents"]
+    model = fit_importance(
+        docs.filter(F.col("lang") == _DSIR_TARGET_LANG),
+        docs,
+        text_col="text",
+        dim=_DSIR_DIM,
+    )
+    picked = importance_resample(
+        docs, model, _DSIR_K, id_col="doc_id", text_col="text", seed=_DSIR_SEED
+    )
+    sel_toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    dsir = (
+        picked.groupBy(F.col("lang").alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(sel_toks)).alias("total_tokens"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .select(F.lit("dsir").alias("part"), "split", "n_docs",
+                "total_tokens", "sum_doc_id")
+    )
+    return pipeline.unionByName(dsir)
 
 
 def _q41_sql() -> str:
-    from azure_databricks_lakehouse_spark.functions.hashing import md5_bucket_sql
+    from azure_databricks_lakehouse_spark.functions.hashing import (
+        md5_bucket_sql,
+        md5_u16_sql,
+        md5_uniform01_sql,
+    )
     from azure_databricks_lakehouse_spark.queries.dedup_ops import _CORPUS_SQL
 
     bucket_sql = md5_bucket_sql("doc_id")
     stop_list = ", ".join("'" + s + "'" for s in _STOPWORDS)
+    gram_hash = md5_u16_sql("gram")
+    u = md5_uniform01_sql("d.doc_id", _DSIR_SEED)
+    a_dim = float(_DSIR_DIM)  # Laplace smoothing 1.0 * dim, as a double
     return f"""
 {_CORPUS_SQL},
 deduped AS (
@@ -283,14 +340,83 @@ gated AS (
   SELECT doc_id, n_tokens, {bucket_sql} AS bucket
   FROM scored
   WHERE n_tokens >= 30 AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
+),
+pipeline AS (
+  SELECT 'pipeline' AS part,
+         CASE WHEN bucket < 204 THEN 'train'
+              WHEN bucket < 230 THEN 'val'
+              ELSE 'test' END AS split,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+  FROM gated
+  GROUP BY 2
+),
+ddocs AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), t -> t != '') AS toks
+  FROM documents
+),
+dgrams AS (
+  SELECT doc_id, lang,
+         unnest(toks || CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || '_' || toks[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM ddocs
+),
+dbuck AS (
+  SELECT doc_id, lang, {gram_hash} % {_DSIR_DIM} AS bucket FROM dgrams
+),
+tcnt AS (
+  SELECT bucket, COUNT(*) AS tc FROM dbuck
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+),
+rcnt AS (SELECT bucket, COUNT(*) AS rc FROM dbuck GROUP BY bucket),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(tc), 0) FROM tcnt) AS t_total,
+         (SELECT COALESCE(SUM(rc), 0) FROM rcnt) AS r_total
+),
+ratios AS (
+  SELECT b.range AS bucket,
+         ln((COALESCE(tc, 0) + 1.0) / (t_total + {a_dim}))
+       - ln((COALESCE(rc, 0) + 1.0) / (r_total + {a_dim})) AS log_ratio
+  FROM range({_DSIR_DIM}) b
+  LEFT JOIN tcnt t ON b.range = t.bucket
+  LEFT JOIN rcnt r ON b.range = r.bucket
+  CROSS JOIN tot
+),
+dfeat AS (
+  SELECT doc_id, bucket, COUNT(*) AS n FROM dbuck GROUP BY doc_id, bucket
+),
+dcontrib AS (
+  SELECT f.doc_id, f.bucket, CAST(f.n AS DOUBLE) * r.log_ratio AS c
+  FROM dfeat f JOIN ratios r USING (bucket)
+),
+dscore0 AS (
+  SELECT doc_id,
+         list_sum(list_transform(
+           list_sort(list(struct_pack(b := bucket, c := c))),
+           x -> x.c)) AS importance
+  FROM dcontrib GROUP BY doc_id
+),
+dpick AS (
+  SELECT d.doc_id, d.lang, len(d.toks) AS n_toks
+  FROM ddocs d LEFT JOIN dscore0 s ON d.doc_id = s.doc_id
+  ORDER BY COALESCE(s.importance, 0.0) + (-ln(-ln({u}))) DESC, d.doc_id
+  LIMIT {_DSIR_K}
+),
+dsir AS (
+  SELECT 'dsir' AS part, lang AS split,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+  FROM dpick
+  GROUP BY 2
 )
-SELECT CASE WHEN bucket < 204 THEN 'train'
-            WHEN bucket < 230 THEN 'val'
-            ELSE 'test' END AS split,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-FROM gated
-GROUP BY 1
+SELECT * FROM pipeline
+UNION ALL
+SELECT * FROM dsir
 """
 
 

@@ -1,0 +1,132 @@
+"""DSIR importance resampling (`operators/dsir`): Xie et al. 2023's
+data-selection recipe — hashed n-gram bucket models, log-likelihood
+ratio scoring, Gumbel top-k resampling.
+
+The reference has no counterpart (its notebooks stop at DQ filtering);
+this is part of the LLM-training-data surface the build adds on top.
+Scale stance under test: fitting collapses each corpus to ≤ dim bucket
+counts before any join, scoring is one broadcast join + one aggregate,
+and the top-k is TakeOrderedAndProject — no collect, no cartesian, no
+global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.operators.dsir import (
+    feature_counts,
+    fit_importance,
+    importance_resample,
+    score_importance,
+)
+from azure_databricks_lakehouse_spark.plans import (
+    assert_no_cartesian,
+    physical_plan,
+)
+
+_TARGET = [
+    (i, "the history of science records careful observation and theory")
+    for i in range(8)
+]
+_GOOD = [
+    (100 + i, "science history shows observation and careful theory at work")
+    for i in range(6)
+]
+_SPAM = [
+    (200 + i, "buy cheap pills click now win prize casino bonus offer")
+    for i in range(6)
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    target = spark.createDataFrame(_TARGET, "doc_id long, text string")
+    pool = spark.createDataFrame(_GOOD + _SPAM, "doc_id long, text string")
+    return target, pool
+
+
+def test_target_like_docs_outrank_spam(spark, corpus):
+    target, pool = corpus
+    model = fit_importance(target, pool, dim=512)
+    scored = score_importance(pool, model)
+    rows = {r.doc_id: r.importance for r in scored.collect()}
+    good = [rows[d] for d, _ in _GOOD]
+    spam = [rows[d] for d, _ in _SPAM]
+    assert min(good) > max(spam), (good, spam)
+    # and the resampled set is exactly the target-like half
+    picked = importance_resample(pool, model, len(_GOOD))
+    assert {r.doc_id for r in picked.collect()} == {d for d, _ in _GOOD}
+
+
+def test_empty_doc_scores_zero(spark, corpus):
+    target, _ = corpus
+    pool = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "science history")],
+        "doc_id long, text string",
+    )
+    model = fit_importance(target, pool, dim=512)
+    rows = {r.doc_id: r.importance for r in score_importance(pool, model).collect()}
+    assert rows[1] == 0.0 and rows[2] == 0.0
+    assert rows[3] != 0.0
+
+
+def test_deterministic_under_reshuffle(spark, corpus):
+    target, pool = corpus
+    model = fit_importance(target, pool, dim=512)
+    base = {
+        (r.doc_id, r.importance)
+        for r in score_importance(pool, model).collect()
+    }
+    shuffled = {
+        (r.doc_id, r.importance)
+        for r in score_importance(pool.repartition(7), model).collect()
+    }
+    # bit-identical doubles: contributions fold bucket-sorted, so the
+    # sum order never depends on partitioning
+    assert base == shuffled
+    k = 5
+    p1 = sorted(r.doc_id for r in importance_resample(pool, model, k, seed=3).collect())
+    p2 = sorted(
+        r.doc_id
+        for r in importance_resample(pool.repartition(5), model, k, seed=3).collect()
+    )
+    assert p1 == p2
+
+
+def test_feature_counts_shape(spark, corpus):
+    _, pool = corpus
+    feats = feature_counts(pool, dim=64, bigrams=False)
+    assert feats.columns == ["doc_id", "bucket", "n"]
+    row = feats.agg(F.max("bucket").alias("mx"), F.min("bucket").alias("mn")).collect()[0]
+    assert 0 <= row.mn and row.mx < 64
+    # unigram-only: total gram count == total token count
+    total = feats.agg(F.sum("n").alias("s")).collect()[0].s
+    n_toks = pool.select(
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != "")).alias("n")
+    ).agg(F.sum("n").alias("s")).collect()[0].s
+    assert total == n_toks
+
+
+def test_smoothing_validation(spark, corpus):
+    target, pool = corpus
+    with pytest.raises(ValueError, match="smoothing"):
+        fit_importance(target, pool, smoothing=0.0)
+
+
+def test_plan_shapes(spark, corpus):
+    """100 TB discipline: no CartesianProduct anywhere (the two 1-row
+    corpus-total attaches are broadcast NLJs over single-row frames —
+    metadata, not data); the ratio join onto per-doc features is a
+    broadcast hash join; the resample top-k is TakeOrderedAndProject,
+    never a global sort."""
+    target, pool = corpus
+    model = fit_importance(target, pool, dim=512)
+    picked = importance_resample(pool, model, 5)
+    assert_no_cartesian(picked)
+    plan = physical_plan(picked)
+    assert "BroadcastHashJoin" in plan  # ratios broadcast onto features
+    assert "TakeOrderedAndProject" in plan
+    # the only NLJs are the two single-row total attaches
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

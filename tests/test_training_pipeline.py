@@ -185,6 +185,59 @@ def test_domain_mixture_stage(spark):
     assert man.select("doc_id", "_epoch").distinct().count() == man.count()
 
 
+def test_dsir_stage_selects_target_like_docs(spark):
+    """Optional stage 4b (operators/dsir): with a science-flavored
+    exemplar set, the resampled corpus keeps the science-flavored pool
+    docs and drops the commerce-flavored ones; the audit records the
+    stage and downstream packing still sees a clean schema."""
+    import random
+
+    sci = ("theory experiment observation hypothesis measurement sample "
+           "control variable analysis result method instrument data model "
+           "paper review journal study field laboratory").split()
+    shop = ("discount checkout voucher shipping warehouse cart price deal "
+            "stock order invoice refund coupon brand retail basket offer "
+            "payment delivery customer").split()
+
+    conn = ["of the", "and the", "in the", "on the", "to the",
+            "for the", "with the", "is the"]
+
+    def _doc(vocab, seed):
+        # random draws from a topic vocabulary with RANDOM stopword
+        # connectors: quality-gate-passing, but no shared 8-gram
+        # shingles, so the fuzzy-dedup stage doesn't collapse the pool
+        rng = random.Random(seed)
+        words = rng.choices(vocab, k=20)
+        out = ["the", words[0]]
+        for w in words[1:]:
+            out.append(rng.choice(conn))
+            out.append(w)
+        return " ".join(out)
+
+    target = spark.createDataFrame(
+        [(900 + i, _doc(sci, f"t{i}")) for i in range(6)],
+        "doc_id int, text string",
+    )
+    pool = spark.createDataFrame(
+        [(i, _doc(sci, f"p{i}")) for i in range(5)]
+        + [(50 + i, _doc(shop, f"s{i}")) for i in range(5)],
+        "doc_id int, text string",
+    )
+    res = prepare_training_corpus(
+        pool,
+        dsir_target=target,
+        dsir_k=5,
+        dsir_dim=512,
+        max_doc_freq=None,
+        decontaminate_max_fp_doc_frac=None,
+    )
+    assert res.audit["dsir_select"] == 5
+    survivors = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    assert survivors == {0, 1, 2, 3, 4}, survivors
+    # the packing manifest covers exactly the selected docs
+    assert res.manifest.count() == 5
+
+
 def test_boilerplate_stage_strips_repeated_lines(spark):
     """Stage 0 (operators/linedup): the per-site footer repeated across
     documents is stripped before quality/dedup; a document that was ALL
