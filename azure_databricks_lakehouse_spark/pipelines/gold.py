@@ -116,6 +116,30 @@ def _durable_scd1_dim(
     return ParquetTable.for_path(spark, path).read()
 
 
+def _member_attrs(members: DataFrame) -> DataFrame:
+    return members.select(
+        F.col("member_id").alias("member_key"),
+        "first_name",
+        "last_name",
+        "date_of_birth",
+        "gender",
+        "zip_code",
+        "plan_type",
+    )
+
+
+def _provider_attrs(providers: DataFrame) -> DataFrame:
+    return providers.select(
+        F.col("provider_id").alias("provider_key"),
+        "provider_name",
+        "npi",
+        "specialty",
+        "facility_type",
+        "address_state",
+        "network_status",
+    )
+
+
 def build_dim_member(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
     """SCD1 member dim (``gold/gold_rx_claims_load.py:87-108``; the pattern
     doc says SCD2 at ``bronze_silver_gold/readme.md:56`` — code wins,
@@ -124,15 +148,7 @@ def build_dim_member(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
     return _durable_scd1_dim(
         spark,
         paths.dim_member,
-        members.select(
-            F.col("member_id").alias("member_key"),
-            "first_name",
-            "last_name",
-            "date_of_birth",
-            "gender",
-            "zip_code",
-            "plan_type",
-        ),
+        _member_attrs(members),
         "member_sk",
         business_key="member_key",
     )
@@ -143,18 +159,69 @@ def build_dim_provider(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
     return _durable_scd1_dim(
         spark,
         paths.dim_provider,
-        providers.select(
-            F.col("provider_id").alias("provider_key"),
-            "provider_name",
-            "npi",
-            "specialty",
-            "facility_type",
-            "address_state",
-            "network_status",
-        ),
+        _provider_attrs(providers),
         "provider_sk",
         business_key="provider_key",
     )
+
+
+def _scoped_dim_refresh(
+    spark: SparkSession,
+    path: str,
+    attrs: DataFrame,
+    sk_name: str,
+    business_key: str,
+) -> DataFrame:
+    """Per-trigger dim maintenance with cost ∝ the micro-batch: ``attrs``
+    is the dim projection ALREADY semi-joined to the batch's business
+    keys.  Keys whose attributes match the stored dim row are dropped
+    from the work set; new keys get ``max(sk) + dense-rank`` surrogates;
+    changed keys keep their durable SK and ``dim_created_timestamp``.
+    The survivors MERGE on the business key — with the table layer's
+    touched-file pruning, only data files containing those keys rewrite,
+    and a trigger with nothing new leaves the dim table's files
+    byte-untouched (no commit at all).
+
+    Contract vs the batch build: FK integrity for every key the stream
+    has seen, and SCD1 attribute refresh for TOUCHED keys; attribute
+    drift on keys the stream never sees again is reconciled by the next
+    batch :func:`build_dim_member` / :func:`build_dim_provider` run (the
+    standard streaming-dim split — per-trigger cost can't be ∝ batch AND
+    observe every quiet-key change)."""
+    table = ParquetTable.for_path(spark, path)
+    dim = table.read()
+    attr_cols = [c for c in attrs.columns if c != business_key]
+    cur = dim.select(
+        business_key,
+        sk_name,
+        "dim_created_timestamp",
+        *[F.col(c).alias(f"__cur_{c}") for c in attr_cols],
+    )
+    joined = attrs.join(cur, business_key, "left")
+    changed = F.col(sk_name).isNull()  # new key
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+    delta = joined.filter(changed)
+    if delta.isEmpty():
+        return dim
+    max_sk = dim.agg(F.max(sk_name)).first()[0] or 0
+    new_keyed = (
+        add_surrogate_key(
+            delta.filter(F.col(sk_name).isNull()).select(business_key, *attr_cols),
+            sk_name,
+            business_key=business_key,
+        )
+        .withColumn(sk_name, (F.col(sk_name) + F.lit(max_sk)).cast("long"))
+        .withColumn("dim_created_timestamp", F.current_timestamp())
+    )
+    refreshed = delta.filter(F.col(sk_name).isNotNull()).select(
+        business_key, *attr_cols, sk_name, "dim_created_timestamp"
+    )
+    table.merge(
+        refreshed.unionByName(new_keyed).select(*dim.columns),
+        on=[business_key],
+    )
+    return table.read()
 
 
 def _fact_frame(
@@ -341,8 +408,14 @@ def stream(
     the stream, as on Databricks where they'd be a separate rollup job.
 
     Scale: cost per trigger ∝ changed silver rows (CDF streams sidecar
-    files, never rescans silver); dims broadcast inside the join; the
-    fact MERGE partition-prunes on ``service_month`` files as ever.
+    files, never rescans silver); dim refresh is scoped to the batch's
+    member/provider keys (:func:`_scoped_dim_refresh` — a quiet batch
+    leaves the dim tables' files byte-untouched); dims broadcast inside
+    the join; and the fact MERGE's keys (claim_id, claim_line_number)
+    don't subsume the ``service_month`` partitioning, so it relies on
+    the table layer's TOUCHED-FILE pruning instead — only fact files
+    containing matched claim keys rewrite, discovered by a column-pruned
+    key scan (Delta's findTouchedFiles shape).
     """
     from pyspark.sql.window import Window
 
@@ -371,8 +444,45 @@ def stream(
         )
         if latest.isEmpty():
             return
-        dim_member = build_dim_member(sess, paths)
-        dim_provider = build_dim_provider(sess, paths)
+        # dim refresh ∝ batch keys: semi-join the silver dims' sources
+        # on the batch's member/provider ids; the first trigger (no dim
+        # table yet) does the one full build, matching the batch path.
+        if is_table(paths.dim_member):
+            members = ParquetTable.for_path(sess, paths.silver_members).read()
+            dim_member = _scoped_dim_refresh(
+                sess,
+                paths.dim_member,
+                _member_attrs(members).join(
+                    latest.select(
+                        F.col("member_id").alias("member_key")
+                    ).distinct(),
+                    "member_key",
+                    "semi",
+                ),
+                "member_sk",
+                business_key="member_key",
+            )
+        else:
+            dim_member = build_dim_member(sess, paths)
+        if is_table(paths.dim_provider):
+            providers = ParquetTable.for_path(
+                sess, paths.silver_providers
+            ).read()
+            dim_provider = _scoped_dim_refresh(
+                sess,
+                paths.dim_provider,
+                _provider_attrs(providers).join(
+                    latest.select(
+                        F.col("provider_id").alias("provider_key")
+                    ).distinct(),
+                    "provider_key",
+                    "semi",
+                ),
+                "provider_sk",
+                business_key="provider_key",
+            )
+        else:
+            dim_provider = build_dim_provider(sess, paths)
         dim_date = ParquetTable.for_path(sess, paths.dim_date).read()
         upserts = latest.filter(
             F.col("_change_type") != "delete"

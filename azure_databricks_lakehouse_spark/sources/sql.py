@@ -324,6 +324,8 @@ class Lakehouse:
             return self._fsck(stmt)
         if kw in ("CACHE", "UNCACHE"):
             return self._cache(stmt)
+        if kw == "APPLY":
+            return self._apply_changes(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
 
     _CACHE = _ci(r"^(CACHE|UNCACHE)\s+TABLE\s+(`?[\w.]+`?)$")
@@ -1271,6 +1273,100 @@ class Lakehouse:
                 "SOURCE columns (the engine's when_matched_delete contract)"
             )
         return re.sub(rf"\b{re.escape(s_alias)}\s*\.", "", pred)
+
+    # -- APPLY CHANGES INTO (DLT declarative CDC) ---------------------------
+
+    _APPLY = _ci(
+        r"^APPLY\s+CHANGES\s+INTO\s+(?P<tgt>`?[\w.]+`?)\s+FROM\s+"
+        r"(?P<src>\(.*?\)|`?[\w.]+`?)\s+(?P<clauses>.+)$"
+    )
+    _APPLY_KEYS = _ci(r"\bKEYS\s*\(([^)]*)\)")
+    _APPLY_SEQ = _ci(r"\bSEQUENCE\s+BY\s+(`?\w+`?)")
+    _APPLY_DEL = _ci(
+        r"\bAPPLY\s+AS\s+DELETE\s+WHEN\s+(?P<pred>.+?)\s*"
+        r"(?=\bSEQUENCE\s+BY\b|\bCOLUMNS\b|\bEXCEPT\b|\bSTORED\s+AS\b|$)"
+    )
+    _APPLY_EXCEPT = _ci(r"\b(?:COLUMNS\s+\*\s+)?EXCEPT\s*\(([^)]*)\)")
+    _APPLY_SCD = _ci(r"\bSTORED\s+AS\s+SCD\s+TYPE\s+([12])\b")
+
+    def _apply_changes(self, stmt: str) -> DataFrame:
+        """DLT's ``APPLY CHANGES INTO`` statement, routed to
+        :func:`streaming.apply_changes.apply_changes_batch`::
+
+            APPLY CHANGES INTO tgt FROM src
+              KEYS (k1, k2)
+              [APPLY AS DELETE WHEN <pred>]
+              SEQUENCE BY seq_col
+              [COLUMNS * EXCEPT (c1, c2)]
+              [STORED AS SCD TYPE {1|2}]
+
+        ``src`` is a registered table, a Spark temp view, or a
+        parenthesized subquery (e.g. over the ``table_changes`` TVF);
+        the statement applies its CURRENT rows as one change batch —
+        sequence floors make re-running it a no-op.  Continuous feeds
+        use the Python :func:`streaming.apply_changes.apply_changes`
+        wrapper over a streaming source; the statement form is the
+        batch/triggered entry point (DLT's own APPLY CHANGES runs
+        exactly this per micro-batch).  An absent target is created on
+        first apply at the warehouse default location and registered.
+        """
+        from azure_databricks_lakehouse_spark.streaming.apply_changes import (
+            apply_changes_batch,
+        )
+
+        m = self._APPLY.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported APPLY CHANGES form: {stmt[:80]!r}")
+        tgt_name = _unquote_ident(m.group("tgt"))
+        src_raw = m.group("src").strip()
+        clauses = m.group("clauses")
+
+        km = self._APPLY_KEYS.search(clauses)
+        sm = self._APPLY_SEQ.search(clauses)
+        if not km or not sm:
+            raise ValueError(
+                "APPLY CHANGES needs KEYS (...) and SEQUENCE BY <col>"
+            )
+        keys = [_unquote_ident(k.strip()) for k in km.group(1).split(",") if k.strip()]
+        sequence_by = _unquote_ident(sm.group(1))
+        dm = self._APPLY_DEL.search(clauses)
+        apply_as_deletes = dm.group("pred").strip() if dm else None
+        em = self._APPLY_EXCEPT.search(clauses)
+        except_columns = (
+            [_unquote_ident(c.strip()) for c in em.group(1).split(",") if c.strip()]
+            if em
+            else ()
+        )
+        scm = self._APPLY_SCD.search(clauses)
+        scd_type = int(scm.group(1)) if scm else 1
+
+        if src_raw.startswith("("):
+            source = self._run_query(src_raw[1:-1].strip())
+        else:
+            src_name = _unquote_ident(src_raw)
+            if src_name in self._paths:
+                source = self.table(src_name).read()
+            else:
+                source = self.spark.table(src_name)
+
+        if tgt_name in self._paths:
+            root = self._paths[tgt_name]
+        else:
+            root = self._default_location(tgt_name)
+        apply_changes_batch(
+            self.spark,
+            root,
+            source,
+            keys=keys,
+            sequence_by=sequence_by,
+            apply_as_deletes=apply_as_deletes,
+            except_columns=except_columns,
+            scd_type=scd_type,
+        )
+        if tgt_name not in self._paths:
+            self.register(tgt_name, root)
+        version = self.table(tgt_name).latest_version()
+        return self._status("APPLY CHANGES", tgt_name, version)
 
     # -- DELETE / UPDATE / INSERT -------------------------------------------
 

@@ -1022,9 +1022,16 @@ class ParquetTable:
         }
 
         def _post_image(frame: DataFrame) -> DataFrame:
+            # assignments cast to the DECLARED column type (SQL UPDATE /
+            # Delta implicit-cast semantics) — without the cast, a
+            # double RHS into a decimal column would commit a data file
+            # whose physical type contradicts the table schema and break
+            # every later read of that file
             out = frame.select(
                 *[
-                    assignments[c].alias(c) if c in assignments else F.col(c)
+                    assignments[c].cast(gtypes[c]).alias(c)
+                    if c in assignments
+                    else F.col(c)
                     for c in schema_cols
                 ]
             )
@@ -1061,9 +1068,13 @@ class ParquetTable:
         if rewrite:
             full = self._read_files_aligned(rewrite, m)
             marked = full.withColumn("__hit", cond)
+            # assignment RHS cast to the declared type BEFORE the
+            # when/otherwise — else Spark coerces the branch types (e.g.
+            # decimal ⊔ double = double) and the rewritten file's
+            # physical type contradicts the table schema
             updated = marked.select(
                 *[
-                    F.when(F.col("__hit"), assignments[c])
+                    F.when(F.col("__hit"), assignments[c].cast(gtypes[c]))
                     .otherwise(F.col(c))
                     .alias(c)
                     if c in assignments
@@ -3003,7 +3014,35 @@ class ParquetTable:
                 target = target.limit(0)
             carried = keep_files
         else:
-            carried = []
+            # Delta's touched-file scan (findTouchedFiles): even when the
+            # merge keys don't subsume the partition columns, only files
+            # actually CONTAINING matched keys need rewriting.  The probe
+            # is a column-pruned scan of the key columns semi-joined with
+            # the distinct source keys (AQE broadcasts the small side —
+            # a streaming micro-batch's keys are KBs); the collected hit
+            # list is file metadata, not row data, bounded by the file
+            # count.  Untouched files carry over by reference, so merge
+            # cost is O(key-column scan) + O(files with matches) +
+            # O(inserts) — never a full-table rewrite.  DV-aware on both
+            # sides: masked rows neither mark a file touched nor get
+            # resurrected by the rewrite.
+            probe_keys = (
+                src_keys if src_keys is not None else source.select(*keys)
+            ).distinct()
+            probe = self._read_files_aligned(m["files"], m, keep_pos=True)
+            hit = (
+                probe.select(*keys, "__rel")
+                .join(probe_keys, keys, "left_semi")
+                .select("__rel")
+                .distinct()
+                .collect()
+            )
+            rewrite_files = sorted(r["__rel"] for r in hit)
+            if rewrite_files:
+                target = self._read_files_dv(rewrite_files, m)
+            else:
+                target = target.limit(0)
+            carried = [f for f in m["files"] if f not in set(rewrite_files)]
 
         # anti against ALL source keys: a matched target row disappears
         # whether its source row is an upsert (replaced below) or a

@@ -42,6 +42,8 @@ def main() -> int:
     # the first measured query.
     next(iter(qs.values()))(spark, sf_dir).collect()
 
+    load_start = os.getloadavg()
+
     per_query: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name, fn in qs.items():
@@ -52,12 +54,29 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - record and continue
             failed[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Drift sentinel (round-8 bench hygiene): re-time the first 3 queries
+    # at the END of the run.  If the box got noisy mid-run, the warm
+    # re-probe diverges from the original timing and the artifact itself
+    # carries the evidence — BENCH_r07 shipped 1.45x load-inflated and
+    # only out-of-band archaeology proved it phantom.
+    reprobe: dict[str, float] = {}
+    for name in list(per_query)[:3]:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).collect()
+            reprobe[name] = round(time.time() - t0, 3)
+        except Exception:  # noqa: BLE001 - sentinel only, never fails the run
+            pass
+
     out = {
         "metric": "corpus_total",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "warm_reprobe": reprobe,
     }
     if failed:
         out["failed"] = failed

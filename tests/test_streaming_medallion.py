@@ -193,3 +193,88 @@ def test_streaming_gold_applies_silver_deletes(spark, tmp_path):
     gold.stream(spark, lake, checkpoint=ckg).awaitTermination(120)
     assert fact.read().filter(F.col("claim_id") == "C002").count() == 0
     assert fact.read().count() == n_before - 1
+
+
+def test_streaming_gold_quiet_batch_leaves_dims_untouched(spark, tmp_path):
+    """Round-8 verdict item 3: per-trigger dim cost ∝ batch keys.  A
+    trigger whose batch references only KNOWN members/providers (with
+    unchanged attributes) must not commit to the dim tables at all —
+    data files stay byte-identical (same set, same mtimes) — while the
+    fact still upserts the changed claim, and a batch carrying a NEW
+    key appends exactly that key."""
+    import os as _os
+
+    from azure_databricks_lakehouse_spark.pipelines import gold
+    from tests.test_medallion_e2e import _load_reference_tables
+
+    lake = LakehousePaths(str(tmp_path / "lk"))
+    bronze.ingest(
+        spark, lake.bronze_claims, _land(tmp_path, "d1.csv", _DAY1), load_id="b1"
+    )
+    _load_reference_tables(spark, lake)
+    silver.stream(
+        spark, lake, checkpoint=str(tmp_path / "cks")
+    ).awaitTermination(120)
+    ckg = str(tmp_path / "ckg")
+    gold.stream(spark, lake, checkpoint=ckg).awaitTermination(120)
+
+    def _files(root):
+        out = {}
+        data = _os.path.join(root, "data")
+        for dirpath, _dirs, names in _os.walk(data):
+            for n in names:
+                p = _os.path.join(dirpath, n)
+                st = _os.stat(p)
+                out[_os.path.relpath(p, data)] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    dim_files_before = {
+        r: _files(r) for r in (lake.dim_member, lake.dim_provider)
+    }
+    dim_versions_before = {
+        r: ParquetTable.for_path(spark, r).latest_version()
+        for r in (lake.dim_member, lake.dim_provider)
+    }
+
+    # quiet trigger: update a claim measure — same member, same provider
+    ParquetTable.for_path(spark, lake.silver_claims).update(
+        "claim_id = 'C002'", {"paid_amount": F.lit(123.45)}
+    )
+    gold.stream(spark, lake, checkpoint=ckg).awaitTermination(120)
+
+    for r in (lake.dim_member, lake.dim_provider):
+        assert _files(r) == dim_files_before[r], f"dim files rewritten: {r}"
+        assert (
+            ParquetTable.for_path(spark, r).latest_version()
+            == dim_versions_before[r]
+        )
+    fact = ParquetTable.for_path(spark, lake.fact_claims).read()
+    assert float(
+        fact.filter(F.col("claim_id") == "C002").first()["paid_amount"]
+    ) == pytest.approx(123.45)
+
+    # a batch with a NEW member key appends exactly that key (durable
+    # SKs untouched for existing rows)
+    dim_member_t = ParquetTable.for_path(spark, lake.dim_member)
+    before_rows = {
+        r["member_key"]: r["member_sk"]
+        for r in dim_member_t.read().select("member_key", "member_sk").collect()
+    }
+    members_t = ParquetTable.for_path(spark, lake.silver_members)
+    sample = members_t.read().first().asDict()
+    sample.update({"member_id": "M_NEW_1"})
+    members_t.append(
+        spark.createDataFrame([tuple(sample.values())], members_t.read().schema)
+    )
+    ParquetTable.for_path(spark, lake.silver_claims).update(
+        "claim_id = 'C003'",
+        {"member_id": F.lit("M_NEW_1"), "paid_amount": F.lit(9.0)},
+    )
+    gold.stream(spark, lake, checkpoint=ckg).awaitTermination(120)
+    after_rows = {
+        r["member_key"]: r["member_sk"]
+        for r in dim_member_t.read().select("member_key", "member_sk").collect()
+    }
+    assert set(after_rows) == set(before_rows) | {"M_NEW_1"}
+    assert all(after_rows[k] == v for k, v in before_rows.items())
+    assert after_rows["M_NEW_1"] == max(before_rows.values()) + 1

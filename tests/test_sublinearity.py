@@ -63,17 +63,38 @@ def test_selective_scan_is_sublinear(pair):
     _assert_sublinear("scan_where", t_small, t_big)
 
 
+def _best_of_thunks(*thunks) -> float:
+    """Best wall-time across DISTINCT thunks (stateful DML can't rerun
+    the same predicate — the second run would no-op-commit)."""
+    best = float("inf")
+    for fn in thunks:
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
 def test_dv_delete_is_sublinear(pair):
     small, big = pair
-    # one matching row inside one partition on each table; the probe is
-    # partition+stats pruned, the commit adds a KB-sized DV
-    t_small = _best_of(
+    # Warm-up commit first: the SESSION'S first DV-DML pays a one-time
+    # JIT/codegen + plan-cache cost (profiled at 4-10s on either table
+    # size; warm deletes are ~0.7s on BOTH 100 and 3000 files, with the
+    # only O(files) driver component being the 0.1s manifest prune).
+    # That per-session constant is not the scale claim under test — the
+    # round-7 in-suite flake was exactly this n=1 cold measurement
+    # inheriting accumulated session state.
+    small.delete("k = 95 AND part = 9", mode="merge-on-read")
+    big.delete("k = 95 AND part = 9", mode="merge-on-read")
+    # one matching row inside one partition per delete; the probe is
+    # partition+stats pruned, the commit adds a KB-sized DV.  Distinct
+    # keys per round; best-of-2 shrugs off box noise.
+    t_small = _best_of_thunks(
         lambda: small.delete("k = 105 AND part = 10", mode="merge-on-read"),
-        n=1,
+        lambda: small.delete("k = 125 AND part = 12", mode="merge-on-read"),
     )
-    t_big = _best_of(
+    t_big = _best_of_thunks(
         lambda: big.delete("k = 105 AND part = 10", mode="merge-on-read"),
-        n=1,
+        lambda: big.delete("k = 125 AND part = 12", mode="merge-on-read"),
     )
     _assert_sublinear("merge-on-read delete", t_small, t_big)
     assert big.read().filter("k = 105").count() == 0

@@ -260,6 +260,26 @@ def test_update_rhs_sees_pre_update_values(spark, root):
     assert _as_dict(t.read()) == {1: ("x", "a")}
 
 
+def test_update_assignment_cast_to_declared_type(spark, root):
+    """UPDATE assignments implicitly cast to the DECLARED column type
+    (SQL/Delta semantics).  Regression: a double RHS into a decimal
+    column used to commit a data file whose physical type contradicted
+    the table schema (when/otherwise coerced decimal ⊔ double = double),
+    breaking every later read of that file — on BOTH the rewrite and
+    merge-on-read paths."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, part string")
+    df = df.withColumn("amt", F.lit("5.00").cast("decimal(18,2)"))
+    t = ParquetTable.create(spark, root, df)
+    t.update("k = 1", {"amt": F.lit(123.45)})  # rewrite path
+    t.update("k = 2", {"amt": F.lit(7.5)}, mode="merge-on-read")
+    got = {r.k: str(r.amt) for r in t.read().collect()}
+    assert got == {1: "123.45", 2: "7.50"}
+    assert dict(t.read().dtypes)["amt"] == "decimal(18,2)"
+    # CDC sidecars carry the declared type too (the CDF stream asserts
+    # Decimal cells when converting to Arrow)
+    assert dict(t.changes_between(0).dtypes)["amt"] == "decimal(18,2)"
+
+
 def test_merge_widening_source_evolves_schema(spark, root):
     """A source with EXTRA columns widens the table schema (autoMerge
     semantics): the manifest records the wide schema + merged_schema, so
