@@ -220,6 +220,21 @@ def semantic_dedup(
     - ``"raise"``: the old fail-fast contract — raise with the observed
       size; the fix is a larger ``k``.
 
+    **Split-mode recall caveat (stated, not hidden):** after a split,
+    pairs are compared within refined buckets, plus a stitch pass that
+    compares each bucket's top-ranked REPRESENTATIVE against every
+    member of the original cell.  A cross-bucket pair whose would-be
+    keeper is a non-representative is not re-examined, so
+    ``on_oversize='split'`` can KEEP a near-duplicate that the unsplit
+    run (``'raise'`` mode rerun with a larger ``k``) would remove —
+    i.e. split mode trades a bounded amount of recall for never going
+    quadratic on a hot cluster.  The removal set is a superset of the
+    pure refined-bucket run and a subset of the unsplit run; for the
+    tight over-cap clusters the cap exists for (boilerplate near a
+    single direction), the cell's top-ranked member is some bucket's
+    representative and condemns the rest, so the loss concentrates on
+    DIFFUSE over-cap cells where near-threshold pairs straddle buckets.
+
     Zero-vector rows (norm 0) cannot be cosine-compared; they are kept
     unconditionally and surface in ``assignments`` with NULL distance
     rather than being silently dropped.

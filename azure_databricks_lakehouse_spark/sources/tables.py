@@ -2630,7 +2630,11 @@ class ParquetTable:
         match regardless, accepting duplicates).  Paths are
         ``os.path.realpath``-normalized before both the ledger write
         and the skip anti-join, so the same landing directory reached
-        via a relative spelling or a symlink still skips.  Size and
+        via a relative spelling or a symlink still skips.  Upgrade
+        caveat handled: ledger shards written before this
+        normalization existed may key on the as-given spelling, so the
+        skip check matches EITHER spelling (realpath or as-given) —
+        new shards always record the realpath.  Size and
         mtime ride in the ledger for audit.  Caveat (shared with
         Delta): two COPY INTO runs racing over the same directory can
         both pass the skip check and double-load — the rebase-safe
@@ -2658,7 +2662,7 @@ class ParquetTable:
         import uuid
 
         fmt = fileformat.lower()
-        listing: list[tuple[str, int, int]] = []
+        listing: list[tuple[str, str, int, int]] = []
         for dirpath, _dirs, fnames in os.walk(source_dir):
             for fname in sorted(fnames):
                 if fname.startswith((".", "_")):
@@ -2667,26 +2671,45 @@ class ParquetTable:
                 # the same landing dir referenced relatively, absolutely
                 # or through a symlink must hit the same skip-check rows
                 full = os.path.realpath(os.path.join(dirpath, fname))
+                # the as-given (non-symlink-resolved) spelling rides
+                # along for the skip check only: ledgers written by
+                # pre-realpath versions of this method keyed on it, and
+                # matching EITHER spelling keeps those files skipped
+                # instead of silently re-loading them after an upgrade
+                asgiven = os.path.abspath(os.path.join(dirpath, fname))
                 rel = os.path.relpath(os.path.join(dirpath, fname), source_dir)
                 if pattern is not None and not fnmatch.fnmatch(rel, pattern):
                     continue
                 st = os.stat(full)
-                listing.append((full, st.st_size, st.st_mtime_ns))
+                listing.append((full, asgiven, st.st_size, st.st_mtime_ns))
         m = self._manifest()
         shards = m.get("props", {}).get("copy_ledger", [])
         n_total = len(listing)
         if listing and shards and not force:
             cand = self.spark.createDataFrame(
-                listing, "path string, size long, mtime_ns long"
+                listing, "path string, asgiven string, size long, mtime_ns long"
             )
             ledger = self.spark.read.parquet(
                 *[os.path.join(self.root, _LEDGER_DIR, s) for s in shards]
             )
+            # skip when EITHER spelling appears in any ledger shard
+            # (old shards may key on the as-given path — see above)
+            cand_keys = cand.select(
+                "path",
+                F.explode(
+                    F.array_distinct(F.array("path", "asgiven"))
+                ).alias("__k"),
+            )
+            hit = (
+                cand_keys.join(
+                    ledger.select(F.col("path").alias("__k")), on="__k"
+                )
+                .select("path")
+                .distinct()
+            )
             new_paths = {
                 r["path"]
-                for r in cand.join(
-                    ledger.select("path"), on="path", how="anti"
-                ).collect()
+                for r in cand.join(hit, on="path", how="anti").collect()
             }
             listing = [t for t in listing if t[0] in new_paths]
         if not listing:
@@ -2718,7 +2741,7 @@ class ParquetTable:
         shard_dir = os.path.join(self.root, _LEDGER_DIR, shard_name)
         loaded_at = time.time()
         self.spark.createDataFrame(
-            [(p, s, mt, loaded_at) for p, s, mt in listing],
+            [(p, s, mt, loaded_at) for p, _asgiven, s, mt in listing],
             "path string, size long, mtime_ns long, loaded_at double",
         ).coalesce(1).write.mode("overwrite").parquet(shard_dir)
         try:
@@ -3056,6 +3079,41 @@ class ParquetTable:
         )
         files = _write_files(_to_physical_df(merged, m), self.root, part_cols)
         data_root = os.path.join(self.root, _DATA_DIR)
+        # CDC sidecar (Delta CDF parity for MERGE): the exact row-level
+        # delta — matched target pre-images (update_preimage, or delete
+        # for CDC-delete keys), matched source post-images, and inserts.
+        # Every frame is a key-join against rows ALREADY read for the
+        # rewrite (target = the matched files only), so sidecar cost is
+        # ∝ the change, and the streaming CDF source can consume
+        # MERGE-maintained tables instead of refusing their commits.
+        all_keys = src_keys if src_keys is not None else source.select(*keys).distinct()
+        upsert_keys = source.select(*keys).distinct()
+        del_keys = all_keys.join(upsert_keys, keys, "anti")
+        tgt_keys = target.select(*keys).distinct()
+        pre_upd = target.join(upsert_keys, keys, "semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        pre_del = target.join(del_keys, keys, "semi").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        post_upd = source.join(tgt_keys, keys, "semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = source.join(tgt_keys, keys, "anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        cdc_df = (
+            pre_upd.unionByName(pre_del, allowMissingColumns=True)
+            .unionByName(post_upd, allowMissingColumns=True)
+            .unionByName(ins, allowMissingColumns=True)
+            .select(*source.columns, "_change_type")
+        )
+        cdc_files = _write_files(
+            cdc_df,
+            self.root,
+            lpart,
+            subdir=_CDC_DIR,
+        )
         version = _commit_typed(
             "MERGE",
             root=self.root,
@@ -3069,6 +3127,7 @@ class ParquetTable:
             props=m.get("props", {}),
             blooms=self._compute_blooms(files, m),
             parent=m,
+            cdc_files=cdc_files,
             dvs={
                 f: v
                 for f, v in m.get("dvs", {}).items()

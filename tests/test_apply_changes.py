@@ -317,3 +317,106 @@ def test_streaming_apply_changes_scd1(spark, tmp_path):
             checkpoint=ckpt,
             **KW,
         )
+
+
+def test_streaming_apply_changes_from_cdf_matches_batch_scd2(spark, tmp_path):
+    """Round-8 verdict item 7 — the DLT pattern end-to-end: a silver-style
+    MERGE-maintained table's CHANGE FEED (`sources/cdf_stream`) streams
+    through apply_changes into an SCD2 dim, and the resulting history is
+    row-identical to batch `operators/scd.apply_scd2` on the same input.
+
+    The CDF's update pairs need no special handling: the delete-half of
+    a rewrite diff carries the PRE-image's `updated_at`, which the
+    sequence floor fences, while the insert-half drives the new version
+    — `SEQUENCE BY updated_at` alone reconstructs the SCD2 history.
+    """
+    from azure_databricks_lakehouse_spark.operators.scd import apply_scd2
+    from azure_databricks_lakehouse_spark.sources.cdf_stream import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    t1, t2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+    def _members(rows):
+        return spark.createDataFrame(
+            rows, "member_id int, name string, tier string, updated_at string"
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+
+    src_root = str(tmp_path / "members")
+    src = ParquetTable.create(
+        spark, src_root, _members([(1, "ann", "gold", t1), (2, "bob", "silver", t1)])
+    )
+
+    stream_dim = str(tmp_path / "dim_stream")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        keys=["member_id"],
+        sequence_by="updated_at",
+        apply_as_deletes="_change_type = 'delete'",
+        except_columns=("_change_type", "_commit_version"),
+        scd_type=2,
+    )
+
+    def _drain():
+        feed = (
+            spark.readStream.format("table_changes")
+            .option("path", src_root)
+            .load()
+        )
+        apply_changes(
+            spark, stream_dim, feed, checkpoint=ckpt, **kw
+        ).awaitTermination(120)
+
+    _drain()  # commit 0: the initial snapshot as inserts
+
+    # commit 1: attribute change for member 1, new member 3 — the
+    # MERGE-maintained silver pattern (rewrite diff = delete+insert pair)
+    src.merge(
+        _members([(1, "ann", "plat", t2), (3, "cy", "bronze", t2)]),
+        on=["member_id"],
+    )
+    _drain()
+
+    # batch twin: operators/scd.apply_scd2 on the same two update batches
+    batch_dim = str(tmp_path / "dim_batch")
+    apply_scd2(
+        spark,
+        batch_dim,
+        _members([(1, "ann", "gold", t1), (2, "bob", "silver", t1)]).drop(
+            "updated_at"
+        ),
+        "member_id",
+        ["name", "tier"],
+        as_of=t1,
+    )
+    apply_scd2(
+        spark,
+        batch_dim,
+        _members(
+            [(1, "ann", "plat", t2), (2, "bob", "silver", t2), (3, "cy", "bronze", t2)]
+        ).drop("updated_at"),
+        "member_id",
+        ["name", "tier"],
+        as_of=t2,
+    )
+
+    sdf = ParquetTable.for_path(spark, stream_dim).read()
+    bdf = ParquetTable.for_path(spark, batch_dim).read()
+    assert sorted(sdf.columns) == sorted(bdf.columns)
+    cols = sorted(sdf.columns)
+    key = lambda r: (r["member_id"], str(r["effective_from"]))
+    assert sorted(sdf.select(*cols).collect(), key=key) == sorted(
+        bdf.select(*cols).collect(), key=key
+    )
+    # shape spot-check: member 1 has closed v1 + open v2; 2 and 3 open
+    hist = {
+        (r.member_id, r.tier): (str(r.effective_from), r.is_current)
+        for r in sdf.collect()
+    }
+    assert hist == {
+        (1, "gold"): (t1, False),
+        (1, "plat"): (t2, True),
+        (2, "silver"): (t1, True),
+        (3, "bronze"): (t2, True),
+    }

@@ -78,10 +78,15 @@ def test_starting_version_skips_history(registered, tmp_path):
 
 
 def test_sidecarless_rewrite_raises_unless_ignored(registered, tmp_path):
+    """OVERWRITE commits carry no CDC sidecar (a snapshot replacement
+    has no meaningful row delta) — the stream refuses them unless the
+    user opts out with ignoreChanges.  MERGE used to be in this bucket;
+    since round 8 it writes pre/post-image sidecars and streams (see
+    test_merge_streams_row_level_delta)."""
     spark = registered
     root = str(tmp_path / "tbl3")
     t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
-    t.merge(_rows(spark, [(1, "a", "x2")]), on=["k"])  # v1: no CDC sidecar
+    t.overwrite(_rows(spark, [(1, "a", "x2")]))  # v1: no CDC sidecar
     t.append(_rows(spark, [(2, "b", "y")]))  # v2
 
     q = (
@@ -92,7 +97,7 @@ def test_sidecarless_rewrite_raises_unless_ignored(registered, tmp_path):
         .queryName("cdf_sink_3a")
         .start()
     )
-    with pytest.raises(Exception, match="MERGE commit"):
+    with pytest.raises(Exception, match="OVERWRITE commit"):
         q.awaitTermination(60)
 
     # with ignoreChanges the stream skips v1 and delivers v0 + v2
@@ -101,6 +106,30 @@ def test_sidecarless_rewrite_raises_unless_ignored(registered, tmp_path):
         extra_opts={"ignoreChanges": "true"},
     )
     assert sorted((r["k"], r["_commit_version"]) for r in got) == [(1, 0), (2, 2)]
+
+
+def test_merge_streams_row_level_delta(registered, tmp_path):
+    """Round-8: MERGE commits write CDC sidecars (Delta CDF parity), so
+    a MERGE-maintained table is a first-class stream source — matched
+    rows stream as update_preimage/update_postimage pairs, CDC deletes
+    as delete rows, and new keys as inserts."""
+    spark = registered
+    root = str(tmp_path / "tblm")
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")])
+    )
+    t.merge(_rows(spark, [(1, "a", "x2"), (3, "c", "z")]), on=["k"])  # v1
+    got = _drain(spark, root, "cdf_sink_m", want_rows=5)
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"]) for r in got
+    )
+    assert changes == [
+        (0, "insert", 1, "x"),
+        (0, "insert", 2, "y"),
+        (1, "insert", 3, "z"),
+        (1, "update_postimage", 1, "x2"),
+        (1, "update_preimage", 1, "x"),
+    ]
 
 
 def test_update_streams_pre_and_post_images(registered, tmp_path):
