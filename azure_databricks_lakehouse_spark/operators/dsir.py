@@ -134,13 +134,90 @@ def fit_importance(
     with add-``smoothing`` Laplace priors.  ``target_docs`` is the
     (small) exemplar corpus, ``raw_docs`` the pool to be scored — per
     the paper, fit the raw side on the pool itself or any sample large
-    enough to estimate bucket frequencies."""
+    enough to estimate bucket frequencies.
+
+    When the target is a SUBSET of the pool (the common "select docs
+    like these exemplars" setup), prefer :func:`fit_importance_subset`:
+    both corpora's bucket totals come out of ONE gram explode instead
+    of two."""
+    t = _bucket_totals(target_docs, text_col, dim, bigrams)
+    r = _bucket_totals(raw_docs, text_col, dim, bigrams)
+    return _fit_from_bucket_counts(
+        target_docs.sparkSession, t, r, dim=dim, bigrams=bigrams,
+        smoothing=smoothing,
+    )
+
+
+def fit_importance_subset(
+    docs: DataFrame,
+    target_pred,
+    *,
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> ImportanceModel:
+    """Fit when the exemplar corpus is the subset of ``docs`` matching
+    ``target_pred`` (a boolean Column) — the common "select more docs
+    like these" setup.  One gram explode computes BOTH corpora's bucket
+    totals (``count`` for the pool, ``count_if(pred)`` for the target),
+    halving the fit's scan cost vs :func:`fit_importance`; the ratio
+    math is identical, verified by the q41 oracle twin."""
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (the prior keeps every "
                          "bucket's probability finite)")
-    spark = target_docs.sparkSession
-    t = _bucket_totals(target_docs, text_col, dim, bigrams)
-    r = _bucket_totals(raw_docs, text_col, dim, bigrams)
+    g = _gram_buckets(
+        docs.select(text_col, target_pred.alias("__is_t")),
+        text_col, dim, bigrams,
+    )
+    joint = g.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__rc"),
+        F.count_if(F.col("__is_t")).alias("__tc"),
+    )
+    totals = joint.agg(
+        F.coalesce(F.sum("__tc"), F.lit(0)).alias("__t_total"),
+        F.coalesce(F.sum("__rc"), F.lit(0)).alias("__r_total"),
+    )
+    a = float(smoothing)
+    ratios = (
+        docs.sparkSession.range(dim)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(joint, F.col("bucket") == F.col("__bucket"), "left")
+        .drop("__bucket")
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", _log_ratio_expr(a, dim))
+    )
+    return ImportanceModel(ratios=ratios, dim=dim, bigrams=bigrams, smoothing=a)
+
+
+def _log_ratio_expr(a: float, dim: int):
+    """log p_target(b)/p_raw(b) over columns __tc/__rc/__t_total/__r_total
+    (Laplace-``a`` smoothed) — the one formula both fit paths share, so
+    they can never drift apart."""
+    return (
+        F.log(
+            (F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(a))
+            / (F.col("__t_total") + F.lit(a * dim))
+        )
+        - F.log(
+            (F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(a))
+            / (F.col("__r_total") + F.lit(a * dim))
+        )
+    ).alias("log_ratio")
+
+
+def _fit_from_bucket_counts(
+    spark,
+    t: DataFrame,
+    r: DataFrame,
+    *,
+    dim: int,
+    bigrams: bool,
+    smoothing: float,
+) -> ImportanceModel:
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (the prior keeps every "
+                         "bucket's probability finite)")
     # corpus totals as broadcast scalar state (no driver collect)
     t_tot = t.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__t_total"))
     r_tot = r.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__r_total"))
@@ -154,19 +231,7 @@ def fit_importance(
         .drop("__bucket")
         .crossJoin(F.broadcast(t_tot))
         .crossJoin(F.broadcast(r_tot))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(a))
-                    / (F.col("__t_total") + F.lit(a * dim))
-                )
-                - F.log(
-                    (F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(a))
-                    / (F.col("__r_total") + F.lit(a * dim))
-                )
-            ).alias("log_ratio"),
-        )
+        .select("bucket", _log_ratio_expr(a, dim))
     )
     return ImportanceModel(ratios=ratios, dim=dim, bigrams=bigrams, smoothing=a)
 
@@ -178,14 +243,19 @@ def score_importance(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "importance",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance log-weight: Σ_b n_b · log_ratio(b).
 
     Documents with no tokens score 0 (the empty product — they are
     exactly as likely under either model).  The per-doc sum folds over
     bucket-sorted contributions, so the double is bit-identical
-    regardless of partitioning or engine."""
-    feats = feature_counts(
+    regardless of partitioning or engine.  ``features`` short-circuits
+    the gram explode with a precomputed :func:`feature_counts` frame —
+    pass the SAME frame the model was fitted from and the whole
+    fit+score pipeline shares one scan (see
+    :func:`fit_importance_from_counts`)."""
+    feats = features if features is not None else feature_counts(
         docs, id_col=id_col, text_col=text_col, dim=model.dim, bigrams=model.bigrams
     )
     scores = (
@@ -216,14 +286,17 @@ def importance_resample(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 0,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Select ``k`` documents ∝ exp(importance) without replacement —
     the Gumbel top-k equivalence (add independent Gumbel noise to each
     log-weight, take the k largest).  Deterministic for a given
     ``seed``: the noise is the md5 uniform of (id, seed), so the same
-    call returns the same k rows on any cluster."""
+    call returns the same k rows on any cluster.  ``features`` as in
+    :func:`score_importance`."""
     scored = score_importance(
-        docs, model, id_col=id_col, text_col=text_col, out_col="importance"
+        docs, model, id_col=id_col, text_col=text_col, out_col="importance",
+        features=features,
     )
     u = md5_uniform01(F.col(id_col), seed)
     key = F.col("importance") + (-F.log(-F.log(u)))

@@ -253,7 +253,7 @@ def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from azure_databricks_lakehouse_spark.operators.dsir import (
-        fit_importance,
+        fit_importance_subset,
         importance_resample,
     )
     from azure_databricks_lakehouse_spark.queries.dedup_ops import _variant_corpus
@@ -283,12 +283,12 @@ def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("pipeline").alias("part"), "split", "n_docs",
                 "total_tokens", "sum_doc_id")
     )
+    # subset fit: the en exemplars are a subset of the pool, so ONE gram
+    # explode yields both corpora's bucket totals (count / count_if);
+    # scoring is the second and last pass — 2 corpus scans, not 3
     docs = bind(spark, sf_dir, "documents")["documents"]
-    model = fit_importance(
-        docs.filter(F.col("lang") == _DSIR_TARGET_LANG),
-        docs,
-        text_col="text",
-        dim=_DSIR_DIM,
+    model = fit_importance_subset(
+        docs, F.col("lang") == _DSIR_TARGET_LANG, dim=_DSIR_DIM
     )
     picked = importance_resample(
         docs, model, _DSIR_K, id_col="doc_id", text_col="text", seed=_DSIR_SEED

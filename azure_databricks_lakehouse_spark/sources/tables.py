@@ -3088,25 +3088,32 @@ class ParquetTable:
         # MERGE-maintained tables instead of refusing their commits.
         all_keys = src_keys if src_keys is not None else source.select(*keys).distinct()
         upsert_keys = source.select(*keys).distinct()
-        del_keys = all_keys.join(upsert_keys, keys, "anti")
+        # one flagged-key join per side (not four semi/anti joins): the
+        # target side tags pre-images update_preimage vs delete by
+        # whether the key has an upsert row; the source side tags
+        # update_postimage vs insert by whether the key matched a
+        # target row.  AQE broadcasts the key frames when small.
+        key_flags = all_keys.join(
+            upsert_keys.withColumn("__u", F.lit(True)), keys, "left"
+        ).select(*keys, F.coalesce(F.col("__u"), F.lit(False)).alias("__u"))
+        pre = target.join(key_flags, keys, "inner").withColumn(
+            "_change_type",
+            F.when(F.col("__u"), F.lit("update_preimage")).otherwise(
+                F.lit("delete")
+            ),
+        )
         tgt_keys = target.select(*keys).distinct()
-        pre_upd = target.join(upsert_keys, keys, "semi").withColumn(
-            "_change_type", F.lit("update_preimage")
+        post = source.join(
+            tgt_keys.withColumn("__m", F.lit(True)), keys, "left"
+        ).withColumn(
+            "_change_type",
+            F.when(
+                F.coalesce(F.col("__m"), F.lit(False)),
+                F.lit("update_postimage"),
+            ).otherwise(F.lit("insert")),
         )
-        pre_del = target.join(del_keys, keys, "semi").withColumn(
-            "_change_type", F.lit("delete")
-        )
-        post_upd = source.join(tgt_keys, keys, "semi").withColumn(
-            "_change_type", F.lit("update_postimage")
-        )
-        ins = source.join(tgt_keys, keys, "anti").withColumn(
-            "_change_type", F.lit("insert")
-        )
-        cdc_df = (
-            pre_upd.unionByName(pre_del, allowMissingColumns=True)
-            .unionByName(post_upd, allowMissingColumns=True)
-            .unionByName(ins, allowMissingColumns=True)
-            .select(*source.columns, "_change_type")
+        cdc_df = pre.unionByName(post, allowMissingColumns=True).select(
+            *source.columns, "_change_type"
         )
         cdc_files = _write_files(
             cdc_df,

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from azure_databricks_lakehouse_spark.operators.dsir import (
     feature_counts,
     fit_importance,
+    fit_importance_subset,
     importance_resample,
     score_importance,
 )
@@ -113,6 +114,43 @@ def test_smoothing_validation(spark, corpus):
     target, pool = corpus
     with pytest.raises(ValueError, match="smoothing"):
         fit_importance(target, pool, smoothing=0.0)
+    with pytest.raises(ValueError, match="smoothing"):
+        fit_importance_subset(pool, F.col("doc_id") < 150, smoothing=-1.0)
+
+
+def test_subset_fit_and_features_arg_match_general_path(spark, corpus):
+    """fit_importance_subset (one-pass joint totals) must produce the
+    SAME ratios — hence bit-identical scores — as fit_importance on the
+    equivalent target/pool split; and score_importance(features=...)
+    with a precomputed feature_counts frame matches the self-computed
+    path exactly."""
+    _, pool = corpus  # target := the doc_id < 150 half of the pool
+    general = fit_importance(
+        pool.filter(F.col("doc_id") < 150), pool, dim=512
+    )
+    subset = fit_importance_subset(pool, F.col("doc_id") < 150, dim=512)
+    s_gen = {
+        (r.doc_id, r.importance)
+        for r in score_importance(pool, general).collect()
+    }
+    s_sub = {
+        (r.doc_id, r.importance)
+        for r in score_importance(pool, subset).collect()
+    }
+    assert s_gen == s_sub
+    feats = feature_counts(pool, dim=512)
+    s_pre = {
+        (r.doc_id, r.importance)
+        for r in score_importance(pool, subset, features=feats).collect()
+    }
+    assert s_pre == s_sub
+    k = 4
+    p1 = sorted(r.doc_id for r in importance_resample(pool, subset, k, seed=1).collect())
+    p2 = sorted(
+        r.doc_id
+        for r in importance_resample(pool, subset, k, seed=1, features=feats).collect()
+    )
+    assert p1 == p2
 
 
 def test_plan_shapes(spark, corpus):
