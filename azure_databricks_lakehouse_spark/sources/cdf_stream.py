@@ -53,7 +53,13 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
@@ -97,6 +103,9 @@ class _FilePartition(InputPartition):
     # logical -> physical column renames of the commit's manifest (the
     # table's column mapping); data files store PHYSICAL names
     renames: tuple = ()
+    # the commit's wall-clock instant (manifest timestamp, microseconds
+    # since epoch) — surfaced as Delta's _commit_timestamp CDF column
+    commit_ts_us: int = 0
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
@@ -240,7 +249,11 @@ class TableChangesStreamReader(DataSourceStreamReader):
                             (name, _at_v(name))
                             for name in self.field_names
                             if name
-                            not in ("_change_type", "_commit_version")
+                            not in (
+                                "_change_type",
+                                "_commit_version",
+                                "_commit_timestamp",
+                            )
                             and _at_v(name) != name
                         )
                     )
@@ -251,6 +264,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                                 path=os.path.join(cdc_root, f),
                                 version=v,
                                 renames=sidecar_renames,
+                                commit_ts_us=int(m["timestamp"] * 1e6),
                             )
                         )
                     continue
@@ -272,6 +286,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                         path=os.path.join(data_root, f),
                         version=v,
                         renames=renames,
+                        commit_ts_us=int(m["timestamp"] * 1e6),
                     )
                 )
         return parts
@@ -342,6 +357,10 @@ class TableChangesStreamReader(DataSourceStreamReader):
         def _val(name: str, r: dict):
             if name == "_commit_version":
                 return partition.version
+            if name == "_commit_timestamp":
+                return _dt.datetime.fromtimestamp(
+                    0, tz=_dt.timezone.utc
+                ) + _dt.timedelta(microseconds=partition.commit_ts_us)
             if name == "_change_type":
                 # CDC sidecar files carry _change_type as a real column
                 # (delete / update_preimage / update_postimage); plain
@@ -384,6 +403,7 @@ class TableChangesDataSource(DataSource):
             + [
                 StructField("_change_type", StringType()),
                 StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
             ]
         )
 

@@ -3569,8 +3569,10 @@ class ParquetTable:
         — the CDF read (Delta's ``table_changes``) that lets a downstream
         pipeline process only what moved instead of re-reading the
         snapshot.  Returns the table schema plus ``_change_type``
-        (``insert`` / ``delete``) and ``_commit_version``; an UPDATE
-        surfaces as its delete + insert pair.
+        (``insert`` / ``delete``), ``_commit_version``, and
+        ``_commit_timestamp`` (the commit's wall-clock instant — Delta's
+        CDF column of the same name); an UPDATE surfaces as its
+        delete + insert pair.
 
         Reconstruction is from the manifest file-sets, per version:
 
@@ -3642,6 +3644,14 @@ class ParquetTable:
                 f["name"] = inv_end.get(phys, phys)
             return {**m_v, **end_naming, "schema": json.dumps(schema)}
 
+        def _commit_ts(man: dict):
+            # Delta CDF's _commit_timestamp: the commit's wall-clock
+            # instant, from the manifest (microsecond-truncated)
+            ts = man.get("timestamp")
+            if ts is None:
+                return F.lit(None).cast("timestamp")
+            return F.timestamp_micros(F.lit(int(ts * 1e6)))
+
         slices: list[DataFrame] = []
         for v in range(start_version + 1, end + 1):
             m_v = self._manifest(v)
@@ -3680,6 +3690,7 @@ class ParquetTable:
                         .otherwise(ct),
                     )
                     .withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn("_commit_timestamp", _commit_ts(m_v))
                 )
                 continue
             # start_version = -1 includes v0: everything since creation
@@ -3724,20 +3735,24 @@ class ParquetTable:
             else:
                 inserts, deletes = added_df, None
             slices.append(
-                inserts.withColumn("_change_type", F.lit("insert")).withColumn(
-                    "_commit_version", F.lit(v).cast("long")
-                )
+                inserts.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn("_commit_timestamp", _commit_ts(m))
             )
             if deletes is not None:
                 slices.append(
-                    deletes.withColumn("_change_type", F.lit("delete")).withColumn(
-                        "_commit_version", F.lit(v).cast("long")
-                    )
+                    deletes.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn("_commit_timestamp", _commit_ts(m))
                 )
         if not slices:
             empty = self.read(end if end in have else None).limit(0)
-            return empty.withColumn("_change_type", F.lit("")).withColumn(
-                "_commit_version", F.lit(0).cast("long")
+            return (
+                empty.withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+                .withColumn(
+                    "_commit_timestamp", F.lit(None).cast("timestamp")
+                )
             )
         out = slices[0]
         for s in slices[1:]:

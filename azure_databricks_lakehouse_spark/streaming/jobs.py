@@ -389,4 +389,6 @@ def read_table_stream(
         reader = reader.option(
             "maxVersionsPerTrigger", str(max_versions_per_trigger)
         )
-    return reader.load().drop("_change_type", "_commit_version")
+    return reader.load().drop(
+        "_change_type", "_commit_version", "_commit_timestamp"
+    )

@@ -354,7 +354,9 @@ def test_streaming_apply_changes_from_cdf_matches_batch_scd2(spark, tmp_path):
         keys=["member_id"],
         sequence_by="updated_at",
         apply_as_deletes="_change_type = 'delete'",
-        except_columns=("_change_type", "_commit_version"),
+        except_columns=(
+            "_change_type", "_commit_version", "_commit_timestamp",
+        ),
         scd_type=2,
     )
 

@@ -130,6 +130,9 @@ def test_merge_streams_row_level_delta(registered, tmp_path):
         (1, "update_postimage", 1, "x2"),
         (1, "update_preimage", 1, "x"),
     ]
+    # Delta CDF parity: every streamed change carries the commit's
+    # wall-clock _commit_timestamp (from the manifest)
+    assert all(r["_commit_timestamp"] is not None for r in got)
 
 
 def test_update_streams_pre_and_post_images(registered, tmp_path):

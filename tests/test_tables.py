@@ -426,6 +426,30 @@ def _changes(df):
     )
 
 
+def test_cdf_commit_timestamp_matches_manifest(spark, root):
+    """Delta CDF parity: every change row carries _commit_timestamp —
+    the commit's wall-clock instant from the manifest, microsecond-
+    truncated — across append slices, EXCEPT-ALL slices and CDC-sidecar
+    slices alike."""
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    t.append(_rows(spark, [(2, "b", "y")]))          # v1: append slice
+    t.update("k = 1", {"v": F.lit("x2")})            # v2: sidecar slice
+    t.overwrite(_rows(spark, [(3, "c", "z")]))       # v3: EXCEPT ALL slice
+    ch = t.changes_between(-1)
+    assert "_commit_timestamp" in ch.columns
+    got = {
+        r["_commit_version"]: r["_commit_timestamp"]
+        for r in ch.select("_commit_version", "_commit_timestamp").collect()
+    }
+    import datetime as _dt
+
+    for v, ts in got.items():
+        want = t._manifest(v)["timestamp"]
+        assert ts is not None
+        have = ts.replace(tzinfo=_dt.timezone.utc).timestamp()
+        assert abs(have - want) < 1e-3, (v, have, want)
+
+
 def test_cdf_appends_are_pure_inserts(spark, root):
     t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
     t.append(_rows(spark, [(2, "b", "y")]))  # v1
