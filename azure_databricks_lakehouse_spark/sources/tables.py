@@ -2917,6 +2917,14 @@ class ParquetTable:
         When every partition column is part of ``on``, only partitions
         present in the source are rewritten — untouched data files carry
         over by reference (partition-pruned MERGE; the 100 TB path).
+        Otherwise a touched-file key scan (Delta's findTouchedFiles
+        shape) limits the rewrite to files actually containing matched
+        keys — merge never degenerates into a full-table rewrite.
+
+        Identity tables merge under Delta's contract: the source OMITS
+        the identity column, matched rows inherit their target row's
+        identity, and inserts draw a fresh range that advances the high
+        water with this commit.
 
         ``validate_source_keys`` (default on, Delta parity): multiple
         source rows matching the SAME target row make the update
@@ -2930,14 +2938,23 @@ class ParquetTable:
         case the source actually carries duplicate keys.
         """
         m = self._manifest()
-        if m.get("props", {}).get("identity"):
-            raise ValueError(
-                "MERGE is not supported on tables with identity columns: "
-                "whenMatchedUpdateAll replaces whole rows, which would "
-                "require explicit identity values (GENERATED ALWAYS "
-                "forbids them).  Use append/delete/update, or drop the "
-                "identity property first."
-            )
+        ident = m.get("props", {}).get("identity", {})
+        if ident:
+            # Delta's contract: the source OMITS identity columns
+            # (GENERATED ALWAYS forbids explicit values).  Matched rows
+            # INHERIT their target row's identity; inserts draw a fresh
+            # contiguous range and advance the high water in this
+            # commit.  Identity keys as merge keys make no sense (the
+            # source can't carry them) — refused implicitly by the
+            # key-column check below.
+            self._refuse_explicit_identity(source, m, "MERGE")
+            bad_keys = set(on) & set(ident)
+            if bad_keys:
+                raise ValueError(
+                    f"merge keys {sorted(bad_keys)} are identity columns; "
+                    "the source cannot carry them (GENERATED ALWAYS) — "
+                    "merge on a business key instead"
+                )
         keys = list(on)
         part_cols = m["partition_by"]
         inv = _logical_inverse(m)
@@ -2984,10 +3001,12 @@ class ParquetTable:
             source = source.drop(*source_meta_cols)
         source = self._apply_generated(source, m)
         source = self._apply_defaults(source, m)
-        extra = set(target.columns) - set(source.columns)
+        extra = set(target.columns) - set(source.columns) - set(ident)
         if extra:
             # whenMatchedUpdateAll replaces whole rows: a source missing
             # target columns would silently drop them from carried rows.
+            # (identity columns are exempt — the source MUST omit them;
+            # they are attached below.)
             raise ValueError(
                 f"merge source is missing target columns {sorted(extra)}; "
                 "align schemas (or evolve the source) before merging"
@@ -3067,6 +3086,32 @@ class ParquetTable:
                 target = target.limit(0)
             carried = [f for f in m["files"] if f not in set(rewrite_files)]
 
+        # identity attach: matched source rows inherit their target
+        # row's identity values (one key-join against the already-read
+        # rewrite rows); unmatched rows draw a fresh contiguous range
+        # from the high water, which this commit advances.  A concurrent
+        # identity append aborts this merge on version collision
+        # (_commit_typed), so the reservation can never double-allocate.
+        id_bases: dict = {}
+        n_fresh = 0
+        if ident:
+            id_map = target.select(
+                *keys, *[F.col(c).alias(f"__mrg_id_{c}") for c in ident]
+            )
+            matched_src = source.join(id_map, keys, "inner").select(
+                *source.columns,
+                *[F.col(f"__mrg_id_{c}").alias(c) for c in ident],
+            )
+            unmatched_src = source.join(id_map.select(*keys), keys, "anti")
+            n_fresh = unmatched_src.count()
+            fresh, id_bases = self._assign_identity(unmatched_src, ident, m)
+            # localCheckpoint pins the assigned ids: the enriched source
+            # feeds TWO write jobs (data files + CDC sidecar), and
+            # monotonically_increasing_id would re-roll between them
+            source = matched_src.unionByName(
+                fresh.select(*matched_src.columns)
+            ).localCheckpoint()
+
         # anti against ALL source keys: a matched target row disappears
         # whether its source row is an upsert (replaced below) or a
         # delete (never re-inserted)
@@ -3121,6 +3166,21 @@ class ParquetTable:
             lpart,
             subdir=_CDC_DIR,
         )
+        commit_props = m.get("props", {})
+        if ident and n_fresh:
+            # the inserts' reserved identity range becomes durable with
+            # this commit, exactly like append's reservation
+            commit_props = {
+                **commit_props,
+                "identity": {
+                    c: {
+                        **cfg,
+                        "high_water": id_bases[c]
+                        + cfg["step"] * (n_fresh - 1),
+                    }
+                    for c, cfg in ident.items()
+                },
+            }
         version = _commit_typed(
             "MERGE",
             root=self.root,
@@ -3131,7 +3191,7 @@ class ParquetTable:
             operation="MERGE",
             merged_schema=bool(widened) or m.get("merged_schema", False),
             stats=_file_stats(data_root, files),
-            props=m.get("props", {}),
+            props=commit_props,
             blooms=self._compute_blooms(files, m),
             parent=m,
             cdc_files=cdc_files,

@@ -25,10 +25,11 @@ from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
 
 KEYS = list(range(8))  # small key domain forces op interactions
 
+_mode = st.sampled_from(["auto", "merge-on-read", "copy-on-write"])
 _op = st.one_of(
     st.tuples(st.just("append"), st.lists(st.sampled_from(KEYS), min_size=1, max_size=3)),
-    st.tuples(st.just("delete"), st.sampled_from(KEYS)),
-    st.tuples(st.just("update"), st.sampled_from(KEYS), st.integers(0, 99)),
+    st.tuples(st.just("delete"), st.sampled_from(KEYS), _mode),
+    st.tuples(st.just("update"), st.sampled_from(KEYS), st.integers(0, 99), _mode),
     st.tuples(st.just("merge"), st.lists(st.sampled_from(KEYS), min_size=1, max_size=3, unique=True), st.integers(0, 99)),
     st.tuples(st.just("overwrite"), st.lists(st.sampled_from(KEYS), min_size=0, max_size=2, unique=True)),
 )
@@ -59,9 +60,9 @@ def _apply_table(spark, t: ParquetTable, op, seq: int) -> None:
             spark.createDataFrame([(k, seq) for k in op[1]], "k int, v int")
         )
     elif op[0] == "delete":
-        t.delete(f"k = {op[1]}")
+        t.delete(f"k = {op[1]}", mode=op[2])
     elif op[0] == "update":
-        t.update(f"k = {op[1]}", {"v": F.lit(op[2])})
+        t.update(f"k = {op[1]}", {"v": F.lit(op[2])}, mode=op[3])
     elif op[0] == "merge":
         # duplicate-target-match impossible: keys unique in the source
         t.merge(

@@ -128,3 +128,62 @@ def test_identity_registry_follows_rename_and_drop(spark, t):
     assert "identity" not in t.properties() or not t.properties()["identity"]
     t.append(_rows(spark, ["c"]))  # plain append, no ghost assignment
     assert set(t.read().columns) == {"v"}
+
+
+def test_merge_on_identity_table(spark, tmp_path):
+    """Round-8: MERGE supports identity tables with Delta's contract —
+    the source omits the identity column, matched rows INHERIT their
+    target identity, inserts draw a fresh range, and the high water
+    advances with the commit.  The CDC sidecar carries the same ids as
+    the data files (the localCheckpoint pin), and identity merge keys
+    are refused."""
+    t = ParquetTable.create(
+        spark,
+        str(tmp_path / "mt"),
+        spark.createDataFrame([], "v string, amt int"),
+    )
+    t.add_identity_column("id", start=100, step=10)
+    t.append(
+        spark.createDataFrame([("a", 1), ("b", 2)], "v string, amt int")
+    )
+    ids0 = {r.v: r.id for r in t.read().collect()}
+    assert sorted(ids0.values()) == [100, 110]
+
+    t.merge(
+        spark.createDataFrame(
+            [("a", 99), ("c", 3), ("d", 4)], "v string, amt int"
+        ),
+        on=["v"],
+    )
+    got = {r.v: (r.amt, r.id) for r in t.read().collect()}
+    assert got["a"] == (99, ids0["a"]), "matched row keeps its identity"
+    assert got["b"] == (2, ids0["b"]), "untouched row carried"
+    new_ids = sorted(got[v][1] for v in ("c", "d"))
+    assert new_ids == [120, 130], "inserts draw a fresh contiguous range"
+    assert t.properties()["identity"]["id"]["high_water"] == 130
+    # CDC sidecar ids agree with the table (same pinned assignment)
+    ch = t.changes_between(1)
+    cdc_ids = {
+        (r.v, r._change_type): r.id
+        for r in ch.select("v", "id", "_change_type").collect()
+    }
+    assert cdc_ids[("c", "insert")] == got["c"][1]
+    assert cdc_ids[("d", "insert")] == got["d"][1]
+    # the update pair (changes_between maps pre/post-image onto its
+    # delete/insert contract) carries the inherited id on both sides
+    assert cdc_ids[("a", "insert")] == ids0["a"]
+    assert cdc_ids[("a", "delete")] == ids0["a"]
+    # a replayed merge is still idempotent (no fresh inserts -> no
+    # high-water movement beyond the replay's zero new keys)
+    t.merge(
+        spark.createDataFrame(
+            [("a", 99), ("c", 3), ("d", 4)], "v string, amt int"
+        ),
+        on=["v"],
+    )
+    again = {r.v: (r.amt, r.id) for r in t.read().collect()}
+    assert again == got
+    assert t.properties()["identity"]["id"]["high_water"] == 130
+
+    with pytest.raises(ValueError, match="business key"):
+        t.merge(spark.createDataFrame([("x",)], "v string"), on=["id"])
