@@ -2841,16 +2841,46 @@ class ParquetTable:
         couple data with a watermark (e.g. the incremental-refresh
         "refreshed-through version": data and marker must never be
         observable separately, or a crash between two commits
-        double-applies the next delta)."""
+        double-applies the next delta).
+
+        CDC: by default an OVERWRITE writes no sidecar (a snapshot
+        replacement has no cheap row delta, and the streaming CDF source
+        refuses the commit accordingly).  Set table property
+        ``"cdf_overwrite": True`` for Delta's enableChangeDataFeed
+        behavior: the commit records delete rows for the OLD snapshot
+        and insert rows for the new one — cost ∝ old+new size, which is
+        exactly why it's opt-in — making overwrites streamable."""
         m = self._manifest()
         df = self._apply_generated(df, m)
         df = self._apply_defaults(df, m)
         ident = self._refuse_explicit_identity(df, m, "OVERWRITE")
         self._enforce_current(df, m, "OVERWRITE")
         df, id_bases = self._assign_identity(df, ident, m)
+        if ident and m.get("props", {}).get("cdf_overwrite"):
+            # ids feed two write jobs (data + CDC sidecar) and must not
+            # re-roll between them
+            df = df.localCheckpoint()
         files = _write_files(
             _to_physical_df(df, m), self.root, m["partition_by"]
         )
+        cdc_files: list[str] = []
+        if m.get("props", {}).get("cdf_overwrite"):
+            inv = _logical_inverse(m)
+            old = self._read_files_dv(m["files"], m)
+            cdc_df = (
+                old.withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    df.withColumn("_change_type", F.lit("insert")),
+                    allowMissingColumns=True,
+                )
+                .select(*df.columns, "_change_type")
+            )
+            cdc_files = _write_files(
+                cdc_df,
+                self.root,
+                [inv.get(c, c) for c in m["partition_by"]],
+                subdir=_CDC_DIR,
+            )
         id_props = {}
         if ident:
             # numbering continues past replaced rows (Delta's contract:
@@ -2875,6 +2905,7 @@ class ParquetTable:
             merged_schema=False,
             stats=_file_stats(os.path.join(self.root, _DATA_DIR), files),
             props={**m.get("props", {}), **(extra_props or {}), **id_props},
+            cdc_files=cdc_files,
             # no parent: nothing carries over, so dead-file sidecar refs
             # are dropped here (old versions keep their own manifests)
             blooms=self._compute_blooms(files, m),

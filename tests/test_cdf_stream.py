@@ -512,3 +512,34 @@ def test_plain_table_stream_raises_on_update(registered, tmp_path):
     )
     with pytest.raises(Exception, match="removes or rewrites rows"):
         q.awaitTermination(60)
+
+
+def test_overwrite_streams_with_cdf_overwrite_property(registered, tmp_path):
+    """Opt-in Delta enableChangeDataFeed behavior for snapshot
+    replacement: with table property cdf_overwrite, an OVERWRITE commit
+    records delete(old snapshot) + insert(new snapshot) as its sidecar
+    and the CDF stream consumes it instead of refusing; without the
+    property the refusal (test_sidecarless_rewrite...) stands."""
+    spark = registered
+    root = str(tmp_path / "tblov")
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")])
+    )
+    t.set_properties({"cdf_overwrite": True})  # v1 (metadata)
+    t.overwrite(_rows(spark, [(3, "c", "z")]))  # v2: sidecar-backed
+    got = _drain(spark, root, "cdf_sink_ov", want_rows=5)
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"]) for r in got
+    )
+    assert changes == [
+        (0, "insert", 1),
+        (0, "insert", 2),
+        (2, "delete", 1),
+        (2, "delete", 2),
+        (2, "insert", 3),
+    ]
+    # batch CDF agrees
+    ch = t.changes_between(1)
+    assert sorted(
+        (r["_commit_version"], r["_change_type"], r["k"]) for r in ch.collect()
+    ) == [(2, "delete", 1), (2, "delete", 2), (2, "insert", 3)]
