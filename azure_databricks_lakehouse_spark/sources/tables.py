@@ -152,6 +152,16 @@ def _physical_name(m: dict, col: str) -> str:
     return m.get("colmap", {}).get(col, col)
 
 
+def _prop_on(props: dict, key: str) -> bool:
+    """Boolean table property, tolerant of the SQL path's string values
+    (``TBLPROPERTIES ('x' = 'false')`` stores the STRING 'false', which
+    must not read as enabled)."""
+    v = props.get(key)
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "1", "yes", "on")
+    return bool(v)
+
+
 def _logical_inverse(m: dict) -> dict[str, str]:
     return {p: l for l, p in m.get("colmap", {}).items()}
 
@@ -2856,7 +2866,7 @@ class ParquetTable:
         ident = self._refuse_explicit_identity(df, m, "OVERWRITE")
         self._enforce_current(df, m, "OVERWRITE")
         df, id_bases = self._assign_identity(df, ident, m)
-        if ident and m.get("props", {}).get("cdf_overwrite"):
+        if ident and _prop_on(m.get("props", {}), "cdf_overwrite"):
             # ids feed two write jobs (data + CDC sidecar) and must not
             # re-roll between them
             df = df.localCheckpoint()
@@ -2864,7 +2874,7 @@ class ParquetTable:
             _to_physical_df(df, m), self.root, m["partition_by"]
         )
         cdc_files: list[str] = []
-        if m.get("props", {}).get("cdf_overwrite"):
+        if _prop_on(m.get("props", {}), "cdf_overwrite"):
             inv = _logical_inverse(m)
             old = self._read_files_dv(m["files"], m)
             cdc_df = (

@@ -543,3 +543,22 @@ def test_overwrite_streams_with_cdf_overwrite_property(registered, tmp_path):
     assert sorted(
         (r["_commit_version"], r["_change_type"], r["k"]) for r in ch.collect()
     ) == [(2, "delete", 1), (2, "delete", 2), (2, "insert", 3)]
+
+
+def test_cdf_overwrite_property_via_sql_strings(registered, tmp_path):
+    """The SQL path stores TBLPROPERTIES values as STRINGS; 'true'
+    enables the overwrite sidecar and — crucially — 'false' does not
+    read as enabled."""
+    from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+    spark = registered
+    root = str(tmp_path / "tblovs")
+    t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x")]))
+    lh = Lakehouse(spark)
+    lh.register("ovt", root)
+    lh.sql("ALTER TABLE ovt SET TBLPROPERTIES ('cdf_overwrite' = 'false')")
+    t.overwrite(_rows(spark, [(2, "b", "y")]))
+    assert t._manifest()["cdc_files"] == []  # string 'false' stays off
+    lh.sql("ALTER TABLE ovt SET TBLPROPERTIES ('cdf_overwrite' = 'true')")
+    t.overwrite(_rows(spark, [(3, "c", "z")]))
+    assert t._manifest()["cdc_files"], "string 'true' enables the sidecar"
