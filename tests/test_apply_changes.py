@@ -422,3 +422,56 @@ def test_streaming_apply_changes_from_cdf_matches_batch_scd2(spark, tmp_path):
         (2, "silver"): (t1, True),
         (3, "bronze"): (t2, True),
     }
+
+
+def test_streaming_apply_changes_cdf_deletes_via_commit_timestamp(spark, tmp_path):
+    """True deletes from a change feed: a DELETE's CDF row carries the
+    PRE-image's business timestamp, which the sequence floor would
+    fence — sequencing by the CDF's _commit_timestamp (round-8 column)
+    instead gives every event the commit's own instant, so the delete
+    closes the SCD2 version.  This is exactly Databricks' documented
+    APPLY CHANGES + readChangeFeed pattern (SEQUENCE BY
+    _commit_timestamp)."""
+    from azure_databricks_lakehouse_spark.sources.cdf_stream import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    src_root = str(tmp_path / "members")
+    src = ParquetTable.create(
+        spark,
+        src_root,
+        spark.createDataFrame(
+            [(1, "ann", "gold"), (2, "bob", "silver")],
+            "member_id int, name string, tier string",
+        ),
+    )
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ck")
+    kw = dict(
+        keys=["member_id"],
+        sequence_by="_commit_timestamp",
+        apply_as_deletes="_change_type = 'delete'",
+        except_columns=("_change_type", "_commit_version"),
+        scd_type=2,
+    )
+
+    def _drain():
+        feed = (
+            spark.readStream.format("table_changes")
+            .option("path", src_root)
+            .load()
+        )
+        apply_changes(spark, dim, feed, checkpoint=ckpt, **kw).awaitTermination(120)
+
+    _drain()  # v0 snapshot
+    src.delete("member_id = 2")  # v1: sidecar delete row
+    _drain()
+
+    hist = {
+        r.member_id: (r.name, r.is_current, r.effective_to is not None)
+        for r in ParquetTable.for_path(spark, dim).read().collect()
+    }
+    # member 2's only version is CLOSED by the delete; member 1 open
+    assert hist[1] == ("ann", True, False)
+    assert hist[2] == ("bob", False, True)
