@@ -55,6 +55,7 @@ UNION_PARTS: dict[str, tuple[str, list[str]]] = {
         ["doc", "line", "line_rebuilt", "span_rebuilt"],
     ),
     "q30_cosine_topk": ("part", ["dense", "bm25", "rrf"]),
+    "q41_training_data_prep": ("part", ["pipeline", "dsir"]),
 }
 
 
