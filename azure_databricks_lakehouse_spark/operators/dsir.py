@@ -251,10 +251,9 @@ def score_importance(
     exactly as likely under either model).  The per-doc sum folds over
     bucket-sorted contributions, so the double is bit-identical
     regardless of partitioning or engine.  ``features`` short-circuits
-    the gram explode with a precomputed :func:`feature_counts` frame —
-    pass the SAME frame the model was fitted from and the whole
-    fit+score pipeline shares one scan (see
-    :func:`fit_importance_from_counts`)."""
+    the gram explode with a precomputed :func:`feature_counts` frame
+    (score several models over one corpus, or persist the counts once
+    and reuse them across scoring batches)."""
     feats = features if features is not None else feature_counts(
         docs, id_col=id_col, text_col=text_col, dim=model.dim, bigrams=model.bigrams
     )
