@@ -48,7 +48,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from azure_databricks_lakehouse_spark.sources.tables import ParquetTable, is_table
+from azure_databricks_lakehouse_spark.sources.tables import (
+    ParquetTable,
+    _schema_from_json,
+    is_table,
+)
 
 _CATALOG_FILE = "_lakehouse_catalog.json"
 
@@ -91,6 +95,51 @@ def _strip_stmt(stmt: str) -> str:
         out.append(ch)
         i += 1
     return "".join(out).strip().rstrip(";").strip()
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split a multi-statement script on ``;`` — only at top level:
+    never inside ``'...'`` / ``"..."`` / `` `...` `` literals, ``--``
+    line comments, or ``/* */`` block comments.  Comment text is kept
+    with its statement (``_strip_stmt`` removes it later)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    quote = None
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "-" and script[i : i + 2] == "--":
+            j = script.find("\n", i)
+            j = n if j < 0 else j
+            cur.append(script[i:j])
+            i = j
+            continue
+        if ch == "/" and script[i : i + 2] == "/*":
+            j = script.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            cur.append(script[i:j])
+            i = j
+            continue
+        if ch == ";":
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -326,7 +375,65 @@ class Lakehouse:
             return self._cache(stmt)
         if kw == "APPLY":
             return self._apply_changes(stmt)
+        if kw == "ANALYZE":
+            return self._analyze(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    def sql_script(self, script: str) -> DataFrame:
+        """Run a multi-statement script (the notebook-cell shape the
+        reference's pipelines are written in): statements split on
+        top-level ``;`` — never inside string/backtick literals or
+        comments — execute in order, and the LAST statement's frame is
+        returned (earlier results are evaluated for their effects, like
+        a Databricks SQL cell).  A mid-script failure raises after the
+        preceding statements have committed — each statement is its own
+        transaction, exactly the Databricks/Delta contract (no
+        cross-statement rollback)."""
+        stmts = [s for s in _split_statements(script) if _strip_stmt(s)]
+        if not stmts:
+            raise ValueError("empty script")
+        out: DataFrame | None = None
+        for s in stmts:
+            out = self.sql(s)
+        return out
+
+    _ANALYZE = _ci(
+        r"^ANALYZE\s+TABLE\s+(?P<name>`?[\w.]+`?)\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+(?P<noscan>NOSCAN)|\s+FOR\s+COLUMNS\s+(?P<cols>.+)"
+        r"|\s+FOR\s+ALL\s+COLUMNS(?P<all>))?$"
+    )
+
+    def _analyze(self, stmt: str) -> DataFrame:
+        m = self._ANALYZE.match(stmt)
+        if not m:
+            raise ValueError(
+                "supported form: ANALYZE TABLE t COMPUTE STATISTICS "
+                "[NOSCAN | FOR COLUMNS c1, c2 | FOR ALL COLUMNS]"
+            )
+        name = _unquote_ident(m.group("name"))
+        table = self.table(name)
+        columns: list[str] | str | None = None
+        if m.group("cols") is not None:
+            columns = [
+                _unquote_ident(c.strip()) for c in _split_top(m.group("cols"))
+            ]
+        elif m.group("all") is not None:
+            columns = "all"
+        version = table.analyze(columns, noscan=bool(m.group("noscan")))
+        s = table.statistics() or {}
+        return self.spark.createDataFrame(
+            [
+                (
+                    name,
+                    version,
+                    s.get("num_rows"),
+                    s.get("size_bytes"),
+                    len(s.get("columns", {})),
+                )
+            ],
+            "table string, version int, num_rows long, size_bytes long, "
+            "num_cols_analyzed int",
+        )
 
     _CACHE = _ci(r"^(CACHE|UNCACHE)\s+TABLE\s+(`?[\w.]+`?)$")
 
@@ -1565,7 +1672,7 @@ class Lakehouse:
         )
 
     _DESCRIBE = _ci(
-        r"^DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+(`?[\w.]+`?)"
+        r"^DESC(?:RIBE)?\s+(HISTORY|DETAIL|EXTENDED)\s+(`?[\w.]+`?)"
         r"(?:\s+LIMIT\s+(\d+))?$"
     )
 
@@ -1575,6 +1682,8 @@ class Lakehouse:
             raise ValueError(f"unsupported DESCRIBE form: {stmt[:80]!r}")
         what = m.group(1).upper()
         table = self.table(m.group(2))
+        if what == "EXTENDED":
+            return self._describe_extended(table)
         if what == "HISTORY":
             limit = int(m.group(3)) if m.group(3) else None
             rows = [
@@ -1611,6 +1720,52 @@ class Lakehouse:
             "size_in_bytes long, partition_columns array<string>, "
             "clustering_columns array<string>, created_at double, "
             "last_modified double, properties string",
+        )
+
+    def _describe_extended(self, table) -> DataFrame:
+        """``DESCRIBE EXTENDED t`` — schema rows first (Spark's layout),
+        then ``# Detailed Table Information`` key/value rows including
+        the last ANALYZE's statistics.  Metadata-only: manifest + file
+        sizes, no data read."""
+        d = table.detail()
+        rows: list[tuple[str, str, str]] = []
+        schema = _schema_from_json(self.spark, d["schema"])
+        for f in schema.fields:
+            rows.append((f.name, f.dataType.simpleString(), ""))
+        rows.append(("# Detailed Table Information", "", ""))
+        rows.append(("Location", d["location"], ""))
+        rows.append(("Version", str(d["version"]), ""))
+        rows.append(("Num Files", str(d["num_files"]), ""))
+        rows.append(("Size Bytes", str(d["size_bytes"]), ""))
+        rows.append(
+            ("Partition Columns", json.dumps(d["partition_columns"]), "")
+        )
+        s = d["properties"].get("statistics")
+        if s:
+            # stale iff any DATA-changing commit landed after the
+            # analyzed snapshot (metadata-only commits don't invalidate)
+            stale = any(
+                c.version > s["as_of_version"]
+                and c.operation not in ("ANALYZE", "SETPROPERTIES")
+                for c in table.history()
+            )
+            rows.append(("# Statistics (last ANALYZE)", "", ""))
+            rows.append(("Stats As-Of Version", str(s["as_of_version"]), ""))
+            rows.append(
+                ("Num Rows", str(s.get("num_rows")), "stale" if stale else "")
+            )
+            for c, cs in sorted(s.get("columns", {}).items()):
+                rows.append(
+                    (f"Column Stats: {c}", json.dumps(cs, sort_keys=True), "")
+                )
+        for k, v in sorted(d["properties"].items()):
+            if k == "statistics":
+                continue
+            rows.append(
+                (f"Property: {k}", json.dumps(v, sort_keys=True, default=str), "")
+            )
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
         )
 
     _RESTORE = _ci(

@@ -1496,6 +1496,133 @@ class ParquetTable:
         merged = {k: v for k, v in merged.items() if v is not None}
         return self._commit_props(m, merged, "SETPROPERTIES")
 
+    # -- ANALYZE TABLE (Spark/Databricks COMPUTE STATISTICS parity) ---------
+
+    _UNANALYZABLE = ("array", "map", "struct", "binary", "variant")
+
+    def analyze(
+        self, columns: list[str] | str | None = None, *, noscan: bool = False
+    ) -> int:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS`` — collect table-level
+        (and optionally per-column) statistics and publish them in one
+        metadata-only commit (operation ``ANALYZE``).  Stats live under
+        the reserved ``statistics`` table property, stamped with the
+        snapshot version they describe (``as_of_version``), so they are
+        versioned like every property: RESTORE rolls them back with the
+        data and time travel shows the stats a version carried.
+
+        ``noscan`` is the metadata-only path — and unlike Spark's
+        ``NOSCAN`` (size only), it yields an EXACT row count without
+        touching a data byte: parquet footers carry per-file row counts,
+        and the deletion-vector sidecars (sized ∝ deleted rows, never
+        table rows) supply the masked-row correction.  Cost is O(files)
+        footer opens + one tiny DV count job — 100 TB safe.
+
+        ``columns`` (a list, or ``"all"`` for every supported column)
+        adds per-column min / max / null count / approx NDV (and
+        max/avg length for strings) from ONE aggregate-only scan of the
+        current snapshot — a single job with map-side partials, no
+        shuffle wider than the final one-row agg.  Complex-typed columns
+        (array/map/struct/binary) raise when named explicitly and are
+        skipped by ``"all"``, mirroring Spark's ANALYZE restrictions.
+        """
+        if noscan and columns:
+            raise ValueError("NOSCAN collects table-level stats only — "
+                             "drop noscan to analyze columns")
+        m = self._manifest()
+        data_root = os.path.join(self.root, _DATA_DIR)
+        size = 0
+        for f in m["files"]:
+            try:
+                size += os.path.getsize(os.path.join(data_root, f))
+            except OSError:
+                pass
+        stats: dict = {
+            "as_of_version": m["version"],
+            "num_files": len(m["files"]),
+            "size_bytes": size,
+            "noscan": bool(noscan),
+            "analyzed_at": time.time(),
+        }
+        schema = _schema_from_json(self.spark, m["schema"])
+        if noscan:
+            import pyarrow.parquet as pq
+
+            rows = 0
+            for f in m["files"]:
+                rows += pq.ParquetFile(
+                    os.path.join(data_root, f)
+                ).metadata.num_rows
+            dvs = m.get("dvs", {})
+            dv = self._dv_frame(m, m["files"])
+            if dv is not None:
+                masked = [f for f in m["files"] if f in dvs]
+                # tiny count job over the DV sidecars (∝ deleted rows);
+                # the isin guard drops entries for rewritten files whose
+                # positions a shared sidecar may still carry
+                rows -= dv.filter(F.col("__file").isin(masked)).count()
+            stats["num_rows"] = int(rows)
+        else:
+            cols: list[str] = []
+            if columns:
+                wanted = (
+                    [f.name for f in schema.fields]
+                    if isinstance(columns, str) and columns.lower() == "all"
+                    else list(columns)
+                )
+                by_name = {f.name: f for f in schema.fields}
+                for c in wanted:
+                    if c not in by_name:
+                        raise KeyError(f"unknown column {c!r}")
+                    tn = by_name[c].dataType.typeName()
+                    if any(tn.startswith(u) for u in self._UNANALYZABLE):
+                        if isinstance(columns, str):  # "all": skip complex
+                            continue
+                        raise ValueError(
+                            f"ANALYZE does not support column {c!r} of "
+                            f"type {tn} (as in Spark)"
+                        )
+                    cols.append(c)
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for i, c in enumerate(cols):
+                qc = F.col(f"`{c}`")
+                aggs += [
+                    F.min(qc).alias(f"__min_{i}"),
+                    F.max(qc).alias(f"__max_{i}"),
+                    (F.count(F.lit(1)) - F.count(qc)).alias(f"__null_{i}"),
+                    F.approx_count_distinct(qc).alias(f"__ndv_{i}"),
+                ]
+                if schema[c].dataType.typeName() == "string":
+                    aggs += [
+                        F.max(F.length(qc)).alias(f"__maxlen_{i}"),
+                        F.avg(F.length(qc)).alias(f"__avglen_{i}"),
+                    ]
+            # one-row driver fetch of the aggregate — metadata-sized
+            row = self.read().agg(*aggs).collect()[0].asDict()
+            stats["num_rows"] = int(row["__rows"])
+            col_stats: dict = {}
+            for i, c in enumerate(cols):
+                entry = {
+                    "min": _stat_scalar(row[f"__min_{i}"]),
+                    "max": _stat_scalar(row[f"__max_{i}"]),
+                    "null_count": int(row[f"__null_{i}"]),
+                    "distinct_count_approx": int(row[f"__ndv_{i}"]),
+                }
+                if f"__maxlen_{i}" in row:
+                    ml, al = row[f"__maxlen_{i}"], row[f"__avglen_{i}"]
+                    entry["max_len"] = None if ml is None else int(ml)
+                    entry["avg_len"] = None if al is None else float(al)
+                col_stats[c] = entry
+            if col_stats:
+                stats["columns"] = col_stats
+        props = {**m.get("props", {}), "statistics": stats}
+        return self._commit_props(m, props, "ANALYZE")
+
+    def statistics(self) -> dict | None:
+        """The last ``ANALYZE`` result (or None) — check
+        ``as_of_version`` against :meth:`latest_version` for staleness."""
+        return self.properties().get("statistics")
+
     # -- generated columns (Delta GENERATED ALWAYS AS parity) ---------------
 
     def generated_columns(self) -> dict:
@@ -4334,6 +4461,15 @@ def _file_rows(data_root: str, rels: list[str]) -> int:
         pq.ParquetFile(os.path.join(data_root, r)).metadata.num_rows
         for r in rels
     )
+
+
+def _stat_scalar(v):
+    """JSON-safe rendering of an ANALYZE min/max value: native JSON
+    scalars pass through, temporal/decimal values become their ISO /
+    exact string forms (round-trippable, engine-neutral)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
 
 
 def _file_stats(data_root: str, rels: list[str]) -> dict[str, dict]:

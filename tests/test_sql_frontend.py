@@ -747,3 +747,46 @@ def test_apply_changes_sql_rejects_malformed(spark, tmp_path, lh):
         lh.sql("APPLY CHANGES INTO t2 FROM cdcx SEQUENCE BY ts")
     with pytest.raises(ValueError, match="APPLY CHANGES"):
         lh.sql("APPLY CHANGES cdcx KEYS (id) SEQUENCE BY ts")
+
+
+def test_sql_script_multi_statement(spark, tmp_path, lh):
+    """Notebook-cell parity: several ;-separated statements run in
+    order; the LAST statement's frame is returned; semicolons inside
+    string literals and comments never split."""
+    out = lh.sql_script(
+        f"""
+        CREATE TABLE s1 (id int, note string)
+        USING PARQUET LOCATION '{tmp_path / "wh" / "s1"}';
+
+        -- a comment with a ; inside stays a comment
+        INSERT INTO s1 VALUES (1, 'a;b'), (2, 'plain');
+        /* block; comment; too */
+        INSERT INTO s1 VALUES (3, 'c');
+
+        SELECT id, note FROM s1 ORDER BY id;
+        """
+    )
+    rows = out.collect()
+    assert [(r["id"], r["note"]) for r in rows] == [
+        (1, "a;b"),
+        (2, "plain"),
+        (3, "c"),
+    ]
+
+
+def test_sql_script_mid_failure_keeps_prior_commits(spark, tmp_path, lh):
+    """Each statement is its own transaction (Delta contract): a failing
+    statement raises, but the preceding ones have committed."""
+    lh.sql(
+        f"CREATE TABLE s2 (id int, note string) "
+        f"USING PARQUET LOCATION '{tmp_path / 'wh' / 's2'}'"
+    )
+    with pytest.raises(ValueError, match="unsupported statement"):
+        lh.sql_script(
+            "INSERT INTO s2 VALUES (1, 'kept'); FROBNICATE s2; "
+            "INSERT INTO s2 VALUES (2, 'never')"
+        )
+    got = [r["id"] for r in lh.sql("SELECT id FROM s2").collect()]
+    assert got == [1]
+    with pytest.raises(ValueError, match="empty script"):
+        lh.sql_script(" ; -- nothing\n ; ")
