@@ -118,6 +118,10 @@ def prepare_training_corpus(
     url_blocklist: tuple | list | DataFrame = (),
     url_allowlist: tuple | list = (),
     max_docs_per_domain: int | None = None,
+    c4_rules: bool = False,
+    c4_min_words_per_line: int = 3,
+    c4_min_sentences: int = 5,
+    c4_bad_words: list | None = None,
     boilerplate_min_count: int | None = None,
     boilerplate_min_line_chars: int = 10,
     chunk_tokens: int | None = None,
@@ -173,6 +177,25 @@ def prepare_training_corpus(
             seed=shuffle_seed,
         ).kept
         docs = _note("url_filter", docs)
+
+    # -0.5. optional C4 page cleaning (`operators/c4`, Raffel et al.
+    # 2020 §2.2): line rules rewrite the text in place and page rules
+    # drop code/placeholder/policy pages.  Runs right after the URL
+    # gate — it is a zero-shuffle projection, and every page it drops
+    # (and every boilerplate line it strips) is bytes no later stage
+    # tokenizes, hashes, or shuffles.
+    if c4_rules:
+        from azure_databricks_lakehouse_spark.operators.c4 import c4_clean
+
+        docs = c4_clean(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            min_words_per_line=c4_min_words_per_line,
+            min_sentences=c4_min_sentences,
+            bad_words=c4_bad_words,
+        ).kept
+        docs = _note("c4_rules", docs)
 
     # 0. optional CCNet boilerplate strip (`operators/linedup`):
     # corpus-repeated lines (nav bars, cookie banners, footers) are

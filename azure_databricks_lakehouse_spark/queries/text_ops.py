@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.functions.text import norm_text
+from azure_databricks_lakehouse_spark.operators.c4 import c4_audit
 from azure_databricks_lakehouse_spark.queries import QuerySpec
 from azure_databricks_lakehouse_spark.sources.catalog import bind
 
@@ -161,12 +162,30 @@ FROM chunk_part
 
 # --- q25: language-ID heuristic + quality scoring --------------------------
 def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union (round-8 corpus consolidation under the 50-query cap):
+
+    - ``part='heuristic'``: the original language-ID + quality flags —
+      stopword-ratio en/other separator, length and token-length gates
+      (pure projection, zero shuffle);
+    - ``part='c4'``: the C4 cleaning rules (``operators/c4``, Raffel et
+      al. 2020 §2.2) over a page corpus DERIVED from the fixture — the
+      raw ``documents`` text has no newlines or punctuation, so each doc
+      is recast as a 6-line web page planting every rule (good lines,
+      a short line, an unterminated line, and doc_id-keyed javascript /
+      policy / brace / lorem-ipsum / bad-word lines).  The oracle
+      re-derives the identical pages and re-applies the rules in SQL, so
+      line filtering, in-order reassembly (pinned by ``cleaned_md5``),
+      sentence counting, and page verdicts are all value-checked.  Still
+      a pure projection — the union adds zero shuffles.
+    """
     t = bind(spark, sf_dir, "documents")
     toks = _tokens_col()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
     stop_ratio = n_stop / n_tokens
-    return t["documents"].select(
+    _s, _b, _l = "string", "boolean", "long"
+    heur = t["documents"].select(
+        F.lit("heuristic").alias("part"),
         "doc_id",
         "lang",
         stop_ratio.alias("stop_ratio"),
@@ -174,8 +193,82 @@ def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((stop_ratio >= 0.05) == (F.col("lang") == "en")).alias("pred_correct"),
         (n_tokens >= 30).alias("len_ok"),
         ((F.col("n_chars") / n_tokens) <= 12.0).alias("token_len_ok"),
+        F.lit(None).cast(_l).alias("n_lines"),
+        F.lit(None).cast(_l).alias("n_lines_kept"),
+        F.lit(None).cast(_l).alias("n_sentences"),
+        F.lit(None).cast(_s).alias("page_reasons"),
+        F.lit(None).cast(_b).alias("c4_keep"),
+        F.lit(None).cast(_s).alias("cleaned_md5"),
     )
+    d = F.col("doc_id")
+    pages = t["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.trim(F.substring(F.col("text"), 1, 60)), F.lit(".")),
+            F.lit("too short."),
+            F.substring(F.col("text"), 61, 40),
+            F.when(d % 7 == 0, F.lit(_C4_JS_LINE)).otherwise(F.lit(_C4_GOOD2)),
+            F.when(d % 11 == 0, F.lit(_C4_POLICY_LINE)).otherwise(
+                F.lit(_C4_GOOD3)
+            ),
+            F.when(d % 13 == 0, F.lit(_C4_BRACE_LINE))
+            .when(d % 17 == 0, F.lit(_C4_LOREM_LINE))
+            .when(d % 19 == 0, F.lit(_C4_BAD_LINE))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    audit = c4_audit(
+        pages, min_sentences=_C4_MIN_SENTENCES, bad_words=[_C4_BAD_WORD]
+    )
+    c4 = audit.select(
+        F.lit("c4").alias("part"),
+        "doc_id",
+        F.lit(None).cast(_s).alias("lang"),
+        F.lit(None).cast("double").alias("stop_ratio"),
+        F.lit(None).cast(_b).alias("pred_en"),
+        F.lit(None).cast(_b).alias("pred_correct"),
+        F.lit(None).cast(_b).alias("len_ok"),
+        F.lit(None).cast(_b).alias("token_len_ok"),
+        F.col("n_lines").cast(_l).alias("n_lines"),
+        F.col("n_lines_kept").cast(_l).alias("n_lines_kept"),
+        F.col("n_sentences").cast(_l).alias("n_sentences"),
+        F.array_join("page_reasons", ",").alias("page_reasons"),
+        F.col("keep").alias("c4_keep"),
+        F.md5("cleaned").alias("cleaned_md5"),
+    )
+    return heur.unionByName(c4)
 
+
+# C4 part fixtures: every planted line is shared with the SQL twin below
+# so both engines derive byte-identical pages.
+_C4_MIN_SENTENCES = 3
+_C4_BAD_WORD = "frobword"
+_C4_GOOD2 = "this page has a second good sentence right here!"
+_C4_GOOD3 = "a third complete sentence closes the page."
+_C4_JS_LINE = "please enable javascript to continue reading."
+_C4_POLICY_LINE = "we updated our privacy policy this year."
+_C4_BRACE_LINE = "object { } notation mentioned here."
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet."
+_C4_BAD_LINE = "the forbidden frobword appears here."
+
+# DuckDB line rule: identical predicate chain to operators/c4._line_ok
+_C4_LINE_OK_SQL = (
+    "regexp_matches(trim(x), '[.!?\"]$') "
+    "AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3 "
+    "AND NOT contains(lower(trim(x)), 'javascript') "
+    + " ".join(
+        f"AND NOT contains(lower(trim(x)), '{p}')"
+        for p in (
+            "terms of use",
+            "privacy policy",
+            "cookie policy",
+            "uses cookies",
+            "use of cookies",
+            "use cookies",
+        )
+    )
+)
 
 _Q25_SQL = f"""
 WITH scored AS (
@@ -184,15 +277,84 @@ WITH scored AS (
          len(list_filter({_TOKENS_SQL},
              t -> t IN ({', '.join("'" + s + "'" for s in _STOPWORDS)}))) AS n_stop
   FROM documents
+),
+heur AS (
+  SELECT 'heuristic' AS part,
+         doc_id,
+         lang,
+         n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         n_stop / CAST(n_tokens AS DOUBLE) >= 0.05 AS pred_en,
+         (n_stop / CAST(n_tokens AS DOUBLE) >= 0.05) = (lang = 'en') AS pred_correct,
+         n_tokens >= 30 AS len_ok,
+         n_chars / CAST(n_tokens AS DOUBLE) <= 12.0 AS token_len_ok,
+         CAST(NULL AS BIGINT) AS n_lines,
+         CAST(NULL AS BIGINT) AS n_lines_kept,
+         CAST(NULL AS BIGINT) AS n_sentences,
+         CAST(NULL AS VARCHAR) AS page_reasons,
+         CAST(NULL AS BOOLEAN) AS c4_keep,
+         CAST(NULL AS VARCHAR) AS cleaned_md5
+  FROM scored
+),
+c4pages AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           trim(substr(text, 1, 60)) || '.',
+           'too short.',
+           substr(text, 61, 40),
+           CASE WHEN doc_id % 7 = 0 THEN '{_C4_JS_LINE}' ELSE '{_C4_GOOD2}' END,
+           CASE WHEN doc_id % 11 = 0 THEN '{_C4_POLICY_LINE}' ELSE '{_C4_GOOD3}' END,
+           CASE WHEN doc_id % 13 = 0 THEN '{_C4_BRACE_LINE}'
+                WHEN doc_id % 17 = 0 THEN '{_C4_LOREM_LINE}'
+                WHEN doc_id % 19 = 0 THEN '{_C4_BAD_LINE}'
+                ELSE '' END) AS page
+  FROM documents
+),
+c4lines AS (
+  SELECT doc_id,
+         len(string_split(page, chr(10))) AS n_lines,
+         list_filter(string_split(page, chr(10)), x -> {_C4_LINE_OK_SQL}) AS kept
+  FROM c4pages
+),
+c4clean AS (
+  SELECT doc_id, n_lines,
+         len(kept) AS n_lines_kept,
+         array_to_string(list_transform(kept, x -> trim(x)), chr(10)) AS cleaned
+  FROM c4lines
+),
+c4sent AS (
+  SELECT *, length(regexp_replace(cleaned, '[^.!?]', '', 'g')) AS n_sentences
+  FROM c4clean
+),
+c4flag AS (
+  SELECT *,
+         list_filter([
+           CASE WHEN n_sentences < {_C4_MIN_SENTENCES} THEN 'too_few_sentences' END,
+           CASE WHEN contains(lower(cleaned), 'lorem ipsum') THEN 'lorem_ipsum' END,
+           CASE WHEN contains(cleaned, '{{') THEN 'brace' END,
+           CASE WHEN list_contains(
+             regexp_split_to_array(lower(cleaned), '[^a-z0-9]+'),
+             '{_C4_BAD_WORD}') THEN 'bad_word' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM c4sent
+),
+c4part AS (
+  SELECT 'c4' AS part,
+         doc_id,
+         CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS DOUBLE) AS stop_ratio,
+         CAST(NULL AS BOOLEAN) AS pred_en,
+         CAST(NULL AS BOOLEAN) AS pred_correct,
+         CAST(NULL AS BOOLEAN) AS len_ok,
+         CAST(NULL AS BOOLEAN) AS token_len_ok,
+         CAST(n_lines AS BIGINT) AS n_lines,
+         CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+         CAST(n_sentences AS BIGINT) AS n_sentences,
+         array_to_string(reasons, ',') AS page_reasons,
+         len(reasons) = 0 AS c4_keep,
+         md5(cleaned) AS cleaned_md5
+  FROM c4flag
 )
-SELECT doc_id,
-       lang,
-       n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-       n_stop / CAST(n_tokens AS DOUBLE) >= 0.05 AS pred_en,
-       (n_stop / CAST(n_tokens AS DOUBLE) >= 0.05) = (lang = 'en') AS pred_correct,
-       n_tokens >= 30 AS len_ok,
-       n_chars / CAST(n_tokens AS DOUBLE) <= 12.0 AS token_len_ok
-FROM scored
+SELECT * FROM heur UNION ALL SELECT * FROM c4part
 """
 
 

@@ -1546,13 +1546,7 @@ class ParquetTable:
         }
         schema = _schema_from_json(self.spark, m["schema"])
         if noscan:
-            import pyarrow.parquet as pq
-
-            rows = 0
-            for f in m["files"]:
-                rows += pq.ParquetFile(
-                    os.path.join(data_root, f)
-                ).metadata.num_rows
+            rows = _file_rows(data_root, m["files"])
             dvs = m.get("dvs", {})
             dv = self._dv_frame(m, m["files"])
             if dv is not None:

@@ -428,3 +428,31 @@ def test_url_gate_runs_first(spark):
     survivors = {r.doc_id for r in res.corpus.collect()}
     assert survivors == {1, 4}
     assert "url" in res.corpus.columns  # pass-through of extra columns
+
+
+def test_c4_stage_cleans_lines_and_drops_pages(spark):
+    """Stage -0.5 (operators/c4): line rules rewrite surviving pages in
+    place (dropped lines never reach tokenization), page rules drop the
+    lorem-ipsum page, and the audit records the stage."""
+    good1 = ("the committee published its annual report on the quality of "
+             "regional water in the valley.")
+    good2 = ("a full account of the treatment plant and the effect on the "
+             "river is given in the body of the report!")
+    good3 = "the board of the district approved all of the measures."
+    rows = [
+        (1, "\n".join([good1, "no terminal punctuation line", good2, good3])),
+        (2, "\n".join([good1, "lorem ipsum dolor sit amet.", good2, good3])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    res = prepare_training_corpus(
+        docs,
+        c4_rules=True,
+        c4_min_sentences=3,
+        max_doc_freq=None,
+        decontaminate_max_fp_doc_frac=None,
+    )
+    assert res.audit["input"] == 2
+    assert res.audit["c4_rules"] == 1  # lorem-ipsum page dropped
+    texts = {r["doc_id"]: r["text"] for r in res.corpus.collect()}
+    assert set(texts) == {1}
+    assert texts[1] == "\n".join([good1, good2, good3])  # line stripped
