@@ -1,0 +1,122 @@
+"""Property-based SQL front-end conformance: every random DML sequence
+must do EXACTLY the same thing whether issued as Delta-flavored SQL
+statements (``sources/sql.Lakehouse``) or as the equivalent Python
+table-layer calls.
+
+The table layer itself is conformance-swept against a pure-Python model
+in ``test_dml_hypothesis``; this sweep points the same generator at the
+1.8k-LoC statement parser — the SQL path and the Python path run the
+same sequence on twin tables and must agree row-for-row after every
+statement.  What it catches is parser/translation drift: a mis-parsed
+predicate, a clause routed to the wrong merge mode, an INSERT OVERWRITE
+that appends.
+
+Budgeted like its sibling: Spark commits are ~0.5 s, so few examples
+and short sequences; failures shrink to a minimal statement list."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+KEYS = list(range(6))
+
+_op = st.one_of(
+    st.tuples(
+        st.just("insert"),
+        st.lists(st.sampled_from(KEYS), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("delete"), st.sampled_from(KEYS)),
+    st.tuples(st.just("update"), st.sampled_from(KEYS), st.integers(0, 99)),
+    st.tuples(
+        st.just("merge"),
+        st.lists(st.sampled_from(KEYS), min_size=1, max_size=3, unique=True),
+        st.integers(0, 99),
+    ),
+    st.tuples(
+        st.just("insert_overwrite"),
+        st.lists(st.sampled_from(KEYS), min_size=1, max_size=2, unique=True),
+    ),
+)
+
+
+def _values(rows: list[tuple[int, int]]) -> str:
+    return ", ".join(f"({k}, {v})" for k, v in rows)
+
+
+def _apply_sql(lh: Lakehouse, op, seq: int) -> None:
+    kind = op[0]
+    if kind == "insert":
+        lh.sql(f"INSERT INTO ta VALUES {_values([(k, seq) for k in op[1]])}")
+    elif kind == "delete":
+        lh.sql(f"DELETE FROM ta WHERE k = {op[1]}")
+    elif kind == "update":
+        lh.sql(f"UPDATE ta SET v = {op[2]} WHERE k = {op[1]}")
+    elif kind == "merge":
+        src = _values([(k, op[2]) for k in op[1]])
+        lh.sql(
+            "MERGE INTO ta AS t USING "
+            f"(SELECT col1 AS k, col2 AS v FROM VALUES {src}) AS s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+        )
+    elif kind == "insert_overwrite":
+        lh.sql(
+            "INSERT OVERWRITE ta VALUES "
+            f"{_values([(k, seq) for k in op[1]])}"
+        )
+
+
+def _apply_py(spark, t: ParquetTable, op, seq: int) -> None:
+    kind = op[0]
+    if kind == "insert":
+        t.append(
+            spark.createDataFrame([(k, seq) for k in op[1]], "k int, v int")
+        )
+    elif kind == "delete":
+        t.delete(f"k = {op[1]}")
+    elif kind == "update":
+        t.update(f"k = {op[1]}", {"v": F.lit(op[2])})
+    elif kind == "merge":
+        t.merge(
+            spark.createDataFrame(
+                [(k, op[2]) for k in op[1]], "k int, v int"
+            ),
+            on=["k"],
+        )
+    elif kind == "insert_overwrite":
+        t.overwrite(
+            spark.createDataFrame([(k, seq) for k in op[1]], "k int, v int")
+        )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_sql_statements_match_python_api(spark, tmp_path_factory, ops):
+    base = tmp_path_factory.mktemp("sqlhyp")
+    init = spark.createDataFrame([(k, -1) for k in KEYS[:3]], "k int, v int")
+    ta = ParquetTable.create(spark, str(base / "ta"), init)
+    tb = ParquetTable.create(spark, str(base / "tb"), init)
+    lh = Lakehouse(spark)
+    lh.register("ta", str(base / "ta"))
+    for seq, op in enumerate(ops):
+        _apply_sql(lh, op, seq)
+        _apply_py(spark, tb, op, seq)
+        sql_rows = sorted((r.k, r.v) for r in ta.read().collect())
+        py_rows = sorted((r.k, r.v) for r in tb.read().collect())
+        assert sql_rows == py_rows, f"after {op} (step {seq} of {ops})"
+    # both paths wrote the same commit KINDS in the same order too —
+    # the SQL router must not reach the same rows via a different op
+    # (an INSERT routed through overwrite would still pass row equality)
+    ops_a = [c.operation for c in ta.history()]
+    ops_b = [c.operation for c in tb.history()]
+    assert ops_a == ops_b, f"history diverged for {ops}"
