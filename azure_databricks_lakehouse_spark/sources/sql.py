@@ -1926,7 +1926,100 @@ class Lakehouse:
         self.spark.catalog.dropTempView(self._view_name(name))
         return self._status("DROP TABLE", name, None)
 
+    # properties that are ENGINE state expressed elsewhere in the DDL
+    # (column clauses, ALTER statements) or not reconstructable from a
+    # CREATE at all — everything else round-trips via TBLPROPERTIES
+    _DDL_RESERVED_PROPS = frozenset(
+        {
+            "check_constraints",
+            "not_null",
+            "generated",
+            "defaults",
+            "identity",
+            "bloom",
+            "clustering",
+            "clustering_intent",
+            "statistics",
+            "txns",
+        }
+    )
+
+    def _show_create(self, name: str) -> DataFrame:
+        """``SHOW CREATE TABLE t`` — DDL that reconstructs the table
+        through THIS front-end's own parser (round-trip tested): column
+        clauses carry NOT NULL / DEFAULT / GENERATED / IDENTITY, then
+        PARTITIONED BY / CLUSTER BY / LOCATION / user TBLPROPERTIES.
+        Databricks emits one ``createtab_stmt`` row; CHECK constraints
+        need ALTER statements here, so they follow as extra rows —
+        execute the rows in order to rebuild the table at a new
+        LOCATION.  Bloom-index config is maintenance state and is not
+        emitted."""
+        table = self.table(name)
+        d = table.detail()
+        props = d["properties"]
+        schema = _schema_from_json(self.spark, d["schema"])
+        ident = props.get("identity", {})
+        gen = props.get("generated", {})
+        defaults = props.get("defaults", {})
+        not_null = set(props.get("not_null", []))
+        cols = []
+        for f in schema.fields:
+            if f.name in ident:
+                i = ident[f.name]
+                cols.append(
+                    f"  `{f.name}` BIGINT GENERATED ALWAYS AS IDENTITY "
+                    f"(START WITH {i['start']} INCREMENT BY {i['step']})"
+                )
+                continue
+            line = f"  `{f.name}` {f.dataType.simpleString()}"
+            if f.name in gen:
+                line += f" GENERATED ALWAYS AS ({gen[f.name]})"
+            else:
+                if f.name in defaults:
+                    line += f" DEFAULT {defaults[f.name]}"
+                if f.name in not_null:
+                    line += " NOT NULL"
+            cols.append(line)
+        inv = {p: l for l, p in d["column_mapping"].items()}
+        parts = [inv.get(c, c) for c in d["partition_columns"]]
+        cluster = (props.get("clustering") or {}).get("cols", []) or props.get(
+            "clustering_intent", []
+        )
+        ddl = f"CREATE TABLE {name} (\n" + ",\n".join(cols) + "\n)\nUSING PARQUET"
+        if parts:
+            ddl += f"\nPARTITIONED BY ({', '.join(parts)})"
+        if cluster:
+            ddl += f"\nCLUSTER BY ({', '.join(cluster)})"
+        ddl += f"\nLOCATION '{d['location']}'"
+        user_props = {
+            k: v
+            for k, v in props.items()
+            if k not in self._DDL_RESERVED_PROPS
+        }
+        if user_props:
+            rendered = ", ".join(
+                f"'{k}' = "
+                + (
+                    f"'{v}'"
+                    if isinstance(v, str)
+                    else json.dumps(v)  # bool/int render as true/1
+                )
+                for k, v in sorted(user_props.items())
+            )
+            ddl += f"\nTBLPROPERTIES ({rendered})"
+        rows = [(ddl,)]
+        for cname, expr in sorted(
+            props.get("check_constraints", {}).items()
+        ):
+            rows.append(
+                (f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({expr})",)
+            )
+        return self.spark.createDataFrame(rows, "createtab_stmt string")
+
     def _show(self, stmt: str) -> DataFrame:
+        sc = _ci(r"^SHOW\s+CREATE\s+TABLE\s+(`?[\w.]+`?)$").match(stmt)
+        if sc:
+            return self._show_create(_unquote_ident(sc.group(1)))
         if _ci(r"^SHOW\s+TABLES$").match(stmt):
             rows = sorted(self._paths.items())
             return self.spark.createDataFrame(

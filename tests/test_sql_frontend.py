@@ -790,3 +790,49 @@ def test_sql_script_mid_failure_keeps_prior_commits(spark, tmp_path, lh):
     assert got == [1]
     with pytest.raises(ValueError, match="empty script"):
         lh.sql_script(" ; -- nothing\n ; ")
+
+
+def test_show_create_table_round_trips(spark, tmp_path, lh):
+    """SHOW CREATE TABLE emits DDL this front-end re-executes: column
+    clauses (NOT NULL / DEFAULT / GENERATED / IDENTITY), partitioning,
+    user TBLPROPERTIES, and follow-up ALTER rows for CHECK constraints
+    reconstruct an equivalent table at a new location."""
+    loc1 = str(tmp_path / "wh" / "sct1")
+    lh.sql(
+        f"""CREATE TABLE sct1 (
+          rid bigint GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+          id int NOT NULL,
+          cat string DEFAULT 'misc',
+          amt double,
+          amt2 double GENERATED ALWAYS AS (amt * 2)
+        ) USING PARQUET PARTITIONED BY (cat) LOCATION '{loc1}'
+        TBLPROPERTIES ('owner' = 'pipelines', 'cdf_overwrite' = true)"""
+    )
+    lh.sql("ALTER TABLE sct1 ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    stmts = [r["createtab_stmt"] for r in lh.sql("SHOW CREATE TABLE sct1").collect()]
+    assert len(stmts) == 2 and stmts[1].startswith("ALTER TABLE sct1")
+    assert "GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2)" in stmts[0]
+    assert "'owner' = 'pipelines'" in stmts[0] and "'cdf_overwrite' = true" in stmts[0]
+    # engine-state props never leak into the DDL
+    lh.sql("ANALYZE TABLE sct1 COMPUTE STATISTICS NOSCAN")
+    again = lh.sql("SHOW CREATE TABLE sct1").collect()[0]["createtab_stmt"]
+    assert "statistics" not in again
+
+    loc2 = str(tmp_path / "wh" / "sct2")
+    for s in stmts:
+        lh.sql(
+            s.replace("sct1", "sct2").replace(f"'{loc1}'", f"'{loc2}'")
+        )
+    lh.sql("INSERT INTO sct2 (id, amt) VALUES (1, 3.0)")
+    row = lh.sql("SELECT * FROM sct2").collect()[0]
+    # identity, default, and generated columns all fire on the clone
+    assert (row["rid"], row["cat"], row["amt2"]) == (10, "misc", 6.0)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="amt_pos"):
+        lh.sql("INSERT INTO sct2 (id, amt) VALUES (2, -1.0)")
+    # schema + partitioning match the original
+    a = {r["col_name"]: r["data_type"] for r in lh.sql("DESCRIBE EXTENDED sct1").collect()}
+    b = {r["col_name"]: r["data_type"] for r in lh.sql("DESCRIBE EXTENDED sct2").collect()}
+    for c in ("rid", "id", "cat", "amt", "amt2", "Partition Columns"):
+        assert a[c] == b[c]
