@@ -237,6 +237,128 @@ def parse_predicate(sql: str) -> Pred | None:
     return None if node.kind == "top" else node
 
 
+# -- generated-partition implication -----------------------------------------
+
+# Delta's "generated column partition pruning": when a partition column
+# is GENERATED ALWAYS AS a monotone truncation of a base column, a
+# predicate on the BASE column implies a predicate on the PARTITION
+# column — so `ts >= '2026-08-14 10:00'` prunes `day=` directories even
+# though footer stats carry nothing for timestamp columns.  Supported
+# generation templates (the same whitelist Delta documents):
+#
+#   to_date(base) / date(base) / CAST(base AS DATE)   → day truncation
+#   year(base)                                        → year extraction
+#
+# date_trunc is deliberately NOT supported: its partition value is a
+# TIMESTAMP string ('2026-08-01 00:00:00'), which breaks the exact
+# lexicographic compare against a derived DATE literal ('2026-08-14') —
+# a <= bound would wrongly exclude the boundary partition.  DATE-typed
+# and integer-typed generations compare exactly.
+#
+# Soundness: for every ROW, g = f(base) with f monotone nondecreasing,
+# so `base op lit` implies `g op' f(lit)` (op' relaxes strict to
+# non-strict).  Each matched predicate node P is replaced by
+# AND(P, implied) — a row-wise EQUIVALENT node, hence sound under any
+# AND/OR composition.  Timestamp literals are interpreted as written
+# (session-timezone invariance between writer and reader — the same
+# assumption the partition directories themselves encode).
+
+_GEN_DAY = re.compile(
+    r"^\s*(?:to_date|date)\s*\(\s*`?(\w+)`?\s*\)\s*$"
+    r"|^\s*cast\s*\(\s*`?(\w+)`?\s+as\s+date\s*\)\s*$",
+    re.IGNORECASE,
+)
+_GEN_YEAR = re.compile(r"^\s*year\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE)
+_DATE_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}")
+
+_RELAX = {
+    "=": "=", "==": "=",
+    ">": ">=", ">=": ">=",
+    "<": "<=", "<=": "<=",
+}
+
+
+def generation_map(
+    generated: dict[str, str], partition_cols: list[str]
+) -> dict[str, list[tuple[str, str]]]:
+    """``{base_col: [(partition_col, 'day'|'year'), ...]}`` for every
+    partition column generated by a supported monotone template."""
+    out: dict[str, list[tuple[str, str]]] = {}
+    pcols = set(partition_cols)
+    for gcol, expr in generated.items():
+        if gcol not in pcols:
+            continue
+        m = _GEN_DAY.match(expr)
+        if m:
+            base = next(g for g in m.groups() if g)
+            out.setdefault(base, []).append((gcol, "day"))
+            continue
+        m = _GEN_YEAR.match(expr)
+        if m:
+            out.setdefault(m.group(1), []).append((gcol, "year"))
+    return out
+
+
+def _truncate(lit, kind: str):
+    """f(lit) for a date-shaped string literal; None = no implication."""
+    if not isinstance(lit, str):
+        return None
+    m = _DATE_PREFIX.match(_canon_ts(lit))
+    if not m:
+        return None
+    return m.group(0) if kind == "day" else int(m.group(0)[:4])
+
+
+def _implied(node: Pred, gcol: str, kind: str) -> Pred | None:
+    if node.kind == "cmp":
+        op = _RELAX.get(node.op)
+        lit = _truncate(node.args[0], kind)
+        if op is None or lit is None:
+            return None
+        return Pred("cmp", gcol, op, (lit,))
+    if node.kind == "in":
+        lits = tuple(_truncate(a, kind) for a in node.args)
+        if any(v is None for v in lits):
+            return None
+        return Pred("in", gcol, None, lits)
+    if node.kind == "between":
+        lo, hi = _truncate(node.args[0], kind), _truncate(node.args[1], kind)
+        if lo is None or hi is None:
+            return None
+        return Pred("between", gcol, None, (lo, hi))
+    return None
+
+
+def augment_generated_partitions(
+    pred: Pred | None,
+    generated: dict[str, str],
+    partition_cols: list[str],
+) -> Pred | None:
+    """Rewrite ``pred`` so base-column constraints also constrain their
+    generated partition columns (see module notes above); returns the
+    input unchanged when nothing applies."""
+    if pred is None or not generated:
+        return pred
+    gmap = generation_map(generated, partition_cols)
+    if not gmap:
+        return pred
+
+    def walk(node: Pred) -> Pred:
+        if node.kind in ("and", "or"):
+            return Pred(node.kind, args=tuple(walk(a) for a in node.args))
+        if node.kind in ("cmp", "in", "between") and node.col in gmap:
+            extra = [
+                g
+                for gcol, kind in gmap[node.col]
+                if (g := _implied(node, gcol, kind)) is not None
+            ]
+            if extra:
+                return Pred("and", args=(node, *extra))
+        return node
+
+    return walk(pred)
+
+
 # -- evaluation --------------------------------------------------------------
 
 

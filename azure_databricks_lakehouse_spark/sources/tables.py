@@ -634,7 +634,10 @@ class ParquetTable:
         values — no file is opened."""
         if pred is None:
             return list(m["files"])
-        from azure_databricks_lakehouse_spark.plans.pruning import may_match
+        from azure_databricks_lakehouse_spark.plans.pruning import (
+            augment_generated_partitions,
+            may_match,
+        )
 
         stats = self._stats(m)
         part_cols = m["partition_by"]
@@ -642,6 +645,15 @@ class ParquetTable:
         # the predicate speaks LOGICAL — re-key per file (identity map
         # for tables that never ran a metadata-only rename)
         inv = _logical_inverse(m)
+        gen = m.get("props", {}).get("generated", {})
+        if gen and part_cols:
+            # Delta's generated-column partition pruning: a base-column
+            # predicate implies a bound on its generated partition col
+            # (enforced equal on every write), so timestamp filters
+            # prune date partitions with no timestamp footer stats
+            pred = augment_generated_partitions(
+                pred, gen, [inv.get(c, c) for c in part_cols]
+            )
         out = []
         for f in m["files"]:
             pv = (

@@ -239,3 +239,58 @@ def test_dml_on_percent_encoded_partition_values(spark, root):
     # update through the same probe path
     t.update("k = 8", {"v": F.lit(-1)}, mode="merge-on-read")
     assert t.read().filter("v = -1").count() == 1
+
+
+def test_generated_date_partition_prunes_timestamp_predicates(spark, root):
+    """Delta's generated-column partition pruning: the table is
+    partitioned by a DATE column GENERATED ALWAYS AS to_date(ts).
+    Timestamp columns have no footer stats, so without the implication
+    a ts predicate reads every file; with it, only the implied days'
+    partitions survive the metadata prune — and DELETE rides the same
+    path, rewriting only the matched day."""
+    from azure_databricks_lakehouse_spark.plans.pruning import parse_predicate
+
+    df = spark.createDataFrame(
+        [
+            (i, f"2026-08-{10 + d:02d} 0{i % 8}:30:00")
+            for d in range(4)
+            for i in range(d * 10, d * 10 + 10)
+        ],
+        "k int, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    df = df.withColumn("day", F.to_date("ts"))
+    t = ParquetTable.create(spark, root, df, partition_by=["day"])
+    t.set_generated("day", "to_date(ts)")
+
+    m = t._manifest()
+    all_files = m["files"]
+    days = {f.split("/")[0] for f in all_files}
+    assert days == {f"day=2026-08-{10 + d}" for d in range(4)}
+
+    kept = t._prune_files(
+        m, parse_predicate("ts >= '2026-08-12 05:00:00'")
+    )
+    assert {f.split("/")[0] for f in kept} == {
+        "day=2026-08-12",
+        "day=2026-08-13",
+    }
+    # boundary day included on a <-bound (relaxed to <=)
+    kept = t._prune_files(m, parse_predicate("ts < '2026-08-11 02:00:00'"))
+    assert {f.split("/")[0] for f in kept} == {
+        "day=2026-08-10",
+        "day=2026-08-11",
+    }
+    # results stay exact after pruning
+    assert t.scan_where("ts >= '2026-08-12 05:00:00'").count() == sum(
+        1
+        for d in range(4)
+        for i in range(10)
+        if f"2026-08-{10 + d:02d} 0{(d * 10 + i) % 8}:30:00"
+        >= "2026-08-12 05:00:00"
+    )
+    # DELETE rides the same prune: only the matched day's files rewrite
+    before = set(all_files)
+    t.delete("ts >= '2026-08-13 00:00:00'")
+    after = set(t._manifest()["files"])
+    assert {f.split("/")[0] for f in before - after} == {"day=2026-08-13"}
+    assert t.read().count() == 30

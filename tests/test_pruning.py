@@ -86,3 +86,78 @@ def test_unprunable_shapes_return_none():
     pred = parse_predicate("k = 5 AND NOT v = 3")
     assert pred is not None
     assert not may_match(pred, {"k": [10, 20]}, {})  # k=5 still prunes
+
+
+def _gm(sql, generated, parts, stats=None, pvals=None):
+    from azure_databricks_lakehouse_spark.plans.pruning import (
+        augment_generated_partitions,
+    )
+
+    pred = augment_generated_partitions(
+        parse_predicate(sql), generated, parts
+    )
+    assert pred is not None
+    return may_match(pred, stats or {}, pvals or {})
+
+
+def test_generated_day_partition_pruning():
+    """A timestamp predicate implies bounds on its to_date-generated
+    partition column — the Delta generated-column pruning whitelist."""
+    gen = {"day": "to_date(ts)"}
+    aug = lambda sql, pv: _gm(sql, gen, ["day"], pvals={"day": pv})
+    # equality and ranges relax to day bounds, exact on the boundary day
+    assert aug("ts = '2026-08-14 10:00:00'", "2026-08-14")
+    assert not aug("ts = '2026-08-14 10:00:00'", "2026-08-15")
+    assert aug("ts >= '2026-08-14 10:00:00'", "2026-08-14")  # same-day rows
+    assert not aug("ts >= '2026-08-14 10:00:00'", "2026-08-13")
+    assert aug("ts < '2026-08-14 00:00:00'", "2026-08-14")  # relaxed <=
+    assert not aug("ts < '2026-08-14 00:00:00'", "2026-08-15")
+    assert aug(
+        "ts BETWEEN '2026-08-10 00:00:00' AND '2026-08-12 23:00:00'",
+        "2026-08-11",
+    )
+    assert not aug(
+        "ts BETWEEN '2026-08-10 00:00:00' AND '2026-08-12 23:00:00'",
+        "2026-08-13",
+    )
+    assert aug("ts IN ('2026-08-14 01:00:00')", "2026-08-14")
+    assert not aug("ts IN ('2026-08-14 01:00:00')", "2026-08-12")
+    # != implies nothing; non-date literals imply nothing — both stay MAY
+    assert aug("ts != '2026-08-14 10:00:00'", "2026-08-14")
+    assert _gm("ts = 1723600000", gen, ["day"], pvals={"day": "2000-01-01"})
+    # composition under AND/OR stays row-wise sound
+    assert not aug(
+        "amount > 5 AND ts >= '2026-08-14 10:00:00'", "2026-08-10"
+    )
+    assert aug(
+        "ts >= '2026-08-20 00:00:00' OR ts <= '2026-08-01 00:00:00'",
+        "2026-08-01",
+    )
+
+
+def test_generated_year_and_cast_templates():
+    assert not _gm(
+        "ts >= '2026-01-01 00:00:00'",
+        {"yr": "year(ts)"},
+        ["yr"],
+        pvals={"yr": "2024"},
+    )
+    assert _gm(
+        "ts >= '2026-01-01 00:00:00'",
+        {"yr": "year(ts)"},
+        ["yr"],
+        pvals={"yr": "2026"},
+    )
+    assert not _gm(
+        "ts = '2026-08-14 10:00:00'",
+        {"day": "CAST(ts AS DATE)"},
+        ["day"],
+        pvals={"day": "2026-08-13"},
+    )
+    # a generated col that is NOT a partition col implies nothing
+    assert _gm(
+        "ts = '2026-08-14 10:00:00'",
+        {"day": "to_date(ts)"},
+        ["region"],
+        pvals={"region": "emea"},
+    )
