@@ -1743,11 +1743,14 @@ class Lakehouse:
         s = d["properties"].get("statistics")
         if s:
             # stale iff any DATA-changing commit landed after the
-            # analyzed snapshot (metadata-only commits don't invalidate)
+            # analyzed snapshot (metadata-only commits don't invalidate).
+            # Only the post-ANALYZE manifests are parsed — a long-lived
+            # table's full history stays untouched.
+            tail = d["version"] - s["as_of_version"]
             stale = any(
                 c.version > s["as_of_version"]
                 and c.operation not in ("ANALYZE", "SETPROPERTIES")
-                for c in table.history()
+                for c in (table.history(limit=tail) if tail > 0 else ())
             )
             rows.append(("# Statistics (last ANALYZE)", "", ""))
             rows.append(("Stats As-Of Version", str(s["as_of_version"]), ""))
