@@ -836,3 +836,24 @@ def test_show_create_table_round_trips(spark, tmp_path, lh):
     b = {r["col_name"]: r["data_type"] for r in lh.sql("DESCRIBE EXTENDED sct2").collect()}
     for c in ("rid", "id", "cat", "amt", "amt2", "Partition Columns"):
         assert a[c] == b[c]
+
+
+def test_split_statements_edges():
+    """Pure-lexer edges: unterminated constructs never split mid-token,
+    trailing statements without ';' run, empty/comment-only segments
+    are skipped by sql_script's filter (not the splitter)."""
+    from azure_databricks_lakehouse_spark.sources.sql import _split_statements
+
+    assert _split_statements("a; b ; c") == ["a", "b", "c"]
+    assert _split_statements("SELECT 'a;b'; next") == ["SELECT 'a;b'", "next"]
+    assert _split_statements("x -- tail; comment") == ["x -- tail; comment"]
+    assert _split_statements("x /* a;b */ y; z") == ["x /* a;b */ y", "z"]
+    # unterminated quote: the rest of the script is one statement
+    assert _split_statements("SELECT 'oops; still; one") == [
+        "SELECT 'oops; still; one"
+    ]
+    # unterminated block comment swallows the rest without splitting
+    assert _split_statements("x /* never closed; y; z") == [
+        "x /* never closed; y; z"
+    ]
+    assert _split_statements(" ;; ") == []
