@@ -135,3 +135,23 @@ def test_concurrent_bloom_reconfig_conflicts_with_dml(spark, root):
     t.set_bloom_index(["k"], m_bits=4096)
     with pytest.raises(ConcurrentModificationError, match="index config"):
         b.delete("part = 'b' AND k = 60")
+
+
+def test_concurrent_analyze_never_conflicts_and_stats_survive_rebase(
+    spark, root
+):
+    """ANALYZE is a metadata-only commit outside the conflict matrix's
+    guarded keys: a DML that raced it must rebase cleanly AND carry the
+    new `statistics` property forward (props thread from the REBASED
+    manifest, not the DML's base snapshot)."""
+    _table(spark, root)
+    stale = _stale_writer(spark, root)  # computes against v0
+    fresh = ParquetTable.for_path(spark, root)
+    fresh.analyze(noscan=True)  # v1: statistics land
+    stale.delete("part = 'a'")  # collides on v1, rebases, lands v2
+    final = ParquetTable.for_path(spark, root)
+    s = final.statistics()
+    assert s is not None and s["num_rows"] == 100  # pre-delete snapshot
+    assert final.read().count() == 50
+    ops = [c.operation for c in final.history()]
+    assert ops == ["CREATE", "ANALYZE", "DELETE"]
