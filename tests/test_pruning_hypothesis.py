@@ -23,7 +23,7 @@ tests; this sweep is only about never pruning too much.
 from __future__ import annotations
 
 import duckdb
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from azure_databricks_lakehouse_spark.plans.pruning import (
@@ -102,9 +102,17 @@ def test_may_match_never_prunes_a_true_match(rows, sql):
         "INSERT INTO r VALUES (?, ?, ?)",
         [(k, s, _ts(*t)) for k, s, t in rows],
     )
-    by_day = con.execute(
-        f"SELECT CAST(ts AS DATE), count(*) FROM r WHERE {sql} GROUP BY 1"
-    ).fetchall()
+    try:
+        by_day = con.execute(
+            f"SELECT CAST(ts AS DATE), count(*) FROM r WHERE {sql} GROUP BY 1"
+        ).fetchall()
+    except duckdb.InternalException:
+        # DuckDB 1.0.0 optimizer bug, not ours: an OR of duplicated
+        # `col IS NULL AND ts BETWEEN <timestamp literals>` branches
+        # dies with "Attempted to dereference unique_ptr that is NULL".
+        # The truth oracle is unavailable for this example — skip it;
+        # the sweep stays sound over everything DuckDB can evaluate.
+        assume(False)
     matched_days = {str(d) for d, n in by_day if n}
     for day in {t[0] for _, _, t in rows}:
         group = [(k, s, t) for k, s, t in rows if t[0] == day]
