@@ -1479,6 +1479,11 @@ class Lakehouse:
 
     _DELETE = _ci(r"^DELETE\s+FROM\s+(`?[\w.]+`?)(?P<tail>\s+.*)?$")
 
+    _IN_SUBQUERY = _ci(
+        r"^(?P<col>`[^`]+`|[\w.]+)\s+(?P<neg>NOT\s+)?IN\s*\(\s*"
+        r"(?P<sub>SELECT\b.+)\)\s*$"
+    )
+
     def _delete(self, stmt: str) -> DataFrame:
         m = self._DELETE.match(stmt)
         if not m:
@@ -1492,6 +1497,9 @@ class Lakehouse:
             cond = tail[5:].strip()
         else:
             cond = "true"
+        sub = self._IN_SUBQUERY.match(cond)
+        if sub:
+            return self._delete_in_subquery(name, sub)
         table = self.table(name)
         version = table.delete(cond)
         c = table.history(limit=1)[0]
@@ -1499,6 +1507,62 @@ class Lakehouse:
             (c.metrics or {}).get("rows_deleted", 0)
             if c.version == version and c.operation == "DELETE"
             else 0  # zero-match delete commits nothing
+        )
+        return self.spark.createDataFrame(
+            [(name, version, n)],
+            "table string, version int, num_affected_rows long",
+        )
+
+    def _delete_in_subquery(self, name: str, sub) -> DataFrame:
+        """``DELETE FROM t WHERE col IN (SELECT ...)`` — Databricks
+        supports subquery predicates in DELETE; a row-wise Column can't
+        express a semi-join, so the statement routes to the table
+        layer's delete-only MERGE (``when_matched_delete``): matched
+        target rows are deleted, unmatched subquery keys are no-ops, and
+        the rewrite stays touched-file pruned.  NULL subquery keys are
+        dropped first (SQL ``IN`` never matches NULL = NULL).
+
+        ``NOT IN`` raises: its three-valued semantics (one NULL key ⇒
+        delete nothing) deserve an explicit MERGE
+        ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` the user writes
+        deliberately, not a silent rewrite."""
+        if sub.group("neg"):
+            raise ValueError(
+                "DELETE ... WHERE col NOT IN (SELECT ...) is not "
+                "supported (NULL-key semantics); use MERGE ... WHEN NOT "
+                "MATCHED BY SOURCE THEN DELETE instead"
+            )
+        tcol = _unquote_ident(sub.group("col")).split(".")[-1]
+        keys = self._run_query(sub.group("sub"))
+        if len(keys.columns) != 1:
+            raise ValueError(
+                "IN-subquery must return exactly one column, got "
+                f"{keys.columns}"
+            )
+        keys = (
+            keys.select(F.col(keys.columns[0]).alias(tcol))
+            .where(F.col(tcol).isNotNull())
+            .distinct()
+        )
+        table = self.table(name)
+        # merge() wants the full target schema (updateAll contract); a
+        # delete-only source never stores its payload, so pad the other
+        # columns with typed NULLs (identity columns must stay absent)
+        schema = _schema_from_json(self.spark, table.detail()["schema"])
+        ident = table.properties().get("identity", {})
+        keys = keys.select(
+            tcol,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+                if f.name != tcol and f.name not in ident
+            ],
+        )
+        # column-pruned semi count = rows about to be deleted (the
+        # MERGE commit's metrics carry file counts, not row counts)
+        n = table.read().select(tcol).join(keys, tcol, "semi").count()
+        version = table.merge(
+            keys, on=[tcol], when_matched_delete=F.lit(True)
         )
         return self.spark.createDataFrame(
             [(name, version, n)],
@@ -1517,6 +1581,12 @@ class Lakehouse:
         set_part, cond = (
             (tail[:w], tail[w + 5 :].strip()) if w >= 0 else (tail, "true")
         )
+        if self._IN_SUBQUERY.match(cond):
+            raise ValueError(
+                "UPDATE ... WHERE col IN (SELECT ...) is not supported; "
+                "write it as MERGE INTO t USING (subquery) ON ... "
+                "WHEN MATCHED THEN UPDATE SET ..."
+            )
         assignments = {}
         for item in _split_top(set_part, ","):
             col, eq, expr = item.partition("=")

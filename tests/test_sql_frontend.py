@@ -857,3 +857,27 @@ def test_split_statements_edges():
         "x /* never closed; y; z"
     ]
     assert _split_statements(" ;; ") == []
+
+
+def test_delete_where_in_subquery(spark, tmp_path, lh):
+    """DELETE ... WHERE col IN (SELECT ...) routes through the
+    delete-only MERGE: matched rows go, NULL subquery keys never match,
+    duplicates in the subquery are deduplicated, and NOT IN raises
+    toward the explicit MERGE form."""
+    t = _mk(spark, tmp_path, [(i, "a" if i < 3 else "b", float(i)) for i in range(6)], lh=lh)
+    spark.createDataFrame(
+        [(1,), (2,), (2,), (None,), (99,)], "vid int"
+    ).createOrReplaceTempView("victims")
+    out = lh.sql(
+        "DELETE FROM t WHERE id IN (SELECT vid FROM victims)"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 3, 4, 5]
+    # NULL row in the TARGET is never deleted by IN either
+    t.append(spark.createDataFrame([(None, "b", 9.0)], "id int, cat string, amt double"))
+    lh.sql("DELETE FROM t WHERE id IN (SELECT vid FROM victims)")
+    assert t.read().where(F.col("id").isNull()).count() == 1
+    with pytest.raises(ValueError, match="NOT IN"):
+        lh.sql("DELETE FROM t WHERE id NOT IN (SELECT vid FROM victims)")
+    with pytest.raises(ValueError, match="one column"):
+        lh.sql("DELETE FROM t WHERE id IN (SELECT vid, vid FROM victims)")
