@@ -1500,6 +1500,13 @@ class Lakehouse:
         sub = self._IN_SUBQUERY.match(cond)
         if sub:
             return self._delete_in_subquery(name, sub)
+        if _ci(r"\(\s*SELECT\b").search(cond):
+            raise ValueError(
+                "subqueries in DELETE are supported only as the entire "
+                "predicate 'col IN (SELECT ...)'; for compound "
+                "conditions use MERGE ... WHEN MATCHED [AND p] THEN "
+                "DELETE"
+            )
         table = self.table(name)
         version = table.delete(cond)
         c = table.history(limit=1)[0]
