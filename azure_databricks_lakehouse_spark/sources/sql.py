@@ -1290,6 +1290,29 @@ class Lakehouse:
         rewritten = joined.filter(row_keep).select(
             *payload, delete_flag.alias("__merge_delete")
         )
+        if matched_clauses:
+            # A DUPLICATE-KEY TARGET expands each source row once per
+            # matched target row in the pre-image join, and the expanded
+            # copies would trip merge()'s duplicate-source validator.
+            # When the ORIGINAL source is key-unique, that expansion is
+            # the only possible duplication: collapse identical
+            # post-images (deterministic — it matches the star path's
+            # group-replace contract on the same input), while rows that
+            # stay distinct after collapsing (a SET expression read the
+            # differing target pre-images) still reach the validator and
+            # abort as genuinely nondeterministic.  Real duplicate
+            # SOURCE keys skip the collapse so the strict Delta abort is
+            # untouched.  Cost: one source-key agg + a source-sized
+            # distinct, the validator's own cost class.
+            src_key_dups = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if src_key_dups == 0:
+                rewritten = rewritten.distinct()
         if bysrc_clauses:
             # WHEN NOT MATCHED BY SOURCE: target rows with no source
             # match, rewritten from the TARGET side (there is no source

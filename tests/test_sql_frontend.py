@@ -881,3 +881,29 @@ def test_delete_where_in_subquery(spark, tmp_path, lh):
         lh.sql("DELETE FROM t WHERE id NOT IN (SELECT vid FROM victims)")
     with pytest.raises(ValueError, match="one column"):
         lh.sql("DELETE FROM t WHERE id IN (SELECT vid, vid FROM victims)")
+
+
+def test_percol_merge_on_duplicate_key_target_group_replaces(spark, tmp_path, lh):
+    """Found by the SQL-vs-Python hypothesis sweep: a target holding
+    DUPLICATE keys (append after init) expands the per-column MERGE's
+    pre-image join, and the copies used to trip the duplicate-source
+    validator.  A key-unique source must group-replace (both engine
+    paths agree); a SET expression that reads the differing target
+    pre-images stays a genuine nondeterminism abort."""
+    t = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], lh=lh)
+    t.append(spark.createDataFrame([(1, "a", 9.0)], "id int, cat string, amt double"))
+    assert t.read().filter(F.col("id") == 1).count() == 2
+    lh.sql(
+        "MERGE INTO t USING (SELECT 1 AS id, 5.0 AS amt) AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, cat, amt) VALUES (s.id, 'n', s.amt)"
+    )
+    rows = sorted((r["id"], r["amt"]) for r in t.read().collect())
+    assert rows == [(1, 5.0), (2, 2.0)]  # group-replaced, deterministic
+    # target-dependent SET over differing pre-images: still aborts
+    t.append(spark.createDataFrame([(2, "b", 7.0)], "id int, cat string, amt double"))
+    with pytest.raises(ValueError, match="nondeterministic"):
+        lh.sql(
+            "MERGE INTO t USING (SELECT 2 AS id) AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET amt = t.amt + 1"
+        )
