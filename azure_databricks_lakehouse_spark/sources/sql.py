@@ -1313,6 +1313,11 @@ class Lakehouse:
             )
             if src_key_dups == 0:
                 rewritten = rewritten.distinct()
+                src_was_unique = True
+            else:
+                src_was_unique = False
+        else:
+            src_was_unique = False
         if bysrc_clauses:
             # WHEN NOT MATCHED BY SOURCE: target rows with no source
             # match, rewritten from the TARGET side (there is no source
@@ -1361,12 +1366,30 @@ class Lakehouse:
                 # vacuous no-op updates — skip it so matched target
                 # rows are not pointlessly rewritten
                 rewritten = bysrc_rows
-        version = table.merge(
-            rewritten,
-            on=keys,
-            when_matched_delete=F.col("__merge_delete"),
-            source_meta_cols=["__merge_delete"],
-        )
+        try:
+            version = table.merge(
+                rewritten,
+                on=keys,
+                when_matched_delete=F.col("__merge_delete"),
+                source_meta_cols=["__merge_delete"],
+            )
+        except ValueError as exc:
+            if src_was_unique and "multiple source rows" in str(exc):
+                # the duplication came from the TARGET side: the user's
+                # source was key-unique, but a SET expression read the
+                # differing pre-images of duplicate-key target rows, so
+                # even group-replace has no deterministic answer.  The
+                # validator's "de-duplicate the source" advice would
+                # mislead here — name the actual cause.
+                raise ValueError(
+                    "MERGE aborted: the target holds DUPLICATE rows for "
+                    f"a matched key on {keys}, and a WHEN MATCHED SET "
+                    "expression reads their differing pre-images — the "
+                    "group-replace result would be nondeterministic. "
+                    "De-duplicate the target (e.g. dedup_latest) or use "
+                    "source-only SET expressions."
+                ) from exc
+            raise
         return self._status("MERGE", tgt_name, version)
 
     @staticmethod

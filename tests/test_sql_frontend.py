@@ -902,7 +902,7 @@ def test_percol_merge_on_duplicate_key_target_group_replaces(spark, tmp_path, lh
     assert rows == [(1, 5.0), (2, 2.0)]  # group-replaced, deterministic
     # target-dependent SET over differing pre-images: still aborts
     t.append(spark.createDataFrame([(2, "b", 7.0)], "id int, cat string, amt double"))
-    with pytest.raises(ValueError, match="nondeterministic"):
+    with pytest.raises(ValueError, match="DUPLICATE rows for a matched key"):
         lh.sql(
             "MERGE INTO t USING (SELECT 2 AS id) AS s ON t.id = s.id "
             "WHEN MATCHED THEN UPDATE SET amt = t.amt + 1"
