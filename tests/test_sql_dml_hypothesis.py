@@ -120,3 +120,53 @@ def test_sql_statements_match_python_api(spark, tmp_path_factory, ops):
     ops_a = [c.operation for c in ta.history()]
     ops_b = [c.operation for c in tb.history()]
     assert ops_a == ops_b, f"history diverged for {ops}"
+
+
+_keys_list = st.lists(
+    st.sampled_from(KEYS), min_size=1, max_size=3, unique=True
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pre=st.lists(_op, min_size=0, max_size=2),
+    victims=_keys_list,
+    post=st.lists(_op, min_size=0, max_size=2),
+)
+def test_subquery_delete_matches_rowwise_delete(
+    spark, tmp_path_factory, pre, victims, post
+):
+    """Two INDEPENDENT delete implementations must agree under random
+    composition: `DELETE WHERE k IN (SELECT ...)` routes through the
+    delete-only MERGE, while the Python twin runs the classic row-wise
+    `delete(isin(...))` probe — different rewrite machinery, same rows.
+    Histories may legitimately differ (MERGE vs DELETE commits), so
+    only row state is compared."""
+    base = tmp_path_factory.mktemp("sqldel")
+    init = spark.createDataFrame([(k, -1) for k in KEYS[:3]], "k int, v int")
+    ta = ParquetTable.create(spark, str(base / "ta"), init)
+    tb = ParquetTable.create(spark, str(base / "tb"), init)
+    lh = Lakehouse(spark)
+    lh.register("ta", str(base / "ta"))
+
+    def _step(op, seq):
+        _apply_sql(lh, op, seq)
+        _apply_py(spark, tb, op, seq)
+
+    for seq, op in enumerate(pre):
+        _step(op, seq)
+    vals = ", ".join(f"({k})" for k in victims)
+    lh.sql(f"DELETE FROM ta WHERE k IN (SELECT col1 FROM VALUES {vals})")
+    tb.delete(F.col("k").isin(list(victims)))
+    sql_rows = sorted((r.k, r.v) for r in ta.read().collect())
+    py_rows = sorted((r.k, r.v) for r in tb.read().collect())
+    assert sql_rows == py_rows, f"after deleting {victims} (pre={pre})"
+    for seq, op in enumerate(post, start=len(pre)):
+        _step(op, seq)
+        sql_rows = sorted((r.k, r.v) for r in ta.read().collect())
+        py_rows = sorted((r.k, r.v) for r in tb.read().collect())
+        assert sql_rows == py_rows, f"after {op} (victims={victims})"
