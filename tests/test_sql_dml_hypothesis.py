@@ -41,6 +41,9 @@ _op = st.one_of(
         st.just("insert_overwrite"),
         st.lists(st.sampled_from(KEYS), min_size=1, max_size=2, unique=True),
     ),
+    # roll back one version (guarded no-op at v0): RESTORE-then-DML
+    # composition must behave identically through the SQL router
+    st.tuples(st.just("restore")),
 )
 
 
@@ -70,6 +73,10 @@ def _apply_sql(lh: Lakehouse, op, seq: int) -> None:
             "INSERT OVERWRITE ta VALUES "
             f"{_values([(k, seq) for k in op[1]])}"
         )
+    elif kind == "restore":
+        v = lh.table("ta").latest_version()
+        if v >= 1:
+            lh.sql(f"RESTORE TABLE ta TO VERSION AS OF {v - 1}")
 
 
 def _apply_py(spark, t: ParquetTable, op, seq: int) -> None:
@@ -93,6 +100,10 @@ def _apply_py(spark, t: ParquetTable, op, seq: int) -> None:
         t.overwrite(
             spark.createDataFrame([(k, seq) for k in op[1]], "k int, v int")
         )
+    elif kind == "restore":
+        v = t.latest_version()
+        if v >= 1:
+            t.restore(v - 1)
 
 
 @settings(
