@@ -1795,7 +1795,7 @@ class Lakehouse:
         )
 
     _DESCRIBE = _ci(
-        r"^DESC(?:RIBE)?\s+(HISTORY|DETAIL|EXTENDED)\s+(`?[\w.]+`?)"
+        r"^DESC(?:RIBE)?\s+(?:(HISTORY|DETAIL|EXTENDED)\s+)?(`?[\w.]+`?)"
         r"(?:\s+LIMIT\s+(\d+))?$"
     )
 
@@ -1803,8 +1803,17 @@ class Lakehouse:
         m = self._DESCRIBE.match(stmt)
         if not m:
             raise ValueError(f"unsupported DESCRIBE form: {stmt[:80]!r}")
-        what = m.group(1).upper()
+        what = (m.group(1) or "PLAIN").upper()
         table = self.table(m.group(2))
+        if what == "PLAIN":
+            # Spark's bare DESCRIBE: column name/type rows only
+            schema = _schema_from_json(
+                self.spark, table.detail()["schema"]
+            )
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(), "") for f in schema.fields],
+                "col_name string, data_type string, comment string",
+            )
         if what == "EXTENDED":
             return self._describe_extended(table)
         if what == "HISTORY":
@@ -2146,6 +2155,14 @@ class Lakehouse:
         sc = _ci(r"^SHOW\s+CREATE\s+TABLE\s+(`?[\w.]+`?)$").match(stmt)
         if sc:
             return self._show_create(_unquote_ident(sc.group(1)))
+        cm = _ci(r"^SHOW\s+COLUMNS\s+(?:IN|FROM)\s+(`?[\w.]+`?)$").match(stmt)
+        if cm:
+            schema = _schema_from_json(
+                self.spark, self.table(cm.group(1)).detail()["schema"]
+            )
+            return self.spark.createDataFrame(
+                [(f.name,) for f in schema.fields], "col_name string"
+            )
         if _ci(r"^SHOW\s+TABLES$").match(stmt):
             rows = sorted(self._paths.items())
             return self.spark.createDataFrame(

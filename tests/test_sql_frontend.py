@@ -907,3 +907,19 @@ def test_percol_merge_on_duplicate_key_target_group_replaces(spark, tmp_path, lh
             "MERGE INTO t USING (SELECT 2 AS id) AS s ON t.id = s.id "
             "WHEN MATCHED THEN UPDATE SET amt = t.amt + 1"
         )
+
+
+def test_plain_describe_and_show_columns(spark, tmp_path, lh):
+    _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    d = lh.sql("DESCRIBE t").collect()
+    assert [(r["col_name"], r["data_type"]) for r in d] == [
+        ("id", "int"), ("cat", "string"), ("amt", "double"),
+    ]
+    assert [r["col_name"] for r in lh.sql("SHOW COLUMNS IN t").collect()] == [
+        "id", "cat", "amt",
+    ]
+    # DESC abbreviation and FROM spelling both route
+    assert lh.sql("DESC t").count() == 3
+    assert lh.sql("SHOW COLUMNS FROM t").count() == 3
+    # HISTORY/DETAIL/EXTENDED keywords still take precedence over names
+    assert lh.sql("DESCRIBE HISTORY t").count() >= 1
