@@ -49,6 +49,12 @@ def test_noscan_subtracts_deletion_vectors(spark, root):
     t.analyze(noscan=True)
     assert t.statistics()["num_rows"] == 32
     assert t.statistics()["num_rows"] == t.read().count()
+    # the column-stats scan applies the same DV mask: min reflects the
+    # deletion, not the footer
+    t.analyze(["k"])
+    ks = t.statistics()["columns"]["k"]
+    assert (ks["min"], ks["max"]) == (8, 39)
+    assert t.statistics()["num_rows"] == 32
 
 
 def test_column_stats_match_direct_aggregation(spark, root):
