@@ -359,25 +359,95 @@ SELECT * FROM heur UNION ALL SELECT * FROM c4part
 
 
 # --- q26: corpus token frequency top-k (explode + two-level agg) -----------
+_TFIDF_K = 3  # per-doc top-k terms for the tfidf part
+
+
 def q26_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union (round-8):
+
+    - ``part='global'``: the original corpus-wide token frequency
+      top-50 (explode → two-level hash aggregate →
+      TakeOrderedAndProject);
+    - ``part='tfidf'``: per-document TF-IDF top-{k} keyword extraction
+      (``operators/tfidf``) over docs with doc_id % 10 == 0 (a
+      deterministic slice keeps the row count bench-sized).  The
+      ln-free rational idf makes the double score bit-identical to the
+      DuckDB twin.
+    """
     t = bind(spark, sf_dir, "documents")
-    return (
+    _s, _l, _d = "string", "long", "double"
+    glob = (
         t["documents"]
         .select(F.explode(_tokens_col()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
         .limit(50)
+        .select(
+            F.lit("global").alias("part"),
+            F.lit(None).cast(_l).alias("doc_id"),
+            "token",
+            "n_occurrences",
+            F.lit(None).cast(_l).alias("tf"),
+            F.lit(None).cast(_d).alias("score"),
+            F.lit(None).cast("int").alias("rank"),
+        )
     )
+    from azure_databricks_lakehouse_spark.operators.tfidf import (
+        tfidf_topk_terms,
+    )
+
+    sliced = t["documents"].filter(F.col("doc_id") % 10 == 0)
+    tfidf = tfidf_topk_terms(
+        sliced, k=_TFIDF_K, tokens=_tokens_col()
+    ).select(
+        F.lit("tfidf").alias("part"),
+        "doc_id",
+        F.col("term").alias("token"),
+        F.lit(None).cast(_l).alias("n_occurrences"),
+        F.col("tf").cast(_l).alias("tf"),
+        "score",
+        "rank",
+    )
+    return glob.unionByName(tfidf)
 
 
 _Q26_SQL = f"""
-WITH exploded AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
-SELECT token, COUNT(*) AS n_occurrences
-FROM exploded
-GROUP BY token
-ORDER BY n_occurrences DESC, token
-LIMIT 50
+WITH exploded AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+gtop AS (
+  SELECT 'global' AS part, CAST(NULL AS BIGINT) AS doc_id, token,
+         COUNT(*) AS n_occurrences,
+         CAST(NULL AS BIGINT) AS tf, CAST(NULL AS DOUBLE) AS score,
+         CAST(NULL AS INTEGER) AS rank
+  FROM exploded
+  GROUP BY token
+  ORDER BY n_occurrences DESC, token
+  LIMIT 50
+),
+sliced AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term
+  FROM documents WHERE doc_id % 10 = 0
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM sliced GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf AS DOUBLE) * (nd.n_docs + 1) / (dfreq.df + 1) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS INTEGER) AS rank FROM scored
+)
+SELECT * FROM gtop
+UNION ALL
+SELECT 'tfidf' AS part, doc_id, term AS token,
+       CAST(NULL AS BIGINT) AS n_occurrences, tf, score, rank
+FROM ranked WHERE rank <= {_TFIDF_K}
 """
 
 

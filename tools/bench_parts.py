@@ -51,6 +51,7 @@ UNION_PARTS: dict[str, tuple[str, list[str]]] = {
     "q23_sessionize": ("impl", ["gaps_islands", "session_window"]),
     "q24_doc_token_stats": ("part", ["doc", "chunk"]),
     "q25_lang_quality": ("part", ["heuristic", "c4"]),
+    "q26_token_frequency": ("part", ["global", "tfidf"]),
     "q27_exact_dedup": (
         "part",
         ["doc", "line", "line_rebuilt", "span_rebuilt"],
