@@ -12,6 +12,17 @@ Each query is built and fully executed (collect-free count of a
 ``collect()`` would under-measure result materialization; we collect and
 discard).  Per-query wall time includes plan build + execution — the same
 thing a user pays.
+
+Quiet-box protocol (round 9): if the 1-minute loadavg at the start of a
+measured attempt exceeds ``LOAD_THRESHOLD`` (2.0), the box is busy and
+the numbers will be inflated by whatever else is running.  In that case
+the harness sleeps ``SETTLE_SEC`` and runs the whole corpus a second
+time, then reports the QUIETER attempt (lower loadavg_start) as the
+headline while keeping both attempts in the artifact under
+``attempts``.  This makes BENCH_r{N}.json self-adjudicating — no
+out-of-band PERF.md archaeology needed to prove a load-inflated run
+phantom (BENCH_r07 shipped 1.45x inflated; BENCH_r08 ran at loadavg
+2.8; both needed manual re-runs to bound the truth).
 """
 
 from __future__ import annotations
@@ -28,20 +39,12 @@ from azure_databricks_lakehouse_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+LOAD_THRESHOLD = 2.0  # 1-min loadavg above this => box busy, retry once
+SETTLE_SEC = 60.0  # settle sleep before the retry attempt
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench", master=f"local[{cpus}]")
-    qs = entrymod.queries()
-
-    # Warm the JVM/codegen path once so fixed startup cost doesn't land on
-    # the first measured query.
-    next(iter(qs.values()))(spark, sf_dir).collect()
-
+def run_corpus(spark, qs, sf_dir: str) -> dict:
+    """One full measured pass over the corpus; returns the attempt record."""
     load_start = os.getloadavg()
 
     per_query: dict[str, float] = {}
@@ -57,8 +60,7 @@ def main() -> int:
     # Drift sentinel (round-8 bench hygiene): re-time the first 3 queries
     # at the END of the run.  If the box got noisy mid-run, the warm
     # re-probe diverges from the original timing and the artifact itself
-    # carries the evidence — BENCH_r07 shipped 1.45x load-inflated and
-    # only out-of-band archaeology proved it phantom.
+    # carries the evidence.
     reprobe: dict[str, float] = {}
     for name in list(per_query)[:3]:
         t0 = time.time()
@@ -68,20 +70,55 @@ def main() -> int:
         except Exception:  # noqa: BLE001 - sentinel only, never fails the run
             pass
 
-    out = {
-        "metric": "corpus_total",
+    attempt = {
         "value": round(sum(per_query.values()), 3),
-        "unit": "sec",
         "queries": per_query,
-        "sf": sf,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "warm_reprobe": reprobe,
     }
     if failed:
-        out["failed"] = failed
+        attempt["failed"] = failed
+    return attempt
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen path once so fixed startup cost doesn't land on
+    # the first measured query.
+    next(iter(qs.values()))(spark, sf_dir).collect()
+
+    attempts = [run_corpus(spark, qs, sf_dir)]
+    if attempts[0]["loadavg_start"][0] > LOAD_THRESHOLD:
+        time.sleep(SETTLE_SEC)
+        attempts.append(run_corpus(spark, qs, sf_dir))
+
+    # Headline = the attempt that started on the quieter box.
+    best = min(attempts, key=lambda a: a["loadavg_start"][0])
+    out = {
+        "metric": "corpus_total",
+        "value": best["value"],
+        "unit": "sec",
+        "queries": best["queries"],
+        "sf": sf,
+        "loadavg_start": best["loadavg_start"],
+        "loadavg_end": best["loadavg_end"],
+        "warm_reprobe": best["warm_reprobe"],
+    }
+    if "failed" in best:
+        out["failed"] = best["failed"]
+    if len(attempts) > 1:
+        out["attempts"] = attempts
+        out["quiet_retry"] = True
     print(json.dumps(out))
-    return 1 if failed else 0
+    return 1 if any("failed" in a for a in attempts) else 0
 
 
 if __name__ == "__main__":
