@@ -37,6 +37,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.plans.cbo import maybe_broadcast
+
 # scheme://host[:port]/path — scheme optional (protocol-relative and
 # bare-host forms appear in crawl data).  The scheme class deliberately
 # EXCLUDES '.': real schemes never contain dots, and allowing them made
@@ -90,7 +92,11 @@ def host_suffixes(host: F.Column) -> F.Column:
 
 
 def psl_registered_domains(
-    hosts: DataFrame, psl: DataFrame, *, host_col: str = "__host"
+    hosts: DataFrame,
+    psl: DataFrame,
+    *,
+    host_col: str = "__host",
+    rule_stats: dict | None = None,
 ) -> DataFrame:
     """Registered (cap-bucket) domain per host under a full Public
     Suffix List, as a DataFrame join — the round-7 hardening of the
@@ -153,8 +159,14 @@ def psl_registered_domains(
     ps_nlab = F.when(F.col("exc"), F.col("base_nlab") - 1).otherwise(
         F.col("__snlab")
     )
+    # Rule-side broadcast is stats-aware: the real PSL is ~10k rows
+    # (always broadcast — the default), but when the rules come from a
+    # lakehouse table whose FRESH ANALYZE stats prove it outgrew the
+    # threshold (a merged mega-blocklist in PSL syntax), the hint is
+    # declined and the join shuffles on __key instead of shipping the
+    # rule table to every executor.
     best = (
-        cand.join(F.broadcast(rules), on="__key")
+        cand.join(maybe_broadcast(rules, rule_stats), on="__key")
         .groupBy(host_col)
         .agg(
             F.max(
@@ -187,6 +199,8 @@ def filter_urls(
     domain_labels: int = 2,
     public_suffixes: Sequence[str] | DataFrame = _DEFAULT_PUBLIC_SUFFIXES,
     seed: int = 0,
+    blocklist_stats: dict | None = None,
+    psl_stats: dict | None = None,
 ) -> UrlFilterResult:
     """Cull documents by URL.
 
@@ -234,8 +248,17 @@ def filter_urls(
         F.col("__host"),
         F.explode(host_suffixes(F.col("__host"))).alias("__suffix"),
     )
+    # Blocklist-side choice: the default leaves sizing to AQE (a
+    # blocklist may be 10 rows or 10 million), but FRESH ANALYZE stats
+    # from the caller's blocklist table make the decision static — a
+    # provably-small list broadcasts before the first shuffle of the
+    # exploded suffix frame ever materializes, a provably-large one
+    # keeps today's shuffle join.
     blocked_ids = (
-        sufs.join(block_df, on="__suffix")
+        sufs.join(
+            maybe_broadcast(block_df, blocklist_stats, default=False),
+            on="__suffix",
+        )
         .select(id_col, "__host")
         .distinct()
     )
@@ -259,7 +282,9 @@ def filter_urls(
             # cardinality), joined back on host.  domain_labels is
             # superseded — the PSL decides the depth.
             reg_map = psl_registered_domains(
-                live.select("__host").distinct(), public_suffixes
+                live.select("__host").distinct(),
+                public_suffixes,
+                rule_stats=psl_stats,
             )
             with_reg = live.join(reg_map, on="__host")
         else:

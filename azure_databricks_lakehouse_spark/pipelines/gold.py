@@ -42,6 +42,10 @@ from azure_databricks_lakehouse_spark.operators.dims import (
     date_key_expr,
 )
 from azure_databricks_lakehouse_spark.pipelines.paths import LakehousePaths
+from azure_databricks_lakehouse_spark.plans.cbo import (
+    fresh_statistics,
+    maybe_broadcast,
+)
 from azure_databricks_lakehouse_spark.pipelines.watermarks import (
     append_watermark,
     last_watermark,
@@ -229,27 +233,55 @@ def _fact_frame(
     dim_member: DataFrame,
     dim_provider: DataFrame,
     dim_date: DataFrame,
+    dim_stats: dict | None = None,
 ) -> DataFrame:
     """The 4-way star join + derived measure as a pure frame transform
     (``gold/gold_rx_claims_load.py:154-207``) — shared by the batch
     watermark build and the streaming micro-batch sink so both paths
-    produce byte-identical fact rows from the same silver delta."""
+    produce byte-identical fact rows from the same silver delta.
+
+    ``dim_stats`` (keys ``member``/``provider``/``date`` → the dim
+    table's ANALYZE statistics, or None) drives the broadcast-side
+    choice through :func:`plans.cbo.maybe_broadcast`: fresh stats that
+    bound the dim's key projection under the threshold keep today's
+    static broadcast; fresh stats proving a dim outgrew broadcast
+    DECLINE the hint (the join plans as a shuffle join — correct at the
+    scale the stats describe — and AQE may still promote it if the
+    projection shrinks); no stats = today's behavior (dims are small by
+    construction)."""
+    stats = dim_stats or {}
+
+    def _dim(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
+        return maybe_broadcast(df, stats.get(key), columns=cols)
+
     # Pre-join projections: dims cut to (join key, surrogate) before the
     # join — the reference does this manually (:169,:174,:179,:184);
     # role-playing date dims get aliased keys to stay unambiguous (J3/J4).
-    m = F.broadcast(dim_member.select("member_key", "member_sk"))
-    p = F.broadcast(dim_provider.select("provider_key", "provider_sk"))
-    d_served = F.broadcast(
+    m = _dim(
+        dim_member.select("member_key", "member_sk"),
+        "member",
+        ["member_key", "member_sk"],
+    )
+    p = _dim(
+        dim_provider.select("provider_key", "provider_sk"),
+        "provider",
+        ["provider_key", "provider_sk"],
+    )
+    d_served = _dim(
         dim_date.select(
             F.col("date_value").alias("service_date_value"),
             F.col("date_key").alias("service_date_key"),
-        )
+        ),
+        "date",
+        ["date_value", "date_key"],
     )
-    d_received = F.broadcast(
+    d_received = _dim(
         dim_date.select(
             F.col("date_value").alias("received_date_value"),
             F.col("date_key").alias("received_date_key"),
-        )
+        ),
+        "date",
+        ["date_value", "date_key"],
     )
 
     fact = (
@@ -308,10 +340,23 @@ def build_fact(spark: SparkSession, paths: LakehousePaths) -> int:
         claims = claims.filter(F.col("silver_updated_timestamp") > F.lit(wm))
     if is_table(paths.fact_claims) and claims.isEmpty():
         return ParquetTable.for_path(spark, paths.fact_claims).read().count()
-    dim_member = ParquetTable.for_path(spark, paths.dim_member).read()
-    dim_provider = ParquetTable.for_path(spark, paths.dim_provider).read()
-    dim_date = ParquetTable.for_path(spark, paths.dim_date).read()
-    fact = _fact_frame(claims, dim_member, dim_provider, dim_date)
+    member_t = ParquetTable.for_path(spark, paths.dim_member)
+    provider_t = ParquetTable.for_path(spark, paths.dim_provider)
+    date_t = ParquetTable.for_path(spark, paths.dim_date)
+    fact = _fact_frame(
+        claims,
+        member_t.read(),
+        provider_t.read(),
+        date_t.read(),
+        # ANALYZE stats (when fresh) pick each dim's broadcast side —
+        # a dim that outgrew broadcast declines the hint instead of
+        # OOMing 1000 executors on a stale assumption
+        dim_stats={
+            "member": fresh_statistics(member_t),
+            "provider": fresh_statistics(provider_t),
+            "date": fresh_statistics(date_t),
+        },
+    )
 
     if is_table(paths.fact_claims):
         ParquetTable.for_path(spark, paths.fact_claims).merge(

@@ -541,7 +541,45 @@ class Lakehouse:
         r"\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
     )
 
+    _COUNT_ONLY = _ci(
+        r"^SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)"
+        r"(?:\s+AS\s+(?P<alias>`?\w+`?))?"
+        r"\s+FROM\s+(?P<name>`?[\w.]+`?)\s*$"
+    )
+
     def _run_query(self, stmt: str) -> DataFrame:
+        # 0. metadata-only count(*) (Databricks/Delta parity): an
+        # unfiltered single-table COUNT(*) is answered from the table
+        # layer's metadata path — fresh ANALYZE stats mean ZERO Spark
+        # jobs, stale/absent stats recompute the same exact answer from
+        # parquet footers minus DV cardinality, and a 100 TB table never
+        # runs a scan to report its size.  Any qualifier (WHERE, JOIN,
+        # GROUP BY, AS OF, an alias on the table) falls through to the
+        # general path, as does a CACHE-pinned name (D9 semantics: the
+        # pin answers from the pinned snapshot) and a stored view.
+        cm = self._COUNT_ONLY.match(stmt)
+        if cm:
+            name = _unquote_ident(cm.group("name"))
+            if (
+                name in self._paths
+                and name not in self._views
+                and name not in self._cached
+            ):
+                n = self.table(name).count()
+                col = (
+                    _unquote_ident(cm.group("alias"))
+                    if cm.group("alias")
+                    else "count(1)"  # spark.sql's name for COUNT(*)
+                )
+                # a constant projection folds to a LocalRelation —
+                # collect() short-circuits driver-side, zero jobs
+                # (createDataFrame on python data would parallelize an
+                # RDD and launch a real job, defeating the point)
+                return self.spark.sql(
+                    f"SELECT CAST({int(n)} AS BIGINT) "
+                    f"AS `{col.replace('`', '``')}`"
+                )
+
         # 1. table_changes('name', start[, end]) → CDF view
         def tvf(match: re.Match) -> str:
             name, start, end = match.group(1), match.group(2), match.group(3)
@@ -1875,15 +1913,11 @@ class Lakehouse:
         s = d["properties"].get("statistics")
         if s:
             # stale iff any DATA-changing commit landed after the
-            # analyzed snapshot (metadata-only commits don't invalidate).
-            # Only the post-ANALYZE manifests are parsed — a long-lived
-            # table's full history stays untouched.
-            tail = d["version"] - s["as_of_version"]
-            stale = any(
-                c.version > s["as_of_version"]
-                and c.operation not in ("ANALYZE", "SETPROPERTIES")
-                for c in (table.history(limit=tail) if tail > 0 else ())
-            )
+            # analyzed snapshot (metadata-only commits don't invalidate)
+            # — the table layer's rule, shared with every stats-driven
+            # plan decision (count(), broadcast-side choice) so the
+            # DESCRIBE flag and the optimizer can never disagree.
+            stale = table.fresh_statistics() is None
             rows.append(("# Statistics (last ANALYZE)", "", ""))
             rows.append(("Stats As-Of Version", str(s["as_of_version"]), ""))
             rows.append(

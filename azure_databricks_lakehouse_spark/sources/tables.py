@@ -74,6 +74,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.plans import cbo
+
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _CDC_DIR = "_change_data"
@@ -1558,16 +1560,7 @@ class ParquetTable:
         }
         schema = _schema_from_json(self.spark, m["schema"])
         if noscan:
-            rows = _file_rows(data_root, m["files"])
-            dvs = m.get("dvs", {})
-            dv = self._dv_frame(m, m["files"])
-            if dv is not None:
-                masked = [f for f in m["files"] if f in dvs]
-                # tiny count job over the DV sidecars (∝ deleted rows);
-                # the isin guard drops entries for rewritten files whose
-                # positions a shared sidecar may still carry
-                rows -= dv.filter(F.col("__file").isin(masked)).count()
-            stats["num_rows"] = int(rows)
+            stats["num_rows"] = self._exact_rows(m)
         else:
             cols: list[str] = []
             if columns:
@@ -1628,6 +1621,67 @@ class ParquetTable:
         """The last ``ANALYZE`` result (or None) — check
         ``as_of_version`` against :meth:`latest_version` for staleness."""
         return self.properties().get("statistics")
+
+    def _fresh_stats(self, m: dict) -> dict | None:
+        """The manifest's statistics iff they still describe its data:
+        stale the moment any DATA-changing commit landed after the
+        analyzed snapshot; metadata-only commits (ANALYZE itself,
+        SETPROPERTIES) don't invalidate.  Same rule DESCRIBE EXTENDED
+        uses for its staleness flag — only the post-ANALYZE history
+        tail is walked, so the check is O(commits since ANALYZE), not
+        O(table history)."""
+        s = (m.get("props") or {}).get("statistics")
+        if not s or "as_of_version" not in s:
+            return None
+        tail = m["version"] - s["as_of_version"]
+        if tail > 0 and any(
+            c.version > s["as_of_version"]
+            and c.operation not in ("ANALYZE", "SETPROPERTIES")
+            for c in self.history(limit=tail)
+        ):
+            return None
+        return s
+
+    def fresh_statistics(self) -> dict | None:
+        """Current-snapshot statistics, or None when absent/stale —
+        the gate every stats-driven plan decision reads."""
+        return self._fresh_stats(self._manifest())
+
+    def _exact_rows(self, m: dict) -> int:
+        """Exact row count of a manifest's snapshot from metadata only:
+        parquet footer row counts (driver-side footer opens, no data
+        bytes) minus the deletion-vector cardinality for files a DV
+        masks.  Cost is O(files) footers + one tiny DV-sidecar count job
+        (sized ∝ deleted rows, never table rows) — 100 TB safe."""
+        data_root = os.path.join(self.root, _DATA_DIR)
+        rows = _file_rows(data_root, m["files"])
+        dvs = m.get("dvs", {})
+        dv = self._dv_frame(m, m["files"])
+        if dv is not None:
+            masked = [f for f in m["files"] if f in dvs]
+            # the isin guard drops entries for rewritten files whose
+            # positions a shared sidecar may still carry
+            rows -= dv.filter(F.col("__file").isin(masked)).count()
+        return int(rows)
+
+    def count(self) -> int:
+        """Exact row count of the current snapshot without reading a
+        data byte — the Databricks/Delta metadata-only ``count(*)``
+        answer, now stats-ACTIONABLE instead of display-only.
+
+        Fresh ANALYZE statistics (``as_of_version`` == current version)
+        answer with ZERO Spark jobs: the number was already computed
+        (NOSCAN: footers minus DV cardinality — exact) and rides the
+        manifest the snapshot read loaded anyway.  Stale or absent
+        stats fall back to recomputing the same metadata answer live
+        (:meth:`_exact_rows`) — still no data scan, so the result is
+        exact at EVERY staleness state; freshness only decides whether
+        any job runs at all."""
+        m = self._manifest()
+        s = self._fresh_stats(m)
+        if s and s.get("num_rows") is not None:
+            return int(s["num_rows"])
+        return self._exact_rows(m)
 
     # -- generated columns (Delta GENERATED ALWAYS AS parity) ---------------
 
@@ -3246,13 +3300,37 @@ class ParquetTable:
                 src_keys if src_keys is not None else source.select(*keys)
             ).distinct()
             probe = self._read_files_aligned(m["files"], m, keep_pos=True)
-            hit = (
-                probe.select(*keys, "__rel")
-                .join(probe_keys, keys, "left_semi")
-                .select("__rel")
-                .distinct()
-                .collect()
-            )
+            # Stats-driven side choice (CBO): when THIS snapshot's
+            # ANALYZE column stats bound the target's key projection
+            # under the broadcast threshold (a dim table maintained by
+            # MERGE — the _scoped_dim_refresh shape), broadcast the
+            # TARGET key scan and probe it with the source keys: the
+            # source side — potentially a 100 TB batch — never
+            # shuffles.  left-semi can only build its RIGHT side, so
+            # the small-target form is the equivalent inner-join +
+            # distinct-file projection.  No fresh stats, or a large
+            # target -> the existing shape (AQE broadcasts the source
+            # keys when the micro-batch is small).
+            est = cbo.estimated_size(self._fresh_stats(m), list(keys))
+            if est is not None and est <= cbo.DEFAULT_BROADCAST_THRESHOLD:
+                hit = (
+                    probe_keys.join(
+                        F.broadcast(probe.select(*keys, "__rel")),
+                        keys,
+                        "inner",
+                    )
+                    .select("__rel")
+                    .distinct()
+                    .collect()
+                )
+            else:
+                hit = (
+                    probe.select(*keys, "__rel")
+                    .join(probe_keys, keys, "left_semi")
+                    .select("__rel")
+                    .distinct()
+                    .collect()
+                )
             rewrite_files = sorted(r["__rel"] for r in hit)
             if rewrite_files:
                 target = self._read_files_dv(rewrite_files, m)

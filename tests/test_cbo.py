@@ -1,0 +1,325 @@
+"""ANALYZE statistics as PLAN DECISIONS (round-8 verdict item 1).
+
+Until round 9, statistics were display-only (DESCRIBE EXTENDED).  These
+tests pin the two consumption paths the Databricks CBO surface implies
+(reference ``README.md:64`` "optimize queries"):
+
+* metadata-only ``count(*)``: fresh stats answer with ZERO Spark jobs;
+  stale/absent stats recompute the same exact answer from parquet
+  footers minus deletion-vector cardinality (still no data scan) — the
+  answer is exact at every staleness state, freshness only decides
+  whether any job runs;
+* stats-driven broadcast-side choice in the engine's own composed joins
+  (gold star dims, MERGE's touched-file probe, urlfilter): fresh stats
+  bounding a side under the threshold keep/force the static broadcast,
+  fresh stats proving it LARGE decline the hint, and no usable stats
+  fall back to today's behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.operators.urlfilter import filter_urls
+from azure_databricks_lakehouse_spark.pipelines.gold import _fact_frame
+from azure_databricks_lakehouse_spark.plans.cbo import (
+    DEFAULT_BROADCAST_THRESHOLD,
+    estimated_size,
+    fresh_statistics,
+    maybe_broadcast,
+)
+from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+
+def _docs(spark, n=40, start=0):
+    return spark.range(start, start + n).selectExpr(
+        "cast(id as int) as k",
+        "concat('w_', cast(id % 7 as string)) as w",
+        "cast(id * 1.5 as double) as x",
+    )
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _jobs_during(spark, fn, group: str):
+    """Run ``fn`` under a job group and return the job ids it launched."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "cbo job-count probe")
+    try:
+        out = fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return out, sc.statusTracker().getJobIdsForGroup(group)
+
+
+# -- metadata-only count ----------------------------------------------------
+
+
+def test_count_with_fresh_stats_runs_zero_jobs(spark, root):
+    t = ParquetTable.create(spark, root, _docs(spark, 40))
+    t.append(_docs(spark, 10, start=40))
+    t.analyze(noscan=True)
+    # the ANALYZE commit itself is metadata-only, so the stats stay
+    # fresh even though latest_version advanced past as_of_version
+    assert fresh_statistics(t) is not None
+    n, jobs = _jobs_during(spark, t.count, "cbo-count-fresh")
+    assert n == 50
+    assert jobs == [], f"stats-backed count launched jobs: {jobs}"
+
+
+def test_count_stale_stats_recomputes_exact(spark, root):
+    t = ParquetTable.create(spark, root, _docs(spark, 40))
+    t.analyze(noscan=True)
+    t.append(_docs(spark, 10, start=40))  # data commit -> stats stale
+    assert fresh_statistics(t) is None
+    assert t.count() == 50  # footer path, exact despite stale stats
+    assert t.read().count() == 50
+
+
+def test_count_without_any_stats_matches_scan(spark, root):
+    t = ParquetTable.create(spark, root, _docs(spark, 25))
+    assert t.count() == 25
+
+
+def test_count_respects_deletion_vectors(spark, root):
+    t = ParquetTable.create(spark, root, _docs(spark, 40))
+    t.delete("k < 10", mode="merge-on-read")
+    assert t.count() == 30
+    t.analyze(noscan=True)
+    n, jobs = _jobs_during(spark, t.count, "cbo-count-dv")
+    assert n == 30 and jobs == []
+
+
+# -- SQL COUNT(*) fast path -------------------------------------------------
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _tasks_in_group(spark, group: str) -> int:
+    tr = spark.sparkContext.statusTracker()
+    total = 0
+    for jid in tr.getJobIdsForGroup(group):
+        for sid in tr.getJobInfo(jid).stageIds:
+            si = tr.getStageInfo(sid)
+            if si:
+                total += si.numTasks
+    return total
+
+
+def test_sql_count_star_matches_spark_without_scanning(spark, lake):
+    lake.sql(
+        "CREATE TABLE docs AS SELECT id AS k, id % 3 AS g FROM range(37)"
+    )
+    lake.sql("ANALYZE TABLE docs COMPUTE STATISTICS NOSCAN")
+    df = lake.sql("SELECT COUNT(*) FROM docs")
+    # the answer comes from stats: the returned frame is a constant
+    # projection, no file scan anywhere in its plan ...
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    # ... and collecting it costs at most the 1-task local-relation
+    # fetch (python's collect always registers one job), vs the 9-task
+    # scan the general path runs on this table
+    out, _ = _jobs_during(spark, df.collect, "cbo-sql-count")
+    assert [r[0] for r in out] == [37]
+    assert _tasks_in_group(spark, "cbo-sql-count") <= 1
+    # column-name parity with what spark.sql would have returned
+    spark.range(5).createOrReplaceTempView("__cbo_name_probe")
+    want = spark.sql("SELECT COUNT(*) FROM __cbo_name_probe").columns
+    assert lake.sql("SELECT COUNT(*) FROM docs").columns == want
+    assert lake.sql("SELECT COUNT(1) AS n FROM docs").columns == ["n"]
+
+
+def test_sql_count_star_qualified_forms_not_intercepted(lake):
+    lake.sql(
+        "CREATE TABLE ev AS SELECT id AS k, id % 3 AS g FROM range(30)"
+    )
+    assert lake.sql("SELECT COUNT(*) FROM ev WHERE g = 0").first()[0] == 10
+    assert (
+        lake.sql("SELECT g, COUNT(*) AS n FROM ev GROUP BY g ORDER BY g")
+        .count()
+        == 3
+    )
+    # the unqualified form agrees with the scan it replaces
+    assert lake.sql("SELECT COUNT(*) FROM ev").first()[0] == 30
+
+
+def test_sql_count_star_honors_cache_pin(lake):
+    lake.sql("CREATE TABLE pin AS SELECT id FROM range(20)")
+    lake.sql("CACHE TABLE pin")
+    lake.table("pin").append(
+        lake.spark.range(20, 25).selectExpr("id")
+    )
+    # D9 semantics: the pinned snapshot answers — the fast path must
+    # NOT shortcut past the pin to the newer manifest
+    assert lake.sql("SELECT COUNT(*) FROM pin").first()[0] == 20
+    lake.sql("UNCACHE TABLE pin")
+    assert lake.sql("SELECT COUNT(*) FROM pin").first()[0] == 25
+
+
+def test_sql_count_star_sees_dml(lake):
+    lake.sql("CREATE TABLE d AS SELECT id AS k FROM range(40)")
+    lake.sql("ANALYZE TABLE d COMPUTE STATISTICS NOSCAN")
+    lake.sql("DELETE FROM d WHERE k >= 30")
+    # stats went stale with the DELETE; the answer must not
+    assert lake.sql("SELECT COUNT(*) FROM d").first()[0] == 30
+
+
+# -- broadcast-side choice --------------------------------------------------
+
+_BIG = {
+    "as_of_version": 0,
+    "num_rows": 1_000_000_000,
+    "size_bytes": 1 << 40,
+}
+_SMALL = {"as_of_version": 0, "num_rows": 1_000, "size_bytes": 64 << 10}
+
+
+def test_maybe_broadcast_decisions(spark):
+    df = spark.range(10).toDF("k")
+    # no stats -> caller default
+    assert maybe_broadcast(df, None, default=False) is df
+    assert maybe_broadcast(df, None, default=True) is not df
+    # fresh-small -> hint even when the default declines
+    assert maybe_broadcast(df, _SMALL, default=False) is not df
+    # fresh-large -> DECLINE even when the default broadcasts (identity
+    # return, so the decision is assertable without plan archaeology)
+    assert maybe_broadcast(df, _BIG, default=True) is df
+
+
+def test_estimated_size_prefers_column_projection():
+    stats = {
+        "as_of_version": 3,
+        "num_rows": 1000,
+        "size_bytes": 10 << 30,
+        "columns": {
+            "k": {"min": 0, "max": 9, "null_count": 0,
+                  "distinct_count_approx": 10},
+            "w": {"min": "a", "max": "z", "null_count": 0,
+                  "distinct_count_approx": 7, "avg_len": 4.0,
+                  "max_len": 8},
+        },
+    }
+    proj = estimated_size(stats, ["k", "w"])
+    # 1000 rows x (8 fixed + 4 avg_len + 16 overhead) — far below the
+    # whole-table fallback
+    assert proj == 1000 * (8 + 20)
+    assert estimated_size(stats) == 10 << 30
+    # a column without stats can't be bounded -> whole-table fallback
+    assert estimated_size(stats, ["k", "x"]) == 10 << 30
+    assert estimated_size(None, ["k"]) is None
+
+
+def _hint_count(df) -> int:
+    return df._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+
+
+def test_fact_frame_declines_broadcast_for_stats_large_dim(spark):
+    claims = spark.createDataFrame(
+        [(1, 1, "M1", "P1", "2024-01-02", "2024-01-03", "J3490", "E11.9",
+          100.0, 80.0, 70.0, "11", "RX")],
+        "claim_id int, claim_line_number int, member_id string, "
+        "provider_id string, service_date string, received_date string, "
+        "procedure_code string, diagnosis_code string, "
+        "billed_amount double, allowed_amount double, paid_amount double, "
+        "place_of_service string, claim_type string",
+    ).withColumn("service_date", F.to_date("service_date")).withColumn(
+        "received_date", F.to_date("received_date")
+    )
+    member = spark.createDataFrame(
+        [("M1", 1)], "member_key string, member_sk long"
+    )
+    provider = spark.createDataFrame(
+        [("P1", 1)], "provider_key string, provider_sk long"
+    )
+    date_dim = spark.createDataFrame(
+        [("2024-01-02", 20240102), ("2024-01-03", 20240103)],
+        "date_value string, date_key int",
+    ).withColumn("date_value", F.to_date("date_value"))
+
+    baseline = _fact_frame(claims, member, provider, date_dim)
+    assert _hint_count(baseline) == 4  # member, provider, 2 date roles
+
+    declined = _fact_frame(
+        claims, member, provider, date_dim,
+        dim_stats={"member": _BIG},
+    )
+    # the stats-large member dim loses its hint; the others keep theirs
+    assert _hint_count(declined) == 3
+    # and the decision changes the plan only, not the rows
+    assert sorted(map(tuple, declined.drop("gold_created_timestamp")
+                      .collect())) == sorted(
+        map(tuple, baseline.drop("gold_created_timestamp").collect())
+    )
+
+
+def test_merge_probe_flip_with_fresh_key_stats(spark, root):
+    """A MERGE against a target whose FRESH column stats bound the key
+    projection under the broadcast threshold takes the flipped probe
+    (broadcast target keys, source never shuffles) — and produces the
+    same commit a statless merge would."""
+    t = ParquetTable.create(spark, root, _docs(spark, 30))
+    t.analyze(columns=["k"])
+    s = fresh_statistics(t)
+    assert s is not None
+    assert estimated_size(s, ["k"]) <= DEFAULT_BROADCAST_THRESHOLD
+    src = spark.createDataFrame(
+        [(5, "upd", 99.0), (100, "new", 1.0)], "k int, w string, x double"
+    )
+    t.merge(src, on=["k"])
+    rows = {r["k"]: r["w"] for r in t.read().collect()}
+    assert rows[5] == "upd" and rows[100] == "new" and len(rows) == 31
+    # replay idempotence survives the flipped probe
+    t.merge(src, on=["k"])
+    assert t.read().count() == 31
+
+
+def test_merge_probe_declines_flip_when_stats_stale(spark, root):
+    t = ParquetTable.create(spark, root, _docs(spark, 30))
+    t.analyze(columns=["k"])
+    t.append(_docs(spark, 5, start=30))  # stats now stale
+    assert fresh_statistics(t) is None
+    src = spark.createDataFrame([(2, "u", 0.0)], "k int, w string, x double")
+    t.merge(src, on=["k"])  # AQE path — still correct
+    assert t.read().filter("k = 2").first()["w"] == "u"
+    assert t.read().count() == 35
+
+
+def test_filter_urls_blocklist_stats_force_static_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://ads.evil.com/x"), (2, "https://good.org/y")],
+        "doc_id int, url string",
+    )
+    bl = spark.createDataFrame([("evil.com",)], "domain string")
+    plain = filter_urls(docs, blocklist=bl)
+    hinted = filter_urls(docs, blocklist=bl, blocklist_stats=_SMALL)
+    assert _hint_count(plain.removed) == 0  # default: AQE decides
+    assert _hint_count(hinted.removed) == 1  # fresh-small: static hint
+    for res in (plain, hinted):
+        assert [r["doc_id"] for r in res.kept.collect()] == [2]
+        assert {r["reason"] for r in res.removed.collect()} == {"blocklist"}
+
+
+def test_describe_extended_staleness_flag_still_works(lake):
+    lake.sql("CREATE TABLE st AS SELECT id FROM range(10)")
+    lake.sql("ANALYZE TABLE st COMPUTE STATISTICS NOSCAN")
+    rows = {
+        r["col_name"]: r["comment"]
+        for r in lake.sql("DESCRIBE EXTENDED st").collect()
+    }
+    assert rows["Num Rows"] == ""
+    lake.sql("INSERT INTO st SELECT id FROM range(10, 12)")
+    rows = {
+        r["col_name"]: r["comment"]
+        for r in lake.sql("DESCRIBE EXTENDED st").collect()
+    }
+    assert rows["Num Rows"] == "stale"
