@@ -1154,6 +1154,100 @@ class ParquetTable:
             },
         )
 
+    def update_where_in(
+        self, col: str, keys: DataFrame, assignments: dict
+    ) -> int:
+        """Row-wise ``UPDATE ... SET ... WHERE col IN (<keys>)`` with
+        the match set given as a DataFrame — the engine behind the SQL
+        front-end's IN-subquery UPDATE (Databricks supports subquery
+        predicates in DML; a row-wise Column can't express a semi-join).
+
+        Routes through an update-only MERGE whose source is the matched
+        target rows' POST-images: every SET expression is evaluated
+        against the PRE-update row in one projection (SQL swap
+        semantics — ``SET a = b, b = a`` swaps), unmatched keys are
+        no-ops, and the rewrite stays touched-file pruned by merge's own
+        findTouchedFiles probe.  The duplicate-source validator is OFF
+        by design: a duplicate-key target group {r1, r2} is replaced by
+        {post(r1), post(r2)} — the anti-join + union is exactly multiset
+        row-wise UPDATE, preserving duplicates instead of MERGE's usual
+        group-collapse.  NULL keys never match (SQL ``IN``), identity
+        columns pass through verbatim (their values are the target's
+        own), and generated columns not explicitly assigned are dropped
+        from the post-image so merge recomputes them over the post-update
+        row (:meth:`update`'s semantics).
+
+        ``col`` itself cannot be assigned: the rewrite merges ON it, and
+        a changed key would dodge the anti-join that removes the row's
+        pre-image.  Commits as MERGE (CDF consumers see
+        ``update_preimage``/``update_postimage`` rows); a zero-match
+        update commits nothing and returns the current version."""
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        if col not in types:
+            raise ValueError(f"UPDATE references unknown column {col!r}")
+        unknown = set(assignments) - set(types)
+        if unknown:
+            raise ValueError(
+                f"UPDATE references unknown columns {sorted(unknown)}"
+            )
+        ident = m.get("props", {}).get("identity", {})
+        ident_assigned = set(assignments) & set(ident)
+        if ident_assigned:
+            raise ValueError(
+                f"UPDATE assigns identity columns {sorted(ident_assigned)}; "
+                "they are GENERATED ALWAYS"
+            )
+        if col in assignments:
+            raise ValueError(
+                f"UPDATE ... WHERE {col} IN (SELECT ...) cannot SET the "
+                "membership column itself (the rewrite merges on it); "
+                "use MERGE INTO ... WHEN MATCHED THEN UPDATE directly"
+            )
+        if len(keys.columns) != 1:
+            raise ValueError(
+                "IN-subquery must return exactly one column, got "
+                f"{keys.columns}"
+            )
+        # no cast onto the key frame: Spark's join coercion compares in
+        # the common type, exactly what IN does — casting to the target
+        # column's type could overflow-wrap a wider key into a spurious
+        # match
+        keyset = (
+            keys.select(F.col(keys.columns[0]).alias(col))
+            .where(F.col(col).isNotNull())
+            .distinct()
+        )
+        pre = self.read().join(keyset, col, "semi")
+        if pre.select(col).isEmpty():
+            return self.latest_version()  # zero-match: commit nothing
+        gen_auto = {
+            c
+            for c in m.get("props", {}).get("generated", {})
+            if c not in assignments and c in types
+        }
+        post = pre.select(
+            *[
+                (
+                    # declared-type cast: same implicit-cast rule as
+                    # update() — a double RHS into a decimal column must
+                    # not commit a contradicting physical type
+                    assignments[c].cast(types[c])
+                    if c in assignments
+                    else F.col(c)
+                ).alias(c)
+                for c in types
+                if c not in gen_auto
+            ]
+        )
+        return self.merge(
+            post,
+            on=[col],
+            validate_source_keys=False,
+            identity_passthrough=True,
+        )
+
     def overwrite_where(
         self,
         df: DataFrame,
@@ -3123,6 +3217,7 @@ class ParquetTable:
         when_matched_delete=None,
         source_meta_cols: Sequence[str] = (),
         validate_source_keys: bool = True,
+        identity_passthrough: bool = False,
     ) -> int:
         """D3 parity: keyed upsert with
         ``whenMatchedUpdateAll().whenNotMatchedInsertAll()`` semantics
@@ -3164,9 +3259,20 @@ class ParquetTable:
         Cost: one count-aggregate over the source (∝ source, never the
         table); the target-side semi-join probe runs only in the rare
         case the source actually carries duplicate keys.
+
+        ``identity_passthrough`` (internal, for engine rewrites whose
+        source rows ARE the target's own rows — :meth:`update_where_in`):
+        the source carries the identity columns verbatim instead of
+        omitting them, no inheritance join or fresh allocation runs, and
+        the high water is untouched.  Never expose to user sources: it
+        bypasses the GENERATED ALWAYS refusal.
         """
         m = self._manifest()
         ident = m.get("props", {}).get("identity", {})
+        if identity_passthrough:
+            # source rows are target rows: identity values are already
+            # correct by construction, no attach/allocation needed
+            ident = {}
         if ident:
             # Delta's contract: the source OMITS identity columns
             # (GENERATED ALWAYS forbids explicit values).  Matched rows

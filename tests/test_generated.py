@@ -187,3 +187,17 @@ def test_default_validation_and_restore(spark, tmp_path):
     t.restore(v_before - 1)
     t.append(spark.createDataFrame([(2,)], "k int"))
     assert {r["k"]: r["n"] for r in t.read().collect()}[2] is None
+
+
+def test_update_where_in_recomputes_generated(spark, root):
+    """update_where_in (the IN-subquery UPDATE rewrite) matches
+    update()'s generated-column semantics: unassigned generated columns
+    are recomputed over the post-update row, untouched rows keep
+    theirs."""
+    t = _table(spark, root)
+    t.add_generated_column("amount_eur", "double", "amount * 0.9")
+    keys = spark.createDataFrame([(3,), (5,)], "k int")
+    t.update_where_in("k", keys, {"amount": F.lit(200.0)})
+    got = {r["k"]: r["amount_eur"] for r in t.read().collect()}
+    assert got[3] == pytest.approx(180.0) and got[5] == pytest.approx(180.0)
+    assert got[7] == pytest.approx(63.0)

@@ -187,3 +187,34 @@ def test_merge_on_identity_table(spark, tmp_path):
 
     with pytest.raises(ValueError, match="business key"):
         t.merge(spark.createDataFrame([("x",)], "v string"), on=["id"])
+
+
+def test_update_where_in_passes_identity_through(spark, tmp_path):
+    """The IN-subquery UPDATE rewrite carries identity values verbatim
+    (its merge source IS the target's own rows): updated rows keep
+    their ids, the high water doesn't move, and assigning an identity
+    column still refuses."""
+    tbl = ParquetTable.create(
+        spark,
+        str(tmp_path / "uwi"),
+        spark.createDataFrame([], "v string, n int"),
+    )
+    tbl.add_identity_column("id", start=100, step=10)
+    tbl.append(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "v string, n int"
+        )
+    )
+    before = {r["v"]: r["id"] for r in tbl.read().collect()}
+    hw = tbl.properties()["identity"]["id"]["high_water"]
+    keys = spark.createDataFrame([("a",), ("c",)], "v string")
+    tbl.update_where_in("v", keys, {"n": F.col("n") * 10})
+    after = {r["v"]: (r["id"], r["n"]) for r in tbl.read().collect()}
+    assert after == {
+        "a": (before["a"], 10),
+        "b": (before["b"], 2),
+        "c": (before["c"], 30),
+    }
+    assert tbl.properties()["identity"]["id"]["high_water"] == hw
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        tbl.update_where_in("v", keys, {"id": F.lit(1)})

@@ -883,6 +883,104 @@ def test_delete_where_in_subquery(spark, tmp_path, lh):
         lh.sql("DELETE FROM t WHERE id IN (SELECT vid, vid FROM victims)")
 
 
+def test_update_where_in_subquery(spark, tmp_path, lh):
+    """UPDATE ... WHERE col IN (SELECT ...) routes through the
+    update-only MERGE (the round-8 verdict's DELETE/UPDATE asymmetry,
+    closed): matched rows get row-wise post-images, NULL subquery keys
+    never match, subquery duplicates are deduplicated, and NOT IN
+    raises toward the explicit MERGE form — all mirroring DELETE."""
+    t = _mk(
+        spark,
+        tmp_path,
+        [(i, "a" if i < 3 else "b", float(i)) for i in range(6)],
+        lh=lh,
+    )
+    spark.createDataFrame(
+        [(1,), (2,), (2,), (None,), (99,)], "vid int"
+    ).createOrReplaceTempView("u_victims")
+    out = lh.sql(
+        "UPDATE t SET amt = amt * 10, cat = 'hit' "
+        "WHERE id IN (SELECT vid FROM u_victims)"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    rows = {r["id"]: (r["cat"], r["amt"]) for r in t.read().collect()}
+    assert rows[1] == ("hit", 10.0) and rows[2] == ("hit", 20.0)
+    assert rows[0] == ("a", 0.0) and rows[5] == ("b", 5.0)
+    # NULL row in the TARGET is never updated by IN either
+    t.append(
+        spark.createDataFrame(
+            [(None, "n", 9.0)], "id int, cat string, amt double"
+        )
+    )
+    lh.sql("UPDATE t SET cat = 'x' WHERE id IN (SELECT vid FROM u_victims)")
+    assert t.read().where(F.col("id").isNull()).first()["cat"] == "n"
+    with pytest.raises(ValueError, match="NOT IN"):
+        lh.sql(
+            "UPDATE t SET amt = 0 WHERE id NOT IN (SELECT vid FROM u_victims)"
+        )
+    with pytest.raises(ValueError, match="one column"):
+        lh.sql(
+            "UPDATE t SET amt = 0 WHERE id IN (SELECT vid, vid FROM u_victims)"
+        )
+    with pytest.raises(ValueError, match="membership column"):
+        lh.sql(
+            "UPDATE t SET id = -id WHERE id IN (SELECT vid FROM u_victims)"
+        )
+    with pytest.raises(ValueError, match="entire"):
+        lh.sql(
+            "UPDATE t SET amt = 0 "
+            "WHERE cat = 'a' AND id IN (SELECT vid FROM u_victims)"
+        )
+
+
+def test_update_where_in_rowwise_on_duplicate_key_target(spark, tmp_path, lh):
+    """The differentiator vs MERGE's group-replace: a duplicate-key
+    target keeps BOTH rows, each updated independently from its own
+    pre-image — exact row-wise UPDATE semantics (Databricks parity)."""
+    t = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], lh=lh)
+    t.append(
+        spark.createDataFrame([(1, "z", 9.0)], "id int, cat string, amt double")
+    )
+    spark.createDataFrame([(1,)], "vid int").createOrReplaceTempView(
+        "u_dup_victims"
+    )
+    out = lh.sql(
+        "UPDATE t SET amt = amt + 0.5 "
+        "WHERE id IN (SELECT vid FROM u_dup_victims)"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    rows = sorted(
+        (r["id"], r["cat"], r["amt"]) for r in t.read().collect()
+    )
+    assert rows == [(1, "a", 1.5), (1, "z", 9.5), (2, "b", 2.0)]
+    # swap semantics: every RHS reads the PRE-update row
+    lh.sql("ALTER TABLE t ADD COLUMN amt2 double")
+    lh.sql("UPDATE t SET amt2 = amt WHERE id = 2")
+    lh.sql(
+        "UPDATE t SET amt = amt2, amt2 = amt "
+        "WHERE id IN (SELECT vid + 1 FROM u_dup_victims)"
+    )
+    r2 = t.read().filter("id = 2").first()
+    assert (r2["amt"], r2["amt2"]) == (2.0, 2.0)
+    lh.sql("UPDATE t SET amt = 7.0 WHERE id = 2")
+    lh.sql(
+        "UPDATE t SET amt = amt2, amt2 = amt "
+        "WHERE id IN (SELECT vid + 1 FROM u_dup_victims)"
+    )
+    r2 = t.read().filter("id = 2").first()
+    assert (r2["amt"], r2["amt2"]) == (2.0, 7.0)  # swapped, not chained
+
+
+def test_update_where_in_zero_match_commits_nothing(spark, tmp_path, lh):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
+    v0 = t.latest_version()
+    out = lh.sql(
+        "UPDATE t SET amt = 0 WHERE id IN (SELECT col1 FROM VALUES (42))"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 0 and out["version"] == v0
+    assert t.latest_version() == v0
+
+
 def test_percol_merge_on_duplicate_key_target_group_replaces(spark, tmp_path, lh):
     """Found by the SQL-vs-Python hypothesis sweep: a target holding
     DUPLICATE keys (append after init) expands the per-column MERGE's
