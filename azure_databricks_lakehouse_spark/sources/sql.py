@@ -932,7 +932,8 @@ class Lakehouse:
     # -- MERGE --------------------------------------------------------------
 
     _MERGE = _ci(
-        r"^MERGE\s+INTO\s+(?P<tgt>`?[\w.]+`?)(?:\s+AS)?\s*(?P<ta>\w+)?\s+"
+        r"^MERGE\s+(?P<evo>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+        r"INTO\s+(?P<tgt>`?[\w.]+`?)(?:\s+AS)?\s*(?P<ta>\w+)?\s+"
         r"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|`?[\w.]+`?)(?:\s+AS)?"
         r"\s*(?P<sa>\w+)?\s+ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+.*)$"
     )
@@ -942,6 +943,7 @@ class Lakehouse:
         if not m:
             raise ValueError(f"unsupported MERGE form: {stmt[:80]!r}")
         tgt_name = _unquote_ident(m.group("tgt"))
+        evolve = bool(m.group("evo"))
         t_alias = m.group("ta") or tgt_name
         s_alias = m.group("sa")
         src_raw = m.group("src").strip()
@@ -981,7 +983,14 @@ class Lakehouse:
             # unconditional clause forms: the rewrite path computes full
             # post-image rows and feeds the same table-layer merge()
             return self._merge_percol(
-                table, tgt_name, source, keys, clauses, t_alias, s_alias
+                table,
+                tgt_name,
+                source,
+                keys,
+                clauses,
+                t_alias,
+                s_alias,
+                evolve=evolve,
             )
 
         update_all = any(c["kind"] == "update" for c in clauses)
@@ -1021,13 +1030,21 @@ class Lakehouse:
         # UPDATE SET * / INSERT * take the TARGET's column set (Delta's
         # star expansion): source-only columns (CDC op flags, sequence
         # numbers) are meta columns consumed by the clauses, never
-        # schema-evolved into the table.
-        meta = [c for c in source.columns if c not in table.read().columns]
+        # schema-evolved into the table — UNLESS the statement opted in
+        # with WITH SCHEMA EVOLUTION, in which case the star expansion
+        # is the SOURCE's column set and new columns widen the table
+        # (Delta's withSchemaEvolution star semantics).
+        meta = (
+            []
+            if evolve
+            else [c for c in source.columns if c not in table.read().columns]
+        )
         version = table.merge(
             source,
             on=keys,
             when_matched_delete=delete_pred,
             source_meta_cols=meta,
+            evolve_schema=evolve,
         )
         return self._status("MERGE", tgt_name, version)
 
@@ -1211,6 +1228,7 @@ class Lakehouse:
         clauses: list[dict],
         t_alias: str,
         s_alias: str,
+        evolve: bool = False,
     ) -> DataFrame:
         """Per-column / ordered-clause MERGE (Delta's general form):
         rewrite the source into full post-image rows — a LEFT join of
@@ -1236,11 +1254,12 @@ class Lakehouse:
         for c in clauses:
             if c["payload"]:
                 unknown = set(c["payload"]) - set(tgt_cols)
-                if unknown:
+                if unknown and not evolve:
                     raise ValueError(
                         f"MERGE clause targets unknown columns "
                         f"{sorted(unknown)}; table {tgt_name} has "
-                        f"{tgt_cols}"
+                        f"{tgt_cols} (MERGE WITH SCHEMA EVOLUTION "
+                        "INTO ... widens instead)"
                     )
         tgt = tgt_df.withColumn("__t_exists", F.lit(True)).alias(t_alias)
         src = source.alias(s_alias)
@@ -1250,6 +1269,41 @@ class Lakehouse:
             cond = c if cond is None else (cond & c)
         joined = src.join(tgt, cond, "left")
         matched = F.col(f"{t_alias}.__t_exists").isNotNull()
+        if evolve:
+            # WITH SCHEMA EVOLUTION (per-column form): columns the
+            # clauses introduce extend the post-image schema — source
+            # columns under a star payload keep their source type,
+            # per-column SET/INSERT expressions infer theirs from plan
+            # analysis over the pre-image join (no job runs).  The
+            # target side contributes typed NULLs for rows that predate
+            # the column; the table-layer merge records the widened
+            # manifest schema.
+            src_types = {f.name: f.dataType for f in source.schema.fields}
+            if any(
+                c["payload"] is None
+                for c in clauses
+                if c["kind"] in ("update", "insert")
+            ):
+                for c_ in source.columns:
+                    if c_ not in types:
+                        types[c_] = src_types[c_]
+                        tgt_cols.append(c_)
+            for c in clauses:
+                for col_, expr_ in (c["payload"] or {}).items():
+                    if col_ not in types:
+                        types[col_] = (
+                            joined.select(F.expr(expr_).alias("__p"))
+                            .schema[0]
+                            .dataType
+                        )
+                        tgt_cols.append(col_)
+
+        def pre_col(col):
+            # pre-image value: the target's column, or a typed NULL for
+            # a column this MERGE is introducing (old rows predate it)
+            if col in tgt_df.columns:
+                return F.col(f"{t_alias}.{col}")
+            return F.lit(None).cast(types[col])
 
         def pred_col(p):
             return F.lit(True) if p is None else F.expr(p)
@@ -1276,7 +1330,7 @@ class Lakehouse:
             ins_keep = ins_keep | pred_col(c["pred"])
 
         def matched_val(col):
-            pre = F.col(f"{t_alias}.{col}")
+            pre = pre_col(col)
             pairs = []
             for c in matched_clauses:
                 if c["kind"] == "delete":
@@ -1383,7 +1437,7 @@ class Lakehouse:
             )
 
             def bysrc_val(col):
-                pre = F.col(f"{t_alias}.{col}")
+                pre = pre_col(col)
                 pairs = []
                 for c in bysrc_clauses:
                     if c["payload"] and col in c["payload"]:
@@ -1410,6 +1464,7 @@ class Lakehouse:
                 on=keys,
                 when_matched_delete=F.col("__merge_delete"),
                 source_meta_cols=["__merge_delete"],
+                evolve_schema=evolve,
             )
         except ValueError as exc:
             if src_was_unique and "multiple source rows" in str(exc):

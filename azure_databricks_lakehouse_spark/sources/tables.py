@@ -3218,6 +3218,7 @@ class ParquetTable:
         source_meta_cols: Sequence[str] = (),
         validate_source_keys: bool = True,
         identity_passthrough: bool = False,
+        evolve_schema: bool = False,
     ) -> int:
         """D3 parity: keyed upsert with
         ``whenMatchedUpdateAll().whenNotMatchedInsertAll()`` semantics
@@ -3259,6 +3260,15 @@ class ParquetTable:
         Cost: one count-aggregate over the source (∝ source, never the
         table); the target-side semi-join probe runs only in the rare
         case the source actually carries duplicate keys.
+
+        ``evolve_schema`` (Delta's ``withSchemaEvolution()`` / SQL
+        ``MERGE WITH SCHEMA EVOLUTION``): opt-in — a source carrying
+        columns the target lacks widens the table schema through this
+        commit (carried-over narrow files read NULL-filled via
+        mergeSchema; the CDC sidecar carries the widened schema so CDF
+        consumers see the new column).  Without the flag a wider source
+        raises, mirroring the append path's ``merge_schema=True``
+        contract.
 
         ``identity_passthrough`` (internal, for engine rewrites whose
         source rows ARE the target's own rows — :meth:`update_where_in`):
@@ -3348,8 +3358,19 @@ class ParquetTable:
         # A WIDER source is schema evolution (Delta autoMerge semantics):
         # the manifest schema widens and merged_schema flips on, so reads
         # of carried-over narrow files stay deterministic via mergeSchema
-        # instead of depending on which footer Spark samples.
+        # instead of depending on which footer Spark samples.  OPT-IN
+        # (Delta's withSchemaEvolution / MERGE WITH SCHEMA EVOLUTION):
+        # without the flag, an unexpected source column is a pipeline
+        # bug surfaced loudly, not a silent DDL — exactly the append
+        # path's merge_schema=True contract.
         widened = set(source.columns) - set(target.columns)
+        if widened and not evolve_schema:
+            raise ValueError(
+                f"merge source carries new columns {sorted(widened)}; "
+                "pass evolve_schema=True (SQL: MERGE WITH SCHEMA "
+                "EVOLUTION INTO ...) to widen the table, or list them "
+                "in source_meta_cols to consume without storing"
+            )
         shadow = widened & (
             set(m.get("colmap", {}).values()) | set(m.get("retired_cols", []))
         )

@@ -562,3 +562,33 @@ def test_cdf_overwrite_property_via_sql_strings(registered, tmp_path):
     lh.sql("ALTER TABLE ovt SET TBLPROPERTIES ('cdf_overwrite' = 'true')")
     t.overwrite(_rows(spark, [(3, "c", "z")]))
     assert t._manifest()["cdc_files"], "string 'true' enables the sidecar"
+
+
+def test_evolving_merge_streams_new_column(registered, tmp_path):
+    """A MERGE WITH SCHEMA EVOLUTION commit streams its CDC sidecar
+    with the WIDENED schema: post-images and inserts carry the new
+    column's values, pre-images NULL-fill it (those rows predate the
+    column) — a CDF consumer learns the evolution from the feed."""
+    spark = registered
+    root = str(tmp_path / "tbl_evo")
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")])
+    )
+    wide = spark.createDataFrame(
+        [(1, "a", "x2", 42), (3, "c", "z", 7)],
+        "k int, part string, v string, extra int",
+    )
+    t.merge(wide, on=["k"], evolve_schema=True)  # v1
+    got = _drain(spark, root, "cdf_sink_evo", want_rows=5)
+    assert "extra" in got[0].asDict()
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["extra"])
+        for r in got
+    )
+    assert changes == [
+        (0, "insert", 1, None),
+        (0, "insert", 2, None),
+        (1, "insert", 3, 7),
+        (1, "update_postimage", 1, 42),
+        (1, "update_preimage", 1, None),
+    ]

@@ -1007,6 +1007,55 @@ def test_percol_merge_on_duplicate_key_target_group_replaces(spark, tmp_path, lh
         )
 
 
+def test_merge_with_schema_evolution_star(spark, tmp_path, lh):
+    """``MERGE WITH SCHEMA EVOLUTION INTO`` (Databricks SQL): the star
+    expansion takes the SOURCE's column set — new columns widen the
+    table, carried rows read NULL.  Without the clause, star forms keep
+    today's contract (source-only columns are meta, never stored)."""
+    t = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], lh=lh)
+    src = (
+        "SELECT 2 AS id, 'b' AS cat, 9.0 AS amt, 'n2' AS note "
+        "UNION ALL SELECT 3, 'c', 3.0, 'n3'"
+    )
+    # no clause: note is consumed as meta, not evolved
+    lh.sql(
+        f"MERGE INTO t USING ({src}) AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert "note" not in t.read().columns
+    # with the clause: note evolves in, NULL for rows the merge missed
+    lh.sql(
+        f"MERGE WITH SCHEMA EVOLUTION INTO t USING ({src}) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {r["id"]: (r["amt"], r["note"]) for r in t.read().collect()}
+    assert rows == {1: (1.0, None), 2: (9.0, "n2"), 3: (3.0, "n3")}
+
+
+def test_merge_with_schema_evolution_percol(spark, tmp_path, lh):
+    """Per-column WITH SCHEMA EVOLUTION: a SET/INSERT naming an unknown
+    column widens the table with the expression's inferred type; without
+    the clause the same statement raises toward it."""
+    t = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], lh=lh)
+    stmt_tail = (
+        "USING (SELECT 1 AS id, 50 AS score UNION ALL SELECT 9, 70) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET score = s.score * 2 "
+        "WHEN NOT MATCHED THEN INSERT (id, cat, amt, score) "
+        "VALUES (s.id, 'new', 0.0, s.score)"
+    )
+    with pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+        lh.sql(f"MERGE INTO t {stmt_tail}")
+    lh.sql(f"MERGE WITH SCHEMA EVOLUTION INTO t {stmt_tail}")
+    rows = {r["id"]: r["score"] for r in t.read().collect()}
+    assert rows == {1: 100, 2: None, 9: 70}
+    # the inferred type is the expression's, not a string default
+    assert dict(t.read().dtypes)["score"] in ("int", "bigint")
+
+
 def test_plain_describe_and_show_columns(spark, tmp_path, lh):
     _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
     d = lh.sql("DESCRIBE t").collect()

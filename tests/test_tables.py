@@ -281,21 +281,55 @@ def test_update_assignment_cast_to_declared_type(spark, root):
 
 
 def test_merge_widening_source_evolves_schema(spark, root):
-    """A source with EXTRA columns widens the table schema (autoMerge
-    semantics): the manifest records the wide schema + merged_schema, so
-    later plain reads see the new column (null for carried rows) instead
-    of a footer-sampling lottery."""
+    """A source with EXTRA columns widens the table schema — but only
+    under the OPT-IN flag (Delta's withSchemaEvolution): without it the
+    wider source raises loudly; with it the manifest records the wide
+    schema + merged_schema, so later plain reads see the new column
+    (null for carried rows) instead of a footer-sampling lottery.
+    Replay of the same evolving merge is idempotent."""
     t = ParquetTable.create(spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")]))
     wide = spark.createDataFrame(
         [(2, "b", "y2", 99)], "k int, part string, v string, extra int"
     )
-    t.merge(wide, on=["k"])
+    with pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+        t.merge(wide, on=["k"])
+    t.merge(wide, on=["k"], evolve_schema=True)
     got = {r["k"]: (r["part"], r["v"], r["extra"]) for r in t.read().collect()}
     assert got == {1: ("a", "x", None), 2: ("b", "y2", 99)}
     assert "extra" in t.read().columns
     # and a fresh handle (fresh manifest read) sees the same wide schema
     got2 = ParquetTable.for_path(spark, root).read()
     assert "extra" in got2.columns
+    # replay idempotence survives the evolved schema (second merge no
+    # longer widens — the column exists now, no flag needed)
+    t.merge(wide, on=["k"])
+    got = {r["k"]: (r["part"], r["v"], r["extra"]) for r in t.read().collect()}
+    assert got == {1: ("a", "x", None), 2: ("b", "y2", 99)}
+
+
+def test_merge_evolution_cdf_carries_new_column(spark, root):
+    """The CDF of an evolving MERGE commit carries the widened schema:
+    post-images expose the new column's values, pre-images NULL-fill it
+    (the old rows predate the column) — so a downstream CDF consumer
+    learns the evolution from the feed itself."""
+    t = ParquetTable.create(
+        spark, root, _rows(spark, [(1, "a", "x"), (2, "b", "y")])
+    )
+    v0 = t.latest_version()
+    wide = spark.createDataFrame(
+        [(2, "b", "y2", 99), (3, "c", "z", 7)],
+        "k int, part string, v string, extra int",
+    )
+    t.merge(wide, on=["k"], evolve_schema=True)
+    cdf = t.changes_between(v0)
+    assert "extra" in cdf.columns
+    # batch CDF surfaces an update as its delete+insert pair
+    got = {
+        (r["k"], r["_change_type"]): r["extra"] for r in cdf.collect()
+    }
+    assert got[(2, "delete")] is None  # pre-image predates the column
+    assert got[(2, "insert")] == 99
+    assert got[(3, "insert")] == 7
 
 
 def test_concurrent_appends_lose_nothing(spark, root):
