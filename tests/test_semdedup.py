@@ -186,3 +186,35 @@ def test_e2e_on_sf_embeddings(spark, sf_dir):
     n_removed = res.removed.count()
     assert n_kept + n_removed == n_in
     assert res.kept.columns == emb.columns  # pass-through schema
+
+
+def test_split_symmetric_stitch_recovers_diffuse_recall(spark):
+    """Round-8 verdict item 6: on a DIFFUSE over-cap cell (direction
+    noise wide enough that near-threshold pairs straddle sub-buckets)
+    the symmetric stitch — reps as keepers AND members-vs-other-reps —
+    recovers removals the reps-as-keepers-only pass lost (measured
+    0.965 recall on this fixture before the change).  Soundness first:
+    split-mode removals must stay a SUBSET of the unsplit ground truth
+    (the stitch restores pairs, never invents them)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, _unit([1.0, rng.gauss(0, 0.2), rng.gauss(0, 0.2)]))
+        for i in range(60)
+    ]
+    rows += [
+        (100 + i, _unit([0.0, 1.0, rng.gauss(0, 0.01)])) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    ref = semantic_dedup(df, k=2, threshold=0.99)
+    gt = {r.removed_id for r in ref.removed.collect()}
+    split = semantic_dedup(
+        df, k=2, threshold=0.99, max_cluster_size=8, split_rounds=6
+    )
+    got = {r.removed_id for r in split.removed.collect()}
+    assert got <= gt, f"split invented removals: {sorted(got - gt)}"
+    recall = len(got & gt) / len(gt)
+    assert recall >= 0.99, (
+        f"recall {recall:.3f} below floor (missed {sorted(gt - got)})"
+    )
