@@ -236,6 +236,57 @@ def _fit_from_bucket_counts(
     return ImportanceModel(ratios=ratios, dim=dim, bigrams=bigrams, smoothing=a)
 
 
+def persist_importance_model(model: ImportanceModel, root: str):
+    """Persist a fitted model as a versioned lakehouse table: the
+    ``dim``-row ratio frame is the data, the fit hyper-parameters ride
+    the table properties — so a model is one table a fleet of scoring
+    jobs (batch or streaming) can broadcast-probe, refresh atomically
+    (overwrite = one commit, readers pin their snapshot), and time
+    travel like any other table.  Returns the :class:`ParquetTable`."""
+    from azure_databricks_lakehouse_spark.sources.tables import (
+        ParquetTable,
+        is_table,
+    )
+
+    spark = model.ratios.sparkSession
+    if is_table(root):
+        t = ParquetTable.for_path(spark, root)
+        t.overwrite(model.ratios)
+    else:
+        t = ParquetTable.create(spark, root, model.ratios)
+    t.set_properties(
+        {
+            "dsir_dim": str(model.dim),
+            "dsir_bigrams": str(bool(model.bigrams)).lower(),
+            "dsir_smoothing": repr(model.smoothing),
+        }
+    )
+    return t
+
+
+def load_importance_model(spark, root: str) -> ImportanceModel:
+    """Re-hydrate a model persisted by :func:`persist_importance_model`.
+    The ratio frame reads the table's CURRENT snapshot lazily — a
+    scoring job that loads per micro-batch picks up an atomically
+    refreshed fit on its next batch."""
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    t = ParquetTable.for_path(spark, root)
+    props = t.properties()
+    try:
+        dim = int(props["dsir_dim"])
+        bigrams = props["dsir_bigrams"] == "true"
+        smoothing = float(props["dsir_smoothing"])
+    except KeyError as exc:
+        raise ValueError(
+            f"{root} is not a persisted ImportanceModel (missing "
+            f"property {exc})"
+        ) from None
+    return ImportanceModel(
+        ratios=t.read(), dim=dim, bigrams=bigrams, smoothing=smoothing
+    )
+
+
 def score_importance(
     docs: DataFrame,
     model: ImportanceModel,

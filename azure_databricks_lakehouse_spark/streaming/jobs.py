@@ -196,6 +196,25 @@ def write_stream_to_table(
     return writer.start()
 
 
+def _checkpoint_lineage(checkpoint: str) -> str:
+    """The streaming query id Spark persists in ``<checkpoint>/metadata``
+    — the correct scope for transactional-append app ids, because batch
+    ids are a per-LINEAGE sequence: a recreated checkpoint directory
+    (same path) mints a new query id and restarts batch ids at 0, and a
+    path-derived app id would let the old lineage's watermark silently
+    swallow the new lineage's batches (Delta's "new checkpoint needs a
+    new appId" rule).  Falls back to the normalized path for opaque
+    checkpoint stores (restart-stable, but NOT recreate-safe)."""
+    import json
+
+    ckpt_key = os.path.normpath(os.path.abspath(checkpoint))
+    try:
+        with open(os.path.join(ckpt_key, "metadata")) as fh:
+            return json.load(fh)["id"]
+    except (OSError, ValueError, KeyError):
+        return ckpt_key
+
+
 def write_deduped_stream(
     docs: DataFrame,
     table_root: str,
@@ -268,19 +287,8 @@ def write_deduped_stream(
     # index has seen; genuinely new docs in those batches are lost).
     # Read lazily inside the sink: the metadata file exists by the time
     # the first micro-batch runs, not when the writer is built.
-    ckpt_key = os.path.normpath(os.path.abspath(checkpoint))
-
     def _lineage_id() -> str:
-        import json
-
-        try:
-            with open(os.path.join(ckpt_key, "metadata")) as fh:
-                return json.load(fh)["id"]
-        except (OSError, ValueError, KeyError):
-            # non-local / opaque checkpoint store: fall back to the
-            # normalized path (restart-stable, but NOT recreate-safe —
-            # the hazard documented above)
-            return ckpt_key
+        return _checkpoint_lineage(checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -334,6 +342,84 @@ def write_deduped_stream(
         # cluster_by_fp); periodic OPTIMIZE compacts the per-batch files
         index_tbl.append(
             new_rows.repartition("fp"), txn_app=index_txn, txn_version=batch_id
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_importance_screened_stream(
+    docs: DataFrame,
+    table_root: str,
+    model_root: str,
+    checkpoint: str,
+    *,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "importance",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming DSIR / quality screen (round-8 verdict item 7): every
+    micro-batch is scored against a PERSISTED
+    :class:`~azure_databricks_lakehouse_spark.operators.dsir.ImportanceModel`
+    (:func:`~azure_databricks_lakehouse_spark.operators.dsir.persist_importance_model`)
+    and only documents with importance ≥ ``threshold`` land — the
+    ingestion-time twin of the batch
+    ``prepare_training_corpus`` dsir stage, composing with
+    :func:`write_deduped_stream` the way the fingerprint screen does.
+
+    The landed rows CARRY the score (``score_col``), so batch and
+    streaming runs are auditable against each other: scoring folds
+    per-document contributions bucket-sorted, making the double
+    bit-identical under any partitioning — the same corpus scored in
+    one batch job or drip-fed through this sink produces byte-equal
+    (id, score) pairs.
+
+    Model refresh is atomic and per-batch: the model table is re-read
+    each micro-batch (one manifest read — metadata-paced), so an
+    overwritten fit (new exemplars, larger dim) applies from the next
+    batch without restarting the stream; readers never see a torn
+    model because the overwrite is one commit.
+
+    Idempotency under replay: the sink is a transactional append keyed
+    on the micro-batch id, app-id scoped to the checkpoint lineage
+    (:func:`_checkpoint_lineage`) — a replayed batch skips at metadata
+    cost, a recreated checkpoint re-screens but cannot double-land what
+    its own lineage already committed.
+
+    Scale: the only non-batch-sized input is the model's ``dim``-row
+    ratio table (KBs — broadcast by ``score_importance``); the screen
+    is a projection + one (id, bucket) aggregate over the batch.  The
+    model table is read per batch but never scanned beyond its
+    ``dim`` rows."""
+    from azure_databricks_lakehouse_spark.operators.dsir import (
+        load_importance_model,
+        score_importance,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        model = load_importance_model(spark, model_root)
+        scored = score_importance(
+            batch_df, model, id_col=id_col, text_col=text_col,
+            out_col=score_col,
+        )
+        kept = scored.filter(F.col(score_col) >= F.lit(threshold))
+        if not is_table(table_root):
+            ParquetTable.create(spark, table_root, kept.limit(0))
+        ParquetTable.for_path(spark, table_root).append(
+            kept,
+            txn_app=f"dsir-screen:{_checkpoint_lineage(checkpoint)}",
+            txn_version=batch_id,
         )
 
     writer = (

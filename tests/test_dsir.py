@@ -168,3 +168,82 @@ def test_plan_shapes(spark, corpus):
     assert "TakeOrderedAndProject" in plan
     # the only NLJs are the two single-row total attaches
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_streaming_importance_screen_matches_batch(spark, tmp_path):
+    """Round-8 verdict item 7: micro-batches screened against a
+    PERSISTED ImportanceModel land only above-threshold documents, and
+    the landed scores are bit-identical to a single batch scoring run
+    of the same corpus (the bucket-sorted fold makes the double
+    deterministic under any batching)."""
+    import os
+
+    from azure_databricks_lakehouse_spark.operators.dsir import (
+        load_importance_model,
+        persist_importance_model,
+    )
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+    from azure_databricks_lakehouse_spark.streaming.jobs import (
+        read_file_stream,
+        write_importance_screened_stream,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "solar panels convert sunlight into electric power") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "solar power systems and panels convert energy"),
+            (101, "buy cheap pills online casino bonus click here now"),
+            (102, "electric power from sunlight with solar panels"),
+            (103, "random unrelated chatter about football scores"),
+        ],
+        "doc_id long, text string",
+    )
+    model = fit_importance(target, raw, dim=512)
+    model_root = str(tmp_path / "model")
+    persist_importance_model(model, model_root)
+    # round-trip sanity: the persisted model re-hydrates equivalent
+    loaded = load_importance_model(spark, model_root)
+    assert (loaded.dim, loaded.bigrams, loaded.smoothing) == (
+        model.dim,
+        model.bigrams,
+        model.smoothing,
+    )
+
+    batch_scores = {
+        r["doc_id"]: r["importance"]
+        for r in score_importance(raw, loaded).collect()
+    }
+    thr = 0.0
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+
+    def _ingest():
+        stream = read_file_stream(spark, src, "doc_id long, text string")
+        write_importance_screened_stream(
+            stream, dest, model_root, ckpt, threshold=thr
+        ).awaitTermination(120)
+
+    # drip the corpus through two micro-batches
+    raw.filter("doc_id < 102").write.mode("append").parquet(src)
+    _ingest()
+    raw.filter("doc_id >= 102").write.mode("append").parquet(src)
+    _ingest()
+
+    landed = {
+        r["doc_id"]: r["importance"]
+        for r in ParquetTable.for_path(spark, dest).read().collect()
+    }
+    want = {i: s for i, s in batch_scores.items() if s >= thr}
+    assert set(landed) == set(want)
+    assert landed == want  # bit-identical doubles, not approx
+    # the screen actually rejected something (fixture has spammy docs)
+    assert set(landed) < set(batch_scores)
+
+    # restart on the same checkpoint with no new files: a no-op
+    _ingest()
+    assert ParquetTable.for_path(spark, dest).read().count() == len(want)
