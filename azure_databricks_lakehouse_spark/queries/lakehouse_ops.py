@@ -73,6 +73,23 @@ FROM orders WHERE o_orderkey % 2 = 0
 
 # --- q19: MERGE upsert (D3) — matched rows updated, new rows inserted ------
 def q19_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union over the SAME scratch table's lifecycle:
+
+    - ``part='merge'``: the reference's signature idempotent
+      updateAll/insertAll refresh, run twice (the second merge must be a
+      no-op — the oracle would catch any drift).
+    - ``part='update_in'`` (round-9): the snapshot after
+      ``UPDATE ... WHERE o_orderkey IN (SELECT ...)`` — the IN-subquery
+      UPDATE rewrite (:meth:`~.tables.ParquetTable.update_where_in`,
+      update-only MERGE with row-wise post-images).  The key set mixes
+      matching keys (÷8), a key no row has (-1), and a NULL (never
+      matches) so the no-op and null-drop semantics are oracle-checked,
+      not just unit-tested.
+
+    ``part='merge'`` reads its manifest BEFORE the update commits; the
+    update's rewrite leaves the old version's files on disk (time
+    travel owns them), so the lazy pre-update frame stays readable.
+    """
     t = bind(spark, sf_dir, "orders")
     root = _scratch(sf_dir, "merge_upsert")
     tbl = ParquetTable.create(spark, root, _target(t["orders"]))
@@ -81,14 +98,39 @@ def q19_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the result (bronze_silver_gold/readme.md:68-70) — the oracle would
     # catch any drift.
     tbl.merge(_source(t["orders"]), on=["o_orderkey"])
-    return tbl.read()
+    merged = tbl.read().withColumn("part", F.lit("merge"))
+    keys = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 8 == 0)
+        .select("o_orderkey")
+        .unionByName(
+            spark.createDataFrame([(-1,), (None,)], "o_orderkey bigint")
+        )
+    )
+    tbl.update_where_in(
+        "o_orderkey",
+        keys,
+        {"status": F.lit("X"), "total": F.col("total") + 1.0},
+    )
+    updated = tbl.read().withColumn("part", F.lit("update_in"))
+    return merged.unionByName(updated)
 
 
 _Q19_SQL = f"""
-WITH target AS ({_TARGET_SQL}), source AS ({_SOURCE_SQL})
-SELECT t.* FROM target t ANTI JOIN source s USING (o_orderkey)
+WITH target AS ({_TARGET_SQL}), source AS ({_SOURCE_SQL}),
+merged AS (
+  SELECT t.* FROM target t ANTI JOIN source s USING (o_orderkey)
+  UNION ALL
+  SELECT * FROM source
+)
+SELECT o_orderkey, status, total, 'merge' AS part FROM merged
 UNION ALL
-SELECT * FROM source
+SELECT
+  o_orderkey,
+  CASE WHEN o_orderkey % 8 = 0 THEN 'X' ELSE status END AS status,
+  CASE WHEN o_orderkey % 8 = 0 THEN total + 1.0 ELSE total END AS total,
+  'update_in' AS part
+FROM merged
 """
 
 

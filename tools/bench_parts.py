@@ -48,6 +48,7 @@ UNION_PARTS: dict[str, tuple[str, list[str]]] = {
         "cohort",
         ["has_orders", "only_1995", "both_95_96"],
     ),
+    "q19_merge_upsert": ("part", ["merge", "update_in"]),
     "q23_sessionize": ("impl", ["gaps_islands", "session_window"]),
     "q24_doc_token_stats": ("part", ["doc", "chunk"]),
     "q25_lang_quality": ("part", ["heuristic", "c4"]),
