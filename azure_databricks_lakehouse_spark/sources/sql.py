@@ -48,6 +48,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from azure_databricks_lakehouse_spark.plans import cbo
 from azure_databricks_lakehouse_spark.sources.tables import (
     ParquetTable,
     _schema_from_json,
@@ -244,6 +245,34 @@ def _unquote_ident(name: str) -> str:
     if name.startswith("`") and name.endswith("`"):
         return name[1:-1]
     return name
+
+
+def _render_sql_literal(v, ddl_type: str) -> str | None:
+    """A JSON-safe ANALYZE stat value as a SQL literal expression of the
+    column's DECLARED type, or ``None`` when it can't be rendered
+    exactly (float NaN).  Temporal/decimal stats are stored as their
+    ISO / exact string forms (``_stat_scalar``), so the string→type
+    CAST is lossless; float reprs are shortest-round-trip, so the
+    double literal parses back bit-identical."""
+    import math
+
+    if v is None:
+        return f"CAST(NULL AS {ddl_type})"
+    if isinstance(v, bool):
+        return f"CAST({'TRUE' if v else 'FALSE'} AS {ddl_type})"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if math.isinf(v):
+            s = "'Infinity'" if v > 0 else "'-Infinity'"
+            return f"CAST({s} AS {ddl_type})"
+        return f"CAST({v!r} AS {ddl_type})"
+    if isinstance(v, int):
+        return f"CAST({v} AS {ddl_type})"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"CAST('{esc}' AS {ddl_type})"
+    return None
 
 
 def _ident_list(raw: str) -> list[str]:
@@ -541,44 +570,102 @@ class Lakehouse:
         r"\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
     )
 
-    _COUNT_ONLY = _ci(
-        r"^SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)"
-        r"(?:\s+AS\s+(?P<alias>`?\w+`?))?"
-        r"\s+FROM\s+(?P<name>`?[\w.]+`?)\s*$"
+    _AGG_ONLY = _ci(
+        r"^SELECT\s+(?P<aggs>.+?)\s+FROM\s+(?P<name>`?[\w.]+`?)\s*$"
+    )
+    _AGG_ITEM = _ci(
+        r"^(?P<fn>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|1|`[^`]+`|[\w.]+)\s*\)"
+        r"(?:\s+AS\s+(?P<alias>`?\w+`?))?$"
     )
 
+    def _metadata_agg(self, stmt: str) -> DataFrame | None:
+        """Metadata-only aggregates (Delta's OptimizeMetadataOnlyQuery /
+        Databricks parity): an unfiltered single-table SELECT whose
+        items are all ``COUNT(*)`` / ``MIN(col)`` / ``MAX(col)`` is
+        answered without scanning data —
+
+        - ``COUNT(*)``: the table layer's exact metadata count (fresh
+          ANALYZE stats = zero Spark jobs; stale/absent = parquet
+          footers minus DV cardinality, still no data read);
+        - ``MIN/MAX(col)``: the FRESH ``ANALYZE ... FOR COLUMNS`` value
+          (exact: the stat was computed by a DV-aware scan of this very
+          snapshot; freshness guarantees the snapshot hasn't changed).
+          Stale or missing column stats make the WHOLE statement fall
+          through — the fast path must never answer one item from
+          metadata and another from a different snapshot's scan.
+
+        Returns ``None`` to fall through: any qualifier (WHERE, JOIN,
+        GROUP BY, AS OF, alias), a CACHE-pinned name (the pin answers),
+        a stored view, a float NaN stat (not renderable as a SQL
+        literal), or any unsupported item."""
+        m = self._AGG_ONLY.match(stmt)
+        if not m:
+            return None
+        name = _unquote_ident(m.group("name"))
+        if (
+            name not in self._paths
+            or name in self._views
+            or name in self._cached
+        ):
+            return None
+        items = []
+        for raw in _split_top(m.group("aggs"), ","):
+            im = self._AGG_ITEM.match(raw.strip())
+            if not im:
+                return None
+            fn = im.group("fn").upper()
+            arg = im.group("arg")
+            if fn == "COUNT" and arg not in ("*", "1"):
+                return None  # COUNT(col) skips NULLs — not metadata-safe
+            alias = (
+                _unquote_ident(im.group("alias"))
+                if im.group("alias")
+                else None
+            )
+            items.append((fn, _unquote_ident(arg), alias))
+        table = self.table(name)
+        need = [c for fn, c, _ in items if fn in ("MIN", "MAX")]
+        col_stats: dict = {}
+        if need:
+            s = table.fresh_statistics()
+            col_stats = (s or {}).get("columns") or {}
+            if any(c not in col_stats for c in need):
+                return None
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in _schema_from_json(
+                self.spark, table.detail()["schema"]
+            ).fields
+        }
+        exprs = []
+        for fn, arg, alias in items:
+            if fn == "COUNT":
+                out = alias or "count(1)"  # spark.sql's name for COUNT(*)
+                exprs.append(
+                    f"CAST({int(table.count())} AS BIGINT) "
+                    f"AS `{out.replace('`', '``')}`"
+                )
+                continue
+            v = col_stats[arg]["min" if fn == "MIN" else "max"]
+            lit = _render_sql_literal(v, types[arg])
+            if lit is None:
+                return None  # NaN or unrenderable: run the real scan
+            out = alias or f"{fn.lower()}({arg})"
+            exprs.append(f"{lit} AS `{out.replace('`', '``')}`")
+        # a constant projection folds to a LocalRelation — collect()
+        # short-circuits driver-side, zero jobs (createDataFrame on
+        # python data would parallelize an RDD and launch a real job,
+        # defeating the point)
+        return self.spark.sql("SELECT " + ", ".join(exprs))
+
     def _run_query(self, stmt: str) -> DataFrame:
-        # 0. metadata-only count(*) (Databricks/Delta parity): an
-        # unfiltered single-table COUNT(*) is answered from the table
-        # layer's metadata path — fresh ANALYZE stats mean ZERO Spark
-        # jobs, stale/absent stats recompute the same exact answer from
-        # parquet footers minus DV cardinality, and a 100 TB table never
-        # runs a scan to report its size.  Any qualifier (WHERE, JOIN,
-        # GROUP BY, AS OF, an alias on the table) falls through to the
-        # general path, as does a CACHE-pinned name (D9 semantics: the
-        # pin answers from the pinned snapshot) and a stored view.
-        cm = self._COUNT_ONLY.match(stmt)
-        if cm:
-            name = _unquote_ident(cm.group("name"))
-            if (
-                name in self._paths
-                and name not in self._views
-                and name not in self._cached
-            ):
-                n = self.table(name).count()
-                col = (
-                    _unquote_ident(cm.group("alias"))
-                    if cm.group("alias")
-                    else "count(1)"  # spark.sql's name for COUNT(*)
-                )
-                # a constant projection folds to a LocalRelation —
-                # collect() short-circuits driver-side, zero jobs
-                # (createDataFrame on python data would parallelize an
-                # RDD and launch a real job, defeating the point)
-                return self.spark.sql(
-                    f"SELECT CAST({int(n)} AS BIGINT) "
-                    f"AS `{col.replace('`', '``')}`"
-                )
+        # 0. metadata-only aggregates (Databricks/Delta parity): an
+        # unfiltered single-table COUNT(*)/MIN/MAX SELECT is answered
+        # from the table layer's metadata path — a 100 TB table never
+        # runs a scan to report its size or its fresh-ANALYZEd bounds.
+        fast = self._metadata_agg(stmt)
+        if fast is not None:
+            return fast
 
         # 1. table_changes('name', start[, end]) → CDF view
         def tvf(match: re.Match) -> str:
@@ -640,7 +727,19 @@ class Lakehouse:
                 continue
             view = self._view_name(name)
             if name not in self._cached:
-                self.table(name).register(view)
+                t = self.table(name)
+                # CBO at the SQL surface: when FRESH ANALYZE stats bound
+                # the table under the broadcast threshold, the registered
+                # view carries a static broadcast hint — a user join
+                # against a small analyzed dim plans BHJ before the first
+                # shuffle instead of waiting for AQE's runtime promotion.
+                # No/stale/large stats register plain (default=False =
+                # today's behavior); Spark silently drops the hint in
+                # non-join plans, so a hinted single-table SELECT is
+                # unaffected.
+                cbo.maybe_broadcast(
+                    t.read(), t.fresh_statistics(), default=False
+                ).createOrReplaceTempView(view)
             if view != name:
                 stmt = self._sub_ident(stmt, name, view)
         return self.spark.sql(stmt)

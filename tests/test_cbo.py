@@ -323,3 +323,95 @@ def test_describe_extended_staleness_flag_still_works(lake):
         for r in lake.sql("DESCRIBE EXTENDED st").collect()
     }
     assert rows["Num Rows"] == "stale"
+
+
+def test_sql_min_max_from_fresh_column_stats(spark, lake):
+    """SELECT MIN/MAX/COUNT(*) over an unfiltered table answers from
+    fresh ANALYZE column stats with no file scan in the plan; stale
+    stats fall through to the real scan (same answer, real jobs);
+    string/date columns round-trip through the stored stat forms."""
+    lake.sql(
+        "CREATE TABLE mm AS SELECT id AS k, "
+        "CONCAT('v_', CAST(id AS STRING)) AS s, "
+        "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d "
+        "FROM range(50)"
+    )
+    lake.sql("ANALYZE TABLE mm COMPUTE STATISTICS FOR ALL COLUMNS")
+    df = lake.sql(
+        "SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi, "
+        "MIN(s) AS slo, MAX(d) AS dhi FROM mm"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    row = df.collect()[0]
+    assert (row["n"], row["lo"], row["hi"]) == (50, 0, 49)
+    assert row["slo"] == "v_0"
+    assert str(row["dhi"]) == "2024-02-19"
+    # column-name parity with what spark.sql would return, unaliased
+    spark.range(3).createOrReplaceTempView("__mm_probe")
+    want = spark.sql("SELECT MIN(id), MAX(id) FROM __mm_probe").columns
+    got = lake.sql("SELECT MIN(k), MAX(k) FROM mm").columns
+    assert got == ["min(k)", "max(k)"] and want == ["min(id)", "max(id)"]
+    # types survive the constant projection (not stringly-typed)
+    assert dict(df.dtypes)["dhi"] == "date" and dict(df.dtypes)["hi"] in (
+        "bigint",
+        "long",
+    )
+    # stale stats: same answers via the real scan, incl. the new row
+    lake.sql("INSERT INTO mm VALUES (99, 'zzz', DATE'2030-01-01')")
+    row = lake.sql(
+        "SELECT COUNT(*) AS n, MAX(k) AS hi, MAX(d) AS dhi FROM mm"
+    ).collect()[0]
+    assert (row["n"], row["hi"], str(row["dhi"])) == (51, 99, "2030-01-01")
+    # DV-aware: the stats were computed over the post-DELETE snapshot
+    lake.sql("DELETE FROM mm WHERE k = 99")
+    lake.sql("ANALYZE TABLE mm COMPUTE STATISTICS FOR COLUMNS k")
+    df = lake.sql("SELECT MAX(k) AS hi FROM mm")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan
+    assert df.collect()[0]["hi"] == 49
+
+
+def test_sql_min_max_qualified_forms_not_intercepted(lake):
+    lake.sql("CREATE TABLE mq AS SELECT id AS k, id % 3 AS g FROM range(30)")
+    lake.sql("ANALYZE TABLE mq COMPUTE STATISTICS FOR ALL COLUMNS")
+    # WHERE, GROUP BY, expressions, COUNT(col) all run the general path
+    assert lake.sql("SELECT MAX(k) FROM mq WHERE g = 0").first()[0] == 27
+    assert lake.sql("SELECT g, MAX(k) AS m FROM mq GROUP BY g").count() == 3
+    assert lake.sql("SELECT MAX(k + 1) FROM mq").first()[0] == 30
+    assert lake.sql("SELECT COUNT(g) FROM mq").first()[0] == 30
+    # AVG mixed in: the whole statement falls through, answers agree
+    row = lake.sql("SELECT MAX(k) AS m, AVG(k) AS a FROM mq").collect()[0]
+    assert (row["m"], row["a"]) == (29, 14.5)
+
+
+def test_sql_join_broadcasts_stats_small_dim(spark, lake):
+    """A registered view carries a broadcast hint iff FRESH stats bound
+    the table under the threshold — with Spark's size-estimate
+    broadcasting disabled, only the hint can produce a BHJ, so the
+    plan shape IS the decision."""
+    lake.sql("CREATE TABLE facts AS SELECT id AS k, id * 2 AS v FROM range(5000)")
+    lake.sql("CREATE TABLE dim AS SELECT id AS k, CONCAT('d', CAST(id AS STRING)) AS name FROM range(20)")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = "SELECT f.k, d.name FROM facts f JOIN dim d ON f.k = d.k"
+        plan_plain = (
+            lake.sql(q)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan_plain  # no stats: no hint
+        lake.sql("ANALYZE TABLE dim COMPUTE STATISTICS NOSCAN")
+        plan_hinted = (
+            lake.sql(q)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan_hinted  # fresh-small: hint
+        # rows are the decision-independent part
+        assert lake.sql(q).count() == 20
+        # stats gone stale -> hint withdrawn on the next statement
+        lake.sql("INSERT INTO dim VALUES (100, 'dX')")
+        plan_stale = (
+            lake.sql(q)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan_stale
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
