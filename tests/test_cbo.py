@@ -415,3 +415,34 @@ def test_sql_join_broadcasts_stats_small_dim(spark, lake):
         assert "BroadcastHashJoin" not in plan_stale
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sql_min_max_literal_rendering_roundtrips(spark, lake):
+    """Adversarial stat values (quotes, backslashes, unicode, newlines)
+    must round-trip through the constant-projection literal renderer
+    bit-exactly — compared against the real scan's answer."""
+    values = [
+        "it's",
+        'she said "hi"',
+        "back\\slash",
+        "tab\there",
+        "new\nline",
+        "ünïcodé ✓",
+        "'; DROP TABLE x; --",
+        "",
+    ]
+    rows = ", ".join(
+        f"({i}, '{v.replace(chr(92), chr(92) * 2).replace(chr(39), chr(92) + chr(39))}')"
+        for i, v in enumerate(values)
+    )
+    lake.sql(f"CREATE TABLE lit AS SELECT col1 AS k, col2 AS s FROM VALUES {rows}")
+    want = spark.sql(
+        "SELECT MIN(col2), MAX(col2) FROM "
+        f"VALUES {rows}"
+    ).collect()[0]
+    lake.sql("ANALYZE TABLE lit COMPUTE STATISTICS FOR COLUMNS s")
+    df = lake.sql("SELECT MIN(s) AS lo, MAX(s) AS hi FROM lit")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan
+    got = df.collect()[0]
+    assert (got["lo"], got["hi"]) == (want[0], want[1])
