@@ -1718,9 +1718,22 @@ class Lakehouse:
     _DELETE = _ci(r"^DELETE\s+FROM\s+(`?[\w.]+`?)(?P<tail>\s+.*)?$")
 
     _IN_SUBQUERY = _ci(
-        r"^(?P<col>`[^`]+`|[\w.]+)\s+(?P<neg>NOT\s+)?IN\s*\(\s*"
+        r"^(?P<col>`[^`]+`|[\w.]+|\([^()]+\))\s+(?P<neg>NOT\s+)?IN\s*\(\s*"
         r"(?P<sub>SELECT\b.+)\)\s*$"
     )
+
+    @staticmethod
+    def _in_cols(sub) -> list[str]:
+        """Membership column list of an IN-subquery match: the single
+        column, or the components of the tuple form ``(a, b) IN ...``
+        (Databricks supports multi-column IN predicates in DML)."""
+        raw = sub.group("col").strip()
+        parts = (
+            [p.strip() for p in raw[1:-1].split(",")]
+            if raw.startswith("(")
+            else [raw]
+        )
+        return [_unquote_ident(p).split(".")[-1] for p in parts]
 
     def _delete(self, stmt: str) -> DataFrame:
         m = self._DELETE.match(stmt)
@@ -1777,18 +1790,20 @@ class Lakehouse:
                 "supported (NULL-key semantics); use MERGE ... WHEN NOT "
                 "MATCHED BY SOURCE THEN DELETE instead"
             )
-        tcol = _unquote_ident(sub.group("col")).split(".")[-1]
+        tcols = self._in_cols(sub)
         keys = self._run_query(sub.group("sub"))
-        if len(keys.columns) != 1:
+        if len(keys.columns) != len(tcols):
             raise ValueError(
-                "IN-subquery must return exactly one column, got "
-                f"{keys.columns}"
+                "IN-subquery must return exactly "
+                f"{'one column' if len(tcols) == 1 else f'{len(tcols)} columns'}"
+                f", got {keys.columns}"
             )
-        keys = (
-            keys.select(F.col(keys.columns[0]).alias(tcol))
-            .where(F.col(tcol).isNotNull())
-            .distinct()
-        )
+        nn = None
+        for c in tcols:
+            p = F.col(c).isNotNull()
+            nn = p if nn is None else (nn & p)
+        # positional rename (toDF handles duplicate-named subquery cols)
+        keys = keys.toDF(*tcols).where(nn).distinct()
         table = self.table(name)
         # merge() wants the full target schema (updateAll contract); a
         # delete-only source never stores its payload, so pad the other
@@ -1796,18 +1811,18 @@ class Lakehouse:
         schema = _schema_from_json(self.spark, table.detail()["schema"])
         ident = table.properties().get("identity", {})
         keys = keys.select(
-            tcol,
+            *tcols,
             *[
                 F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields
-                if f.name != tcol and f.name not in ident
+                if f.name not in tcols and f.name not in ident
             ],
         )
         # column-pruned semi count = rows about to be deleted (the
         # MERGE commit's metrics carry file counts, not row counts)
-        n = table.read().select(tcol).join(keys, tcol, "semi").count()
+        n = table.read().select(*tcols).join(keys, tcols, "semi").count()
         version = table.merge(
-            keys, on=[tcol], when_matched_delete=F.lit(True)
+            keys, on=tcols, when_matched_delete=F.lit(True)
         )
         return self.spark.createDataFrame(
             [(name, version, n)],
@@ -1833,20 +1848,20 @@ class Lakehouse:
                 "supported (NULL-key semantics); use MERGE ... WHEN NOT "
                 "MATCHED BY SOURCE THEN UPDATE instead"
             )
-        tcol = _unquote_ident(sub.group("col")).split(".")[-1]
+        tcols = self._in_cols(sub)
         keys = self._run_query(sub.group("sub"))
         table = self.table(name)
-        version = table.update_where_in(tcol, keys, assignments)
+        version = table.update_where_in(tcols, keys, assignments)
         # column-pruned semi count = rows just updated (the MERGE
         # commit's metrics carry file counts, not row counts; counting
-        # after the commit is safe because the membership column is
+        # after the commit is safe because the membership columns are
         # unassignable — post-images keep their keys)
-        k = (
-            keys.select(F.col(keys.columns[0]).alias(tcol))
-            .where(F.col(tcol).isNotNull())
-            .distinct()
-        )
-        n = table.read().select(tcol).join(k, tcol, "semi").count()
+        nn = None
+        for c in tcols:
+            p = F.col(c).isNotNull()
+            nn = p if nn is None else (nn & p)
+        k = keys.toDF(*tcols).where(nn).distinct()
+        n = table.read().select(*tcols).join(k, tcols, "semi").count()
         return self.spark.createDataFrame(
             [(name, version, n)],
             "table string, version int, num_affected_rows long",

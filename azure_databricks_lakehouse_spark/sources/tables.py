@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import functools
 import json
 import os
 import shutil
@@ -1155,12 +1156,15 @@ class ParquetTable:
         )
 
     def update_where_in(
-        self, col: str, keys: DataFrame, assignments: dict
+        self, col: str | Sequence[str], keys: DataFrame, assignments: dict
     ) -> int:
         """Row-wise ``UPDATE ... SET ... WHERE col IN (<keys>)`` with
         the match set given as a DataFrame — the engine behind the SQL
         front-end's IN-subquery UPDATE (Databricks supports subquery
         predicates in DML; a row-wise Column can't express a semi-join).
+        ``col`` may be a single column or a sequence for the tuple form
+        ``(a, b) IN (SELECT x, y ...)`` — a key row with ANY NULL
+        component never matches (SQL tuple-IN is UNKNOWN there).
 
         Routes through an update-only MERGE whose source is the matched
         target rows' POST-images: every SET expression is evaluated
@@ -1182,11 +1186,13 @@ class ParquetTable:
         pre-image.  Commits as MERGE (CDF consumers see
         ``update_preimage``/``update_postimage`` rows); a zero-match
         update commits nothing and returns the current version."""
+        cols = [col] if isinstance(col, str) else list(col)
         m = self._manifest()
         schema = _schema_from_json(self.spark, m["schema"])
         types = {f.name: f.dataType for f in schema.fields}
-        if col not in types:
-            raise ValueError(f"UPDATE references unknown column {col!r}")
+        for c in cols:
+            if c not in types:
+                raise ValueError(f"UPDATE references unknown column {c!r}")
         unknown = set(assignments) - set(types)
         if unknown:
             raise ValueError(
@@ -1199,28 +1205,37 @@ class ParquetTable:
                 f"UPDATE assigns identity columns {sorted(ident_assigned)}; "
                 "they are GENERATED ALWAYS"
             )
-        if col in assignments:
+        assigned_keys = set(cols) & set(assignments)
+        if assigned_keys:
             raise ValueError(
-                f"UPDATE ... WHERE {col} IN (SELECT ...) cannot SET the "
-                "membership column itself (the rewrite merges on it); "
-                "use MERGE INTO ... WHEN MATCHED THEN UPDATE directly"
+                f"UPDATE ... WHERE {tuple(cols)} IN (SELECT ...) cannot "
+                f"SET the membership columns {sorted(assigned_keys)} "
+                "(the rewrite merges on them); use MERGE INTO ... WHEN "
+                "MATCHED THEN UPDATE directly"
             )
-        if len(keys.columns) != 1:
+        if len(keys.columns) != len(cols):
             raise ValueError(
-                "IN-subquery must return exactly one column, got "
-                f"{keys.columns}"
+                "IN-subquery must return exactly "
+                f"{'one column' if len(cols) == 1 else f'{len(cols)} columns'}"
+                f", got {keys.columns}"
             )
         # no cast onto the key frame: Spark's join coercion compares in
         # the common type, exactly what IN does — casting to the target
         # column's type could overflow-wrap a wider key into a spurious
         # match
         keyset = (
-            keys.select(F.col(keys.columns[0]).alias(col))
-            .where(F.col(col).isNotNull())
+            # positional rename (toDF handles duplicate-named source cols)
+            keys.toDF(*cols)
+            .where(
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).isNotNull() for c in cols],
+                )
+            )
             .distinct()
         )
-        pre = self.read().join(keyset, col, "semi")
-        if pre.select(col).isEmpty():
+        pre = self.read().join(keyset, cols, "semi")
+        if pre.select(*cols).isEmpty():
             return self.latest_version()  # zero-match: commit nothing
         gen_auto = {
             c
@@ -1243,7 +1258,7 @@ class ParquetTable:
         )
         return self.merge(
             post,
-            on=[col],
+            on=cols,
             validate_source_keys=False,
             identity_passthrough=True,
         )

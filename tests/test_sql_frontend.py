@@ -971,6 +971,45 @@ def test_update_where_in_rowwise_on_duplicate_key_target(spark, tmp_path, lh):
     assert (r2["amt"], r2["amt2"]) == (2.0, 7.0)  # swapped, not chained
 
 
+def test_tuple_in_subquery_dml(spark, tmp_path, lh):
+    """Composite-key membership (Databricks tuple-IN): both DELETE and
+    UPDATE accept ``(a, b) IN (SELECT x, y ...)`` — a key row with ANY
+    NULL component never matches, and the rewrite merges on all
+    components."""
+    t = _mk(
+        spark,
+        tmp_path,
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(8)],
+        lh=lh,
+    )
+    spark.createDataFrame(
+        [(2, "a"), (3, "b"), (3, "a"), (None, "a"), (4, None)],
+        "vid int, vcat string",
+    ).createOrReplaceTempView("tv")
+    out = lh.sql(
+        "UPDATE t SET amt = amt + 100 "
+        "WHERE (id, cat) IN (SELECT vid, vcat FROM tv)"
+    ).collect()[0]
+    # (2,'a') and (3,'b') match; (3,'a') doesn't exist; NULL rows never
+    assert out["num_affected_rows"] == 2
+    rows = {r["id"]: r["amt"] for r in t.read().collect()}
+    assert rows[2] == 102.0 and rows[3] == 103.0 and rows[4] == 4.0
+    out = lh.sql(
+        "DELETE FROM t WHERE (id, cat) IN (SELECT vid, vcat FROM tv)"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 4, 5, 6, 7]
+    # arity mismatch raises cleanly
+    with pytest.raises(ValueError, match="2 column"):
+        lh.sql("DELETE FROM t WHERE (id, cat) IN (SELECT vid FROM tv)")
+    # assigning a membership component raises
+    with pytest.raises(ValueError, match="membership"):
+        lh.sql(
+            "UPDATE t SET cat = 'x' "
+            "WHERE (id, cat) IN (SELECT vid, vcat FROM tv)"
+        )
+
+
 def test_update_where_in_zero_match_commits_nothing(spark, tmp_path, lh):
     t = _mk(spark, tmp_path, [(1, "a", 1.0)], lh=lh)
     v0 = t.latest_version()
