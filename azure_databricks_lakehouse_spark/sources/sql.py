@@ -357,6 +357,34 @@ class Lakehouse:
             [(op, name, version)], "operation string, table string, version int"
         )
 
+    _EXPLAIN = _ci(
+        r"^EXPLAIN\s+(?:(?P<mode>EXTENDED|CODEGEN|COST|FORMATTED)\s+)?"
+        r"(?P<body>(?:SELECT|WITH|VALUES)\b.*)$"
+    )
+
+    def _explain(self, stmt: str) -> DataFrame:
+        """``EXPLAIN [EXTENDED|CODEGEN|COST|FORMATTED] <query>`` —
+        Spark/Databricks parity, routed through this front-end's own
+        query path so the plan shows what would ACTUALLY run: the
+        metadata-only aggregate fast path surfaces as a scan-free
+        constant projection, and a stats-hinted view registration shows
+        its BroadcastHashJoin.  Returns Spark's own one-column ``plan``
+        frame shape."""
+        m = self._EXPLAIN.match(stmt)
+        if not m:
+            raise ValueError(
+                "supported form: EXPLAIN [EXTENDED|CODEGEN|COST|"
+                "FORMATTED] SELECT ... (queries only — DML plans are "
+                "engine rewrites, inspect their commits via DESCRIBE "
+                "HISTORY)"
+            )
+        df = self._run_query(m.group("body"))
+        mode = (m.group("mode") or "simple").lower()
+        text = self.spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+        return self.spark.createDataFrame([(text,)], "plan string")
+
     # -- dispatcher ---------------------------------------------------------
 
     def sql(self, statement: str) -> DataFrame:
@@ -368,6 +396,8 @@ class Lakehouse:
         kw = head[0].upper() if head else ""
         if kw in ("SELECT", "WITH", "VALUES"):
             return self._run_query(stmt)
+        if kw == "EXPLAIN":
+            return self._explain(stmt)
         if kw == "CREATE":
             return self._create(stmt)
         if kw == "CONVERT":

@@ -1109,3 +1109,21 @@ def test_plain_describe_and_show_columns(spark, tmp_path, lh):
     assert lh.sql("SHOW COLUMNS FROM t").count() == 3
     # HISTORY/DETAIL/EXTENDED keywords still take precedence over names
     assert lh.sql("DESCRIBE HISTORY t").count() >= 1
+
+
+def test_explain_routes_through_engine_paths(spark, tmp_path, lh):
+    """EXPLAIN shows what would ACTUALLY run through this front-end:
+    the metadata-only COUNT fast path plans as a scan-free constant,
+    while a filtered query shows the real parquet scan with the
+    predicate pushed."""
+    _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], lh=lh)
+    lh.sql("ANALYZE TABLE t COMPUTE STATISTICS NOSCAN")
+    plan = lh.sql("EXPLAIN SELECT COUNT(*) FROM t").collect()[0]["plan"]
+    assert "OneRowRelation" in plan and "parquet" not in plan
+    plan = lh.sql(
+        "EXPLAIN FORMATTED SELECT id FROM t WHERE amt > 1.5"
+    ).collect()[0]["plan"]
+    assert "Scan parquet" in plan and "PushedFilters" in plan
+    assert lh.sql("EXPLAIN EXTENDED SELECT id FROM t").columns == ["plan"]
+    with pytest.raises(ValueError, match="queries only"):
+        lh.sql("EXPLAIN DELETE FROM t")
