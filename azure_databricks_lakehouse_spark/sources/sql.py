@@ -1659,10 +1659,12 @@ class Lakehouse:
     _APPLY_SEQ = _ci(r"\bSEQUENCE\s+BY\s+(`?\w+`?)")
     _APPLY_DEL = _ci(
         r"\bAPPLY\s+AS\s+DELETE\s+WHEN\s+(?P<pred>.+?)\s*"
-        r"(?=\bSEQUENCE\s+BY\b|\bCOLUMNS\b|\bEXCEPT\b|\bSTORED\s+AS\b|$)"
+        r"(?=\bSEQUENCE\s+BY\b|\bCOLUMNS\b|\bEXCEPT\b|\bSTORED\s+AS\b"
+        r"|\bWITH\s+SCHEMA\b|$)"
     )
     _APPLY_EXCEPT = _ci(r"\b(?:COLUMNS\s+\*\s+)?EXCEPT\s*\(([^)]*)\)")
     _APPLY_SCD = _ci(r"\bSTORED\s+AS\s+SCD\s+TYPE\s+([12])\b")
+    _APPLY_EVO = _ci(r"\bWITH\s+SCHEMA\s+EVOLUTION\b")
 
     def _apply_changes(self, stmt: str) -> DataFrame:
         """DLT's ``APPLY CHANGES INTO`` statement, routed to
@@ -1674,6 +1676,7 @@ class Lakehouse:
               SEQUENCE BY seq_col
               [COLUMNS * EXCEPT (c1, c2)]
               [STORED AS SCD TYPE {1|2}]
+              [WITH SCHEMA EVOLUTION]
 
         ``src`` is a registered table, a Spark temp view, or a
         parenthesized subquery (e.g. over the ``table_changes`` TVF);
@@ -1714,6 +1717,7 @@ class Lakehouse:
         )
         scm = self._APPLY_SCD.search(clauses)
         scd_type = int(scm.group(1)) if scm else 1
+        evolve = bool(self._APPLY_EVO.search(clauses))
 
         if src_raw.startswith("("):
             source = self._run_query(src_raw[1:-1].strip())
@@ -1737,6 +1741,7 @@ class Lakehouse:
             apply_as_deletes=apply_as_deletes,
             except_columns=except_columns,
             scd_type=scd_type,
+            evolve_schema=evolve,
         )
         if tgt_name not in self._paths:
             self.register(tgt_name, root)

@@ -119,19 +119,32 @@ def apply_changes_batch(
     apply_as_deletes: str | None = None,
     except_columns: Sequence[str] = (),
     scd_type: int = 1,
+    evolve_schema: bool = False,
 ) -> dict[str, int]:
     """Apply one batch of change events; returns per-batch counts.
 
     The batch core — :func:`apply_changes` wraps it in ``foreachBatch``
     for streaming feeds, and batch CDC loads (a day of Debezium files)
     call it directly.
+
+    ``evolve_schema`` (opt-in, the MERGE ``evolve_schema`` contract):
+    a CDC feed that gained columns widens the target through the
+    apply commit — SCD1 post-images and SCD2 new versions carry the
+    new column, already-stored rows (and SCD2's closed versions) read
+    NULL for it.  Without the flag a wider feed raises loudly.
     """
     if scd_type not in (1, 2):
         raise ValueError(f"scd_type must be 1 or 2, got {scd_type!r}")
     ev = _normalize(source, keys, sequence_by, apply_as_deletes, except_columns)
     if scd_type == 1:
-        return _apply_scd1(spark, target_root, ev, list(keys), sequence_by)
-    return _apply_scd2_feed(spark, target_root, ev, list(keys), sequence_by)
+        return _apply_scd1(
+            spark, target_root, ev, list(keys), sequence_by,
+            evolve=evolve_schema,
+        )
+    return _apply_scd2_feed(
+        spark, target_root, ev, list(keys), sequence_by,
+        evolve=evolve_schema,
+    )
 
 
 def _apply_scd1(
@@ -140,6 +153,7 @@ def _apply_scd1(
     ev: DataFrame,
     keys: list[str],
     seq: str,
+    evolve: bool = False,
 ) -> dict[str, int]:
     latest = _latest_per_key(ev, keys, seq)
     payload_cols = [c for c in latest.columns if c != _DEL]
@@ -178,6 +192,7 @@ def _apply_scd1(
         on=keys,
         when_matched_delete=F.col(_DEL),
         source_meta_cols=[_DEL],
+        evolve_schema=evolve,
     )
     return {
         "upserted": n_up,
@@ -192,6 +207,7 @@ def _apply_scd2_feed(
     ev: DataFrame,
     keys: list[str],
     seq: str,
+    evolve: bool = False,
 ) -> dict[str, int]:
     payload_cols = [c for c in ev.columns if c not in (_DEL,)]
     tracked = [c for c in payload_cols if c not in (*keys, seq)]
@@ -207,6 +223,17 @@ def _apply_scd2_feed(
     if is_table(root):
         tbl = ParquetTable.for_path(spark, root)
         dim = tbl.read()
+        # a feed that gained columns is schema evolution — gate it HERE
+        # (before any projection reads the stored rows) so the no-flag
+        # failure is this contract's error, not an unresolved-column
+        # AnalysisException from the suppression join below
+        new_cols = [c for c in tracked if c not in dim.columns]
+        if new_cols and not evolve:
+            raise ValueError(
+                f"change feed carries new columns {sorted(new_cols)}; "
+                "pass evolve_schema=True (SQL: APPLY CHANGES ... WITH "
+                "SCHEMA EVOLUTION) to widen the target"
+            )
         current = dim.filter(F.col(IS_CURRENT))
         # the key's applied frontier is the latest instant any version
         # covers — effective_to where closed (a DELETE leaves no current
@@ -217,10 +244,21 @@ def _apply_scd2_feed(
                 F.coalesce(F.col(EFFECTIVE_TO), F.col(EFFECTIVE_FROM))
             ).alias("__floor")
         )
+        ev_types = dict(ev.dtypes)
         curvals = current.select(
             *keys,
             F.lit(True).alias("__has_cur"),
-            *[F.col(c).alias(f"__cur_{c}") for c in tracked],
+            *[
+                # stored rows predate an evolving column: their state
+                # for it is NULL, so the first evolved event always
+                # differs and opens a version (never suppressed)
+                (
+                    F.col(c)
+                    if c in dim.columns
+                    else F.lit(None).cast(ev_types[c])
+                ).alias(f"__cur_{c}")
+                for c in tracked
+            ],
         )
         ev = (
             ev.join(floor, keys, "left")
@@ -298,9 +336,12 @@ def _apply_scd2_feed(
     n_closed = closed.count()
     if n_versions + n_closed == 0:
         return {"versioned": 0, "closed": 0}
+    # under evolution the closed (old-schema) versions NULL-fill the
+    # feed's new columns; without it a width mismatch raises in merge
     tbl.merge(
-        closed.unionByName(new_versions),
+        closed.unionByName(new_versions, allowMissingColumns=evolve),
         on=[*keys, EFFECTIVE_FROM],
+        evolve_schema=evolve,
     )
     return {"versioned": n_versions, "closed": n_closed}
 
@@ -316,6 +357,7 @@ def apply_changes(
     apply_as_deletes: str | None = None,
     except_columns: Sequence[str] = (),
     scd_type: int = 1,
+    evolve_schema: bool = False,
     available_now: bool = True,
 ):
     """Continuously apply a streaming change feed into ``target_root``.
@@ -344,6 +386,7 @@ def apply_changes(
             apply_as_deletes=apply_as_deletes,
             except_columns=except_columns,
             scd_type=scd_type,
+            evolve_schema=evolve_schema,
         )
 
     writer = (

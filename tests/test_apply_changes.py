@@ -475,3 +475,74 @@ def test_streaming_apply_changes_cdf_deletes_via_commit_timestamp(spark, tmp_pat
     # member 2's only version is CLOSED by the delete; member 1 open
     assert hist[1] == ("ann", True, False)
     assert hist[2] == ("bob", False, True)
+
+
+def test_apply_changes_schema_evolution(spark, tmp_path):
+    """A CDC feed that gained a column evolves the target only under
+    evolve_schema=True (both SCD types); stored rows and SCD2's closed
+    versions NULL-fill the new column; without the flag the wider feed
+    raises loudly."""
+    root1 = str(tmp_path / "evo1")
+    apply_changes_batch(
+        spark, root1,
+        _events(spark, [(1, "a", 1.0, "2024-01-01", "U"),
+                        (2, "b", 2.0, "2024-01-01", "U")]),
+        **KW,
+    )
+    wide = spark.createDataFrame(
+        [(1, "a2", 10.0, "2024-01-02", "U", "west")],
+        "id int, name string, amt double, ts string, op string, region string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+        apply_changes_batch(spark, root1, wide, **KW)
+    apply_changes_batch(spark, root1, wide, evolve_schema=True, **KW)
+    rows = {
+        r.id: (r.name, r.region)
+        for r in ParquetTable.for_path(spark, root1).read().collect()
+    }
+    assert rows == {1: ("a2", "west"), 2: ("b", None)}
+
+    # SCD2: the closed old version NULL-fills, the new version carries it
+    root2 = str(tmp_path / "evo2")
+    apply_changes_batch(
+        spark, root2,
+        _events(spark, [(1, "a", 1.0, "2024-01-01", "U")]),
+        scd_type=2, **KW,
+    )
+    apply_changes_batch(spark, root2, wide, scd_type=2, evolve_schema=True, **KW)
+    hist = sorted(
+        (bool(r.is_current), r.name, r.region)
+        for r in ParquetTable.for_path(spark, root2).read().collect()
+    )
+    assert hist == [(False, "a", None), (True, "a2", "west")]
+
+
+def test_sql_apply_changes_with_schema_evolution(spark, tmp_path):
+    from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+    lh = Lakehouse(spark, warehouse=str(tmp_path / "wh"))
+    _events(spark, [(1, "a", 1.0, "2024-01-01", "U")]).createOrReplaceTempView(
+        "feed0"
+    )
+    lh.sql(
+        "APPLY CHANGES INTO tgt FROM feed0 KEYS (id) "
+        "APPLY AS DELETE WHEN op = 'D' SEQUENCE BY ts"
+    )
+    spark.createDataFrame(
+        [(1, "a2", 5.0, "2024-01-02", "U", "east")],
+        "id int, name string, amt double, ts string, op string, region string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).createOrReplaceTempView(
+        "feed1"
+    )
+    with pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+        lh.sql(
+            "APPLY CHANGES INTO tgt FROM feed1 KEYS (id) "
+            "APPLY AS DELETE WHEN op = 'D' SEQUENCE BY ts"
+        )
+    lh.sql(
+        "APPLY CHANGES INTO tgt FROM feed1 KEYS (id) "
+        "APPLY AS DELETE WHEN op = 'D' SEQUENCE BY ts "
+        "WITH SCHEMA EVOLUTION"
+    )
+    row = lh.sql("SELECT name, region FROM tgt").collect()[0]
+    assert (row["name"], row["region"]) == ("a2", "east")
