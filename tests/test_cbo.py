@@ -446,3 +446,64 @@ def test_sql_min_max_literal_rendering_roundtrips(spark, lake):
     assert "FileScan" not in plan
     got = df.collect()[0]
     assert (got["lo"], got["hi"]) == (want[0], want[1])
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_scalar = st.one_of(
+    st.integers(-(2**31), 2**31 - 1),
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), min_codepoint=1
+        ),
+        max_size=12,
+    ),
+    st.none(),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ints=st.lists(st.integers(-(2**31), 2**31 - 1) | st.none(), min_size=1, max_size=8),
+    strs=st.lists(_scalar.filter(lambda v: v is None or isinstance(v, str)), min_size=1, max_size=8),
+    dbls=st.lists(
+        st.floats(allow_nan=False, allow_infinity=True, width=64) | st.none(),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_metadata_agg_matches_scan_hypothesis(spark, tmp_path_factory, ints, strs, dbls):
+    """Property sweep over the metadata MIN/MAX/COUNT fast path: random
+    int/string/double columns (NULLs, unicode, ±inf) must answer
+    identically through the stats-backed constant projection and the
+    real scan.  NaN is excluded by construction — the fast path falls
+    through for it by design."""
+    n = max(len(ints), len(strs), len(dbls))
+    pad = lambda xs: (xs * n)[:n]  # noqa: E731
+    rows = list(zip(pad(ints), pad(strs), pad(dbls)))
+    base = tmp_path_factory.mktemp("mmhyp")
+    df = spark.createDataFrame(rows, "i int, s string, d double")
+    ParquetTable.create(spark, str(base / "t"), df)
+    lake = Lakehouse(spark)
+    lake.register("hyp", str(base / "t"))
+    lake.sql("ANALYZE TABLE hyp COMPUTE STATISTICS FOR ALL COLUMNS")
+    fast = lake.sql(
+        "SELECT COUNT(*) AS n, MIN(i) AS i0, MAX(i) AS i1, "
+        "MIN(s) AS s0, MAX(s) AS s1, MIN(d) AS d0, MAX(d) AS d1 FROM hyp"
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    df.createOrReplaceTempView("hyp_ref")
+    want = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(i) AS i0, MAX(i) AS i1, "
+        "MIN(s) AS s0, MAX(s) AS s1, MIN(d) AS d0, MAX(d) AS d1 "
+        "FROM hyp_ref"
+    ).collect()[0]
+    got = fast.collect()[0]
+    assert tuple(got) == tuple(want), rows
