@@ -398,6 +398,8 @@ class Lakehouse:
             return self._run_query(stmt)
         if kw == "EXPLAIN":
             return self._explain(stmt)
+        if kw == "TRUNCATE":
+            return self._truncate(stmt)
         if kw == "CREATE":
             return self._create(stmt)
         if kw == "CONVERT":
@@ -2200,6 +2202,38 @@ class Lakehouse:
         )
         new_version = table.restore(version)
         return self._status("RESTORE", _unquote_ident(m.group(1)), new_version)
+
+    _TRUNCATE = _ci(r"^TRUNCATE\s+TABLE\s+(`?[\w.]+`?)$")
+
+    def _truncate(self, stmt: str) -> DataFrame:
+        """``TRUNCATE TABLE t`` (Delta parity): remove every row in one
+        commit.  Routes to the unconditioned delete, whose DML-mode
+        split DROPS whole files from the manifest — a metadata-only
+        commit, no data rewrite, and the pre-truncate snapshot stays
+        time-travelable (RESTORE undoes it).  The history records the
+        engine's one delete path (operation DELETE with all files
+        dropped); an already-empty table commits nothing."""
+        m = self._TRUNCATE.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported TRUNCATE form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(1))
+        table = self.table(name)
+        if table.count() == 0:  # metadata-only probe: nothing to drop
+            return self.spark.createDataFrame(
+                [(name, table.latest_version(), 0)],
+                "table string, version int, num_affected_rows long",
+            )
+        version = table.delete("true")
+        c = table.history(limit=1)[0]
+        n = (
+            (c.metrics or {}).get("rows_deleted", 0)
+            if c.version == version and c.operation == "DELETE"
+            else 0
+        )
+        return self.spark.createDataFrame(
+            [(name, version, n)],
+            "table string, version int, num_affected_rows long",
+        )
 
     # -- ALTER TABLE --------------------------------------------------------
 

@@ -1127,3 +1127,22 @@ def test_explain_routes_through_engine_paths(spark, tmp_path, lh):
     assert lh.sql("EXPLAIN EXTENDED SELECT id FROM t").columns == ["plan"]
     with pytest.raises(ValueError, match="queries only"):
         lh.sql("EXPLAIN DELETE FROM t")
+
+
+def test_truncate_table(spark, tmp_path, lh):
+    """TRUNCATE drops every row in one metadata-only commit (no data
+    rewrite — whole files leave the manifest), stays time-travelable,
+    and an already-empty table commits nothing."""
+    t = _mk(spark, tmp_path, [(i, "a", float(i)) for i in range(6)], lh=lh)
+    v0 = t.latest_version()
+    out = lh.sql("TRUNCATE TABLE t").collect()[0]
+    assert out["num_affected_rows"] == 6
+    assert t.read().count() == 0
+    assert t.read(version=v0).count() == 6  # pre-truncate time travel
+    files_added = t.history(limit=1)[0].metrics.get("files_added", 0)
+    assert files_added == 0  # metadata-only: nothing rewritten
+    v1 = t.latest_version()
+    out = lh.sql("TRUNCATE TABLE t").collect()[0]
+    assert out["num_affected_rows"] == 0 and t.latest_version() == v1
+    lh.sql(f"RESTORE TABLE t TO VERSION AS OF {v0}")
+    assert t.read().count() == 6
