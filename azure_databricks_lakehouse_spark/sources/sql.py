@@ -603,7 +603,8 @@ class Lakehouse:
     )
 
     _AGG_ONLY = _ci(
-        r"^SELECT\s+(?P<aggs>.+?)\s+FROM\s+(?P<name>`?[\w.]+`?)\s*$"
+        r"^SELECT\s+(?P<aggs>.+?)\s+FROM\s+(?P<name>`?[\w.]+`?)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?\s*$"
     )
     _AGG_ITEM = _ci(
         r"^(?P<fn>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|1|`[^`]+`|[\w.]+)\s*\)"
@@ -656,7 +657,13 @@ class Lakehouse:
             )
             items.append((fn, _unquote_ident(arg), alias))
         table = self.table(name)
+        ver = int(m.group("ver")) if m.group("ver") is not None else None
         need = [c for fn, c, _ in items if fn in ("MIN", "MAX")]
+        if ver is not None and need:
+            # historical MIN/MAX would need that version's stats
+            # freshness-resolved against its own history tail — run the
+            # (time-travel) scan instead; COUNT stays metadata-exact
+            return None
         col_stats: dict = {}
         if need:
             s = table.fresh_statistics()
@@ -674,7 +681,7 @@ class Lakehouse:
             if fn == "COUNT":
                 out = alias or "count(1)"  # spark.sql's name for COUNT(*)
                 exprs.append(
-                    f"CAST({int(table.count())} AS BIGINT) "
+                    f"CAST({int(table.count(version=ver))} AS BIGINT) "
                     f"AS `{out.replace('`', '``')}`"
                 )
                 continue

@@ -1773,19 +1773,25 @@ class ParquetTable:
             rows -= dv.filter(F.col("__file").isin(masked)).count()
         return int(rows)
 
-    def count(self) -> int:
-        """Exact row count of the current snapshot without reading a
-        data byte — the Databricks/Delta metadata-only ``count(*)``
-        answer, now stats-ACTIONABLE instead of display-only.
+    def count(self, version: int | None = None) -> int:
+        """Exact row count of a snapshot without reading a data byte —
+        the Databricks/Delta metadata-only ``count(*)`` answer, now
+        stats-ACTIONABLE instead of display-only.
 
-        Fresh ANALYZE statistics (``as_of_version`` == current version)
-        answer with ZERO Spark jobs: the number was already computed
-        (NOSCAN: footers minus DV cardinality — exact) and rides the
-        manifest the snapshot read loaded anyway.  Stale or absent
-        stats fall back to recomputing the same metadata answer live
-        (:meth:`_exact_rows`) — still no data scan, so the result is
-        exact at EVERY staleness state; freshness only decides whether
-        any job runs at all."""
+        Current snapshot: fresh ANALYZE statistics (``as_of_version``
+        == current version) answer with ZERO Spark jobs — the number
+        was already computed (NOSCAN: footers minus DV cardinality —
+        exact) and rides the manifest the snapshot read loaded anyway.
+        Stale or absent stats fall back to recomputing the same
+        metadata answer live (:meth:`_exact_rows`) — still no data
+        scan, so the result is exact at EVERY staleness state;
+        freshness only decides whether any job runs at all.
+
+        ``version`` counts a TIME-TRAVEL snapshot the same way (that
+        version's footers minus its DV cardinality) — historical stats
+        are never consulted, the answer is exact by construction."""
+        if version is not None:
+            return self._exact_rows(self._manifest(version))
         m = self._manifest()
         s = self._fresh_stats(m)
         if s and s.get("num_rows") is not None:

@@ -507,3 +507,20 @@ def test_metadata_agg_matches_scan_hypothesis(spark, tmp_path_factory, ints, str
     ).collect()[0]
     got = fast.collect()[0]
     assert tuple(got) == tuple(want), rows
+
+
+def test_sql_count_star_time_travel_metadata_only(spark, lake):
+    """COUNT(*) ... VERSION AS OF answers from that version's footers
+    minus its DV cardinality — exact, no data scan; historical MIN/MAX
+    still runs the real time-travel scan (same answers)."""
+    lake.sql("CREATE TABLE tt AS SELECT id AS k FROM range(30)")
+    lake.sql("DELETE FROM tt WHERE k >= 20")  # v1: 20 rows
+    lake.sql("INSERT INTO tt SELECT id FROM range(100, 105)")  # v2: 25
+    for ver, want in ((0, 30), (1, 20), (2, 25)):
+        df = lake.sql(f"SELECT COUNT(*) AS n FROM tt VERSION AS OF {ver}")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in plan and "Scan parquet" not in plan
+        assert df.collect()[0]["n"] == want
+    # MIN/MAX with AS OF: real scan, correct historical answer
+    row = lake.sql("SELECT MAX(k) AS m FROM tt VERSION AS OF 1").collect()[0]
+    assert row["m"] == 19
