@@ -915,3 +915,20 @@ def test_history_limit_parses_only_newest(spark, tmp_path):
     tail = t.history(limit=2)
     assert [c.version for c in tail] == [c.version for c in full[-2:]]
     assert all(c.operation == "APPEND" for c in tail)
+
+
+def test_update_where_in_through_column_mapping(spark, root):
+    """update_where_in on a RENAMED logical column routes through the
+    colmap to the physical name (merge's _to_physical_df path)."""
+    t = ParquetTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id int, cat string, amt double"
+        ),
+    )
+    t.rename_column("cat", "category")
+    keys = spark.createDataFrame([("a",)], "category string")
+    t.update_where_in("category", keys, {"amt": F.col("amt") * 2})
+    got = sorted((r.id, r.category, r.amt) for r in t.read().collect())
+    assert got == [(1, "a", 2.0), (2, "b", 2.0)]
