@@ -932,3 +932,19 @@ def test_update_where_in_through_column_mapping(spark, root):
     t.update_where_in("category", keys, {"amt": F.col("amt") * 2})
     got = sorted((r.id, r.category, r.amt) for r in t.read().collect())
     assert got == [(1, "a", 2.0), (2, "b", 2.0)]
+
+
+def test_update_where_in_rewrites_only_touched_files(spark, root):
+    """The IN-subquery UPDATE inherits merge's findTouchedFiles probe:
+    keys confined to one partition rewrite only that partition's files
+    — untouched files carry over by reference (the 100 TB contract)."""
+    df = _rows(spark, [(1, "p1", "a"), (2, "p2", "b"), (3, "p3", "c")])
+    t = ParquetTable.create(spark, root, df, partition_by=["part"])
+    before = set(t._manifest()["files"])
+    keys = spark.createDataFrame([(2,), (99,)], "k int")
+    t.update_where_in("k", keys, {"v": F.lit("B!")})
+    after = set(t._manifest()["files"])
+    untouched = {f for f in before if "part=p2" not in f}
+    assert untouched <= after  # p1/p3 carried by reference
+    assert not any("part=p2" in f for f in before & after)  # p2 rewritten
+    assert _as_dict(t.read()) == {1: ("p1", "a"), 2: ("p2", "B!"), 3: ("p3", "c")}
