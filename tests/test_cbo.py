@@ -451,16 +451,9 @@ def test_sql_min_max_literal_rendering_roundtrips(spark, lake):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
-_scalar = st.one_of(
-    st.integers(-(2**31), 2**31 - 1),
-    st.floats(allow_nan=False, allow_infinity=True, width=64),
-    st.text(
-        alphabet=st.characters(
-            blacklist_categories=("Cs",), min_codepoint=1
-        ),
-        max_size=12,
-    ),
-    st.none(),
+_hyp_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=1),
+    max_size=12,
 )
 
 
@@ -471,7 +464,7 @@ _scalar = st.one_of(
 )
 @given(
     ints=st.lists(st.integers(-(2**31), 2**31 - 1) | st.none(), min_size=1, max_size=8),
-    strs=st.lists(_scalar.filter(lambda v: v is None or isinstance(v, str)), min_size=1, max_size=8),
+    strs=st.lists(_hyp_text | st.none(), min_size=1, max_size=8),
     dbls=st.lists(
         st.floats(allow_nan=False, allow_infinity=True, width=64) | st.none(),
         min_size=1,
