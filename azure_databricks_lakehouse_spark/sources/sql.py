@@ -604,7 +604,8 @@ class Lakehouse:
 
     _AGG_ONLY = _ci(
         r"^SELECT\s+(?P<aggs>.+?)\s+FROM\s+(?P<name>`?[\w.]+`?)"
-        r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?\s*$"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']*)')?\s*$"
     )
     _AGG_ITEM = _ci(
         r"^(?P<fn>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|1|`[^`]+`|[\w.]+)\s*\)"
@@ -658,6 +659,8 @@ class Lakehouse:
             items.append((fn, _unquote_ident(arg), alias))
         table = self.table(name)
         ver = int(m.group("ver")) if m.group("ver") is not None else None
+        if m.group("ts") is not None:
+            ver = table.version_at(m.group("ts"))
         need = [c for fn, c, _ in items if fn in ("MIN", "MAX")]
         if ver is not None and need:
             # historical MIN/MAX would need that version's stats

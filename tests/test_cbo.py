@@ -517,3 +517,24 @@ def test_sql_count_star_time_travel_metadata_only(spark, lake):
     # MIN/MAX with AS OF: real scan, correct historical answer
     row = lake.sql("SELECT MAX(k) AS m FROM tt VERSION AS OF 1").collect()[0]
     assert row["m"] == 19
+
+
+def test_sql_count_star_timestamp_as_of_metadata_only(spark, lake):
+    lake.sql("CREATE TABLE tts AS SELECT id FROM range(10)")
+    from datetime import datetime, timezone
+
+    lake.sql("INSERT INTO tts SELECT id FROM range(10, 15)")
+    # midpoint between the two commits: safely >= v0, < v1 (isoformat
+    # truncation must not round below v0's own instant)
+    hist = {
+        r["version"]: float(r["timestamp"])
+        for r in lake.sql("DESCRIBE HISTORY tts").collect()
+    }
+    ts = datetime.fromtimestamp(
+        (hist[0] + hist[1]) / 2, tz=timezone.utc
+    ).isoformat()
+    df = lake.sql(f"SELECT COUNT(*) AS n FROM tts TIMESTAMP AS OF '{ts}'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert df.collect()[0]["n"] == 10
+    assert lake.sql("SELECT COUNT(*) FROM tts").first()[0] == 15
