@@ -232,3 +232,68 @@ def test_subquery_update_matches_rowwise_update(
         sql_rows = sorted((r.k, r.v) for r in ta.read().collect())
         py_rows = sorted((r.k, r.v) for r in tb.read().collect())
         assert sql_rows == py_rows, f"after {op} (victims={victims})"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    extra=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-1, 3)),
+        min_size=0,
+        max_size=3,
+    ),
+    victims=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-1, 3)),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+    delta=st.integers(1, 9),
+)
+def test_tuple_subquery_dml_matches_rowwise(
+    spark, tmp_path_factory, extra, victims, delta
+):
+    """Tuple-IN twin sweep: `(k, v) IN (SELECT ...)` DELETE and UPDATE
+    route through composite-key MERGE rewrites, while the Python twin
+    runs row-wise predicates built from the same pairs — different
+    machinery, same rows.  The UPDATE sets a THIRD column (membership
+    components are unassignable by design); extra appended rows create
+    duplicate-key groups so partial matches (right k, wrong v) and
+    dup-tuple targets all occur."""
+    import functools
+
+    base = tmp_path_factory.mktemp("sqltup")
+    rows = [(k, -1, 0) for k in KEYS[:4]] + [
+        (k, v, 0) for k, v in extra
+    ]
+    init = spark.createDataFrame(rows, "k int, v int, w int")
+    ta = ParquetTable.create(spark, str(base / "ta"), init)
+    tb = ParquetTable.create(spark, str(base / "tb"), init)
+    lh = Lakehouse(spark)
+    lh.register("ta", str(base / "ta"))
+
+    def rowwise(pairs):
+        return functools.reduce(
+            lambda a, b: a | b,
+            [(F.col("k") == k) & (F.col("v") == v) for k, v in pairs],
+        )
+
+    vals = ", ".join(f"({k}, {v})" for k, v in victims)
+    lh.sql(
+        f"UPDATE ta SET w = w + {delta} "
+        f"WHERE (k, v) IN (SELECT col1, col2 FROM VALUES {vals})"
+    )
+    tb.update(rowwise(victims), {"w": F.col("w") + delta})
+    assert sorted(map(tuple, ta.read().collect())) == sorted(
+        map(tuple, tb.read().collect())
+    ), f"update diverged for {victims} (extra={extra})"
+    lh.sql(
+        f"DELETE FROM ta WHERE (k, v) IN (SELECT col1, col2 FROM VALUES {vals})"
+    )
+    tb.delete(rowwise(victims))
+    assert sorted(map(tuple, ta.read().collect())) == sorted(
+        map(tuple, tb.read().collect())
+    ), f"delete diverged for {victims} (extra={extra})"
