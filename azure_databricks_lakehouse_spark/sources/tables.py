@@ -932,6 +932,13 @@ class ParquetTable:
             stats, mode, dv_threshold, allow_drop=True
         )
         touched = sorted([*drop, *rewrite, *dv_dest])
+        if not touched:
+            # Delta `delta.skipRecordingEmptyCommits` parity (default
+            # since 2.3): a zero-match DML commits nothing, so the
+            # row-wise and IN-subquery twins produce IDENTICAL histories
+            # and a relative `RESTORE ... VERSION AS OF v-1` composes
+            # the same way after either.
+            return self.latest_version()
         n_rows = sum(h for _l, h in stats.values())
         gone = set(drop) | set(rewrite)
         files: list[str] = []
@@ -1028,6 +1035,9 @@ class ParquetTable:
             stats, mode, dv_threshold, allow_drop=False
         )
         touched = sorted([*rewrite, *dv_dest])
+        if not touched:
+            # skipRecordingEmptyCommits parity — see delete()
+            return self.latest_version()
         n_rows = sum(h for _l, h in stats.values())
         rewrite_set = set(rewrite)
         files: list[str] = []
@@ -1184,8 +1194,15 @@ class ParquetTable:
         ``col`` itself cannot be assigned: the rewrite merges ON it, and
         a changed key would dodge the anti-join that removes the row's
         pre-image.  Commits as MERGE (CDF consumers see
-        ``update_preimage``/``update_postimage`` rows); a zero-match
-        update commits nothing and returns the current version."""
+        ``update_preimage``/``update_postimage`` rows).
+
+        Zero-match DML commits nothing — the ENGINE-WIDE contract
+        (Delta's ``delta.skipRecordingEmptyCommits``, default since
+        2.3): :meth:`delete`, :meth:`update`, this method, and the
+        zero-touched MERGE path all skip the commit and return the
+        current version, so every DML twin (row-wise vs IN-subquery)
+        produces an IDENTICAL history and relative
+        ``RESTORE ... VERSION AS OF v-1`` composes the same way."""
         cols = [col] if isinstance(col, str) else list(col)
         m = self._manifest()
         schema = _schema_from_json(self.spark, m["schema"])
@@ -3485,6 +3502,16 @@ class ParquetTable:
             else:
                 target = target.limit(0)
             carried = [f for f in m["files"] if f not in set(rewrite_files)]
+
+        if not rewrite_files and not widened and source.isEmpty():
+            # skipRecordingEmptyCommits parity: no target file contains
+            # a matched key and the upsert payload is empty (a
+            # pure-delete source that matched nothing) — nothing can
+            # change, so commit nothing.  Keeps the MERGE-backed
+            # IN-subquery DML twins history-identical with the row-wise
+            # delete()/update() zero-match paths.  The isEmpty probe
+            # only runs on the already-rare zero-touched-file path.
+            return m["version"]
 
         # identity attach: matched source rows inherit their target
         # row's identity values (one key-join against the already-read

@@ -91,12 +91,13 @@ def test_dv_delete_accumulates_and_time_travel(spark, root):
 def test_dv_probe_never_rematches_masked_rows(spark, root):
     t = _table(spark, root)
     t.delete("k < 10", mode="merge-on-read")
-    # same condition again: already-masked rows must not match the probe
+    # same condition again: already-masked rows must not match the
+    # probe, so zero files are touched and — skipRecordingEmptyCommits
+    # parity — NOTHING is committed
     v_before = t.latest_version()
     t.delete("k < 10", mode="merge-on-read")
     m = t._manifest()
-    assert m["version"] == v_before + 1
-    assert m["cdc_files"] == [], "no rows matched -> empty CDC delta"
+    assert m["version"] == v_before, "zero-match DELETE must not commit"
     assert t.read().count() == 190
 
 
