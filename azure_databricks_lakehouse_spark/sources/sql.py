@@ -247,13 +247,21 @@ def _unquote_ident(name: str) -> str:
     return name
 
 
-def _render_sql_literal(v, ddl_type: str) -> str | None:
+def _render_sql_literal(v, ddl_type: str, spark=None) -> str | None:
     """A JSON-safe ANALYZE stat value as a SQL literal expression of the
     column's DECLARED type, or ``None`` when it can't be rendered
     exactly (float NaN).  Temporal/decimal stats are stored as their
     ISO / exact string forms (``_stat_scalar``), so the string→type
     CAST is lossless; float reprs are shortest-round-trip, so the
-    double literal parses back bit-identical."""
+    double literal parses back bit-identical.
+
+    Quote escaping doubles the quote (``''``) — valid under BOTH
+    parser modes.  Backslash handling is the mode-dependent part:
+    under the default ``spark.sql.parser.escapedStringLiterals=false``
+    a backslash escapes and must be doubled; under ``true`` it is a
+    plain character.  The active conf decides; with no session to
+    consult, a backslash-carrying value returns None (real scan)
+    rather than risk a corrupted literal."""
     import math
 
     if v is None:
@@ -270,13 +278,37 @@ def _render_sql_literal(v, ddl_type: str) -> str | None:
     if isinstance(v, int):
         return f"CAST({v} AS {ddl_type})"
     if isinstance(v, str):
-        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        esc = v.replace("'", "''")
+        if "\\" in esc:
+            if spark is None:
+                return None
+            raw = (
+                spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                ).lower()
+                == "true"
+            )
+            if not raw:
+                esc = esc.replace("\\", "\\\\")
         return f"CAST('{esc}' AS {ddl_type})"
     return None
 
 
 def _ident_list(raw: str) -> list[str]:
     return [_unquote_ident(c) for c in _split_top(raw, ",")]
+
+
+def _mask_strings(s: str) -> str:
+    """``s`` with every quoted literal's CONTENT blanked out (the
+    quotes stay) — for keyword-presence checks that must not fire on
+    text inside a string, e.g. ``WHERE note = 'x (select y)'`` is a
+    row-wise predicate, not a subquery.  Handles ``''`` doubling and
+    backslash escapes inside single/double-quoted literals."""
+    return re.sub(
+        r"('|\")(?:\\.|\1\1|(?:(?!\1)[^\\]))*\1",
+        lambda m: m.group(1) * 2,
+        s,
+    )
 
 
 class Lakehouse:
@@ -605,7 +637,28 @@ class Lakehouse:
     _AGG_ONLY = _ci(
         r"^SELECT\s+(?P<aggs>.+?)\s+FROM\s+(?P<name>`?[\w.]+`?)"
         r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
-        r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']*)')?\s*$"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']*)')?"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$"
+    )
+    # predicate functions whose per-ROW evaluation differs from
+    # per-FILE evaluation — a metadata-only answer would be wrong
+    _NONDET = _ci(
+        r"\b(?:rand|randn|random|uuid|shuffle|input_file_name"
+        r"|input_file_block_start|input_file_block_length"
+        r"|spark_partition_id|monotonically_increasing_id)\s*\("
+    )
+    # words a partition-only predicate may contain besides the
+    # partition columns themselves: operators, literal keywords, CAST
+    # type names.  An identifier outside this set falls through
+    # SILENTLY (fast path lost, correctness kept) instead of raising
+    # an AnalysisException the engine would catch but Spark would log.
+    _PRED_WORDS = frozenset(
+        """and or not in is null true false between like rlike ilike
+        case when then else end cast as try_cast date timestamp
+        timestamp_ntz interval div escape distinct from exists any all
+        some int integer bigint smallint tinyint long string varchar
+        char double float real decimal dec numeric boolean binary
+        void""".split()
     )
     _AGG_ITEM = _ci(
         r"^(?P<fn>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|1|`[^`]+`|[\w.]+)\s*\)"
@@ -661,22 +714,26 @@ class Lakehouse:
         ver = int(m.group("ver")) if m.group("ver") is not None else None
         if m.group("ts") is not None:
             ver = table.version_at(m.group("ts"))
+        if m.group("where") is not None:
+            return self._metadata_agg_filtered(
+                table, items, m.group("where"), ver
+            )
         need = [c for fn, c, _ in items if fn in ("MIN", "MAX")]
-        if ver is not None and need:
-            # historical MIN/MAX would need that version's stats
-            # freshness-resolved against its own history tail — run the
-            # (time-travel) scan instead; COUNT stays metadata-exact
-            return None
         col_stats: dict = {}
         if need:
-            s = table.fresh_statistics()
+            # freshness resolves against the REQUESTED version's own
+            # history tail (the stats prop is versioned), so historical
+            # MIN/MAX answers zero-scan when v's stats were fresh AT v
+            s = table.fresh_statistics(version=ver)
             col_stats = (s or {}).get("columns") or {}
             if any(c not in col_stats for c in need):
                 return None
         types = {
             f.name: f.dataType.simpleString()
             for f in _schema_from_json(
-                self.spark, table.detail()["schema"]
+                # the REQUESTED version's schema: a column renamed or
+                # retyped since v must render v's stat in v's type
+                self.spark, table._manifest(ver)["schema"]
             ).fields
         }
         exprs = []
@@ -689,7 +746,7 @@ class Lakehouse:
                 )
                 continue
             v = col_stats[arg]["min" if fn == "MIN" else "max"]
-            lit = _render_sql_literal(v, types[arg])
+            lit = _render_sql_literal(v, types[arg], spark=self.spark)
             if lit is None:
                 return None  # NaN or unrenderable: run the real scan
             out = alias or f"{fn.lower()}({arg})"
@@ -699,6 +756,71 @@ class Lakehouse:
         # python data would parallelize an RDD and launch a real job,
         # defeating the point)
         return self.spark.sql("SELECT " + ", ".join(exprs))
+
+    def _metadata_agg_filtered(
+        self, table, items, where: str, ver: int | None
+    ) -> DataFrame | None:
+        """Partition-filtered metadata aggregates (Delta's
+        OptimizeMetadataOnlyQuery with partition predicates): when the
+        WHERE references PARTITION columns only, each file matches
+        all-or-nothing, so ``COUNT(*)`` is the sum of surviving files'
+        live rows (footers minus DV cardinality) and
+        ``MIN/MAX(partition_col)`` comes from surviving files with
+        live rows > 0 — no data byte is read; the only job is over the
+        file-count-sized metadata frame.
+
+        The predicate is evaluated by SPARK over the typed
+        partition-value frame, so its semantics match the real scan
+        exactly; a WHERE touching any non-partition column simply
+        fails to resolve against the frame and the statement falls
+        through to the real scan.  Non-deterministic predicates
+        (rand()...) fall through too — per-file evaluation would
+        differ from per-row."""
+        if self._NONDET.search(where) or "__rows" in where:
+            return None
+        frame = table.partition_file_frame(version=ver)
+        if frame is None:
+            return None
+        part_cols = set(frame.columns) - {"__rows"}
+        # silent pre-check: every non-function identifier must be a
+        # partition column or predicate vocabulary; anything else (a
+        # data column, an alias, a qualified name) falls through to
+        # the real scan without tripping the analyzer
+        masked = _mask_strings(where)
+        idents = {
+            w.lower()
+            for w in re.findall(r"\b[a-zA-Z_]\w*\b(?!\s*\()", masked)
+        } | {w.lower() for w in re.findall(r"`([^`]+)`", masked)}
+        allowed = self._PRED_WORDS | {c.lower() for c in part_cols}
+        if idents - allowed:
+            return None
+        aggs = []
+        for fn, arg, alias in items:
+            if fn == "COUNT":
+                out = alias or "count(1)"
+                aggs.append(
+                    F.coalesce(F.sum("__rows"), F.lit(0))
+                    .cast("long")
+                    .alias(out)
+                )
+                continue
+            if arg not in part_cols:
+                # footer min/max of a data column under a DV is not
+                # exact — only partition values are (Delta parity)
+                return None
+            out = alias or f"{fn.lower()}({arg})"
+            agg_fn = F.min if fn == "MIN" else F.max
+            # a fully-masked file holds no live rows: its partition
+            # value must not contribute to the extreme
+            aggs.append(
+                agg_fn(
+                    F.when(F.col("__rows") > 0, F.col(arg))
+                ).alias(out)
+            )
+        try:
+            return frame.filter(F.expr(where)).agg(*aggs)
+        except Exception:  # noqa: BLE001 - unresolvable WHERE: real scan
+            return None
 
     def _run_query(self, stmt: str) -> DataFrame:
         # 0. metadata-only aggregates (Databricks/Delta parity): an
@@ -1798,7 +1920,7 @@ class Lakehouse:
         sub = self._IN_SUBQUERY.match(cond)
         if sub:
             return self._delete_in_subquery(name, sub)
-        if _ci(r"\(\s*SELECT\b").search(cond):
+        if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
             raise ValueError(
                 "subqueries in DELETE are supported only as the entire "
                 "predicate 'col IN (SELECT ...)'; for compound "
@@ -1935,7 +2057,7 @@ class Lakehouse:
         sub = self._IN_SUBQUERY.match(cond)
         if sub:
             return self._update_in_subquery(name, assignments, sub)
-        if _ci(r"\(\s*SELECT\b").search(cond):
+        if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
             raise ValueError(
                 "subqueries in UPDATE are supported only as the entire "
                 "predicate 'col IN (SELECT ...)'; for compound "

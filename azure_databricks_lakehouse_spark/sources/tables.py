@@ -74,6 +74,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from azure_databricks_lakehouse_spark.plans import cbo
 
@@ -1753,25 +1754,37 @@ class ParquetTable:
         stale the moment any DATA-changing commit landed after the
         analyzed snapshot; metadata-only commits (ANALYZE itself,
         SETPROPERTIES) don't invalidate.  Same rule DESCRIBE EXTENDED
-        uses for its staleness flag — only the post-ANALYZE history
-        tail is walked, so the check is O(commits since ANALYZE), not
-        O(table history)."""
+        uses for its staleness flag — only the (as_of, m.version]
+        slice of the commit log is walked, so the check is O(commits
+        since ANALYZE), not O(table history).  Sound for HISTORICAL
+        manifests too: freshness is resolved against ``m``'s OWN
+        version, never the current tip (the stats prop is versioned —
+        it rides each manifest — so a time-travel read sees exactly
+        the stats that were current at that version)."""
         s = (m.get("props") or {}).get("statistics")
         if not s or "as_of_version" not in s:
             return None
-        tail = m["version"] - s["as_of_version"]
-        if tail > 0 and any(
-            c.version > s["as_of_version"]
-            and c.operation not in ("ANALYZE", "SETPROPERTIES")
-            for c in self.history(limit=tail)
+        tail = [
+            v
+            for v in self._versions()
+            if s["as_of_version"] < v <= m["version"]
+        ]
+        if any(
+            self._manifest(v)["operation"]
+            not in ("ANALYZE", "SETPROPERTIES")
+            for v in tail
         ):
             return None
         return s
 
-    def fresh_statistics(self) -> dict | None:
-        """Current-snapshot statistics, or None when absent/stale —
-        the gate every stats-driven plan decision reads."""
-        return self._fresh_stats(self._manifest())
+    def fresh_statistics(self, version: int | None = None) -> dict | None:
+        """Snapshot statistics, or None when absent/stale — the gate
+        every stats-driven plan decision reads.  ``version`` resolves
+        freshness against THAT version's own history tail (D5): a
+        ``SELECT MIN(col) FROM t VERSION AS OF v`` is metadata-exact
+        iff v's stats were fresh AT v, regardless of what landed
+        after."""
+        return self._fresh_stats(self._manifest(version))
 
     def _exact_rows(self, m: dict) -> int:
         """Exact row count of a manifest's snapshot from metadata only:
@@ -1814,6 +1827,68 @@ class ParquetTable:
         if s and s.get("num_rows") is not None:
             return int(s["num_rows"])
         return self._exact_rows(m)
+
+    def partition_file_frame(self, version: int | None = None) -> DataFrame | None:
+        """One metadata row per live data file: the file's typed LOGICAL
+        partition values plus ``__rows`` — its exact live row count
+        (parquet footer rows minus deletion-vector cardinality).  None
+        for an unpartitioned table.
+
+        The frame is the engine's OptimizeMetadataOnlyQuery substrate
+        (Delta parity): a partition-only WHERE evaluated over it — by
+        Spark itself, so predicate semantics match the real scan
+        exactly — answers filtered ``COUNT(*)`` (sum of surviving
+        files' live rows) and ``MIN/MAX(partition_col)`` (over files
+        with live rows > 0: a fully-DV-masked file must not contribute
+        its partition value) without reading a data byte.  Cost is
+        O(files) driver-side footer opens plus one DV-sidecar count
+        job sized ∝ deleted rows — the :meth:`_exact_rows` budget,
+        never table rows."""
+        import pyarrow.parquet as pq
+
+        m = self._manifest(version)
+        part_cols = m["partition_by"]
+        if not part_cols:
+            return None
+        inv = _logical_inverse(m)
+        logical = [inv.get(c, c) for c in part_cols]
+        data_root = os.path.join(self.root, _DATA_DIR)
+        dvs = m.get("dvs", {})
+        dv_counts: dict[str, int] = {}
+        dv = self._dv_frame(m, m["files"])
+        if dv is not None:
+            masked = [f for f in m["files"] if f in dvs]
+            dv_counts = {
+                r["__file"]: r["count"]
+                for r in dv.filter(F.col("__file").isin(masked))
+                .groupBy("__file")
+                .count()
+                .collect()
+            }
+        rows = []
+        for f in m["files"]:
+            vals = [
+                None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                for v in _partition_values(f, part_cols)
+            ]
+            n = pq.ParquetFile(
+                os.path.join(data_root, f)
+            ).metadata.num_rows - dv_counts.get(f, 0)
+            rows.append((*vals, n))
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in logical]
+            + [T.StructField("__rows", T.LongType())]
+        )
+        frame = self.spark.createDataFrame(rows, schema)
+        types = {
+            f.name: f.dataType
+            for f in _schema_from_json(self.spark, m["schema"]).fields
+        }
+        # hive directory strings -> the DECLARED logical types, so the
+        # WHERE predicate compares in the same type the real scan would
+        return frame.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in logical], "__rows"
+        )
 
     # -- generated columns (Delta GENERATED ALWAYS AS parity) ---------------
 

@@ -171,6 +171,23 @@ def _apply_scd1(
         return {"upserted": n, "deleted": 0, "skipped_late": 0}
 
     tbl = ParquetTable.for_path(spark, root)
+    target_cols = tbl.read().columns
+    # a feed that gained columns is schema evolution — gate it HERE
+    # (same early check as _apply_scd2_feed, with THIS surface's error)
+    # so the failure names APPLY CHANGES ... WITH SCHEMA EVOLUTION and
+    # fires before the dedup/count jobs run, instead of surfacing
+    # merge()'s generic MERGE-flavored message afterwards
+    new_cols = [
+        c
+        for c in payload_cols
+        if c not in target_cols and c not in (*keys, seq)
+    ]
+    if new_cols and not evolve:
+        raise ValueError(
+            f"change feed carries new columns {sorted(new_cols)}; "
+            "pass evolve_schema=True (SQL: APPLY CHANGES ... WITH "
+            "SCHEMA EVOLUTION) to widen the target"
+        )
     # sequence floor: column-pruned target slice, one key-shuffle join;
     # strictly-greater keeps replays of an applied batch no-ops
     floor = tbl.read().select(*keys, F.col(APPLY_SEQ).alias("__floor"))

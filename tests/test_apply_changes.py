@@ -493,7 +493,9 @@ def test_apply_changes_schema_evolution(spark, tmp_path):
         [(1, "a2", 10.0, "2024-01-02", "U", "west")],
         "id int, name string, amt double, ts string, op string, region string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    with pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+    # the SCD1 error names THIS surface's SQL escape hatch (APPLY
+    # CHANGES ... WITH SCHEMA EVOLUTION), not merge()'s MERGE form
+    with pytest.raises(ValueError, match="APPLY CHANGES"):
         apply_changes_batch(spark, root1, wide, **KW)
     apply_changes_batch(spark, root1, wide, evolve_schema=True, **KW)
     rows = {

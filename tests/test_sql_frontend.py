@@ -1146,3 +1146,31 @@ def test_truncate_table(spark, tmp_path, lh):
     assert out["num_affected_rows"] == 0 and t.latest_version() == v1
     lh.sql(f"RESTORE TABLE t TO VERSION AS OF {v0}")
     assert t.read().count() == 6
+
+
+def test_rowwise_dml_subquery_text_inside_string_literal(spark, tmp_path, lh):
+    """'(select ...)' appearing INSIDE a string literal is data, not a
+    subquery: the guard must mask literals before the presence check,
+    so these row-wise statements run instead of raising (advice r9)."""
+    _mk(
+        spark,
+        tmp_path,
+        [(1, "x (select y)", 1.0), (2, "plain", 2.0)],
+        lh=lh,
+    )
+    r = lh.sql(
+        "UPDATE t SET amt = amt + 1 WHERE cat = 'x (select y)'"
+    ).collect()[0]
+    assert r.num_affected_rows == 1
+    assert lh.sql("SELECT amt FROM t WHERE id = 1").first()[0] == 2.0
+    r = lh.sql("DELETE FROM t WHERE cat = 'x (select y)'").collect()[0]
+    assert r.num_affected_rows == 1
+    assert lh.sql("SELECT COUNT(*) AS n FROM t").first()[0] == 1
+    # a REAL embedded subquery in a compound predicate still raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="subqueries in UPDATE"):
+        lh.sql(
+            "UPDATE t SET amt = 0 WHERE id = 2 "
+            "AND id IN (SELECT col1 FROM VALUES (2))"
+        )
