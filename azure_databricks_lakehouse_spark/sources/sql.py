@@ -298,6 +298,44 @@ def _ident_list(raw: str) -> list[str]:
     return [_unquote_ident(c) for c in _split_top(raw, ",")]
 
 
+def _split_top_and(s: str) -> list[str]:
+    """Split a predicate on top-level ``AND`` (outside parens/quotes)."""
+    parts: list[str] = []
+    rest = s
+    while True:
+        i = _find_top_keyword(rest, "AND")
+        if i < 0:
+            parts.append(rest.strip())
+            return parts
+        parts.append(rest[:i].strip())
+        rest = rest[i + 3 :]
+
+
+def _top_eq_split(s: str) -> tuple[str, str] | None:
+    """Split ``s`` at its single top-level ``=`` (not ``>=``/``<=``/
+    ``!=``/``<>``/``==``), outside parens and quotes; None if absent."""
+    depth = 0
+    quote = None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "=" and depth == 0:
+            if i > 0 and s[i - 1] in "<>!=":
+                continue
+            if i + 1 < len(s) and s[i + 1] == "=":
+                continue
+            return s[:i], s[i + 1 :]
+    return None
+
+
 def _mask_strings(s: str) -> str:
     """``s`` with every quoted literal's CONTENT blanked out (the
     quotes stay) — for keyword-presence checks that must not fire on
@@ -1920,6 +1958,14 @@ class Lakehouse:
         sub = self._IN_SUBQUERY.match(cond)
         if sub:
             return self._delete_in_subquery(name, sub)
+        ex = self._parse_exists(name, cond)
+        if ex is not None:
+            tcols, keys, neg = ex
+            if neg:
+                return self._delete_not_matching(
+                    name, tcols, keys, null_aware=False
+                )
+            return self._delete_in_keys(name, tcols, keys)
         if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
             raise ValueError(
                 "subqueries in DELETE are supported only as the entire "
@@ -1928,11 +1974,15 @@ class Lakehouse:
                 "DELETE"
             )
         table = self.table(name)
+        before = table.latest_version()
         version = table.delete(cond)
         c = table.history(limit=1)[0]
+        # version > before distinguishes a fresh commit from a
+        # zero-match no-commit whose latest version happens to also be
+        # a DELETE (skipRecordingEmptyCommits)
         n = (
             (c.metrics or {}).get("rows_deleted", 0)
-            if c.version == version and c.operation == "DELETE"
+            if version > before and c.operation == "DELETE"
             else 0  # zero-match delete commits nothing
         )
         return self.spark.createDataFrame(
@@ -1941,26 +1991,23 @@ class Lakehouse:
         )
 
     def _delete_in_subquery(self, name: str, sub) -> DataFrame:
-        """``DELETE FROM t WHERE col IN (SELECT ...)`` — Databricks
-        supports subquery predicates in DELETE; a row-wise Column can't
-        express a semi-join, so the statement routes to the table
-        layer's delete-only MERGE (``when_matched_delete``): matched
-        target rows are deleted, unmatched subquery keys are no-ops, and
-        the rewrite stays touched-file pruned.  NULL subquery keys are
-        dropped first (SQL ``IN`` never matches NULL = NULL).
-
-        ``NOT IN`` raises: its three-valued semantics (one NULL key ⇒
-        delete nothing) deserve an explicit MERGE
-        ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` the user writes
-        deliberately, not a silent rewrite."""
-        if sub.group("neg"):
-            raise ValueError(
-                "DELETE ... WHERE col NOT IN (SELECT ...) is not "
-                "supported (NULL-key semantics); use MERGE ... WHEN NOT "
-                "MATCHED BY SOURCE THEN DELETE instead"
-            )
+        """``DELETE FROM t WHERE col [NOT] IN (SELECT ...)`` —
+        Databricks supports subquery predicates in DELETE; a row-wise
+        Column can't express a semi/anti join, so IN routes to the
+        table layer's delete-only MERGE (``when_matched_delete``) and
+        NOT IN to :meth:`~.tables.ParquetTable.delete_where_not_in`
+        (NULL-aware: any NULL subquery key ⇒ delete nothing, the SQL
+        three-valued contract).  NULL subquery keys are dropped from
+        the IN form first (``NULL = NULL`` never matches)."""
         tcols = self._in_cols(sub)
         keys = self._run_query(sub.group("sub"))
+        if sub.group("neg"):
+            return self._delete_not_matching(
+                name, tcols, keys, null_aware=True
+            )
+        return self._delete_in_keys(name, tcols, keys)
+
+    def _delete_in_keys(self, name: str, tcols, keys) -> DataFrame:
         if len(keys.columns) != len(tcols):
             raise ValueError(
                 "IN-subquery must return exactly "
@@ -1998,27 +2045,148 @@ class Lakehouse:
             "table string, version int, num_affected_rows long",
         )
 
+    _EXISTS_SUBQUERY = _ci(
+        r"^(?P<neg>NOT\s+)?EXISTS\s*\(\s*(?P<sub>SELECT\b.+)\)\s*$"
+    )
+
+    def _parse_exists(self, name: str, cond: str):
+        """``(outer_cols, keys_df, negated)`` when ``cond`` is a whole-
+        predicate ``[NOT] EXISTS (SELECT ... WHERE <conjuncts>)`` whose
+        correlation is equality conjuncts ``<inner expr> = <name>.<col>``
+        (either side order); None when ``cond`` isn't an EXISTS at all.
+
+        The rewrite decorrelates the standard way: correlation conjuncts
+        become the subquery's projected key columns, residual conjuncts
+        (which must not reference the outer table) stay as its WHERE —
+        ``EXISTS`` is then a semi-join on the keys and ``NOT EXISTS``
+        an anti-join (NULL-tolerant on the target side: no subquery row
+        can equal a NULL key, so NOT EXISTS is TRUE there — the exact
+        place its semantics diverge from NOT IN).  Non-equality or
+        otherwise-correlated forms raise with the MERGE escape hatch."""
+        m = self._EXISTS_SUBQUERY.match(cond)
+        if not m:
+            return None
+        sub = m.group("sub").strip()
+        w = _find_top_keyword(sub, "WHERE")
+        if w < 0:
+            raise ValueError(
+                "EXISTS subqueries in DML need an equality correlation "
+                f"'expr = {name}.col' in their WHERE clause"
+            )
+        head, tail = sub[:w].strip(), sub[w + 5 :].strip()
+        f = _find_top_keyword(head, "FROM")
+        if f < 0:
+            raise ValueError(f"unsupported EXISTS subquery: {sub[:80]!r}")
+        outer_ref = _ci(
+            rf"^\s*(?:`{re.escape(name)}`|{re.escape(name)})\s*\.\s*"
+            r"(?P<col>`[^`]+`|\w+)\s*$"
+        )
+        outer_any = _ci(rf"\b(?:`{re.escape(name)}`|{re.escape(name)})\s*\.")
+        inner_exprs: list[str] = []
+        outer_cols: list[str] = []
+        residual: list[str] = []
+        for conj in _split_top_and(tail):
+            if not outer_any.search(_mask_strings(conj)):
+                residual.append(conj)
+                continue
+            eq = _top_eq_split(conj)
+            sides = None
+            if eq is not None:
+                a, b = eq
+                am, bm = outer_ref.match(a), outer_ref.match(b)
+                if am and not outer_any.search(_mask_strings(b)):
+                    sides = (am.group("col"), b)
+                elif bm and not outer_any.search(_mask_strings(a)):
+                    sides = (bm.group("col"), a)
+            if sides is None:
+                raise ValueError(
+                    "EXISTS correlation in DML must be equality "
+                    f"conjuncts 'expr = {name}.col'; for "
+                    f"{conj.strip()!r} use MERGE instead"
+                )
+            outer_cols.append(_unquote_ident(sides[0]))
+            inner_exprs.append(sides[1].strip())
+        if not outer_cols:
+            raise ValueError(
+                "EXISTS subqueries in DML need at least one equality "
+                f"correlation conjunct 'expr = {name}.col'"
+            )
+        proj = ", ".join(
+            f"{e} AS __c{i}" for i, e in enumerate(inner_exprs)
+        )
+        rewritten = f"SELECT {proj} {head[f:]}"
+        if residual:
+            rewritten += " WHERE " + " AND ".join(residual)
+        keys = self._run_query(rewritten)
+        return outer_cols, keys, bool(m.group("neg"))
+
+    def _delete_not_matching(
+        self, name: str, tcols, keys, null_aware: bool
+    ) -> DataFrame:
+        """``DELETE ... WHERE col NOT IN (SELECT ...)`` /
+        ``WHERE NOT EXISTS (...)`` through the engine's anti-membership
+        DML core (NULL semantics there)."""
+        table = self.table(name)
+        before = table.latest_version()
+        version = table.delete_where_not_in(
+            tcols if len(tcols) > 1 else tcols[0], keys, null_aware
+        )
+        c = table.history(limit=1)[0]
+        n = (
+            (c.metrics or {}).get("rows_deleted", 0)
+            if version > before and c.operation == "DELETE"
+            else 0  # zero-match delete commits nothing
+        )
+        return self.spark.createDataFrame(
+            [(name, version, n)],
+            "table string, version int, num_affected_rows long",
+        )
+
+    def _update_not_matching(
+        self, name: str, assignments: dict, tcols, keys, null_aware: bool
+    ) -> DataFrame:
+        table = self.table(name)
+        before = table.latest_version()
+        version = table.update_where_not_in(
+            tcols if len(tcols) > 1 else tcols[0],
+            keys,
+            assignments,
+            null_aware,
+        )
+        c = table.history(limit=1)[0]
+        n = (
+            (c.metrics or {}).get("rows_updated", 0)
+            if version > before and c.operation == "UPDATE"
+            else 0
+        )
+        return self.spark.createDataFrame(
+            [(name, version, n)],
+            "table string, version int, num_affected_rows long",
+        )
+
     def _update_in_subquery(self, name: str, assignments: dict, sub):
-        """``UPDATE t SET ... WHERE col IN (SELECT ...)`` — the UPDATE
-        twin of :meth:`_delete_in_subquery` (the round-8 verdict's
-        asymmetry): the statement routes to the table layer's
+        """``UPDATE t SET ... WHERE col [NOT] IN (SELECT ...)`` — the
+        UPDATE twin of :meth:`_delete_in_subquery` (the round-8
+        verdict's asymmetry): IN routes to the table layer's
         :meth:`~.tables.ParquetTable.update_where_in` update-only MERGE,
         which replaces each matched target row with its own row-wise
         post-image — duplicates preserved, NULL keys never matched, the
-        rewrite touched-file pruned.
-
-        ``NOT IN`` raises, exactly like DELETE: its three-valued
-        semantics (one NULL key ⇒ update nothing) deserve an explicit
-        MERGE ``WHEN NOT MATCHED BY SOURCE THEN UPDATE`` the user writes
-        deliberately, not a silent rewrite."""
-        if sub.group("neg"):
-            raise ValueError(
-                "UPDATE ... WHERE col NOT IN (SELECT ...) is not "
-                "supported (NULL-key semantics); use MERGE ... WHEN NOT "
-                "MATCHED BY SOURCE THEN UPDATE instead"
-            )
+        rewrite touched-file pruned; NOT IN routes to
+        :meth:`~.tables.ParquetTable.update_where_not_in` (NULL-aware
+        anti-join, SQL three-valued contract)."""
         tcols = self._in_cols(sub)
         keys = self._run_query(sub.group("sub"))
+        if sub.group("neg"):
+            return self._update_not_matching(
+                name, assignments, tcols, keys, null_aware=True
+            )
+        return self._update_in_exists_keys(name, assignments, tcols, keys)
+
+    def _update_in_exists_keys(
+        self, name: str, assignments: dict, tcols, keys
+    ) -> DataFrame:
+        """Shared positive-membership UPDATE tail (IN and decorrelated
+        EXISTS): update-only MERGE on the key columns."""
         table = self.table(name)
         version = table.update_where_in(tcols, keys, assignments)
         # column-pruned semi count = rows just updated (the MERGE
@@ -2057,6 +2225,14 @@ class Lakehouse:
         sub = self._IN_SUBQUERY.match(cond)
         if sub:
             return self._update_in_subquery(name, assignments, sub)
+        ex = self._parse_exists(name, cond)
+        if ex is not None:
+            tcols, keys, neg = ex
+            if neg:
+                return self._update_not_matching(
+                    name, assignments, tcols, keys, null_aware=False
+                )
+            return self._update_in_exists_keys(name, assignments, tcols, keys)
         if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
             raise ValueError(
                 "subqueries in UPDATE are supported only as the entire "
@@ -2065,11 +2241,12 @@ class Lakehouse:
                 "UPDATE SET ..."
             )
         table = self.table(name)
+        before = table.latest_version()
         version = table.update(cond, assignments)
         c = table.history(limit=1)[0]
         n = (
             (c.metrics or {}).get("rows_updated", 0)
-            if c.version == version and c.operation == "UPDATE"
+            if version > before and c.operation == "UPDATE"
             else 0  # zero-match update commits nothing
         )
         return self.spark.createDataFrame(

@@ -72,7 +72,7 @@ import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -202,6 +202,51 @@ def is_table(path: str) -> bool:
     return os.path.isdir(mdir) and any(
         f.startswith("v") and f.endswith(".json") for f in os.listdir(mdir)
     )
+
+
+@dataclass(frozen=True)
+class KeyAntiCondition:
+    """A DML condition that matches rows whose key does NOT appear in
+    ``keys`` — the join-shaped predicate behind ``DELETE/UPDATE ...
+    WHERE col NOT IN (SELECT ...)`` and ``WHERE NOT EXISTS (...)``.
+
+    ``keys`` must already be distinct with NULL key rows dropped (the
+    caller owns the subquery's NULL semantics: a NULL-bearing NOT IN
+    subquery matches nothing and must short-circuit BEFORE building
+    this spec).  ``null_aware`` selects the target-side semantics:
+
+    - True (``NOT IN``): a target row with a NULL key component never
+      matches — SQL three-valued logic leaves it UNKNOWN;
+    - False (``NOT EXISTS`` with equality correlation): a NULL-key
+      target row always matches — no subquery row can equal NULL, so
+      NOT EXISTS is plainly TRUE there.
+    """
+
+    cols: tuple[str, ...]
+    keys: DataFrame
+    null_aware: bool
+
+    def _decorator(self):
+        keyset = self.keys.withColumn("__m", F.lit(True))
+        cols = list(self.cols)
+
+        def dec(df: DataFrame) -> DataFrame:
+            out = df.join(keyset, cols, "left")
+            miss = F.col("__m").isNull()
+            if self.null_aware:
+                nn = functools.reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).isNotNull() for c in cols],
+                )
+                hit = nn & miss
+            else:
+                hit = miss
+            # re-select in the caller's order: the USING-join moved the
+            # key columns first, and rewrite files should keep the
+            # manifest's column order
+            return out.select(*df.columns, hit.alias("__hit"))
+
+        return dec
 
 
 class ParquetTable:
@@ -632,6 +677,22 @@ class ParquetTable:
             return F.expr(condition), parse_predicate(condition)
         return condition, None
 
+    def _row_marker(self, condition):
+        """(decorate, prune-tree) for any DML condition form: decorate
+        stamps a boolean ``__hit`` column (never NULL) onto any frame
+        of table rows.  A Column/str condition marks row-wise; a
+        :class:`KeyAntiCondition` marks by a key-frame ANTI-membership
+        join — the engine shape behind ``NOT IN (SELECT ...)`` /
+        ``NOT EXISTS`` DML, which a row-wise Column can't express.
+        No prune tree for key specs: anti-membership can't rule out a
+        file from metadata (a file with NO key in the probe is all
+        hits, not no hits)."""
+        if isinstance(condition, KeyAntiCondition):
+            return condition._decorator(), None
+        cond_col, pred = self._as_condition(condition)
+        base = F.coalesce(cond_col, F.lit(False))
+        return (lambda df: df.withColumn("__hit", base)), pred
+
     def _prune_files(self, m: dict, pred) -> list[str]:
         """Phase 1 (metadata only): files that MAY contain a matching
         row, decided from manifest footer stats and hive partition
@@ -686,13 +747,22 @@ class ParquetTable:
         is file-count-sized, never row-sized."""
         if not candidates:
             return {}
+        aligned = self._read_files_aligned(candidates, m, keep_pos=True)
+        # cond is a Column, or a decorate() callable stamping __hit
+        # (key-anti DML — the membership needs a join, not a row expr)
+        marked = (
+            cond(aligned)
+            if callable(cond) and not isinstance(cond, Column)
+            else aligned.withColumn(
+                "__hit", F.coalesce(cond, F.lit(False))
+            )
+        )
         probe = (
-            self._read_files_aligned(candidates, m, keep_pos=True)
-            .groupBy("__rel")
+            marked.groupBy("__rel")
             .agg(
                 F.count("*").alias("live"),
                 F.sum(
-                    F.when(F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+                    F.when(F.col("__hit"), 1).otherwise(0)
                 ).alias("hit"),
             )
             .collect()
@@ -925,10 +995,10 @@ class ParquetTable:
         DVs away.
         """
         m = self._manifest()
-        cond_col, pred = self._as_condition(condition)
-        cond = F.coalesce(cond_col, F.lit(False))
+        dec, pred = self._row_marker(condition)
+        hit = F.col("__hit")
         candidates = self._prune_files(m, pred)
-        stats = self._match_stats(m, candidates, cond)
+        stats = self._match_stats(m, candidates, dec)
         drop, rewrite, dv_dest = self._split_dml_modes(
             stats, mode, dv_threshold, allow_drop=True
         )
@@ -948,22 +1018,28 @@ class ParquetTable:
         if rewrite:
             files = _write_files(
                 _to_physical_df(
-                    self._read_files_aligned(rewrite, m).filter(~cond), m
+                    dec(self._read_files_aligned(rewrite, m))
+                    .filter(~hit)
+                    .drop("__hit"),
+                    m,
                 ),
                 self.root,
                 m["partition_by"],
             )
         if dv_dest:
             dv_rels = self._write_dv_entries(
-                self._read_files_aligned(dv_dest, m, keep_pos=True).filter(cond)
+                dec(self._read_files_aligned(dv_dest, m, keep_pos=True))
+                .filter(hit)
+                .drop("__hit")
             )
         if touched:
             # CDC sidecars store LOGICAL names (they are read directly,
             # never through the mapping) — partition them logically too
             inv = _logical_inverse(m)
             cdc_files = _write_files(
-                self._read_files_aligned(touched, m)
-                .filter(cond)
+                dec(self._read_files_aligned(touched, m))
+                .filter(hit)
+                .drop("__hit")
                 .withColumn("_change_type", F.lit("delete")),
                 self.root,
                 [inv.get(c, c) for c in m["partition_by"]],
@@ -1026,10 +1102,10 @@ class ParquetTable:
                 f"UPDATE assigns identity columns {sorted(ident_assigned)}; "
                 "they are GENERATED ALWAYS"
             )
-        cond_col, pred = self._as_condition(condition)
-        cond = F.coalesce(cond_col, F.lit(False))
+        dec, pred = self._row_marker(condition)
+        hit = F.col("__hit")
         candidates = self._prune_files(m, pred)
-        stats = self._match_stats(m, candidates, cond)
+        stats = self._match_stats(m, candidates, dec)
         # an update replaces rows, so a fully-matched file is a rewrite,
         # never a drop
         _, rewrite, dv_dest = self._split_dml_modes(
@@ -1083,8 +1159,11 @@ class ParquetTable:
             return out
 
         if touched:
-            hit = self._read_files_aligned(touched, m)
-            pre = hit.filter(cond)
+            pre = (
+                dec(self._read_files_aligned(touched, m))
+                .filter(hit)
+                .drop("__hit")
+            )
             post = _post_image(pre)
             # constraints are checked on the POST-update image of matched
             # rows only — the checked set stays proportional to the change
@@ -1102,8 +1181,7 @@ class ParquetTable:
                 subdir=_CDC_DIR,
             )
         if rewrite:
-            full = self._read_files_aligned(rewrite, m)
-            marked = full.withColumn("__hit", cond)
+            marked = dec(self._read_files_aligned(rewrite, m))
             # assignment RHS cast to the declared type BEFORE the
             # when/otherwise — else Spark coerces the branch types (e.g.
             # decimal ⊔ double = double) and the rewritten file's
@@ -1139,8 +1217,10 @@ class ParquetTable:
                 _to_physical_df(updated, m), self.root, m["partition_by"]
             )
         if dv_dest:
-            matched = self._read_files_aligned(dv_dest, m, keep_pos=True).filter(
-                cond
+            matched = (
+                dec(self._read_files_aligned(dv_dest, m, keep_pos=True))
+                .filter(hit)
+                .drop("__hit")
             )
             dv_rels = self._write_dv_entries(matched)
             # post-images of the DV-masked rows are appended as new files
@@ -1279,6 +1359,124 @@ class ParquetTable:
             on=cols,
             validate_source_keys=False,
             identity_passthrough=True,
+        )
+
+    def _anti_spec(self, col, keys: DataFrame, null_aware: bool):
+        """Shared prep for the NOT-IN / NOT-EXISTS DML twins: validate
+        the membership columns, resolve the subquery's NULL semantics
+        with ONE key-frame aggregate (never a table scan), and return
+
+        - ``"NONE"`` — no row can match (``NOT IN`` with a NULL key:
+          every comparison is at best UNKNOWN);
+        - ``"ALL"`` — every row matches (empty subquery: ``x NOT IN
+          ()`` is TRUE even for NULL x; ``NOT EXISTS`` against no
+          usable key likewise);
+        - a :class:`KeyAntiCondition` over the distinct non-NULL keys
+          otherwise.
+
+        Tuple (multi-column) ``NOT IN`` raises: its three-valued logic
+        is per-component (a subquery row ``(x, NULL)`` poisons only
+        target rows equal on ``x``), which is NOT an anti-join — the
+        explicit MERGE form exists for that.  Tuple ``NOT EXISTS``
+        (equality correlation) stays a plain anti-join and is
+        supported."""
+        cols = [col] if isinstance(col, str) else list(col)
+        if null_aware and len(cols) > 1:
+            raise ValueError(
+                "tuple NOT IN is not supported: its three-valued NULL "
+                "semantics are per-component, not an anti-join; use "
+                "MERGE ... WHEN NOT MATCHED BY SOURCE, or NOT EXISTS "
+                "with explicit correlation"
+            )
+        m = self._manifest()
+        types = {
+            f.name: f.dataType
+            for f in _schema_from_json(self.spark, m["schema"]).fields
+        }
+        for c in cols:
+            if c not in types:
+                raise ValueError(f"DML references unknown column {c!r}")
+        keyset = keys.toDF(*cols)
+        row = keyset.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.max(F.col(c).isNull().cast("int")).alias(f"__nl_{i}")
+                for i, c in enumerate(cols)
+            ],
+        ).first()
+        if row["__n"] == 0:
+            return "ALL"
+        if null_aware and any(row[f"__nl_{i}"] for i in range(len(cols))):
+            return "NONE"
+        clean = keyset.where(
+            functools.reduce(
+                lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
+            )
+        ).distinct()
+        if not null_aware and clean.isEmpty():
+            # NOT EXISTS: NULL-only subquery keys can equal nothing
+            return "ALL"
+        return KeyAntiCondition(tuple(cols), clean, null_aware)
+
+    def delete_where_not_in(
+        self,
+        col: str | Sequence[str],
+        keys: DataFrame,
+        null_aware: bool = True,
+        mode: str = "auto",
+        dv_threshold: float = 0.5,
+    ) -> int:
+        """``DELETE FROM t WHERE col NOT IN (<keys>)`` (``null_aware=
+        True``) or ``WHERE NOT EXISTS (SELECT ... WHERE s.k = t.col)``
+        (``False``) with the subquery result given as a DataFrame.
+
+        SQL three-valued semantics, exactly (the reason NOT IN was
+        historically refused rather than silently rewritten):
+
+        - NOT IN: ANY NULL subquery key ⇒ zero matches (commit
+          nothing); a NULL target key never matches; an EMPTY subquery
+          matches every row, NULL keys included.
+        - NOT EXISTS: NULL subquery keys are inert; NULL target keys
+          DO match (nothing can equal them).
+
+        Runs through the same file-split engine as :meth:`delete`
+        (drop / copy-on-write / deletion-vector per touched file) with
+        the row marker an anti-membership join instead of a Column —
+        the keyset broadcasts when small (AQE), the table never
+        shuffles.  No metadata pruning: absence of a key is not
+        provable from footer stats."""
+        spec = self._anti_spec(col, keys, null_aware)
+        if spec == "NONE":
+            return self.latest_version()
+        if spec == "ALL":
+            return self.delete(F.lit(True), mode=mode, dv_threshold=dv_threshold)
+        return self.delete(spec, mode=mode, dv_threshold=dv_threshold)
+
+    def update_where_not_in(
+        self,
+        col: str | Sequence[str],
+        keys: DataFrame,
+        assignments: dict,
+        null_aware: bool = True,
+        mode: str = "auto",
+        dv_threshold: float = 0.5,
+    ) -> int:
+        """``UPDATE t SET ... WHERE col NOT IN (<keys>)`` /
+        ``WHERE NOT EXISTS (...)`` — the UPDATE twin of
+        :meth:`delete_where_not_in` (same NULL semantics table).
+        Unlike :meth:`update_where_in`, the membership columns MAY be
+        assigned: the anti-join marks rows on their PRE-update image
+        inside :meth:`update`'s rewrite, so a changed key cannot dodge
+        its own match."""
+        spec = self._anti_spec(col, keys, null_aware)
+        if spec == "NONE":
+            return self.latest_version()
+        if spec == "ALL":
+            return self.update(
+                F.lit(True), assignments, mode=mode, dv_threshold=dv_threshold
+            )
+        return self.update(
+            spec, assignments, mode=mode, dv_threshold=dv_threshold
         )
 
     def overwrite_where(
