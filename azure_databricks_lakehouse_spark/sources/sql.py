@@ -44,6 +44,7 @@ import json
 import os
 import re
 import time
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -403,6 +404,61 @@ class Lakehouse:
 
     def tables(self) -> dict[str, str]:
         return dict(self._paths)
+
+    def mirror_to_catalog(
+        self,
+        name: str,
+        catalog_table: str | None = None,
+        analyze: bool = True,
+        columns: Sequence[str] | None = None,
+    ) -> str:
+        """Register ``name``'s CURRENT snapshot as a real Spark CATALOG
+        table (default ``<name>_mirror``) and feed Spark's own ANALYZE,
+        so PLAIN ``spark.sql`` gets catalog statistics — CBO sizing and
+        (with ``spark.sql.cbo.joinReorder.enabled``) join REORDERING,
+        which the engine's temp-view mirrors can never provide (temp
+        views carry no CatalogStatistics; the registration-time
+        broadcast hints cover sizing only).
+
+        Zero data copy: the table's LOCATION is a hardlinked snapshot
+        directory (:meth:`~.tables.ParquetTable.snapshot_link_dir`).
+        ``analyze=True`` runs ``ANALYZE TABLE ... COMPUTE STATISTICS``
+        (row count — parquet count(*) is footer-driven, no column
+        bytes) and, with ``columns``, ``FOR COLUMNS`` on those (real
+        scan of just those columns — what join reordering's selectivity
+        estimates consume).  The mirror is a SNAPSHOT: re-run after new
+        commits to refresh (the previous version's link dir remains for
+        readers mid-query).  Returns the catalog table name."""
+        t = self.table(name)
+        path = t.snapshot_link_dir()
+        ct = catalog_table or f"{self._view_name(name)}_mirror"
+        m = t._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        part = m["partition_by"]
+        self.spark.sql(f"DROP TABLE IF EXISTS `{ct}`")
+        stmt = f"CREATE TABLE `{ct}` ({ddl}) USING parquet "
+        if part:
+            stmt += (
+                "PARTITIONED BY ("
+                + ", ".join(f"`{c}`" for c in part)
+                + ") "
+            )
+        stmt += f"LOCATION '{path}'"
+        self.spark.sql(stmt)
+        if part:
+            self.spark.sql(f"MSCK REPAIR TABLE `{ct}`")
+        if analyze:
+            self.spark.sql(f"ANALYZE TABLE `{ct}` COMPUTE STATISTICS")
+            if columns:
+                cols = ", ".join(f"`{c}`" for c in columns)
+                self.spark.sql(
+                    f"ANALYZE TABLE `{ct}` COMPUTE STATISTICS "
+                    f"FOR COLUMNS {cols}"
+                )
+        return ct
 
     def table(self, name: str) -> ParquetTable:
         name = _unquote_ident(name)

@@ -2088,6 +2088,52 @@ class ParquetTable:
             *[F.col(c).cast(types[c]).alias(c) for c in logical], "__rows"
         )
 
+    def snapshot_link_dir(self, version: int | None = None) -> str:
+        """Materialize a snapshot's EXACT file set as a plain parquet
+        directory of hardlinks under ``<root>/_mirror/v{N}/`` (zero
+        data copy — files are immutable, so a link IS the snapshot)
+        and return its path.  This is the substrate for registering
+        the snapshot as a regular Spark CATALOG table (a temp view
+        can't carry catalog statistics, so plain ``spark.sql`` CBO
+        needs a real table over a real directory).
+
+        Hive partition subpaths are preserved, so a partitioned mirror
+        registers with ``PARTITIONED BY`` + ``MSCK REPAIR``.  Refused
+        when a directory listing would LIE about the snapshot: live
+        deletion vectors (the mirror would resurrect masked rows) or
+        column mapping / retired columns (files carry physical names
+        the catalog schema wouldn't match).  Idempotent per version;
+        VACUUM-safe because links pin the inodes, not the names."""
+        m = self._manifest(version)
+        if any(f in m.get("dvs", {}) for f in m["files"]):
+            raise ValueError(
+                "snapshot has live deletion vectors; a directory mirror "
+                "would resurrect masked rows — run OPTIMIZE (or "
+                "purge_deletion_vectors) first"
+            )
+        if m.get("colmap") or m.get("retired_cols"):
+            raise ValueError(
+                "snapshot uses column mapping; its physical file names "
+                "would not match the catalog schema — mirror before "
+                "renames, or rewrite with overwrite() first"
+            )
+        dest = os.path.join(self.root, "_mirror", f"v{m['version']}")
+        data_root = os.path.join(self.root, _DATA_DIR)
+        if not os.path.isdir(dest):
+            tmp = dest + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            for f in m["files"]:
+                link = os.path.join(tmp, f)
+                os.makedirs(os.path.dirname(link), exist_ok=True)
+                os.link(os.path.join(data_root, f), link)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+        return dest
+
     # -- generated columns (Delta GENERATED ALWAYS AS parity) ---------------
 
     def generated_columns(self) -> dict:
@@ -3078,7 +3124,10 @@ class ParquetTable:
                     out_df, id_bases = self._assign_identity(df, ident, m)
                     hw_used = hw_now
                 files = _write_files(
-                    _to_physical_df(out_df, m), self.root, m["partition_by"]
+                    _to_physical_df(out_df, m),
+                    self.root,
+                    m["partition_by"],
+                    optimize_write=_optimize_write_target(m.get("props")),
                 )
                 stats = _file_stats(data_root, files)
                 new_blooms = self._compute_blooms(files, m)
@@ -3463,7 +3512,10 @@ class ParquetTable:
             # re-roll between them
             df = df.localCheckpoint()
         files = _write_files(
-            _to_physical_df(df, m), self.root, m["partition_by"]
+            _to_physical_df(df, m),
+            self.root,
+            m["partition_by"],
+            optimize_write=_optimize_write_target(m.get("props")),
         )
         cdc_files: list[str] = []
         if _prop_on(m.get("props", {}), "cdf_overwrite"):
@@ -3749,7 +3801,22 @@ class ParquetTable:
             # distinct-file projection.  No fresh stats, or a large
             # target -> the existing shape (AQE broadcasts the source
             # keys when the micro-batch is small).
-            est = cbo.estimated_size(self._fresh_stats(m), list(keys))
+            fresh = self._fresh_stats(m)
+            est = cbo.estimated_size(fresh, list(keys))
+            if est is not None:
+                # the broadcast frame is (keys, __rel): a file-path
+                # STRING rides every row and typically dominates the
+                # key width — a ~1.3M-bigint-key table just under the
+                # 10 MiB key estimate would otherwise ship 100+ MB to
+                # every executor.  Use the measured average path length
+                # over this manifest's own files.
+                avg_path = (
+                    sum(len(f) for f in m["files"]) / len(m["files"])
+                    if m["files"]
+                    else 0.0
+                )
+                rows = (fresh or {}).get("num_rows") or 0
+                est += int(rows * (avg_path + cbo._STRING_OVERHEAD))
             if est is not None and est <= cbo.DEFAULT_BROADCAST_THRESHOLD:
                 hit = (
                     probe_keys.join(
@@ -4844,12 +4911,24 @@ def _partition_values(rel_file: str, part_cols: Sequence[str]) -> tuple[str, ...
     return tuple(unquote(vals.get(c, "")) for c in part_cols)
 
 
+def _optimize_write_target(props: dict | None) -> float | None:
+    """Target file MB when the ``optimizeWrite`` table property is set
+    (``True`` -> 128, or ``{"target_file_mb": M}``); None when off."""
+    ow = (props or {}).get("optimizeWrite")
+    if not ow:
+        return None
+    if isinstance(ow, dict):
+        return float(ow.get("target_file_mb", 128))
+    return 128.0
+
+
 def _write_files(
     df: DataFrame,
     root: str,
     part_cols: Sequence[str],
     preserve_layout: bool = False,
     subdir: str = _DATA_DIR,
+    optimize_write: float | None = None,
 ) -> list[str]:
     """Write ``df`` into ``<subdir>/`` (``data/`` for snapshot files,
     ``_change_data/`` for CDC sidecars) as immutable uniquely-named
@@ -4858,6 +4937,17 @@ def _write_files(
     Spark writes a self-contained directory; files are then hard-moved into
     the shared ``data/`` tree under a commit-unique prefix so concurrent
     historical versions can coexist (nothing is ever overwritten).
+
+    ``optimize_write`` (Delta ``delta.autoOptimize.optimizeWrite``
+    parity, target file MB): pre-write AQE REBALANCE sized so the files
+    land near the target — bounding small-file debt at the SOURCE,
+    where autoCompact pays a follow-up commit to fix it afterwards.
+    Partitioned writes already rebalance by partition value (below);
+    the property extends the rebalance to UNpartitioned writes (an
+    N-task append otherwise lands N files) and sizes both via the AQE
+    advisory partition size, scaled 4x for parquet's shuffle-bytes ->
+    encoded-bytes compression (Delta's optimized writes apply the same
+    class of inflation factor to its bin size).
     """
     commit_id = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f"_staging_{commit_id}")
@@ -4872,10 +4962,25 @@ def _write_files(
         # for callers (OPTIMIZE) that already produced a deliberate
         # clustering.
         df = df.hint("rebalance", *part_cols)
+    elif optimize_write and not preserve_layout:
+        df = df.hint("rebalance")
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
-    writer.parquet(staging)
+    if optimize_write and not preserve_layout:
+        spark = df.sparkSession
+        key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, f"{max(1, int(optimize_write * 4))}MB")
+        try:
+            writer.parquet(staging)
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+    else:
+        writer.parquet(staging)
     data_root = os.path.join(root, subdir)
     rels: list[str] = []
     for dirpath, _dirs, fnames in os.walk(staging):

@@ -718,3 +718,45 @@ def test_sql_min_max_escaped_string_literals_conf(spark, lake):
             assert (got["lo"], got["hi"]) == ("back\\slash", "plain"), mode
     finally:
         spark.conf.set("spark.sql.parser.escapedStringLiterals", old)
+
+
+def test_merge_probe_estimate_includes_path_width(spark, root, monkeypatch):
+    """A1 (round-9 advice): the probe's broadcast frame is (keys,
+    __rel) — the per-row file-path STRING must be in the size estimate.
+    With a threshold sitting between the keys-only estimate and the
+    path-inclusive one, the flip must be DECLINED (no F.broadcast in
+    the touched-file scan); the merge itself stays correct."""
+    import azure_databricks_lakehouse_spark.sources.tables as tables_mod
+    from azure_databricks_lakehouse_spark.plans import cbo as cbo_mod
+
+    t = ParquetTable.create(spark, root, _docs(spark, 30))
+    t.analyze(columns=["k"])
+    s = fresh_statistics(t)
+    keys_only = estimated_size(s, ["k"])
+    m = t._manifest()
+    avg_path = sum(len(f) for f in m["files"]) / len(m["files"])
+    assert avg_path > 8, "paths are wider than the bigint key"
+    # keys fit, keys+paths don't
+    mid = int(keys_only + s["num_rows"] * avg_path / 2)
+    monkeypatch.setattr(cbo_mod, "DEFAULT_BROADCAST_THRESHOLD", mid)
+    calls: list[int] = []
+    orig = tables_mod.F.broadcast
+    monkeypatch.setattr(
+        tables_mod.F, "broadcast", lambda df: (calls.append(1), orig(df))[1]
+    )
+    src = spark.createDataFrame(
+        [(5, "upd", 99.0)], "k int, w string, x double"
+    )
+    t.merge(src, on=["k"])
+    assert calls == [], "path-blind estimate would have broadcast"
+    assert t.read().filter("k = 5").first()["w"] == "upd"
+    # generous threshold: the flip fires (the estimate, not the probe,
+    # was the gate)
+    monkeypatch.setattr(
+        cbo_mod,
+        "DEFAULT_BROADCAST_THRESHOLD",
+        int(keys_only + s["num_rows"] * (avg_path + 64) * 4),
+    )
+    t.analyze(columns=["k"])
+    t.merge(src, on=["k"])
+    assert calls, "flip should fire once paths fit the threshold"
