@@ -62,6 +62,61 @@ UNION_PARTS: dict[str, tuple[str, list[str]]] = {
 }
 
 
+def _q19_lifecycle(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+    """Per-STAGE attribution for q19 (round-9 verdict item 6): its
+    ``part`` values are lifecycle stages sharing one scratch chain, so
+    the generic ``.filter(part == X)`` isolation re-runs the whole
+    chain per part and mostly re-measures the shared lifecycle.  This
+    runs the lifecycle ONCE per attempt with a timer around each stage
+    (create / merge / no-op replay merge / IN-subquery update / the
+    two snapshot reads), best-of-N per stage — the stage costs sum to
+    ≈ the union cost instead of each re-including it."""
+    from azure_databricks_lakehouse_spark.queries.lakehouse_ops import (
+        _scratch,
+        _source,
+        _target,
+        bind,
+    )
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        t = bind(spark, sf_dir, "orders")
+        stages: dict[str, float] = {}
+        t0 = time.time()
+        root = _scratch(sf_dir, "merge_upsert_parts")
+        tbl = ParquetTable.create(spark, root, _target(t["orders"]))
+        stages["create"] = time.time() - t0
+        t0 = time.time()
+        tbl.merge(_source(t["orders"]), on=["o_orderkey"])
+        stages["merge"] = time.time() - t0
+        t0 = time.time()
+        tbl.merge(_source(t["orders"]), on=["o_orderkey"])
+        stages["merge_noop_replay"] = time.time() - t0
+        v_pre = tbl.latest_version()
+        keys = (
+            t["orders"]
+            .filter(F.col("o_orderkey") % 8 == 0)
+            .select("o_orderkey")
+            .unionByName(
+                spark.createDataFrame([(-1,), (None,)], "o_orderkey bigint")
+            )
+        )
+        t0 = time.time()
+        tbl.update_where_in(
+            "o_orderkey",
+            keys,
+            {"status": F.lit("X"), "total": F.col("total") + 1.0},
+        )
+        stages["update_in"] = time.time() - t0
+        t0 = time.time()
+        tbl.read(version=v_pre).unionByName(tbl.read()).collect()
+        stages["read_union"] = time.time() - t0
+        for k, v in stages.items():
+            best[k] = min(best.get(k, float("inf")), round(v, 3))
+    return best
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -98,10 +153,16 @@ def main() -> int:
             )
         union_sec = _best_of(lambda: fn(spark, sf_dir))
         per_part: dict[str, float] = {}
-        for p in parts:
-            per_part[p] = _best_of(
-                lambda: fn(spark, sf_dir).filter(F.col(tag_col) == p)
-            )
+        lifecycle = name == "q19_merge_upsert"
+        if lifecycle:
+            # stage timers over ONE shared chain — filtered re-runs
+            # would re-measure the whole lifecycle per part
+            per_part = _q19_lifecycle(spark, sf_dir)
+        else:
+            for p in parts:
+                per_part[p] = _best_of(
+                    lambda: fn(spark, sf_dir).filter(F.col(tag_col) == p)
+                )
         print(
             json.dumps(
                 {
@@ -109,6 +170,7 @@ def main() -> int:
                     "union_sec": union_sec,
                     "parts": per_part,
                     "sf": sf,
+                    **({"lifecycle_stages": True} if lifecycle else {}),
                 }
             )
         )
