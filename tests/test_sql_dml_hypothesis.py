@@ -44,7 +44,26 @@ _op = st.one_of(
     # roll back one version (guarded no-op at v0): RESTORE-then-DML
     # composition must behave identically through the SQL router
     st.tuples(st.just("restore")),
+    # round-10: NOT IN subquery DML vs Catalyst's own literal NOT IN —
+    # NULL keys exercise the three-valued zero-match short-circuit
+    st.tuples(
+        st.just("delete_not_in"),
+        st.lists(st.sampled_from(KEYS) | st.none(), min_size=1, max_size=3),
+    ),
+    st.tuples(
+        st.just("update_not_in"),
+        st.lists(st.sampled_from(KEYS) | st.none(), min_size=1, max_size=3),
+        st.integers(0, 99),
+    ),
 )
+
+
+def _sql_key_list(keys) -> str:
+    return ", ".join("(NULL)" if k is None else f"({k})" for k in keys)
+
+
+def _lit_key_list(keys) -> str:
+    return ", ".join("NULL" if k is None else str(k) for k in keys)
 
 
 def _values(rows: list[tuple[int, int]]) -> str:
@@ -73,6 +92,16 @@ def _apply_sql(lh: Lakehouse, op, seq: int) -> None:
             "INSERT OVERWRITE ta VALUES "
             f"{_values([(k, seq) for k in op[1]])}"
         )
+    elif kind == "delete_not_in":
+        lh.sql(
+            "DELETE FROM ta WHERE k NOT IN "
+            f"(SELECT col1 FROM VALUES {_sql_key_list(op[1])})"
+        )
+    elif kind == "update_not_in":
+        lh.sql(
+            f"UPDATE ta SET v = {op[2]} WHERE k NOT IN "
+            f"(SELECT col1 FROM VALUES {_sql_key_list(op[1])})"
+        )
     elif kind == "restore":
         v = lh.table("ta").latest_version()
         if v >= 1:
@@ -99,6 +128,15 @@ def _apply_py(spark, t: ParquetTable, op, seq: int) -> None:
     elif kind == "insert_overwrite":
         t.overwrite(
             spark.createDataFrame([(k, seq) for k in op[1]], "k int, v int")
+        )
+    elif kind == "delete_not_in":
+        # independent row-wise twin: Catalyst evaluates the literal
+        # NOT IN list, IS TRUE mirrors DELETE's keep-UNKNOWN contract
+        t.delete(F.expr(f"(k NOT IN ({_lit_key_list(op[1])})) IS TRUE"))
+    elif kind == "update_not_in":
+        t.update(
+            F.expr(f"(k NOT IN ({_lit_key_list(op[1])})) IS TRUE"),
+            {"v": F.lit(op[2])},
         )
     elif kind == "restore":
         v = t.latest_version()
