@@ -1332,9 +1332,11 @@ class ParquetTable:
             )
             .distinct()
         )
+        # no zero-match pre-probe: merge's own empty-commit
+        # short-circuit covers it (zero touched files + empty upsert
+        # payload ⇒ no commit), so paying a dedicated full-table semi
+        # scan here would double the probe cost of every statement
         pre = self.read().join(keyset, cols, "semi")
-        if pre.select(*cols).isEmpty():
-            return self.latest_version()  # zero-match: commit nothing
         gen_auto = {
             c
             for c in m.get("props", {}).get("generated", {})

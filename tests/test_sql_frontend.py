@@ -862,8 +862,9 @@ def test_split_statements_edges():
 def test_delete_where_in_subquery(spark, tmp_path, lh):
     """DELETE ... WHERE col IN (SELECT ...) routes through the
     delete-only MERGE: matched rows go, NULL subquery keys never match,
-    duplicates in the subquery are deduplicated, and NOT IN raises
-    toward the explicit MERGE form."""
+    duplicates in the subquery are deduplicated; NOT IN (round-10)
+    matches nothing here because the subquery carries a NULL key (SQL
+    three-valued logic) — and commits nothing."""
     t = _mk(spark, tmp_path, [(i, "a" if i < 3 else "b", float(i)) for i in range(6)], lh=lh)
     spark.createDataFrame(
         [(1,), (2,), (2,), (None,), (99,)], "vid int"
@@ -877,8 +878,14 @@ def test_delete_where_in_subquery(spark, tmp_path, lh):
     t.append(spark.createDataFrame([(None, "b", 9.0)], "id int, cat string, amt double"))
     lh.sql("DELETE FROM t WHERE id IN (SELECT vid FROM victims)")
     assert t.read().where(F.col("id").isNull()).count() == 1
-    with pytest.raises(ValueError, match="NOT IN"):
-        lh.sql("DELETE FROM t WHERE id NOT IN (SELECT vid FROM victims)")
+    # round-10: NOT IN is supported; the NULL subquery key makes it
+    # match nothing (and commit nothing) instead of raising
+    before = t.latest_version()
+    out = lh.sql(
+        "DELETE FROM t WHERE id NOT IN (SELECT vid FROM victims)"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 0
+    assert t.latest_version() == before
     with pytest.raises(ValueError, match="one column"):
         lh.sql("DELETE FROM t WHERE id IN (SELECT vid, vid FROM victims)")
 
@@ -888,7 +895,8 @@ def test_update_where_in_subquery(spark, tmp_path, lh):
     update-only MERGE (the round-8 verdict's DELETE/UPDATE asymmetry,
     closed): matched rows get row-wise post-images, NULL subquery keys
     never match, subquery duplicates are deduplicated, and NOT IN
-    raises toward the explicit MERGE form — all mirroring DELETE."""
+    (round-10) applies SQL three-valued logic — all mirroring
+    DELETE."""
     t = _mk(
         spark,
         tmp_path,
@@ -914,10 +922,13 @@ def test_update_where_in_subquery(spark, tmp_path, lh):
     )
     lh.sql("UPDATE t SET cat = 'x' WHERE id IN (SELECT vid FROM u_victims)")
     assert t.read().where(F.col("id").isNull()).first()["cat"] == "n"
-    with pytest.raises(ValueError, match="NOT IN"):
-        lh.sql(
-            "UPDATE t SET amt = 0 WHERE id NOT IN (SELECT vid FROM u_victims)"
-        )
+    # round-10: NOT IN supported; NULL subquery key => zero matches
+    before = t.latest_version()
+    out = lh.sql(
+        "UPDATE t SET amt = 0 WHERE id NOT IN (SELECT vid FROM u_victims)"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 0
+    assert t.latest_version() == before
     with pytest.raises(ValueError, match="one column"):
         lh.sql(
             "UPDATE t SET amt = 0 WHERE id IN (SELECT vid, vid FROM u_victims)"
