@@ -1986,14 +1986,41 @@ class ParquetTable:
         after."""
         return self._fresh_stats(self._manifest(version))
 
+    def _file_row_counts(self, m: dict) -> dict[str, int]:
+        """Per-live-file row counts: the ``__nrows`` entry the stats
+        sidecar records at write time (manifest-only — zero I/O beyond
+        the sidecar the caller loads anyway), falling back to a footer
+        open for files that predate round 10 or whose table really has
+        a ``__nrows`` DATA column (then the stats entry is that
+        column's range, not a count)."""
+        import pyarrow.parquet as pq
+
+        phys = {
+            _physical_name(m, f.name)
+            for f in _schema_from_json(self.spark, m["schema"]).fields
+        }
+        stats = self._stats(m) if "__nrows" not in phys else {}
+        data_root = os.path.join(self.root, _DATA_DIR)
+        out: dict[str, int] = {}
+        for f in m["files"]:
+            rng = stats.get(f, {}).get("__nrows")
+            out[f] = (
+                int(rng[0])
+                if rng is not None
+                else pq.ParquetFile(
+                    os.path.join(data_root, f)
+                ).metadata.num_rows
+            )
+        return out
+
     def _exact_rows(self, m: dict) -> int:
         """Exact row count of a manifest's snapshot from metadata only:
-        parquet footer row counts (driver-side footer opens, no data
-        bytes) minus the deletion-vector cardinality for files a DV
-        masks.  Cost is O(files) footers + one tiny DV-sidecar count job
-        (sized ∝ deleted rows, never table rows) — 100 TB safe."""
-        data_root = os.path.join(self.root, _DATA_DIR)
-        rows = _file_rows(data_root, m["files"])
+        sidecar-recorded per-file counts (footer opens only for
+        pre-round-10 files) minus the deletion-vector cardinality for
+        files a DV masks.  Cost is O(files) sidecar entries + one tiny
+        DV-sidecar count job (sized ∝ deleted rows, never table rows)
+        — 100 TB safe."""
+        rows = sum(self._file_row_counts(m).values())
         dvs = m.get("dvs", {})
         dv = self._dv_frame(m, m["files"])
         if dv is not None:
@@ -2041,18 +2068,16 @@ class ParquetTable:
         files' live rows) and ``MIN/MAX(partition_col)`` (over files
         with live rows > 0: a fully-DV-masked file must not contribute
         its partition value) without reading a data byte.  Cost is
-        O(files) driver-side footer opens plus one DV-sidecar count
-        job sized ∝ deleted rows — the :meth:`_exact_rows` budget,
-        never table rows."""
-        import pyarrow.parquet as pq
-
+        O(files) sidecar row-count entries (footer opens only for
+        pre-round-10 files) plus one DV-sidecar count job sized ∝
+        deleted rows — the :meth:`_exact_rows` budget, never table
+        rows."""
         m = self._manifest(version)
         part_cols = m["partition_by"]
         if not part_cols:
             return None
         inv = _logical_inverse(m)
         logical = [inv.get(c, c) for c in part_cols]
-        data_root = os.path.join(self.root, _DATA_DIR)
         dvs = m.get("dvs", {})
         dv_counts: dict[str, int] = {}
         dv = self._dv_frame(m, m["files"])
@@ -2065,16 +2090,14 @@ class ParquetTable:
                 .count()
                 .collect()
             }
+        counts = self._file_row_counts(m)
         rows = []
         for f in m["files"]:
             vals = [
                 None if v == "__HIVE_DEFAULT_PARTITION__" else v
                 for v in _partition_values(f, part_cols)
             ]
-            n = pq.ParquetFile(
-                os.path.join(data_root, f)
-            ).metadata.num_rows - dv_counts.get(f, 0)
-            rows.append((*vals, n))
+            rows.append((*vals, counts[f] - dv_counts.get(f, 0)))
         schema = T.StructType(
             [T.StructField(c, T.StringType()) for c in logical]
             + [T.StructField("__rows", T.LongType())]
@@ -5151,6 +5174,16 @@ def _file_stats(data_root: str, rels: list[str]) -> dict[str, dict]:
                     cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
                 else:
                     cols[name] = [lo, hi]
+        # per-file row count, stored as a degenerate range under a
+        # reserved pseudo-column so the sidecar shape stays uniform:
+        # metadata counts and the partition-file frame read it from the
+        # manifest instead of re-opening O(files) footers per query
+        # (Delta stores numRecords in each AddFile the same way).  No
+        # predicate ever references "__nrows", so pruning ignores it;
+        # a (pathological) DATA column of that name keeps its real
+        # range and consumers fall back to footer opens.
+        if "__nrows" not in cols:
+            cols["__nrows"] = [meta.num_rows, meta.num_rows]
         out[rel] = cols
     return out
 

@@ -760,3 +760,48 @@ def test_merge_probe_estimate_includes_path_width(spark, root, monkeypatch):
     t.analyze(columns=["k"])
     t.merge(src, on=["k"])
     assert calls, "flip should fire once paths fit the threshold"
+
+
+def test_exact_rows_reads_sidecar_not_footers(spark, root, monkeypatch):
+    """Round-10: per-file row counts ride the stats sidecar (written as
+    the __nrows pseudo-range), so metadata counts and the partition
+    file frame never re-open O(files) parquet footers.  Proof: with
+    pyarrow's footer reader poisoned, the count still answers."""
+    import pyarrow.parquet as pq
+
+    t = ParquetTable.create(spark, root, _docs(spark, 40))
+    t.append(_docs(spark, 10, start=40))
+    t.delete("k = 3", mode="merge-on-read")  # DV subtraction still applies
+    t2 = ParquetTable.create(
+        spark,
+        root + "_p",
+        _docs(spark, 20).withColumn("p", F.col("k") % 2),
+        partition_by=["p"],
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("footer opened despite sidecar row counts")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    assert t.count() == 49
+    # the filtered metadata frame shares the same path
+    frame = t2.partition_file_frame()
+    assert frame.agg(F.sum("__rows")).first()[0] == 20
+
+
+def test_row_counts_footer_fallback_for_legacy_sidecars(
+    spark, root, monkeypatch
+):
+    """Tables written before the __nrows sidecar entry existed fall
+    back to per-file footer opens — same answer, just the old cost."""
+    t = ParquetTable.create(spark, root, _docs(spark, 25))
+    orig = ParquetTable._stats
+    monkeypatch.setattr(
+        ParquetTable,
+        "_stats",
+        lambda self, m: {
+            f: {c: r for c, r in cols.items() if c != "__nrows"}
+            for f, cols in orig(self, m).items()
+        },
+    )
+    assert t.count() == 25
