@@ -134,16 +134,163 @@ FROM merged
 """
 
 
-# --- q20: time travel (D5) — versioned snapshot read after overwrite -------
+# --- q20: time travel (D5) + SQL DML/metadata lifecycle --------------------
 def q20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scratch table's SQL-driven lifecycle, tagged by ``part``
+    (round-10 corpus extension under the 50-query cap — the NOT IN /
+    EXISTS / scalar-subquery DML and metadata-only aggregate surfaces
+    each get an oracle row without a new query slot):
+
+    - v0 CREATE (keys ÷16), v1 OVERWRITE (keys ÷8, repriced ×1.1) —
+      ``part='v0'`` reads version 0 AFTER three later commits replaced
+      everything: the original D5 time-travel proof.
+    - v2 ``DELETE ... WHERE k NOT IN (SELECT ...)`` — the NULL-aware
+      anti-membership route (``part='not_in'``).
+    - v3 ``UPDATE ... SET status='E', total = total + (SELECT
+      COUNT(*) ...) WHERE EXISTS (SELECT 1 ... f.kk = q20t.k AND
+      f.kk % 64 = 0)`` — a scalar subquery folded into SET composed
+      with a decorrelated correlated-EXISTS predicate carrying a
+      residual conjunct (``part='exists'``); the update moves rows
+      ACROSS partitions (status is the partition column).
+    - ``part='meta'``: ANALYZE then the metadata-only aggregate plane —
+      unfiltered COUNT/MIN/MAX (zero-scan from footers + fresh column
+      stats), partition-filtered COUNT and MIN/MAX over the partition
+      column (Delta OptimizeMetadataOnlyQuery parity), and a
+      time-travel COUNT from v0's own footers.
+
+    The oracle recomputes every stage relationally, so the DML
+    semantics (three-valued NOT IN, EXISTS correlation, eager scalar
+    evaluation) and the metadata plane's values are all value-checked
+    against a second engine, not just unit-tested."""
+    from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
     t = bind(spark, sf_dir, "orders")
+    orders = t["orders"]
     root = _scratch(sf_dir, "time_travel")
-    tbl = ParquetTable.create(spark, root, _target(t["orders"]))
-    tbl.overwrite(_source(t["orders"]))  # v1 replaces everything
-    return tbl.read(version=0)  # but v0 is still fully readable
+
+    base = orders.filter(F.col("o_orderkey") % 16 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    over = orders.filter(F.col("o_orderkey") % 8 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") * 1.1).alias("total"),
+    )
+    tbl = ParquetTable.create(spark, root, base, partition_by=["status"])
+    tbl.overwrite(over)  # v1 replaces everything; v0 stays readable
+
+    lh = Lakehouse(spark)
+    lh.register("q20t", root)
+    orders.filter(F.col("o_orderkey") % 32 == 0).select(
+        F.col("o_orderkey").alias("kk")
+    ).createOrReplaceTempView("q20_keep")
+    orders.select(F.col("o_orderkey").alias("kk")).createOrReplaceTempView(
+        "q20_flag"
+    )
+
+    lh.sql("DELETE FROM q20t WHERE k NOT IN (SELECT kk FROM q20_keep)")
+    not_in = tbl.read().withColumn("part", F.lit("not_in"))
+
+    lh.sql(
+        "UPDATE q20t SET status = 'E', "
+        "total = total + (SELECT CAST(COUNT(*) AS DOUBLE) FROM q20_keep) "
+        "WHERE EXISTS (SELECT 1 FROM q20_flag f "
+        "WHERE f.kk = q20t.k AND f.kk % 64 = 0)"
+    )
+    exists_ = tbl.read().withColumn("part", F.lit("exists"))
+
+    lh.sql("ANALYZE TABLE q20t COMPUTE STATISTICS FOR COLUMNS total")
+    m_all = lh.sql(
+        "SELECT COUNT(*) AS c, MIN(total) AS mn, MAX(total) AS mx FROM q20t"
+    )
+    m_f = lh.sql("SELECT COUNT(*) AS c FROM q20t WHERE status = 'F'")
+    m_st = lh.sql(
+        "SELECT MIN(status) AS mn, MAX(status) AS mx FROM q20t "
+        "WHERE status <> 'E'"
+    )
+    m_v0 = lh.sql("SELECT COUNT(*) AS c FROM q20t VERSION AS OF 0")
+
+    def _mrow(df, k_col, s_expr, x_col):
+        return df.select(
+            F.lit("meta").alias("part"),
+            (F.col(k_col) if k_col else F.lit(None)).cast("long").alias("k"),
+            s_expr.alias("s"),
+            (F.col(x_col) if x_col else F.lit(None))
+            .cast("double")
+            .alias("x"),
+        )
+
+    meta = (
+        _mrow(m_all, "c", F.lit("count_all"), None)
+        .unionByName(_mrow(m_all, None, F.lit("min_total"), "mn"))
+        .unionByName(_mrow(m_all, None, F.lit("max_total"), "mx"))
+        .unionByName(_mrow(m_f, "c", F.lit("count_status_f"), None))
+        .unionByName(
+            _mrow(m_st, None, F.concat(F.lit("min_status="), F.col("mn")), None)
+        )
+        .unionByName(
+            _mrow(m_st, None, F.concat(F.lit("max_status="), F.col("mx")), None)
+        )
+        .unionByName(_mrow(m_v0, "c", F.lit("count_v0"), None))
+    )
+
+    def _tag(df, part):
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("k"),
+            F.col("status").alias("s"),
+            F.col("total").alias("x"),
+        )
+
+    return (
+        _tag(tbl.read(version=0), "v0")
+        .unionByName(_tag(not_in.drop("part"), "not_in"))
+        .unionByName(_tag(exists_.drop("part"), "exists"))
+        .unionByName(meta)
+    )
 
 
-_Q20_SQL = _TARGET_SQL
+_Q20_SQL = """
+WITH v0 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS x
+  FROM orders WHERE o_orderkey % 16 = 0
+),
+v1 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice * 1.1 AS x
+  FROM orders WHERE o_orderkey % 8 = 0
+),
+v2 AS (SELECT * FROM v1 WHERE k % 32 = 0),
+keepn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM orders WHERE o_orderkey % 32 = 0
+),
+v3 AS (
+  SELECT k,
+         CASE WHEN k % 64 = 0 THEN 'E' ELSE s END AS s,
+         CASE WHEN k % 64 = 0 THEN x + (SELECT c FROM keepn) ELSE x END AS x
+  FROM v2
+)
+SELECT 'v0' AS part, k, s, x FROM v0
+UNION ALL SELECT 'not_in', k, s, x FROM v2
+UNION ALL SELECT 'exists', k, s, x FROM v3
+UNION ALL SELECT 'meta', (SELECT COUNT(*) FROM v3), 'count_all',
+  CAST(NULL AS DOUBLE)
+UNION ALL SELECT 'meta', CAST(NULL AS BIGINT), 'min_total',
+  (SELECT MIN(x) FROM v3)
+UNION ALL SELECT 'meta', CAST(NULL AS BIGINT), 'max_total',
+  (SELECT MAX(x) FROM v3)
+UNION ALL SELECT 'meta', (SELECT COUNT(*) FROM v3 WHERE s = 'F'),
+  'count_status_f', CAST(NULL AS DOUBLE)
+UNION ALL SELECT 'meta', CAST(NULL AS BIGINT),
+  'min_status=' || (SELECT MIN(s) FROM v3 WHERE s <> 'E'),
+  CAST(NULL AS DOUBLE)
+UNION ALL SELECT 'meta', CAST(NULL AS BIGINT),
+  'max_status=' || (SELECT MAX(s) FROM v3 WHERE s <> 'E'),
+  CAST(NULL AS DOUBLE)
+UNION ALL SELECT 'meta', (SELECT COUNT(*) FROM v0), 'count_v0',
+  CAST(NULL AS DOUBLE)
+"""
 
 
 # --- q39: CSV + JSON round-trip scans (merged q39 + q42) -------------------

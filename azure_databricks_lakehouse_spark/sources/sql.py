@@ -350,6 +350,17 @@ def _mask_strings(s: str) -> str:
     )
 
 
+def _blank_strings(s: str) -> str:
+    """Length-preserving :func:`_mask_strings`: literal content becomes
+    spaces instead of vanishing, so indexes computed on the masked text
+    (paren matching, span splicing) are valid on the ORIGINAL text."""
+    return re.sub(
+        r"('|\")(?:\\.|\1\1|(?:(?!\1)[^\\]))*\1",
+        lambda m: m.group(1) + " " * (len(m.group(0)) - 2) + m.group(1),
+        s,
+    )
+
+
 class Lakehouse:
     """Name→table catalog plus the ``sql()`` dispatcher.
 
@@ -1986,6 +1997,22 @@ class Lakehouse:
     )
 
     @staticmethod
+    def _in_match_ok(sub) -> bool:
+        """Reject an ``_IN_SUBQUERY`` match whose greedy subquery
+        capture crossed a top-level boundary (compound predicate like
+        ``k IN (SELECT ..) AND v > (SELECT ..)``): a real whole-
+        predicate membership subquery is paren-balanced."""
+        depth = 0
+        for ch in _blank_strings(sub.group("sub")):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+        return depth == 0
+
+    @staticmethod
     def _in_cols(sub) -> list[str]:
         """Membership column list of an IN-subquery match: the single
         column, or the components of the tuple form ``(a, b) IN ...``
@@ -1997,6 +2024,108 @@ class Lakehouse:
             else [raw]
         )
         return [_unquote_ident(p).split(".")[-1] for p in parts]
+
+    def _scalar_literal(self, v, typ: str) -> str:
+        """``v`` as a typed SQL literal for scalar-subquery folding —
+        :func:`_render_sql_literal` plus the collect()-native types a
+        live query can return that JSON-safe ANALYZE stats never carry
+        (Decimal/date/datetime via their exact str forms, float NaN via
+        the 'NaN' cast Spark parses)."""
+        import datetime
+        import decimal
+        import math
+
+        if isinstance(v, float) and math.isnan(v):
+            return f"CAST('NaN' AS {typ})"
+        lit = _render_sql_literal(v, typ, spark=self.spark)
+        if lit is None and isinstance(
+            v, (decimal.Decimal, datetime.date, datetime.datetime)
+        ):
+            s = str(v).replace("'", "''")
+            lit = f"CAST('{s}' AS {typ})"
+        if lit is None:
+            raise ValueError(
+                f"cannot render scalar subquery value {v!r} as a "
+                f"{typ} literal"
+            )
+        return lit
+
+    def _fold_scalar_subqueries(self, name: str, text: str, what: str) -> str:
+        """Replace each UNCORRELATED scalar subquery ``(SELECT ...)`` in
+        ``text`` with its value as a typed SQL literal (Databricks
+        evaluates DML scalar subqueries ONCE against the pre-statement
+        snapshot — exactly what eager folding implements; the rewritten
+        expression then rides the ordinary row-wise DML path).
+
+        Membership subqueries — a ``(SELECT ...)`` preceded by ``IN`` or
+        ``EXISTS`` — are left verbatim for their own decorrelated
+        routes.  SQL scalar contract enforced per subquery: exactly one
+        column, at most one row (empty ⇒ typed NULL); a subquery
+        referencing the target table's own columns (``name.col``) is
+        correlated and raises toward MERGE.  The subquery result is one
+        scalar by contract — the ``limit(2).collect()`` is metadata-
+        sized, not a data move."""
+        blanked = _blank_strings(text)
+        out: list[str] = []
+        i, n = 0, len(text)
+        opener = _ci(r"\(\s*SELECT\b")
+        while i < n:
+            m = opener.search(blanked, i)
+            if not m:
+                out.append(text[i:])
+                break
+            start = m.start()
+            # the word before the '(' decides membership vs scalar
+            j = start - 1
+            while j >= 0 and blanked[j].isspace():
+                j -= 1
+            k = j
+            while k >= 0 and (blanked[k].isalnum() or blanked[k] == "_"):
+                k -= 1
+            prev = blanked[k + 1 : j + 1].lower()
+            depth, end = 0, start
+            while end < n:
+                if blanked[end] == "(":
+                    depth += 1
+                elif blanked[end] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                end += 1
+            if depth != 0:
+                raise ValueError(
+                    f"unbalanced parentheses in {what}: {text[:80]!r}"
+                )
+            if prev in ("in", "exists"):
+                out.append(text[i : end + 1])
+                i = end + 1
+                continue
+            inner = text[start + 1 : end].strip()
+            if _ci(
+                rf"\b(?:`{re.escape(name)}`|{re.escape(name)})\s*\."
+            ).search(_mask_strings(inner)):
+                raise ValueError(
+                    f"correlated scalar subqueries in {what} are not "
+                    "supported; use MERGE instead"
+                )
+            df = self._run_query(inner)
+            if len(df.columns) != 1:
+                raise ValueError(
+                    "scalar subquery must return exactly one column, "
+                    f"got {len(df.columns)}: {inner[:60]!r}"
+                )
+            rows = df.limit(2).collect()
+            if len(rows) > 1:
+                raise ValueError(
+                    f"scalar subquery returned more than one row: "
+                    f"{inner[:60]!r}"
+                )
+            v = rows[0][0] if rows else None  # empty ⇒ NULL (SQL contract)
+            typ = df.schema.fields[0].dataType.simpleString()
+            out.append(text[i:start])
+            out.append(f"({self._scalar_literal(v, typ)})")
+            i = end + 1
+        return "".join(out)
 
     def _delete(self, stmt: str) -> DataFrame:
         m = self._DELETE.match(stmt)
@@ -2012,6 +2141,8 @@ class Lakehouse:
         else:
             cond = "true"
         sub = self._IN_SUBQUERY.match(cond)
+        if sub and not self._in_match_ok(sub):
+            sub = None  # compound predicate, not a whole-predicate IN
         if sub:
             return self._delete_in_subquery(name, sub)
         ex = self._parse_exists(name, cond)
@@ -2023,12 +2154,18 @@ class Lakehouse:
                 )
             return self._delete_in_keys(name, tcols, keys)
         if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
-            raise ValueError(
-                "subqueries in DELETE are supported only as the entire "
-                "predicate 'col IN (SELECT ...)'; for compound "
-                "conditions use MERGE ... WHEN MATCHED [AND p] THEN "
-                "DELETE"
-            )
+            # not a whole-predicate membership form: fold UNCORRELATED
+            # scalar subqueries to typed literals and ride the row-wise
+            # path; membership subqueries surviving the fold are the
+            # compound forms MERGE owns
+            cond = self._fold_scalar_subqueries(name, cond, "DELETE WHERE")
+            if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
+                raise ValueError(
+                    "IN/EXISTS subqueries in DELETE are supported only "
+                    "as the entire predicate; for compound membership "
+                    "conditions use MERGE ... WHEN MATCHED [AND p] "
+                    "THEN DELETE"
+                )
         table = self.table(name)
         before = table.latest_version()
         version = table.delete(cond)
@@ -2272,6 +2409,14 @@ class Lakehouse:
         set_part, cond = (
             (tail[:w], tail[w + 5 :].strip()) if w >= 0 else (tail, "true")
         )
+        if _ci(r"\(\s*SELECT\b").search(_mask_strings(set_part)):
+            # scalar subqueries in SET values (Databricks: UPDATE ...
+            # SET v = (SELECT max(x) FROM s)) fold to typed literals
+            # BEFORE assignment parsing, so they compose with every
+            # predicate route below (row-wise, IN, EXISTS)
+            set_part = self._fold_scalar_subqueries(
+                name, set_part, "UPDATE SET"
+            )
         assignments = {}
         for item in _split_top(set_part, ","):
             col, eq, expr = item.partition("=")
@@ -2279,6 +2424,8 @@ class Lakehouse:
                 raise ValueError(f"bad SET item: {item!r}")
             assignments[_unquote_ident(col)] = F.expr(expr.strip())
         sub = self._IN_SUBQUERY.match(cond)
+        if sub and not self._in_match_ok(sub):
+            sub = None  # compound predicate, not a whole-predicate IN
         if sub:
             return self._update_in_subquery(name, assignments, sub)
         ex = self._parse_exists(name, cond)
@@ -2290,12 +2437,14 @@ class Lakehouse:
                 )
             return self._update_in_exists_keys(name, assignments, tcols, keys)
         if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
-            raise ValueError(
-                "subqueries in UPDATE are supported only as the entire "
-                "predicate 'col IN (SELECT ...)'; for compound "
-                "conditions use MERGE ... WHEN MATCHED [AND p] THEN "
-                "UPDATE SET ..."
-            )
+            cond = self._fold_scalar_subqueries(name, cond, "UPDATE WHERE")
+            if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
+                raise ValueError(
+                    "IN/EXISTS subqueries in UPDATE are supported only "
+                    "as the entire predicate; for compound membership "
+                    "conditions use MERGE ... WHEN MATCHED [AND p] "
+                    "THEN UPDATE SET ..."
+                )
         table = self.table(name)
         before = table.latest_version()
         version = table.update(cond, assignments)
