@@ -49,6 +49,7 @@ UNION_PARTS: dict[str, tuple[str, list[str]]] = {
         ["has_orders", "only_1995", "both_95_96"],
     ),
     "q19_merge_upsert": ("part", ["merge", "update_in"]),
+    "q20_time_travel": ("part", ["v0", "not_in", "exists", "meta"]),
     "q23_sessionize": ("impl", ["gaps_islands", "session_window"]),
     "q24_doc_token_stats": ("part", ["doc", "chunk"]),
     "q25_lang_quality": ("part", ["heuristic", "c4"]),
@@ -117,6 +118,84 @@ def _q19_lifecycle(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
     return best
 
 
+def _q20_lifecycle(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+    """Per-STAGE attribution for q20 (round-10 extension): like q19,
+    its parts are lifecycle stages over one scratch chain.  Timers
+    around each SQL statement separate the commit constants (create /
+    overwrite / NOT-IN delete / EXISTS+scalar update / ANALYZE) from
+    the zero-scan metadata selects and the snapshot reads."""
+    from azure_databricks_lakehouse_spark.queries.lakehouse_ops import (
+        _scratch,
+        bind,
+    )
+    from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        t = bind(spark, sf_dir, "orders")
+        orders = t["orders"]
+        stages: dict[str, float] = {}
+        base = orders.filter(F.col("o_orderkey") % 16 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+        over = orders.filter(F.col("o_orderkey") % 8 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_totalprice") * 1.1).alias("total"),
+        )
+        t0 = time.time()
+        root = _scratch(sf_dir, "time_travel_parts")
+        tbl = ParquetTable.create(spark, root, base, partition_by=["status"])
+        stages["create"] = time.time() - t0
+        t0 = time.time()
+        tbl.overwrite(over)
+        stages["overwrite"] = time.time() - t0
+        lh = Lakehouse(spark)
+        lh.register("q20pt", root)
+        orders.filter(F.col("o_orderkey") % 32 == 0).select(
+            F.col("o_orderkey").alias("kk")
+        ).createOrReplaceTempView("q20p_keep")
+        orders.select(F.col("o_orderkey").alias("kk")).createOrReplaceTempView(
+            "q20p_flag"
+        )
+        t0 = time.time()
+        lh.sql("DELETE FROM q20pt WHERE k NOT IN (SELECT kk FROM q20p_keep)")
+        stages["delete_not_in"] = time.time() - t0
+        t0 = time.time()
+        lh.sql(
+            "UPDATE q20pt SET status = 'E', "
+            "total = total + (SELECT CAST(COUNT(*) AS DOUBLE) "
+            "FROM q20p_keep) "
+            "WHERE EXISTS (SELECT 1 FROM q20p_flag f "
+            "WHERE f.kk = q20pt.k AND f.kk % 64 = 0)"
+        )
+        stages["update_exists_scalar"] = time.time() - t0
+        t0 = time.time()
+        lh.sql("ANALYZE TABLE q20pt COMPUTE STATISTICS FOR COLUMNS total")
+        stages["analyze"] = time.time() - t0
+        t0 = time.time()
+        lh.sql(
+            "SELECT COUNT(*) AS c, MIN(total) AS mn, MAX(total) AS mx "
+            "FROM q20pt"
+        ).collect()
+        lh.sql("SELECT COUNT(*) AS c FROM q20pt WHERE status = 'F'").collect()
+        lh.sql(
+            "SELECT MIN(status) AS mn, MAX(status) AS mx FROM q20pt "
+            "WHERE status <> 'E'"
+        ).collect()
+        lh.sql("SELECT COUNT(*) AS c FROM q20pt VERSION AS OF 0").collect()
+        stages["meta_selects"] = time.time() - t0
+        t0 = time.time()
+        tbl.read(version=0).unionByName(tbl.read()).collect()
+        stages["read_union"] = time.time() - t0
+        for k, v in stages.items():
+            best[k] = min(best.get(k, float("inf")), round(v, 3))
+    return best
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -153,11 +232,15 @@ def main() -> int:
             )
         union_sec = _best_of(lambda: fn(spark, sf_dir))
         per_part: dict[str, float] = {}
-        lifecycle = name == "q19_merge_upsert"
+        lifecycle = name in ("q19_merge_upsert", "q20_time_travel")
         if lifecycle:
             # stage timers over ONE shared chain — filtered re-runs
             # would re-measure the whole lifecycle per part
-            per_part = _q19_lifecycle(spark, sf_dir)
+            per_part = (
+                _q19_lifecycle(spark, sf_dir)
+                if name == "q19_merge_upsert"
+                else _q20_lifecycle(spark, sf_dir)
+            )
         else:
             for p in parts:
                 per_part[p] = _best_of(
