@@ -991,6 +991,12 @@ class Lakehouse:
         # text is rewritten to match.  A name pinned by CACHE TABLE is
         # NOT re-registered (the pin is the point) but its dotted form
         # still needs the text rewrite to reach the pinned view.
+        # Databricks QUALIFY: rewritten AFTER all textual composition
+        # (TVF/AS OF substitution, stored-view expansion) so a QUALIFY
+        # inside an expanded view body or derived table is seen too.
+        if _ci(r"\bQUALIFY\b").search(_mask_strings(stmt)):
+            stmt = self._rewrite_qualify(stmt)
+
         for name in self._paths:
             if not re.search(rf"\b{re.escape(name)}\b", stmt):
                 continue
@@ -1012,6 +1018,102 @@ class Lakehouse:
             if view != name:
                 stmt = self._sub_ident(stmt, name, view)
         return self.spark.sql(stmt)
+
+    def _rewrite_qualify(self, stmt: str) -> str:
+        """Databricks' ``QUALIFY`` clause as a pure text rewrite Spark
+        can run (Spark has no QUALIFY; it DOES have ``* EXCEPT`` and
+        lateral column-alias resolution)::
+
+            SELECT <list> FROM <rel> ... QUALIFY <pred> [ORDER/LIMIT]
+            ⇒ SELECT * EXCEPT (__qualify__) FROM (
+                SELECT <list>, (<pred>) AS __qualify__ FROM <rel> ...
+              ) __qualify_src__ WHERE __qualify__ [ORDER/LIMIT]
+
+        Injecting the predicate INTO the original select list gives it
+        exactly QUALIFY's scope: window functions over any column of
+        the FROM relation (projected or not), select-list aliases (via
+        Spark's lateral column aliases — verified to resolve across
+        window aliases), and windows over aggregates in grouped
+        queries; the windows evaluate over the post-WHERE/GROUP rows —
+        the documented QUALIFY order.  NULL predicate rows are excluded
+        (WHERE semantics), ORDER BY/LIMIT apply after the filter.
+
+        Recurses into every parenthesized group first, so QUALIFY works
+        inside CTE bodies, derived tables, and expanded stored views.
+        Refused (clear error instead of silent drift): ``SELECT
+        DISTINCT`` heads (QUALIFY precedes DISTINCT in the standard
+        evaluation order; this rewrite would invert them) and a QUALIFY
+        branch of a top-level set operation (wrap it in a subquery)."""
+        blanked = _blank_strings(stmt)
+        out: list[str] = []
+        i, n = 0, len(stmt)
+        while i < n:
+            if blanked[i] == "(":
+                depth, j = 0, i
+                while j < n:
+                    if blanked[j] == "(":
+                        depth += 1
+                    elif blanked[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                if depth != 0:  # unbalanced: let Spark's parser complain
+                    out.append(stmt[i:])
+                    i = n
+                    break
+                out.append("(" + self._rewrite_qualify(stmt[i + 1 : j]) + ")")
+                i = j + 1
+            else:
+                out.append(stmt[i])
+                i += 1
+        stmt = "".join(out)
+        q = _find_top_keyword(_blank_strings(stmt), "QUALIFY")
+        if q < 0:
+            return stmt
+        if "__qualify__" in stmt:
+            raise ValueError(
+                "QUALIFY rewrite reserves the column name __qualify__"
+            )
+        head = stmt[:q].rstrip()
+        rest = stmt[q + 7 :].strip()
+        rb = _blank_strings(rest)
+        cuts = [
+            p
+            for kw in ("ORDER", "LIMIT", "OFFSET")
+            if (p := _find_top_keyword(rb, kw)) >= 0
+        ]
+        cut = min(cuts) if cuts else len(rest)
+        pred, tail = rest[:cut].strip(), rest[cut:].strip()
+        pb = _blank_strings(pred)
+        for kw in ("UNION", "INTERSECT", "EXCEPT", "MINUS"):
+            if _find_top_keyword(pb, kw) >= 0:
+                raise ValueError(
+                    "QUALIFY in a set-operation branch: wrap the "
+                    "branch in a subquery"
+                )
+        hb = _blank_strings(head)
+        # only the MAIN select matters; CTE bodies are inside parens
+        sp = _find_top_keyword(hb, "SELECT")
+        if sp >= 0 and _ci(r"^SELECT\s+DISTINCT\b").match(head[sp:]):
+            raise ValueError(
+                "QUALIFY with SELECT DISTINCT is not supported (QUALIFY "
+                "evaluates before DISTINCT); apply DISTINCT in an outer "
+                "query"
+            )
+        f = _find_top_keyword(hb, "FROM")
+        if f < 0:
+            raise ValueError(
+                f"QUALIFY needs a FROM clause: {stmt[:80]!r}"
+            )
+        inner = f"{head[:f].rstrip()}, ({pred}) AS __qualify__ {head[f:]}"
+        rewritten = (
+            f"SELECT * EXCEPT (__qualify__) FROM ({inner}) "
+            f"__qualify_src__ WHERE __qualify__"
+        )
+        if tail:
+            rewritten += " " + tail
+        return rewritten
 
     @staticmethod
     def _view_name(name: str) -> str:
