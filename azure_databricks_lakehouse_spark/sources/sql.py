@@ -2564,6 +2564,7 @@ class Lakehouse:
     _INSERT = _ci(
         r"^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
         r"(?P<name>`?[\w.]+`?)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+        r"(?P<byname>BY\s+NAME\s+)?"
         r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+)?"
         r"(?P<body>(?:SELECT|WITH|VALUES)\b.*)$"
     )
@@ -2584,41 +2585,88 @@ class Lakehouse:
         auto_cols = set(props.get("identity", {})) | set(
             props.get("generated", {})
         )
-        if m.group("cols"):
-            names = _ident_list(m.group("cols"))
+        if m.group("byname"):
+            # Databricks INSERT ... BY NAME: source columns matched by
+            # name in any order; target columns ABSENT from the source
+            # get their DEFAULT (via the table layer's _apply_defaults)
+            # or a typed NULL — a NOT NULL column without a default
+            # raises at the write's constraint check, as it should.
+            if m.group("cols"):
+                raise ValueError(
+                    "INSERT BY NAME takes no column list (names come "
+                    "from the source query)"
+                )
+            if len(set(df.columns)) != len(df.columns):
+                raise ValueError(
+                    "INSERT BY NAME needs unique source column names"
+                )
+            target_types = {f.name: f.dataType for f in manifest_schema.fields}
+            unknown = [c for c in df.columns if c not in target_types]
+            if unknown:
+                raise ValueError(
+                    f"INSERT BY NAME: {name} has no columns {unknown}"
+                )
+            assigned_auto = auto_cols & set(df.columns)
+            if assigned_auto:
+                raise ValueError(
+                    "INSERT BY NAME cannot assign identity/generated "
+                    f"columns {sorted(assigned_auto)}"
+                )
+            defaults = set(props.get("defaults", {}))
+            ordered = []
+            for f in manifest_schema.fields:
+                if f.name in df.columns:
+                    ordered.append(
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                    )
+                elif f.name in auto_cols or f.name in defaults:
+                    continue  # filled downstream by the table layer
+                else:
+                    ordered.append(
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+            df = df.select(*ordered)
         else:
-            names = [f.name for f in manifest_schema.fields
-                     if f.name not in auto_cols]
-        if len(names) != len(df.columns):
-            raise ValueError(
-                f"INSERT provides {len(df.columns)} columns but "
-                f"{name} expects {len(names)} ({names})"
-            )
-        types = {f.name: f.dataType for f in manifest_schema.fields}
-        if set(df.columns) == set(names) and len(set(df.columns)) == len(
-            df.columns
-        ):
-            # the SELECT already names the target columns: align BY NAME
-            # (the manifest stores partition columns last, so positional
-            # mapping would silently cross-assign a reordered SELECT).
-            # Deliberate divergence from Spark's pure-positional INSERT:
-            # it behaves like Databricks' INSERT ... BY NAME whenever
-            # the names are an exact permutation — the safe reading of
-            # intent under this engine's partition-last column order.
-            # A SELECT with non-target names still maps positionally.
-            df = df.select(
-                *[F.col(c).cast(types.get(c, df.schema[c].dataType)).alias(c)
-                  for c in names]
-            )
-        else:
-            df = df.select(
-                *[
-                    F.col(old).cast(types[new]).alias(new)
-                    if new in types
-                    else F.col(old).alias(new)
-                    for old, new in zip(df.columns, names)
-                ]
-            )
+            if m.group("cols"):
+                names = _ident_list(m.group("cols"))
+            else:
+                names = [f.name for f in manifest_schema.fields
+                         if f.name not in auto_cols]
+            if len(names) != len(df.columns):
+                raise ValueError(
+                    f"INSERT provides {len(df.columns)} columns but "
+                    f"{name} expects {len(names)} ({names})"
+                )
+            types = {f.name: f.dataType for f in manifest_schema.fields}
+            if set(df.columns) == set(names) and len(set(df.columns)) == len(
+                df.columns
+            ):
+                # the SELECT already names the target columns: align BY
+                # NAME (the manifest stores partition columns last, so
+                # positional mapping would silently cross-assign a
+                # reordered SELECT).  Deliberate divergence from Spark's
+                # pure-positional INSERT: it behaves like Databricks'
+                # INSERT ... BY NAME whenever the names are an exact
+                # permutation — the safe reading of intent under this
+                # engine's partition-last column order.  A SELECT with
+                # non-target names still maps positionally.
+                df = df.select(
+                    *[
+                        F.col(c)
+                        .cast(types.get(c, df.schema[c].dataType))
+                        .alias(c)
+                        for c in names
+                    ]
+                )
+            else:
+                df = df.select(
+                    *[
+                        F.col(old).cast(types[new]).alias(new)
+                        if new in types
+                        else F.col(old).alias(new)
+                        for old, new in zip(df.columns, names)
+                    ]
+                )
         if m.group("rw"):
             version = table.overwrite_where(df, m.group("rw").strip())
             return self._status("INSERT REPLACE WHERE", name, version)
