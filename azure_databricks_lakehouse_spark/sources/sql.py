@@ -1186,6 +1186,54 @@ class Lakehouse:
             self.register(name, dest)
             return self._status("CLONE", name, 0)
 
+        like = _ci(
+            r"^LIKE\s+(`?[\w.]+`?)\s*(?:LOCATION\s+'([^']*)')?$"
+        ).match(rest)
+        if like:
+            # CREATE TABLE new LIKE src: the DECLARATIVE surface only —
+            # schema, partitioning, clustering intent, column clauses
+            # (NOT NULL / DEFAULT / GENERATED / IDENTITY with a FRESH
+            # high water), CHECK constraints, user TBLPROPERTIES.  No
+            # data, no history, and none of the engine state a new
+            # empty table cannot have earned (statistics, txn
+            # watermarks, blooms' built state).
+            if name in self._paths and if_not_exists:
+                return self._status("CREATE TABLE (exists)", name, None)
+            src = self.table(like.group(1))
+            sm = src._manifest()
+            sprops = sm.get("props", {})
+            dest = like.group(2) or self._default_location(name)
+            empty = self.spark.createDataFrame(
+                [], _schema_from_json(self.spark, sm["schema"])
+            )
+            inv = {p: l for l, p in sm.get("colmap", {}).items()}
+            t = ParquetTable.create(
+                self.spark,
+                dest,
+                empty,
+                partition_by=[inv.get(c, c) for c in sm["partition_by"]]
+                or None,
+            )
+            carried = {
+                k: v
+                for k, v in sprops.items()
+                if k not in ("statistics", "txns", "bloom", "clustering")
+            }
+            if "identity" in carried:
+                carried["identity"] = {
+                    c: {**cfg, "high_water": None}
+                    for c, cfg in carried["identity"].items()
+                }
+            clu = (sprops.get("clustering") or {}).get("cols")
+            if clu and not carried.get("clustering_intent"):
+                carried["clustering_intent"] = list(clu)
+            if carried:
+                t.set_properties(carried)
+            self.register(name, dest)
+            return self._status(
+                "CREATE TABLE LIKE", name, t.latest_version()
+            )
+
         # column defs?
         coldefs = None
         if rest.startswith("("):
@@ -1312,7 +1360,7 @@ class Lakehouse:
         not_null: list[str] = []
         defaults: dict[str, str] = {}
         generated: list[tuple[str, str, str]] = []
-        identity: list[tuple[str, int, int]] = []
+        identity: list[tuple[str, int, int, bool]] = []
         for item in _split_cols(coldefs):
             cm = self._COLDEF.match(item.strip())
             if not cm:
@@ -1321,17 +1369,24 @@ class Lakehouse:
             dtype = cm.group("type").strip()
             tail = cm.group("rest").strip()
             ident = _ci(
-                r"GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                r"GENERATED\s+(?P<mode>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
                 r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+"
                 r"INCREMENT\s+BY\s+(-?\d+)\s*\))?"
             ).search(tail)
             gen = _ci(r"GENERATED\s+ALWAYS\s+AS\s*\((?P<e>.*)\)\s*$").search(tail)
+            if not ident and not gen and _ci(r"\bGENERATED\b").search(tail):
+                raise ValueError(
+                    f"unsupported GENERATED clause in {item.strip()!r}: "
+                    "expression columns are GENERATED ALWAYS AS (expr); "
+                    "only IDENTITY supports BY DEFAULT"
+                )
             if ident:
                 identity.append(
                     (
                         col,
-                        int(ident.group(1) or 1),
                         int(ident.group(2) or 1),
+                        int(ident.group(3) or 1),
+                        ident.group("mode").upper() == "ALWAYS",
                     )
                 )
                 continue
@@ -1360,8 +1415,8 @@ class Lakehouse:
                 empty,
                 partition_by=opts["partitioned_by"] or None,
             )
-        for col, start, step in identity:
-            t.add_identity_column(col, start=start, step=step)
+        for col, start, step, always in identity:
+            t.add_identity_column(col, start=start, step=step, always=always)
         for col, dtype, expr in generated:
             t.add_generated_column(col, dtype, expr)
         for col in not_null:
@@ -2606,7 +2661,12 @@ class Lakehouse:
                 raise ValueError(
                     f"INSERT BY NAME: {name} has no columns {unknown}"
                 )
-            assigned_auto = auto_cols & set(df.columns)
+            by_default_ident = {
+                c
+                for c, cfg in props.get("identity", {}).items()
+                if not cfg.get("always", True)
+            }
+            assigned_auto = (auto_cols - by_default_ident) & set(df.columns)
             if assigned_auto:
                 raise ValueError(
                     "INSERT BY NAME cannot assign identity/generated "
@@ -2909,6 +2969,11 @@ class Lakehouse:
         table = self.table(name)
         action = m.group(2).strip()
 
+        if _ci(r"^SYNC\s+IDENTITY$").match(action):
+            return self._status(
+                "ALTER SYNC IDENTITY", name, table.sync_identity()
+            )
+
         am = _ci(r"^ADD\s+COLUMNS?\s+(.*)$").match(action)
         if am and not _ci(r"^ADD\s+CONSTRAINT\b").match(action):
             raw = am.group(1).strip()
@@ -2918,7 +2983,7 @@ class Lakehouse:
             one = _ci(
                 r"^(?P<col>`?\w+`?)\s+(?P<type>[\w]+(?:\s*\([^)]*\))?"
                 r"(?:\s*<.*>)?)"
-                r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+"
+                r"(?:\s+GENERATED\s+(?P<mode>ALWAYS|BY\s+DEFAULT)\s+AS\s+"
                 r"(?:IDENTITY(?:\s*\(\s*START\s+WITH\s+(?P<st>-?\d+)\s+"
                 r"INCREMENT\s+BY\s+(?P<by>-?\d+)\s*\))?"
                 r"|\((?P<gen>.+)\)))?\s*$"
@@ -2933,8 +2998,15 @@ class Lakehouse:
                         col,
                         start=int(cm.group("st") or 1),
                         step=int(cm.group("by") or 1),
+                        always=(cm.group("mode") or "ALWAYS").upper()
+                        == "ALWAYS",
                     )
                 elif cm.group("gen"):
+                    if (cm.group("mode") or "").upper().startswith("BY"):
+                        raise ValueError(
+                            "expression columns are GENERATED ALWAYS AS "
+                            "(expr); only IDENTITY supports BY DEFAULT"
+                        )
                     v = table.add_generated_column(col, dtype, cm.group("gen"))
                 else:
                     v = table.add_column(col, dtype)
@@ -3079,8 +3151,9 @@ class Lakehouse:
         for f in schema.fields:
             if f.name in ident:
                 i = ident[f.name]
+                mode = "ALWAYS" if i.get("always", True) else "BY DEFAULT"
                 cols.append(
-                    f"  `{f.name}` BIGINT GENERATED ALWAYS AS IDENTITY "
+                    f"  `{f.name}` BIGINT GENERATED {mode} AS IDENTITY "
                     f"(START WITH {i['start']} INCREMENT BY {i['step']})"
                 )
                 continue

@@ -2452,14 +2452,19 @@ class ParquetTable:
     # -- identity columns (GENERATED ALWAYS AS IDENTITY) --------------------
 
     def add_identity_column(
-        self, name: str, start: int = 1, step: int = 1
+        self, name: str, start: int = 1, step: int = 1, always: bool = True
     ) -> int:
         """Delta parity: ``ADD COLUMN name BIGINT GENERATED ALWAYS AS
         IDENTITY (START WITH start INCREMENT BY step)`` — one
         metadata-only commit.  Every subsequent append assigns the
         column itself (a write providing explicit values refuses —
         ALWAYS means always), allocating a contiguous id range per
-        commit from a high-water mark in the VERSIONED props:
+        commit from a high-water mark in the VERSIONED props.
+        ``always=False`` is Delta's ``GENERATED BY DEFAULT``: a write
+        MAY provide the column (its values land verbatim and do NOT
+        advance the high water — Delta's contract; collisions are the
+        writer's risk until :meth:`sync_identity`); an omitted column
+        is assigned exactly like ALWAYS.  Details of assignment:
 
         - assignment is the distributed prefix-sum (window over
           partition TOTALS only — no global single-partition window);
@@ -2490,7 +2495,12 @@ class ParquetTable:
         if name in taken:
             colmap[name] = f"{name}__r{m['version'] + 1}"
         ident = dict(m.get("props", {}).get("identity", {}))
-        ident[name] = {"start": int(start), "step": int(step), "high_water": None}
+        ident[name] = {
+            "start": int(start),
+            "step": int(step),
+            "high_water": None,
+            "always": bool(always),
+        }
         props = {**m.get("props", {}), "identity": ident}
         new_schema = StructType(
             list(schema.fields) + [StructField(name, LongType())]
@@ -2499,23 +2509,44 @@ class ParquetTable:
             m, props, "ADD IDENTITY COLUMN", schema=new_schema, colmap=colmap
         )
 
-    def _refuse_explicit_identity(self, df: DataFrame, m: dict, op: str):
+    def _refuse_explicit_identity(
+        self, df: DataFrame, m: dict, op: str, strict: bool = False
+    ):
+        """Refuse explicit values for GENERATED ALWAYS identity columns
+        (BY DEFAULT columns pass through verbatim).  ``strict=True``
+        refuses ANY identity column — Delta's MERGE restriction, where
+        explicit identity values in the source are unsupported in
+        either mode."""
         ident = m.get("props", {}).get("identity", {})
-        explicit = [c for c in ident if c in df.columns]
+        explicit = [
+            c
+            for c, cfg in ident.items()
+            if c in df.columns and (strict or cfg.get("always", True))
+        ]
         if explicit:
             raise ValueError(
                 f"{op} provides explicit values for identity columns "
-                f"{explicit}; they are GENERATED ALWAYS — omit them"
+                f"{explicit}; "
+                + (
+                    "identity columns cannot be supplied through MERGE "
+                    "(Delta parity) — omit them from the source"
+                    if strict
+                    else "they are GENERATED ALWAYS — omit them"
+                )
             )
         return ident
 
     def _assign_identity(
         self, df: DataFrame, ident: dict, m: dict
     ) -> tuple[DataFrame, dict]:
-        """``df`` with each identity column assigned a contiguous range
-        from its high water; returns ``(df, bases)`` where ``bases``
-        maps column -> first allocated value (the commit advances the
-        high water by the written row count)."""
+        """``df`` with each ABSENT identity column assigned a contiguous
+        range from its high water; returns ``(df, bases)`` where
+        ``bases`` maps column -> first allocated value (the commit
+        advances the high water by the written row count, for assigned
+        columns only).  A BY DEFAULT identity column PRESENT in ``df``
+        is left verbatim — its values neither consume nor advance the
+        reservation (Delta's contract; SYNC IDENTITY reconciles)."""
+        ident = {c: cfg for c, cfg in ident.items() if c not in df.columns}
         if not ident:
             return df, {}
         from azure_databricks_lakehouse_spark.operators.packing import (
@@ -2541,6 +2572,43 @@ class ParquetTable:
         # internal helper columns (e.g. its partition offset), and any
         # stray column here would be silently written into data files
         return work.select(*df.columns, *ident.keys()), bases
+
+    def sync_identity(self) -> int:
+        """Delta parity: ``ALTER TABLE t SYNC IDENTITY`` — advance each
+        identity column's high water to the furthest value actually
+        present in the CURRENT snapshot, so assignment resumes past
+        explicit values a BY DEFAULT writer landed above the
+        reservation.  Only ever advances (a retreat could hand out
+        duplicate ids against rows deleted-then-restored); the probe is
+        one MIN/MAX aggregate over the identity columns — column-pruned,
+        no full-width scan.  Metadata-only commit; a no-op sync (all
+        waters already current) commits nothing and returns the current
+        version."""
+        m = self._manifest()
+        ident = dict(m.get("props", {}).get("identity", {}))
+        if not ident:
+            raise ValueError("table has no identity columns")
+        aggs = [
+            (F.max(c) if cfg["step"] > 0 else F.min(c)).alias(c)
+            for c, cfg in ident.items()
+        ]
+        row = self.read().agg(*aggs).collect()[0]  # one scalar row
+        changed = False
+        for c, cfg in ident.items():
+            v = row[c]
+            if v is None:
+                continue  # empty table / all-NULL ids: nothing observed
+            hw = cfg.get("high_water")
+            ahead = hw is None or (
+                int(v) > hw if cfg["step"] > 0 else int(v) < hw
+            )
+            if ahead:
+                ident[c] = {**cfg, "high_water": int(v)}
+                changed = True
+        if not changed:
+            return m["version"]
+        props = {**m.get("props", {}), "identity": ident}
+        return self._commit_props(m, props, "SYNC IDENTITY")
 
     # -- ALTER TABLE (metadata-only schema evolution) -----------------------
 
@@ -3180,18 +3248,23 @@ class ParquetTable:
                     **props,
                     "txns": {**props.get("txns", {}), txn_app: txn_version},
                 }
-            if ident and n_written:
-                # advance each identity high water to the last id this
-                # commit allocated — the reservation becomes durable
-                # exactly when the commit does
+            if id_bases and n_written:
+                # advance each ASSIGNED identity high water to the last
+                # id this commit allocated — the reservation becomes
+                # durable exactly when the commit does (verbatim BY
+                # DEFAULT columns never move it)
                 props = {
                     **props,
                     "identity": {
-                        c: {
-                            **cfg,
-                            "high_water": id_bases[c]
-                            + cfg["step"] * (n_written - 1),
-                        }
+                        c: (
+                            {
+                                **cfg,
+                                "high_water": id_bases[c]
+                                + cfg["step"] * (n_written - 1),
+                            }
+                            if c in id_bases
+                            else cfg
+                        )
                         for c, cfg in ident.items()
                     },
                 }
@@ -3561,16 +3634,21 @@ class ParquetTable:
                 subdir=_CDC_DIR,
             )
         id_props = {}
-        if ident:
+        if id_bases:
             # numbering continues past replaced rows (Delta's contract:
             # identity never reuses values)
             n = _file_rows(os.path.join(self.root, _DATA_DIR), files)
             if n:
                 id_props["identity"] = {
-                    c: {
-                        **cfg,
-                        "high_water": id_bases[c] + cfg["step"] * (n - 1),
-                    }
+                    c: (
+                        {
+                            **cfg,
+                            "high_water": id_bases[c]
+                            + cfg["step"] * (n - 1),
+                        }
+                        if c in id_bases
+                        else cfg
+                    )
                     for c, cfg in ident.items()
                 }
         version = _commit_typed(
@@ -3679,7 +3757,7 @@ class ParquetTable:
             # commit.  Identity keys as merge keys make no sense (the
             # source can't carry them) — refused implicitly by the
             # key-column check below.
-            self._refuse_explicit_identity(source, m, "MERGE")
+            self._refuse_explicit_identity(source, m, "MERGE", strict=True)
             bad_keys = set(on) & set(ident)
             if bad_keys:
                 raise ValueError(
@@ -3959,17 +4037,21 @@ class ParquetTable:
             subdir=_CDC_DIR,
         )
         commit_props = m.get("props", {})
-        if ident and n_fresh:
+        if id_bases and n_fresh:
             # the inserts' reserved identity range becomes durable with
             # this commit, exactly like append's reservation
             commit_props = {
                 **commit_props,
                 "identity": {
-                    c: {
-                        **cfg,
-                        "high_water": id_bases[c]
-                        + cfg["step"] * (n_fresh - 1),
-                    }
+                    c: (
+                        {
+                            **cfg,
+                            "high_water": id_bases[c]
+                            + cfg["step"] * (n_fresh - 1),
+                        }
+                        if c in id_bases
+                        else cfg
+                    )
                     for c, cfg in ident.items()
                 },
             }
