@@ -55,6 +55,12 @@ _op = st.one_of(
         st.lists(st.sampled_from(KEYS) | st.none(), min_size=1, max_size=3),
         st.integers(0, 99),
     ),
+    # round-10: uncorrelated scalar subqueries in DML vs a twin that
+    # pre-computes the scalar and runs the row-wise statement — the
+    # fold must read the PRE-statement snapshot and the empty-table
+    # NULL scalar must match nothing on both paths
+    st.tuples(st.just("update_scalar"), st.sampled_from(KEYS)),
+    st.tuples(st.just("delete_scalar")),
 )
 
 
@@ -102,6 +108,13 @@ def _apply_sql(lh: Lakehouse, op, seq: int) -> None:
             f"UPDATE ta SET v = {op[2]} WHERE k NOT IN "
             f"(SELECT col1 FROM VALUES {_sql_key_list(op[1])})"
         )
+    elif kind == "update_scalar":
+        lh.sql(
+            "UPDATE ta SET v = (SELECT CAST(MAX(v) + 1 AS INT) FROM ta) "
+            f"WHERE k = {op[1]}"
+        )
+    elif kind == "delete_scalar":
+        lh.sql("DELETE FROM ta WHERE v < (SELECT AVG(v) FROM ta)")
     elif kind == "restore":
         v = lh.table("ta").latest_version()
         if v >= 1:
@@ -138,6 +151,18 @@ def _apply_py(spark, t: ParquetTable, op, seq: int) -> None:
             F.expr(f"(k NOT IN ({_lit_key_list(op[1])})) IS TRUE"),
             {"v": F.lit(op[2])},
         )
+    elif kind == "update_scalar":
+        mx = t.read().agg(F.max("v")).collect()[0][0]  # pre-statement
+        t.update(
+            f"k = {op[1]}",
+            {"v": F.lit(None if mx is None else mx + 1).cast("int")},
+        )
+    elif kind == "delete_scalar":
+        av = t.read().agg(F.avg("v")).collect()[0][0]
+        lit = (
+            "CAST(NULL AS DOUBLE)" if av is None else f"CAST({av!r} AS DOUBLE)"
+        )
+        t.delete(F.expr(f"(v < {lit}) IS TRUE"))
     elif kind == "restore":
         v = t.latest_version()
         if v >= 1:

@@ -121,3 +121,69 @@ def test_qualify_set_operation_branch_raises(lh):
 def test_qualify_word_inside_string_is_inert(lh):
     rows = lh.sql("SELECT 'no QUALIFY here' AS t FROM q LIMIT 1").collect()
     assert rows[0].t == "no QUALIFY here"
+
+
+# --- property sweep: QUALIFY vs the DataFrame window+filter twin -----------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+_RANKS = {
+    "ROW_NUMBER": F.row_number,
+    "RANK": F.rank,
+    "DENSE_RANK": F.dense_rank,
+}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(sorted(_RANKS)),
+    part=st.sampled_from(["k", "s", None]),
+    order=st.sampled_from([("v",), ("s", "v")]),
+    desc=st.booleans(),
+    k=st.integers(1, 3),
+    eq=st.booleans(),
+)
+def test_qualify_matches_window_filter_twin(
+    spark, tmp_path_factory, fn, part, order, desc, k, eq
+):
+    """Random QUALIFY shapes vs the hand-built window + filter plan.
+    The order keys form a deterministic TOTAL order (v is unique) —
+    ROW_NUMBER over tied keys picks plan-dependent rows, and the two
+    paths are different physical plans, so a tied order would compare
+    two legitimate answers."""
+    rows = [(i % 4, "pqrs"[i % 3], i) for i in range(24)]
+    df = spark.createDataFrame(rows, "k int, s string, v int")
+    df.createOrReplaceTempView("q_sweep")
+    lh = Lakehouse(spark)
+
+    od = ", ".join(f"{c} {'DESC' if desc else 'ASC'}" for c in order)
+    over = f"ORDER BY {od}" if part is None else f"PARTITION BY {part} ORDER BY {od}"
+    cmp_ = "=" if eq else "<="
+    got = sorted(
+        tuple(r)
+        for r in lh.sql(
+            f"SELECT k, s, v FROM q_sweep QUALIFY {fn}() OVER ({over}) {cmp_} {k}"
+        ).collect()
+    )
+
+    keys = [F.col(c).desc() if desc else F.col(c).asc() for c in order]
+    w = Window.orderBy(*keys)
+    if part is not None:
+        w = w.partitionBy(part)
+    rn = _RANKS[fn]().over(w)
+    cond = rn == k if eq else rn <= k
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("__rn", cond)
+        .filter("__rn")
+        .drop("__rn")
+        .collect()
+    )
+    assert got == want, (fn, part, order, desc, k, eq)
