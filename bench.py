@@ -23,6 +23,24 @@ headline while keeping both attempts in the artifact under
 out-of-band PERF.md archaeology needed to prove a load-inflated run
 phantom (BENCH_r07 shipped 1.45x inflated; BENCH_r08 ran at loadavg
 2.8; both needed manual re-runs to bound the truth).
+
+Canary probes (round 10): loadavg cannot see every slow-box state (the
+round-10 A/B control caught a ~1.6x corpus inflation at loadavg 0.4),
+so each attempt also measures two fixed-cost probes and records them in
+the artifact:
+
+- ``canary.cpu_sec``: a 268M-row whole-stage-codegen aggregate over
+  ``spark.range`` — no I/O, pure JVM compute.  Healthy local[32]
+  reference ≈ 0.25 s (calibrated 2026-08-15).
+- ``canary.scan_sec``: full scan + aggregate of ``lineitem.parquet`` —
+  the parquet decode path.  Healthy reference ≈ 0.28 s at sf0.1.
+
+Attribution: inflated cpu_sec = CPU contention/thermal; inflated
+scan_sec with healthy cpu_sec = I/O path; both healthy while the corpus
+reads slow = per-session overhead class (cold codegen, accumulated JVM
+state), not box state.  The probes decide nothing — the loadavg rule
+still drives retries — they make cross-round comparisons attributable
+from the artifact alone.
 """
 
 from __future__ import annotations
@@ -43,9 +61,23 @@ LOAD_THRESHOLD = 2.0  # 1-min loadavg above this => box busy, retry once
 SETTLE_SEC = 60.0  # settle sleep before the retry attempt
 
 
+def canary_probes(spark, sf_dir: str) -> dict:
+    """Fixed-cost box probes (see module docstring): pure-CPU codegen
+    aggregate + full parquet scan of one known table."""
+    t0 = time.time()
+    spark.range(1 << 28).selectExpr("sum(id * 3 + 1)").collect()
+    cpu = time.time() - t0
+    t0 = time.time()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "sum(l_extendedprice)", "count(*)"
+    ).collect()
+    return {"cpu_sec": round(cpu, 3), "scan_sec": round(time.time() - t0, 3)}
+
+
 def run_corpus(spark, qs, sf_dir: str) -> dict:
     """One full measured pass over the corpus; returns the attempt record."""
     load_start = os.getloadavg()
+    canary = canary_probes(spark, sf_dir)
 
     per_query: dict[str, float] = {}
     failed: dict[str, str] = {}
@@ -76,6 +108,7 @@ def run_corpus(spark, qs, sf_dir: str) -> dict:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "warm_reprobe": reprobe,
+        "canary": canary,
     }
     if failed:
         attempt["failed"] = failed
@@ -92,8 +125,9 @@ def main() -> int:
     qs = entrymod.queries()
 
     # Warm the JVM/codegen path once so fixed startup cost doesn't land on
-    # the first measured query.
+    # the first measured query (or on the first attempt's canary).
     next(iter(qs.values()))(spark, sf_dir).collect()
+    canary_probes(spark, sf_dir)
 
     attempts = [run_corpus(spark, qs, sf_dir)]
     if attempts[0]["loadavg_start"][0] > LOAD_THRESHOLD:
@@ -111,6 +145,7 @@ def main() -> int:
         "loadavg_start": best["loadavg_start"],
         "loadavg_end": best["loadavg_end"],
         "warm_reprobe": best["warm_reprobe"],
+        "canary": best["canary"],
     }
     if "failed" in best:
         out["failed"] = best["failed"]
