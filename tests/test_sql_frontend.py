@@ -1185,3 +1185,18 @@ def test_rowwise_dml_subquery_text_inside_string_literal(spark, tmp_path, lh):
             "UPDATE t SET amt = 0 WHERE id = 2 "
             "AND id IN (SELECT col1 FROM VALUES (2))"
         )
+
+
+def test_show_tables_and_views(spark, tmp_path):
+    lh = Lakehouse(spark, warehouse=str(tmp_path / "wh_show"))
+    assert lh.sql("SHOW TABLES").count() == 0
+    lh.sql("CREATE TABLE st1 AS SELECT 1 AS a")
+    lh.sql("CREATE TABLE st2 AS SELECT 2 AS a")
+    lh.sql("CREATE VIEW sv1 AS SELECT a FROM st1")
+    t = {r.table: r.location for r in lh.sql("SHOW TABLES").collect()}
+    assert set(t) == {"st1", "st2"}
+    assert all(loc.startswith("/") for loc in t.values())
+    v = {r.view: r.body for r in lh.sql("SHOW VIEWS").collect()}
+    assert v == {"sv1": "SELECT a FROM st1"}
+    lh.sql("DROP VIEW sv1")
+    assert lh.sql("SHOW VIEWS").count() == 0
