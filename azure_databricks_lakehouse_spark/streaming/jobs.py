@@ -129,6 +129,79 @@ def dedup_stream(
     )
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with bounded state (ST-extension): the
+    canonical impressions⋈clicks shape.  Both sides carry a watermark
+    and the join condition carries the event-time range
+    ``left_ts <= right_ts <= left_ts + within`` — together they let
+    Spark EXPIRE buffered rows (without the range, inner-join state
+    grows forever and outer joins are refused outright).
+
+    ``how``: ``inner``, ``leftOuter``, ``rightOuter``, ``fullOuter`` —
+    outer rows NULL-pad the other side and emit only once the watermark
+    proves no match can still arrive (late-binding, exactly Spark's
+    contract).  Key columns are emitted once (from the left); each
+    side's remaining columns keep their names, so they must not
+    collide.
+
+    100 TB stance: the join shuffles both streams on the keys once; per
+    key+time-bucket state is O(rows within the watermark horizon), not
+    O(stream length)."""
+    joined_how = {
+        "inner": "inner",
+        "leftOuter": "leftOuter",
+        "rightOuter": "rightOuter",
+        "fullOuter": "fullOuter",
+    }.get(how)
+    if joined_how is None:
+        raise ValueError(
+            f"how={how!r}; stream-stream joins support inner/leftOuter/"
+            "rightOuter/fullOuter"
+        )
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key columns collide across sides: {sorted(overlap)}; "
+            "rename before joining"
+        )
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for k in keys:
+        eq = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    out = l.join(r, cond, joined_how)
+    # emit key columns once; a fullOuter row may have them only on one
+    # side, so coalesce
+    others = [
+        F.col(f"l.{c}") for c in left.columns if c not in keys
+    ] + [F.col(f"r.{c}") for c in right.columns if c not in keys]
+    return out.select(
+        *[
+            F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+            for k in keys
+        ],
+        *others,
+    )
+
+
 def write_stream_to_table(
     df: DataFrame,
     table_root: str,
