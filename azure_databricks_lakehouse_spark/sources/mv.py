@@ -1,0 +1,321 @@
+"""Materialized views with CDF-driven incremental refresh.
+
+Databricks' DLT/SQL materialized views keep a query's result as a real
+table and refresh it incrementally when the engine can prove the
+update is equivalent to recomputation.  This module implements that
+contract over the engine's own building blocks:
+
+- the MV's DATA lives in an ordinary lakehouse table
+  ``<name>__mvdata`` (time-travelable, RESTORE-able, OPTIMIZE-able);
+- the MV's NAME is a stored view projecting the data table, so reads
+  compose with the whole SQL front-end unchanged;
+- refresh state (defining query + dependency version) rides the data
+  table's PROPERTIES — versioned, so RESTORE rolls the refresh cursor
+  back with the data.
+
+Incremental eligibility (parsed, never guessed):
+
+- **Grouped aggregates** ``SELECT <keys>, SUM(e)/COUNT(*)/COUNT(e)
+  [AS a] ... FROM t [WHERE p] GROUP BY <keys>``: maintained under ANY
+  DML mix.  The refresh aggregates the base table's CDF slice with
+  signed weights (+1 insert/update_postimage, −1
+  delete/update_preimage) into a per-group delta, then folds it into
+  the stored state.  SUM's NULL semantics are kept exactly by storing
+  per-SUM hidden columns (raw 0-for-NULL sum + non-NULL count) and
+  reconstructing ``NULL when count = 0`` in the read view; groups
+  whose row count reaches zero are dropped.  Cost ∝ changed rows +
+  |groups| — never the base table.
+- **Projections/filters** (no aggregates): maintained when the CDF
+  window is append-shaped (history operations all APPEND — a
+  metadata-only check); the new rows are projected and appended.
+  A rewrite commit in the window falls back to full refresh (without
+  row tracking, deleting a projection's multiset rows is not
+  identifiable).
+- **Anything else** (joins, windows, DISTINCT, subqueries): the MV
+  still works — refresh is always full recompute.
+
+At 100 TB: the grouped path reads only the CDF slice (cost ∝ change),
+aggregates with one shuffle on the group keys, and rewrites state
+sized by group cardinality.  The state fold uses one null-safe
+full-outer join + overwrite — for MVs whose group cardinality itself
+is huge, a keyed MERGE would replace the overwrite; the fold is
+isolated in ``_fold_state`` for exactly that upgrade.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.sql import (
+    _ci,
+    _find_top_keyword,
+    _mask_strings,
+    _split_top,
+    _unquote_ident,
+)
+
+_N = "__mv_n"  # per-group live row count (group death tracking)
+
+_FORBIDDEN = _ci(
+    r"\b(JOIN|HAVING|ORDER|LIMIT|DISTINCT|UNION|INTERSECT|EXCEPT|MINUS"
+    r"|QUALIFY|OVER|PIVOT|LATERAL)\b"
+)
+_NONDET = _ci(
+    r"\b(rand|randn|uuid|shuffle|current_timestamp|current_date|now"
+    r"|monotonically_increasing_id|input_file_name)\s*\("
+)
+_SHAPE = _ci(
+    r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<tbl>`?[\w.]+`?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?$"
+)
+_SUM = _ci(r"^SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
+_CNT_STAR = _ci(r"^COUNT\s*\(\s*(?:\*|1)\s*\)\s+AS\s+(?P<a>`?\w+`?)$")
+_CNT = _ci(r"^COUNT\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
+_ALIASED = _ci(r"^(?P<e>.+?)\s+AS\s+(?P<a>`?\w+`?)$")
+
+
+@dataclass
+class MvPlan:
+    """Parsed incrementally-maintainable query shape."""
+
+    table: str
+    where: str | None
+    grouped: bool
+    keys: list[tuple[str, str]] = field(default_factory=list)  # (expr, alias)
+    # (kind 'sum'|'count'|'count_star', expr|None, alias)
+    aggs: list[tuple[str, str | None, str]] = field(default_factory=list)
+    items: str | None = None  # raw select list (projection refresh)
+
+
+def parse_plan(query: str) -> MvPlan | None:
+    """The query as an :class:`MvPlan`, or ``None`` when its shape is
+    not incrementally maintainable (full-refresh-only MV)."""
+    q = " ".join(query.split())
+    masked = _mask_strings(q)
+    if _FORBIDDEN.search(masked) or _NONDET.search(masked):
+        return None
+    if _ci(r"\(\s*SELECT\b").search(masked):
+        return None  # subqueries: full-only
+    m = _SHAPE.match(q)
+    if not m:
+        return None
+    table = _unquote_ident(m.group("tbl"))
+    where = m.group("where")
+    if where and _NONDET.search(_mask_strings(where)):
+        return None
+    items = [i.strip() for i in _split_top(m.group("items"), ",")]
+    if m.group("gb") is None:
+        # projection/filter: every item must be agg-free
+        if _ci(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(").search(_mask_strings(m.group("items"))):
+            # a global aggregate (no GROUP BY): treat as grouped with
+            # zero keys only when EVERY item is a supported aggregate
+            aggs = _parse_aggs(items)
+            if aggs is None:
+                return None
+            return MvPlan(table, where, grouped=True, keys=[], aggs=aggs)
+        return MvPlan(table, where, grouped=False, items=m.group("items"))
+    gb = [g.strip() for g in _split_top(m.group("gb"), ",")]
+    keys: list[tuple[str, str]] = []
+    agg_items: list[str] = []
+    for it in items:
+        am = _ALIASED.match(it)
+        expr, alias = (
+            (am.group("e").strip(), _unquote_ident(am.group("a")))
+            if am and not _ci(r"^(SUM|COUNT)\s*\(").match(it)
+            else (it, None)
+        )
+        if expr in gb or it in gb:
+            name = alias or (_unquote_ident(expr) if re.fullmatch(r"`?[\w]+`?", expr) else None)
+            if name is None:
+                return None  # complex key expression needs an alias
+            keys.append((expr if expr in gb else it, name))
+        else:
+            agg_items.append(it)
+    if len(keys) != len(gb):
+        return None  # a GROUP BY expr not projected: full-only
+    aggs = _parse_aggs(agg_items)
+    if aggs is None or not aggs:
+        return None
+    return MvPlan(table, where, grouped=True, keys=keys, aggs=aggs)
+
+
+def _parse_aggs(items: list[str]) -> list[tuple[str, str | None, str]] | None:
+    out: list[tuple[str, str | None, str]] = []
+    for it in items:
+        cm = _CNT_STAR.match(it)
+        if cm:
+            out.append(("count_star", None, _unquote_ident(cm.group("a"))))
+            continue
+        sm = _SUM.match(it)
+        if sm:
+            out.append(
+                ("sum", sm.group("e").strip(), _unquote_ident(sm.group("a")))
+            )
+            continue
+        nm = _CNT.match(it)
+        if nm:
+            out.append(
+                ("count", nm.group("e").strip(), _unquote_ident(nm.group("a")))
+            )
+            continue
+        return None  # AVG/MIN/MAX/unaliased/unknown: full-only
+    return out
+
+
+# -- state shapes -----------------------------------------------------------
+
+
+def state_columns(plan: MvPlan) -> list[str]:
+    cols = [a for _, a in plan.keys] + [_N]
+    for i, (kind, _, _) in enumerate(plan.aggs):
+        if kind == "sum":
+            cols += [f"__mv_s{i}", f"__mv_c{i}"]
+        elif kind == "count":
+            cols += [f"__mv_c{i}"]
+    return cols
+
+
+def view_body(plan: MvPlan, data_name: str) -> str:
+    """The read view reconstructing user columns from hidden state."""
+    sel = [f"`{a}`" for _, a in plan.keys]
+    for i, (kind, _, alias) in enumerate(plan.aggs):
+        if kind == "sum":
+            sel.append(
+                f"CASE WHEN `__mv_c{i}` = 0 THEN NULL ELSE `__mv_s{i}` END"
+                f" AS `{alias}`"
+            )
+        elif kind == "count":
+            sel.append(f"`__mv_c{i}` AS `{alias}`")
+        else:
+            sel.append(f"`{_N}` AS `{alias}`")
+    return f"SELECT {', '.join(sel)} FROM {data_name}"
+
+
+def full_state(base: DataFrame, plan: MvPlan) -> DataFrame:
+    """Hidden-column state recomputed from a base snapshot."""
+    if plan.where:
+        base = base.filter(F.expr(plan.where))
+    keys = [F.expr(e).alias(a) for e, a in plan.keys]
+    aggs = [F.count(F.lit(1)).cast("long").alias(_N)]
+    for i, (kind, e, _) in enumerate(plan.aggs):
+        if kind == "sum":
+            x = F.expr(e)
+            # raw sum keeps the SUM's natural type (double stays double)
+            aggs.append(F.coalesce(F.sum(x), F.lit(0)).alias(f"__mv_s{i}"))
+            aggs.append(F.count(x).cast("long").alias(f"__mv_c{i}"))
+        elif kind == "count":
+            aggs.append(F.count(F.expr(e)).cast("long").alias(f"__mv_c{i}"))
+    if keys:
+        return base.groupBy(*keys).agg(*aggs)
+    return base.agg(*aggs)
+
+
+def delta_state(changes: DataFrame, plan: MvPlan) -> DataFrame:
+    """Signed-weight aggregate of a CDF slice — same shape as
+    :func:`full_state` but each row contributes ±1."""
+    w = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(0))
+    )
+    df = changes.withColumn("__mv_w", w).filter(F.col("__mv_w") != 0)
+    if plan.where:
+        df = df.filter(F.expr(plan.where))
+    keys = [F.expr(e).alias(a) for e, a in plan.keys]
+    aggs = [F.sum("__mv_w").cast("long").alias(_N)]
+    for i, (kind, e, _) in enumerate(plan.aggs):
+        if kind == "sum":
+            x = F.expr(e)
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.col("__mv_w") * F.coalesce(x, F.lit(0))),
+                    F.lit(0),
+                ).alias(f"__mv_s{i}")
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.col("__mv_w")
+                        * F.when(x.isNotNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"__mv_c{i}")
+            )
+        elif kind == "count":
+            x = F.expr(e)
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.col("__mv_w")
+                        * F.when(x.isNotNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"__mv_c{i}")
+            )
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def _fold_state(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:
+    """old ⊕ delta: null-safe full-outer join on the group keys, summed
+    hidden columns, dead groups (row count 0) dropped.  Isolated so a
+    keyed-MERGE upgrade (huge group cardinalities) swaps in here."""
+    key_names = [a for _, a in plan.keys]
+    counters = [c for c in state_columns(plan) if c not in key_names]
+    if not key_names:
+        # global aggregate: both sides are exactly one row
+        o = old.select([F.col(c).alias(f"__o_{c}") for c in counters])
+        d = delta.select([F.col(c).alias(f"__d_{c}") for c in counters])
+        return o.crossJoin(d).select(
+            *[
+                (F.col(f"__o_{c}") + F.col(f"__d_{c}")).alias(c)
+                for c in counters
+            ]
+        )
+    o = old.alias("o")
+    d = delta.alias("d")
+    cond = None
+    for k in key_names:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = eq if cond is None else cond & eq
+    merged = o.join(d, cond, "fullOuter").select(
+        *[
+            F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
+            for k in key_names
+        ],
+        *[
+            (
+                F.coalesce(F.col(f"o.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+            for c in counters
+        ],
+    )
+    return merged.filter(F.col(_N) > 0)
+
+
+def append_only_window(table, start: int, end: int) -> bool:
+    """True when every commit in ``(start, end]`` is append-shaped —
+    a METADATA-ONLY check over the history, no data read."""
+    ops = {
+        c.operation
+        for c in table.history()
+        if start < c.version <= end
+    }
+    return ops <= {"APPEND", "COPY INTO", "TXN APPEND"}

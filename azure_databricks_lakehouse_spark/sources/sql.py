@@ -377,6 +377,7 @@ class Lakehouse:
         self.warehouse = warehouse
         self._paths: dict[str, str] = {}
         self._views: dict[str, str] = {}  # name -> stored SELECT text
+        self._mviews: set[str] = set()  # materialized views (state in props)
         self._cached: dict[str, DataFrame] = {}  # CACHE pins (session-local)
         self._asof_seq = 0
         if warehouse:
@@ -388,6 +389,7 @@ class Lakehouse:
                 if "tables" in raw or "views" in raw:
                     self._paths.update(raw.get("tables", {}))
                     self._views.update(raw.get("views", {}))
+                    self._mviews.update(raw.get("mviews", []))
                 else:  # pre-views flat format
                     self._paths.update(raw)
 
@@ -399,7 +401,11 @@ class Lakehouse:
             tmp = cat + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(
-                    {"tables": self._paths, "views": self._views},
+                    {
+                        "tables": self._paths,
+                        "views": self._views,
+                        "mviews": sorted(self._mviews),
+                    },
                     fh,
                     indent=1,
                     sort_keys=True,
@@ -575,6 +581,8 @@ class Lakehouse:
             return self._apply_changes(stmt)
         if kw == "ANALYZE":
             return self._analyze(stmt)
+        if kw == "REFRESH":
+            return self._refresh_mv_stmt(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
 
     def sql_script(self, script: str) -> DataFrame:
@@ -1148,7 +1156,159 @@ class Lakehouse:
         r"(?P<body>(?:SELECT|WITH)\b.*)$"
     )
 
+    _CREATE_MV = _ci(
+        r"^CREATE\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+        r"(?P<name>`?[\w.]+`?)\s*(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?"
+        r"AS\s+(?P<body>SELECT\b.*)$"
+    )
+    _REFRESH_MV = _ci(
+        r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(`?[\w.]+`?)(\s+FULL)?$"
+    )
+
+    def _mv_compute(self, body: str, plan):
+        """(initial/full MV frame, pinned dependency version|None).  An
+        incrementally-maintainable plan computes from an EXPLICITLY
+        pinned snapshot so the stored dependency version matches the
+        materialized rows exactly; full-only MVs run the raw query."""
+        from azure_databricks_lakehouse_spark.sources import mv as _mv
+
+        if plan is None:
+            return self._run_query(body), None
+        base = self.table(plan.table)
+        v = base.latest_version()
+        snap = base.read(v)
+        if plan.grouped:
+            return _mv.full_state(snap, plan), v
+        self._asof_seq += 1
+        tmp = f"__mv_src_{self._asof_seq}"
+        snap.createOrReplaceTempView(tmp)
+        q = f"SELECT {plan.items} FROM {tmp}"
+        if plan.where:
+            q += f" WHERE {plan.where}"
+        return self.spark.sql(q), v
+
+    def _create_mv(self, m) -> DataFrame:
+        """``CREATE MATERIALIZED VIEW name [LOCATION '...'] AS SELECT``
+        — data in a lakehouse table ``<name>__mvdata``, reads through a
+        stored view, refresh state in the data table's props (see
+        ``sources/mv.py`` for the incremental-maintenance design)."""
+        from azure_databricks_lakehouse_spark.sources import mv as _mv
+
+        name = _unquote_ident(m.group("name"))
+        if name in self._mviews and m.group("ine"):
+            return self._status(
+                "CREATE MATERIALIZED VIEW (exists)", name, None
+            )
+        if name in self._views or name in self._paths or name in self._mviews:
+            raise ValueError(f"name in use: {name}")
+        body = " ".join(m.group("body").split())
+        data_name = f"{name}__mvdata"
+        loc = m.group("loc") or self._default_location(data_name)
+        plan = _mv.parse_plan(body)
+        if plan is not None and plan.table not in self._paths:
+            plan = None  # base isn't a lakehouse table: no CDF, full-only
+        df, dep = self._mv_compute(body, plan)
+        t = ParquetTable.create(self.spark, loc, df)
+        props: dict = {"mv_query": body}
+        if plan is not None:
+            props["mv_dep_table"] = plan.table
+            props["mv_dep_version"] = dep
+        t.set_properties(props)
+        self._paths[data_name] = os.path.abspath(loc)
+        self._views[name] = (
+            _mv.view_body(plan, data_name)
+            if plan is not None and plan.grouped
+            else f"SELECT * FROM {data_name}"
+        )
+        self._mviews.add(name)
+        self._save_catalog()
+        return self._status("CREATE MATERIALIZED VIEW", name, 0)
+
+    def _refresh_mv_stmt(self, stmt: str) -> DataFrame:
+        """``REFRESH MATERIALIZED VIEW name [FULL]`` — incremental when
+        the stored plan allows (grouped aggregates under any DML via
+        weighted CDF deltas; projections under append-only windows),
+        full recompute otherwise or on demand.  A VACUUMed CDF horizon
+        falls back to full instead of failing."""
+        from azure_databricks_lakehouse_spark.sources import mv as _mv
+
+        m = self._REFRESH_MV.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported REFRESH form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(1))
+        if name not in self._mviews:
+            raise KeyError(f"unknown materialized view {name!r}")
+        force_full = bool(m.group(2))
+        data_name = f"{name}__mvdata"
+        table = self.table(data_name)
+        props = table.properties()
+        body = props["mv_query"]
+        plan = _mv.parse_plan(body)
+        if plan is not None and plan.table not in self._paths:
+            plan = None
+        mode, dep_out = "full", None
+        if plan is not None and not force_full:
+            base = self.table(plan.table)
+            cur = base.latest_version()
+            dep = props.get("mv_dep_version")
+            if dep == cur:
+                return self.spark.createDataFrame(
+                    [(name, "noop", dep)],
+                    "view string, mode string, dep_version long",
+                )
+            if dep is not None:
+                try:
+                    if plan.grouped:
+                        delta = _mv.delta_state(
+                            base.changes_between(dep, cur), plan
+                        )
+                        table.overwrite(
+                            _mv._fold_state(table.read(), delta, plan)
+                        )
+                        table.set_properties({"mv_dep_version": cur})
+                        mode, dep_out = "incremental", cur
+                    elif _mv.append_only_window(base, dep, cur):
+                        ch = (
+                            base.changes_between(dep, cur)
+                            .filter(
+                                F.col("_change_type").isin(
+                                    "insert", "update_postimage"
+                                )
+                            )
+                            .drop(
+                                "_change_type",
+                                "_commit_version",
+                                "_commit_timestamp",
+                            )
+                        )
+                        self._asof_seq += 1
+                        tmp = f"__mv_chg_{self._asof_seq}"
+                        ch.createOrReplaceTempView(tmp)
+                        q = f"SELECT {plan.items} FROM {tmp}"
+                        if plan.where:
+                            q += f" WHERE {plan.where}"
+                        table.append(self.spark.sql(q))
+                        table.set_properties({"mv_dep_version": cur})
+                        mode, dep_out = "incremental", cur
+                except FileNotFoundError:
+                    mode = "full"  # CDF horizon VACUUMed: recompute
+        if mode == "full":
+            df, dep_out = self._mv_compute(body, plan)
+            table.overwrite(df)
+            up: dict = {"mv_query": body}
+            if plan is not None:
+                up["mv_dep_table"] = plan.table
+                up["mv_dep_version"] = dep_out
+            table.set_properties(up)
+        return self.spark.createDataFrame(
+            [(name, mode, dep_out)],
+            "view string, mode string, dep_version long",
+        )
+
     def _create(self, stmt: str) -> DataFrame:
+        mm = self._CREATE_MV.match(stmt)
+        if mm:
+            return self._create_mv(mm)
         vm = self._CREATE_VIEW.match(stmt)
         if vm:
             name = _unquote_ident(vm.group("name"))
@@ -3080,14 +3240,36 @@ class Lakehouse:
 
     # -- DROP / SHOW --------------------------------------------------------
 
-    _DROP = _ci(r"^DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(`?[\w.]+`?)$")
+    _DROP = _ci(
+        r"^DROP\s+(MATERIALIZED\s+VIEW|TABLE|VIEW)\s+"
+        r"(IF\s+EXISTS\s+)?(`?[\w.]+`?)$"
+    )
 
     def _drop(self, stmt: str) -> DataFrame:
         m = self._DROP.match(stmt)
         if not m:
             raise ValueError(f"unsupported DROP form: {stmt[:80]!r}")
+        if m.group(1).upper().startswith("MATERIALIZED"):
+            name = _unquote_ident(m.group(3))
+            if name not in self._mviews:
+                if m.group(2):
+                    return self._status(
+                        "DROP MATERIALIZED VIEW (absent)", name, None
+                    )
+                raise KeyError(f"unknown materialized view {name!r}")
+            self._mviews.discard(name)
+            self._views.pop(name, None)
+            self._paths.pop(f"{name}__mvdata", None)
+            self._save_catalog()
+            self.spark.catalog.dropTempView(self._view_name(name))
+            return self._status("DROP MATERIALIZED VIEW", name, None)
         if m.group(1).upper() == "VIEW":
             name = _unquote_ident(m.group(3))
+            if name in self._mviews:
+                raise ValueError(
+                    f"{name} is a materialized view; use DROP "
+                    "MATERIALIZED VIEW"
+                )
             if name not in self._views:
                 if m.group(2):
                     return self._status("DROP VIEW (absent)", name, None)

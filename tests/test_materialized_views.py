@@ -1,0 +1,202 @@
+"""Materialized views with CDF-driven incremental refresh
+(``sources/mv.py`` + the CREATE/REFRESH/DROP MATERIALIZED VIEW
+statements).
+
+The done-criterion is the hypothesis sweep: after ANY random DML
+sequence on the base table, an incremental refresh must leave the MV
+row-identical to recomputing its defining query from scratch — the
+signed-weight CDF delta and the NULL-exact SUM reconstruction have to
+agree with Spark's own aggregate under every composition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return Lakehouse(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk_base(lh, name="b"):
+    lh.sql(
+        f"CREATE TABLE {name} AS SELECT col1 AS g, col2 AS x FROM VALUES "
+        "(1, 10), (1, 20), (2, 5), (2, NULL), (3, 7)"
+    )
+
+
+def _mv_rows(lh, name="m"):
+    return sorted(
+        (tuple(r) for r in lh.sql(f"SELECT * FROM {name}").collect()),
+        key=str,
+    )
+
+
+def _recompute(lh, q):
+    return sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+
+
+_Q = "SELECT g, SUM(x) AS sx, COUNT(*) AS n, COUNT(x) AS nx FROM b GROUP BY g"
+
+
+def test_create_and_read(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    assert _mv_rows(lh) == _recompute(lh, _Q)
+
+
+def test_incremental_after_mixed_dml(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    lh.sql("INSERT INTO b VALUES (1, 100), (4, 1)")  # new + new group
+    lh.sql("UPDATE b SET x = 50 WHERE g = 2 AND x = 5")
+    lh.sql("DELETE FROM b WHERE g = 3")  # group death
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh) == _recompute(lh, _Q)
+    assert all(t[0] != 3 for t in _mv_rows(lh))  # dead group dropped
+
+
+def test_sum_null_semantics_round_trip(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    # delete group 2's only non-NULL x: its SUM must become NULL (not 0)
+    lh.sql("DELETE FROM b WHERE g = 2 AND x = 5")
+    lh.sql("REFRESH MATERIALIZED VIEW m")
+    rows = {r.g: (r.sx, r.n, r.nx) for r in lh.sql("SELECT * FROM m").collect()}
+    assert rows[2] == (None, 1, 0)
+    assert _mv_rows(lh) == _recompute(lh, _Q)
+
+
+def test_noop_refresh_commits_nothing(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    before = lh.table("m__mvdata").latest_version()
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "noop"
+    assert lh.table("m__mvdata").latest_version() == before
+
+
+def test_refresh_full_forces(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    lh.sql("INSERT INTO b VALUES (9, 9)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW m FULL").collect()[0]
+    assert r.mode == "full"
+    assert _mv_rows(lh) == _recompute(lh, _Q)
+
+
+def test_where_clause_filters_changes(lh):
+    _mk_base(lh)
+    q = "SELECT g, COUNT(*) AS n FROM b WHERE x > 6 GROUP BY g"
+    lh.sql(f"CREATE MATERIALIZED VIEW mw AS {q}")
+    lh.sql("INSERT INTO b VALUES (1, 3), (1, 30)")  # one below, one above
+    assert lh.sql("REFRESH MATERIALIZED VIEW mw").collect()[0].mode == "incremental"
+    assert _mv_rows(lh, "mw") == _recompute(lh, q)
+
+
+def test_global_aggregate_mv(lh):
+    _mk_base(lh)
+    q = "SELECT SUM(x) AS sx, COUNT(*) AS n FROM b"
+    lh.sql(f"CREATE MATERIALIZED VIEW mg AS {q}")
+    lh.sql("DELETE FROM b WHERE g = 1")
+    lh.sql("INSERT INTO b VALUES (8, 80)")
+    assert lh.sql("REFRESH MATERIALIZED VIEW mg").collect()[0].mode == "incremental"
+    assert _mv_rows(lh, "mg") == _recompute(lh, q)
+
+
+def test_projection_mv_appends_incrementally_then_falls_back(lh):
+    _mk_base(lh)
+    q = "SELECT g, x * 2 AS x2 FROM b WHERE x IS NOT NULL"
+    lh.sql(f"CREATE MATERIALIZED VIEW mp AS {q}")
+    lh.sql("INSERT INTO b VALUES (5, 50)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mp").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "mp") == _recompute(lh, q)
+    lh.sql("DELETE FROM b WHERE g = 5")  # rewrite commit: projection
+    r = lh.sql("REFRESH MATERIALIZED VIEW mp").collect()[0]
+    assert r.mode == "full"  # can't subtract from a multiset projection
+    assert _mv_rows(lh, "mp") == _recompute(lh, q)
+
+
+def test_ineligible_query_is_full_only(lh):
+    _mk_base(lh)
+    lh.sql("CREATE TABLE d AS SELECT col1 AS g, col2 AS nm FROM VALUES (1,'a'),(2,'b')")
+    q = "SELECT b.g AS g, SUM(b.x) AS sx FROM b JOIN d ON b.g = d.g GROUP BY b.g"
+    lh.sql(f"CREATE MATERIALIZED VIEW mj AS {q}")
+    lh.sql("INSERT INTO b VALUES (1, 1)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mj").collect()[0]
+    assert r.mode == "full"
+    assert _mv_rows(lh, "mj") == _recompute(lh, q)
+
+
+def test_drop_materialized_view(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    with pytest.raises(ValueError, match="MATERIALIZED"):
+        lh.sql("DROP VIEW m")
+    lh.sql("DROP MATERIALIZED VIEW m")
+    assert "m" not in lh.sql("SHOW VIEWS").collect()
+    with pytest.raises(KeyError):
+        lh.sql("REFRESH MATERIALIZED VIEW m")
+    lh.sql("DROP MATERIALIZED VIEW IF EXISTS m")  # absent: no raise
+
+
+# --- the done-criterion sweep ----------------------------------------------
+
+KEYS = [1, 2, 3]
+
+_op = st.one_of(
+    st.tuples(
+        st.just("insert"),
+        st.lists(
+            st.tuples(st.sampled_from(KEYS), st.integers(0, 50) | st.none()),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    st.tuples(st.just("delete"), st.sampled_from(KEYS)),
+    st.tuples(
+        st.just("update"), st.sampled_from(KEYS), st.integers(0, 50)
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_incremental_matches_recompute_under_random_dml(
+    spark, tmp_path_factory, ops
+):
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvhyp")))
+    lh.sql(
+        "CREATE TABLE hb AS SELECT col1 AS g, col2 AS x FROM VALUES "
+        "(1, 10), (2, NULL), (3, 7)"
+    )
+    q = "SELECT g, SUM(x) AS sx, COUNT(*) AS n, COUNT(x) AS nx FROM hb GROUP BY g"
+    lh.sql(f"CREATE MATERIALIZED VIEW hm AS {q}")
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(
+                f"({g}, {'NULL' if x is None else x})" for g, x in op[1]
+            )
+            lh.sql(f"INSERT INTO hb VALUES {vals}")
+        elif op[0] == "delete":
+            lh.sql(f"DELETE FROM hb WHERE g = {op[1]}")
+        else:
+            lh.sql(f"UPDATE hb SET x = x + {op[2]} WHERE g = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW hm").collect()[0]
+        assert r.mode in ("incremental", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM hm").collect()), key=str
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops}"
