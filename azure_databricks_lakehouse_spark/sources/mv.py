@@ -74,6 +74,7 @@ _SHAPE = _ci(
     r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?$"
 )
 _SUM = _ci(r"^SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
+_MINMAX = _ci(r"^(?P<f>MIN|MAX)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
 _CNT_STAR = _ci(r"^COUNT\s*\(\s*(?:\*|1)\s*\)\s+AS\s+(?P<a>`?\w+`?)$")
 _CNT = _ci(r"^COUNT\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
 _ALIASED = _ci(r"^(?P<e>.+?)\s+AS\s+(?P<a>`?\w+`?)$")
@@ -163,8 +164,25 @@ def _parse_aggs(items: list[str]) -> list[tuple[str, str | None, str]] | None:
                 ("count", nm.group("e").strip(), _unquote_ident(nm.group("a")))
             )
             continue
-        return None  # AVG/MIN/MAX/unaliased/unknown: full-only
+        mm = _MINMAX.match(it)
+        if mm:
+            out.append(
+                (
+                    mm.group("f").lower(),
+                    mm.group("e").strip(),
+                    _unquote_ident(mm.group("a")),
+                )
+            )
+            continue
+        return None  # AVG/unaliased/unknown aggregates: full-only
     return out
+
+
+def has_extrema(plan: MvPlan) -> bool:
+    """True when the plan carries MIN/MAX items — maintainable only
+    under append-only windows (an extreme is not decrementable: deleting
+    the current minimum needs a per-group rescan)."""
+    return any(k in ("min", "max") for k, _, _ in plan.aggs)
 
 
 # -- state shapes -----------------------------------------------------------
@@ -177,6 +195,8 @@ def state_columns(plan: MvPlan) -> list[str]:
             cols += [f"__mv_s{i}", f"__mv_c{i}"]
         elif kind == "count":
             cols += [f"__mv_c{i}"]
+        elif kind in ("min", "max"):
+            cols += [f"__mv_m{i}"]
     return cols
 
 
@@ -191,6 +211,8 @@ def view_body(plan: MvPlan, data_name: str) -> str:
             )
         elif kind == "count":
             sel.append(f"`__mv_c{i}` AS `{alias}`")
+        elif kind in ("min", "max"):
+            sel.append(f"`__mv_m{i}` AS `{alias}`")
         else:
             sel.append(f"`{_N}` AS `{alias}`")
     return f"SELECT {', '.join(sel)} FROM {data_name}"
@@ -210,6 +232,10 @@ def full_state(base: DataFrame, plan: MvPlan) -> DataFrame:
             aggs.append(F.count(x).cast("long").alias(f"__mv_c{i}"))
         elif kind == "count":
             aggs.append(F.count(F.expr(e)).cast("long").alias(f"__mv_c{i}"))
+        elif kind == "min":
+            aggs.append(F.min(F.expr(e)).alias(f"__mv_m{i}"))
+        elif kind == "max":
+            aggs.append(F.max(F.expr(e)).alias(f"__mv_m{i}"))
     if keys:
         return base.groupBy(*keys).agg(*aggs)
     return base.agg(*aggs)
@@ -267,6 +293,11 @@ def delta_state(changes: DataFrame, plan: MvPlan) -> DataFrame:
                 .cast("long")
                 .alias(f"__mv_c{i}")
             )
+        elif kind in ("min", "max"):
+            # only meaningful over an append-only window (the caller
+            # checks); negative-weight rows never reach here then
+            fn = F.min if kind == "min" else F.max
+            aggs.append(fn(F.expr(e)).alias(f"__mv_m{i}"))
     if keys:
         return df.groupBy(*keys).agg(*aggs)
     return df.agg(*aggs)
@@ -277,16 +308,41 @@ def _fold_state(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:
     hidden columns, dead groups (row count 0) dropped.  Isolated so a
     keyed-MERGE upgrade (huge group cardinalities) swaps in here."""
     key_names = [a for _, a in plan.keys]
-    counters = [c for c in state_columns(plan) if c not in key_names]
+    extrema = {
+        f"__mv_m{i}": kind
+        for i, (kind, _, _) in enumerate(plan.aggs)
+        if kind in ("min", "max")
+    }
+    counters = [
+        c
+        for c in state_columns(plan)
+        if c not in key_names and c not in extrema
+    ]
+
+    def _combine(oc, dc):
+        adds = [
+            (
+                F.coalesce(oc(c), F.lit(0)) + F.coalesce(dc(c), F.lit(0))
+            ).alias(c)
+            for c in counters
+        ]
+        # least/greatest SKIP NULLs (Spark contract): a side with no
+        # observation never wins, all-NULL stays NULL
+        folds = [
+            (F.least if kind == "min" else F.greatest)(oc(c), dc(c)).alias(c)
+            for c, kind in extrema.items()
+        ]
+        return adds + folds
+
     if not key_names:
         # global aggregate: both sides are exactly one row
-        o = old.select([F.col(c).alias(f"__o_{c}") for c in counters])
-        d = delta.select([F.col(c).alias(f"__d_{c}") for c in counters])
+        cols = counters + list(extrema)
+        o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
+        d = delta.select([F.col(c).alias(f"__d_{c}") for c in cols])
         return o.crossJoin(d).select(
-            *[
-                (F.col(f"__o_{c}") + F.col(f"__d_{c}")).alias(c)
-                for c in counters
-            ]
+            *_combine(
+                lambda c: F.col(f"__o_{c}"), lambda c: F.col(f"__d_{c}")
+            )
         )
     o = old.alias("o")
     d = delta.alias("d")
@@ -299,13 +355,9 @@ def _fold_state(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:
             F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
             for k in key_names
         ],
-        *[
-            (
-                F.coalesce(F.col(f"o.{c}"), F.lit(0))
-                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
-            ).alias(c)
-            for c in counters
-        ],
+        *_combine(
+            lambda c: F.col(f"o.{c}"), lambda c: F.col(f"d.{c}")
+        ),
     )
     return merged.filter(F.col(_N) > 0)
 

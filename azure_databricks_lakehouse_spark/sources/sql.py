@@ -1258,7 +1258,13 @@ class Lakehouse:
                 )
             if dep is not None:
                 try:
-                    if plan.grouped:
+                    if plan.grouped and (
+                        not _mv.has_extrema(plan)
+                        or _mv.append_only_window(base, dep, cur)
+                    ):
+                        # MIN/MAX fold only under append-only windows
+                        # (an extreme is not decrementable); SUM/COUNT
+                        # fold under any DML mix
                         delta = _mv.delta_state(
                             base.changes_between(dep, cur), plan
                         )
@@ -1267,7 +1273,9 @@ class Lakehouse:
                         )
                         table.set_properties({"mv_dep_version": cur})
                         mode, dep_out = "incremental", cur
-                    elif _mv.append_only_window(base, dep, cur):
+                    elif not plan.grouped and _mv.append_only_window(
+                        base, dep, cur
+                    ):
                         ch = (
                             base.changes_between(dep, cur)
                             .filter(

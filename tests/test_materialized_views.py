@@ -200,3 +200,33 @@ def test_incremental_matches_recompute_under_random_dml(
         )
         want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
         assert got == want, f"after {op} of {ops}"
+
+
+_QM = (
+    "SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n "
+    "FROM b GROUP BY g"
+)
+
+
+def test_min_max_incremental_under_appends(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW mm AS {_QM}")
+    lh.sql("INSERT INTO b VALUES (1, 5), (2, 99), (6, NULL)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mm").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "mm") == _recompute(lh, _QM)
+    rows = {x.g: (x.mn, x.mx) for x in lh.sql("SELECT * FROM mm").collect()}
+    assert rows[1] == (5, 20)  # new minimum folded in
+    assert rows[6] == (None, None)  # all-NULL group stays NULL
+
+
+def test_min_max_falls_back_to_full_on_delete(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW mm2 AS {_QM}")
+    # delete the current minimum of g=1: not decrementable -> full
+    lh.sql("DELETE FROM b WHERE g = 1 AND x = 10")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mm2").collect()[0]
+    assert r.mode == "full"
+    assert _mv_rows(lh, "mm2") == _recompute(lh, _QM)
+    rows = {x.g: x.mn for x in lh.sql("SELECT * FROM mm2").collect()}
+    assert rows[1] == 20  # the rescan found the survivor
