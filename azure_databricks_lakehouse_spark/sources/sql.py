@@ -1232,6 +1232,9 @@ class Lakehouse:
         falls back to full instead of failing."""
         from azure_databricks_lakehouse_spark.sources import mv as _mv
 
+        sm = self._REFRESH_ST.match(stmt)
+        if sm:
+            return self._refresh_streaming_table(_unquote_ident(sm.group(1)))
         m = self._REFRESH_MV.match(stmt)
         if not m:
             raise ValueError(f"unsupported REFRESH form: {stmt[:80]!r}")
@@ -1313,10 +1316,101 @@ class Lakehouse:
             "view string, mode string, dep_version long",
         )
 
+    _CREATE_ST = _ci(
+        r"^CREATE\s+STREAMING\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+        r"(?P<name>`?[\w.]+`?)\s*(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?"
+        r"AS\s+(?P<body>SELECT\b.*)$"
+    )
+    _ST_BODY = _ci(
+        r"^SELECT\s+(?P<items>.+?)\s+FROM\s+STREAM\s*\(\s*"
+        r"(?P<src>`?[\w.]+`?)\s*\)(?:\s+WHERE\s+(?P<where>.+))?$"
+    )
+    _REFRESH_ST = _ci(r"^REFRESH\s+STREAMING\s+TABLE\s+(`?[\w.]+`?)$")
+
+    def _create_streaming_table(self, m) -> DataFrame:
+        """DLT parity: ``CREATE STREAMING TABLE name AS SELECT ... FROM
+        STREAM(src) [WHERE ...]`` — continuous table-to-table ingestion
+        composed from the engine's own primitives: the CDF-backed plain
+        table stream (appends only; a rewrite commit in the source
+        RAISES — Delta's streaming-table contract) feeding the
+        checkpointed transactional-append sink, so each REFRESH drains
+        exactly the new source commits exactly-once.  The pipeline spec
+        (query + checkpoint) rides the target table's props; the target
+        is a plain registered table (DML/OPTIMIZE/time travel all
+        apply)."""
+        name = _unquote_ident(m.group("name"))
+        if name in self._paths and m.group("ine"):
+            return self._status("CREATE STREAMING TABLE (exists)", name, None)
+        if name in self._paths or name in self._views or name in self._mviews:
+            raise ValueError(f"name in use: {name}")
+        body = " ".join(m.group("body").split())
+        bm = self._ST_BODY.match(body)
+        if not bm:
+            raise ValueError(
+                "CREATE STREAMING TABLE needs AS SELECT ... FROM "
+                f"STREAM(table) [WHERE ...]; got {body[:80]!r}"
+            )
+        src = _unquote_ident(bm.group("src"))
+        src_table = self.table(src)  # must be a lakehouse table
+        loc = m.group("loc") or self._default_location(name)
+        # schema probe: the select over a zero-row batch slice
+        self._asof_seq += 1
+        tmp = f"__st_probe_{self._asof_seq}"
+        src_table.read().limit(0).createOrReplaceTempView(tmp)
+        q = f"SELECT {bm.group('items')} FROM {tmp}"
+        if bm.group("where"):
+            q += f" WHERE {bm.group('where')}"
+        empty = self.spark.sql(q)
+        t = ParquetTable.create(self.spark, loc, empty)
+        ckpt = self._default_location(f"{name}__checkpoint")
+        t.set_properties({"st_query": body, "st_checkpoint": ckpt})
+        self._paths[name] = os.path.abspath(loc)
+        self._save_catalog()
+        self._refresh_streaming_table(name)  # drain the initial backlog
+        return self._status(
+            "CREATE STREAMING TABLE", name, self.table(name).latest_version()
+        )
+
+    def _refresh_streaming_table(self, name: str) -> DataFrame:
+        """One ``availableNow`` drain of the streaming table's pipeline —
+        exactly-once via the persistent checkpoint + per-batch txn
+        appends (a replayed micro-batch skips at metadata cost)."""
+        from azure_databricks_lakehouse_spark.streaming import jobs as _jobs
+
+        table = self.table(name)
+        props = table.properties()
+        body = props.get("st_query")
+        if not body:
+            raise ValueError(f"{name} is not a streaming table")
+        bm = self._ST_BODY.match(body)
+        src = _unquote_ident(bm.group("src"))
+        stream = _jobs.read_table_stream(self.spark, self._paths[src])
+        self._asof_seq += 1
+        tmp = f"__st_src_{self._asof_seq}"
+        stream.createOrReplaceTempView(tmp)
+        q = f"SELECT {bm.group('items')} FROM {tmp}"
+        if bm.group("where"):
+            q += f" WHERE {bm.group('where')}"
+        df = self.spark.sql(q)
+        ckpt = props["st_checkpoint"]
+        query = _jobs.write_stream_to_table(
+            df,
+            self._paths[name],
+            ckpt,
+            txn_app=_jobs._checkpoint_lineage(ckpt),
+        )
+        query.awaitTermination()
+        return self._status(
+            "REFRESH STREAMING TABLE", name, table.latest_version()
+        )
+
     def _create(self, stmt: str) -> DataFrame:
         mm = self._CREATE_MV.match(stmt)
         if mm:
             return self._create_mv(mm)
+        sm = self._CREATE_ST.match(stmt)
+        if sm:
+            return self._create_streaming_table(sm)
         vm = self._CREATE_VIEW.match(stmt)
         if vm:
             name = _unquote_ident(vm.group("name"))
