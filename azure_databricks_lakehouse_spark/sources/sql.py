@@ -3328,6 +3328,27 @@ class Lakehouse:
         if ac:
             v = table.add_check_constraint(ac.group(1), ac.group(2))
             return self._status("ALTER ADD CONSTRAINT", name, v)
+        pk = _ci(
+            r"^ADD\s+CONSTRAINT\s+(\w+)\s+PRIMARY\s+KEY\s*\(([^)]*)\)$"
+        ).match(action)
+        if pk:
+            v = table.add_key_constraint(
+                pk.group(1), "pk", _ident_list(pk.group(2))
+            )
+            return self._status("ALTER ADD CONSTRAINT", name, v)
+        fk = _ci(
+            r"^ADD\s+CONSTRAINT\s+(\w+)\s+FOREIGN\s+KEY\s*\(([^)]*)\)\s+"
+            r"REFERENCES\s+(`?[\w.]+`?)\s*(?:\(([^)]*)\))?$"
+        ).match(action)
+        if fk:
+            v = table.add_key_constraint(
+                fk.group(1),
+                "fk",
+                _ident_list(fk.group(2)),
+                ref_table=_unquote_ident(fk.group(3)),
+                ref_cols=_ident_list(fk.group(4)) if fk.group(4) else None,
+            )
+            return self._status("ALTER ADD CONSTRAINT", name, v)
         dc = _ci(r"^DROP\s+CONSTRAINT\s+(\w+)$").match(action)
         if dc:
             return self._status(
@@ -3401,6 +3422,7 @@ class Lakehouse:
     _DDL_RESERVED_PROPS = frozenset(
         {
             "check_constraints",
+            "key_constraints",
             "not_null",
             "generated",
             "defaults",
@@ -3410,6 +3432,13 @@ class Lakehouse:
             "clustering_intent",
             "statistics",
             "txns",
+            # managed-pipeline state (MV / streaming table): internal,
+            # not reconstructable through CREATE TABLE
+            "mv_query",
+            "mv_dep_table",
+            "mv_dep_version",
+            "st_query",
+            "st_checkpoint",
         }
     )
 
@@ -3484,6 +3513,24 @@ class Lakehouse:
             rows.append(
                 (f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({expr})",)
             )
+        for cname, kc in sorted(props.get("key_constraints", {}).items()):
+            cols = ", ".join(kc["cols"])
+            if kc["kind"] == "pk":
+                rows.append(
+                    (
+                        f"ALTER TABLE {name} ADD CONSTRAINT {cname} "
+                        f"PRIMARY KEY ({cols})",
+                    )
+                )
+            else:
+                refs = ", ".join(kc["ref_cols"])
+                rows.append(
+                    (
+                        f"ALTER TABLE {name} ADD CONSTRAINT {cname} "
+                        f"FOREIGN KEY ({cols}) REFERENCES "
+                        f"{kc['ref_table']} ({refs})",
+                    )
+                )
         return self.spark.createDataFrame(rows, "createtab_stmt string")
 
     def _show(self, stmt: str) -> DataFrame:

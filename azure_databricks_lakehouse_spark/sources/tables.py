@@ -1774,19 +1774,66 @@ class ParquetTable:
         write enforces it — and RESTORE restores it with the data."""
         m = self._manifest()
         checks, not_null = _constraint_state(m)
-        if name in checks:
+        if name in checks or name in m.get("props", {}).get(
+            "key_constraints", {}
+        ):
             raise ValueError(f"constraint {name!r} already exists")
         self._enforce(self.read(), {name: expr}, [], m, "ADD CONSTRAINT")
         props = {**m.get("props", {}), "check_constraints": {**checks, name: expr}}
         return self._commit_props(m, props, "ADD CONSTRAINT")
 
+    def add_key_constraint(
+        self,
+        name: str,
+        kind: str,
+        cols: Sequence[str],
+        ref_table: str | None = None,
+        ref_cols: Sequence[str] | None = None,
+    ) -> int:
+        """Databricks parity: informational ``PRIMARY KEY`` / ``FOREIGN
+        KEY`` constraints — NOT enforced (Databricks does not enforce
+        them either; they document intent for tools and optimizers).
+        One PK per table; constraint names share the CHECK namespace;
+        metadata-only versioned commit, so RESTORE rolls them back with
+        the data."""
+        if kind not in ("pk", "fk"):
+            raise ValueError(f"kind must be 'pk' or 'fk', got {kind!r}")
+        m = self._manifest()
+        schema = _schema_from_json(self.spark, m["schema"])
+        missing = [c for c in cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"no such columns: {missing}")
+        props = m.get("props", {})
+        checks, _ = _constraint_state(m)
+        keycons = dict(props.get("key_constraints", {}))
+        if name in checks or name in keycons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if kind == "pk" and any(
+            v["kind"] == "pk" for v in keycons.values()
+        ):
+            raise ValueError("table already has a PRIMARY KEY")
+        entry: dict = {"kind": kind, "cols": list(cols)}
+        if kind == "fk":
+            if not ref_table:
+                raise ValueError("FOREIGN KEY needs REFERENCES table")
+            entry["ref_table"] = ref_table
+            entry["ref_cols"] = list(ref_cols or cols)
+        props = {**props, "key_constraints": {**keycons, name: entry}}
+        return self._commit_props(m, props, "ADD CONSTRAINT")
+
     def drop_constraint(self, name: str) -> int:
         m = self._manifest()
         checks, _ = _constraint_state(m)
-        if name not in checks:
+        props = m.get("props", {})
+        keycons = dict(props.get("key_constraints", {}))
+        if name in checks:
+            del checks[name]
+            props = {**props, "check_constraints": checks}
+        elif name in keycons:
+            del keycons[name]
+            props = {**props, "key_constraints": keycons}
+        else:
             raise ValueError(f"no such constraint: {name!r}")
-        del checks[name]
-        props = {**m.get("props", {}), "check_constraints": checks}
         return self._commit_props(m, props, "DROP CONSTRAINT")
 
     def set_not_null(self, col: str) -> int:

@@ -396,3 +396,45 @@ def test_widening_composes_with_rename(spark, tmp_path):
     got = t.read()
     assert dict(got.dtypes)["key"] == "bigint"
     assert got.filter("key >= 0").count() == 101
+
+
+def test_key_constraints_informational(spark, tmp_path):
+    """PRIMARY KEY / FOREIGN KEY (Databricks parity: informational,
+    never enforced): metadata-only commits, one PK per table, shared
+    constraint namespace, SHOW CREATE round-trips them as ALTER rows,
+    DROP CONSTRAINT removes either kind."""
+    from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+    lh = Lakehouse(spark, warehouse=str(tmp_path / "wh_kc"))
+    lh.sql("CREATE TABLE dim (id INT, nm STRING)")
+    lh.sql("CREATE TABLE fact (fid INT, did INT, amt DOUBLE)")
+    lh.sql("ALTER TABLE dim ADD CONSTRAINT dim_pk PRIMARY KEY (id)")
+    lh.sql(
+        "ALTER TABLE fact ADD CONSTRAINT fact_dim_fk "
+        "FOREIGN KEY (did) REFERENCES dim (id)"
+    )
+    # informational: a duplicate key INSERT is NOT rejected
+    lh.sql("INSERT INTO dim VALUES (1, 'a'), (1, 'dup')")
+    assert lh.sql("SELECT * FROM dim").count() == 2
+
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        lh.sql("ALTER TABLE dim ADD CONSTRAINT pk2 PRIMARY KEY (nm)")
+    with pytest.raises(ValueError, match="already exists"):
+        lh.sql("ALTER TABLE dim ADD CONSTRAINT dim_pk CHECK (id > 0)")
+    with pytest.raises(ValueError, match="no such columns"):
+        lh.sql("ALTER TABLE dim ADD CONSTRAINT px PRIMARY KEY (zz)")
+
+    ddl = "\n".join(
+        r.createtab_stmt
+        for r in lh.sql("SHOW CREATE TABLE fact").collect()
+    )
+    assert "FOREIGN KEY (did) REFERENCES dim (id)" in ddl
+    # internal props never leak into TBLPROPERTIES (fact has no user props)
+    assert "TBLPROPERTIES" not in ddl
+
+    lh.sql("ALTER TABLE fact DROP CONSTRAINT fact_dim_fk")
+    ddl2 = "\n".join(
+        r.createtab_stmt
+        for r in lh.sql("SHOW CREATE TABLE fact").collect()
+    )
+    assert "FOREIGN KEY" not in ddl2
