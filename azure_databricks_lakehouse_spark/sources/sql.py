@@ -583,6 +583,8 @@ class Lakehouse:
             return self._analyze(stmt)
         if kw == "REFRESH":
             return self._refresh_mv_stmt(stmt)
+        if kw == "COMMENT":
+            return self._comment_on(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
 
     def sql_script(self, script: str) -> DataFrame:
@@ -3066,6 +3068,24 @@ class Lakehouse:
             "table string, files_deleted int, dry_run boolean",
         )
 
+    _COMMENT_ON = _ci(
+        r"^COMMENT\s+ON\s+TABLE\s+(`?[\w.]+`?)\s+IS\s+"
+        r"(?:'(?P<txt>(?:[^']|'')*)'|(?P<null>NULL))$"
+    )
+
+    def _comment_on(self, stmt: str) -> DataFrame:
+        """``COMMENT ON TABLE t IS 'text' | NULL`` — the table comment
+        lives in the versioned props (RESTORE rolls it back); DESCRIBE
+        EXTENDED and SHOW CREATE surface it."""
+        m = self._COMMENT_ON.match(stmt)
+        if not m:
+            raise ValueError(f"unsupported COMMENT form: {stmt[:80]!r}")
+        name = _unquote_ident(m.group(1))
+        table = self.table(name)
+        txt = None if m.group("null") else m.group("txt").replace("''", "'")
+        v = table.set_properties({"comment": txt})
+        return self._status("COMMENT ON TABLE", name, v)
+
     _DESCRIBE = _ci(
         r"^DESC(?:RIBE)?\s+(?:(HISTORY|DETAIL|EXTENDED)\s+)?(`?[\w.]+`?)"
         r"(?:\s+LIMIT\s+(\d+))?$"
@@ -3078,12 +3098,15 @@ class Lakehouse:
         what = (m.group(1) or "PLAIN").upper()
         table = self.table(m.group(2))
         if what == "PLAIN":
-            # Spark's bare DESCRIBE: column name/type rows only
-            schema = _schema_from_json(
-                self.spark, table.detail()["schema"]
-            )
+            # Spark's bare DESCRIBE: column name/type/comment rows
+            d = table.detail()
+            schema = _schema_from_json(self.spark, d["schema"])
+            ccs = d["properties"].get("col_comments", {})
             return self.spark.createDataFrame(
-                [(f.name, f.dataType.simpleString(), "") for f in schema.fields],
+                [
+                    (f.name, f.dataType.simpleString(), ccs.get(f.name, ""))
+                    for f in schema.fields
+                ],
                 "col_name string, data_type string, comment string",
             )
         if what == "EXTENDED":
@@ -3297,6 +3320,18 @@ class Lakehouse:
                     "ALTER COLUMN TYPE", name,
                     table.alter_column_type(col, tm.group(1).strip()),
                 )
+            cc = _ci(
+                r"^COMMENT\s+(?:'(?P<txt>(?:[^']|'')*)'|(?P<null>NULL))$"
+            ).match(sub)
+            if cc:
+                props0 = table.properties()
+                ccs = dict(props0.get("col_comments", {}))
+                if cc.group("null"):
+                    ccs.pop(col, None)
+                else:
+                    ccs[col] = cc.group("txt").replace("''", "'")
+                v = table.set_properties({"col_comments": ccs or None})
+                return self._status("ALTER COLUMN COMMENT", name, v)
             if _ci(r"^SET\s+NOT\s+NULL$").match(sub):
                 return self._status(
                     "ALTER SET NOT NULL", name, table.set_not_null(col)
@@ -3434,6 +3469,8 @@ class Lakehouse:
             "txns",
             # managed-pipeline state (MV / streaming table): internal,
             # not reconstructable through CREATE TABLE
+            "comment",
+            "col_comments",
             "mv_query",
             "mv_dep_table",
             "mv_dep_version",
@@ -3531,6 +3568,14 @@ class Lakehouse:
                         f"{kc['ref_table']} ({refs})",
                     )
                 )
+        if props.get("comment"):
+            esc = props["comment"].replace("'", "''")
+            rows.append((f"COMMENT ON TABLE {name} IS '{esc}'",))
+        for c, txt in sorted(props.get("col_comments", {}).items()):
+            esc = txt.replace("'", "''")
+            rows.append(
+                (f"ALTER TABLE {name} ALTER COLUMN {c} COMMENT '{esc}'",)
+            )
         return self.spark.createDataFrame(rows, "createtab_stmt string")
 
     def _show(self, stmt: str) -> DataFrame:

@@ -960,6 +960,20 @@ class ParquetTable:
             f"{self.root}; extreme contention — back off and retry"
         )
 
+    def _gate_append_only(self, op: str) -> None:
+        """Delta ``delta.appendOnly`` parity: a table marked append-only
+        refuses every row-removing operation (DELETE/UPDATE/MERGE/
+        overwrite forms) with a clear error; appends, OPTIMIZE
+        (row-preserving by contract), and metadata commits stay
+        allowed."""
+        props = self._manifest().get("props", {})
+        flag = props.get("delta.appendOnly", props.get("appendOnly"))
+        if str(flag).lower() == "true":
+            raise ValueError(
+                f"{op} is not allowed on an append-only table "
+                "(delta.appendOnly=true); unset the property first"
+            )
+
     def delete(
         self,
         condition,
@@ -994,6 +1008,7 @@ class ParquetTable:
         VACUUM; OPTIMIZE (or ``purge_deletion_vectors``) materializes
         DVs away.
         """
+        self._gate_append_only("DELETE")
         m = self._manifest()
         dec, pred = self._row_marker(condition)
         hit = F.col("__hit")
@@ -1089,6 +1104,7 @@ class ParquetTable:
         (``update_preimage`` / ``update_postimage`` — Delta's CDF row
         types).
         """
+        self._gate_append_only("UPDATE")
         m = self._manifest()
         schema_cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
         unknown = set(assignments) - set(schema_cols)
@@ -1284,6 +1300,7 @@ class ParquetTable:
         current version, so every DML twin (row-wise vs IN-subquery)
         produces an IDENTICAL history and relative
         ``RESTORE ... VERSION AS OF v-1`` composes the same way."""
+        self._gate_append_only("UPDATE")
         cols = [col] if isinstance(col, str) else list(col)
         m = self._manifest()
         schema = _schema_from_json(self.spark, m["schema"])
@@ -1514,6 +1531,7 @@ class ParquetTable:
         rebase and land; a concurrent writer of the replaced region
         raises ``ConcurrentModificationError``.
         """
+        self._gate_append_only("replaceWhere/INSERT OVERWRITE")
         m = self._manifest()
         if m.get("props", {}).get("identity"):
             raise ValueError(
@@ -3646,6 +3664,7 @@ class ParquetTable:
         behavior: the commit records delete rows for the OLD snapshot
         and insert rows for the new one — cost ∝ old+new size, which is
         exactly why it's opt-in — making overwrites streamable."""
+        self._gate_append_only("OVERWRITE")
         m = self._manifest()
         df = self._apply_generated(df, m)
         df = self._apply_defaults(df, m)
@@ -3790,6 +3809,7 @@ class ParquetTable:
         the high water is untouched.  Never expose to user sources: it
         bypasses the GENERATED ALWAYS refusal.
         """
+        self._gate_append_only("MERGE")
         m = self._manifest()
         ident = m.get("props", {}).get("identity", {})
         if identity_passthrough:

@@ -438,3 +438,31 @@ def test_key_constraints_informational(spark, tmp_path):
         for r in lh.sql("SHOW CREATE TABLE fact").collect()
     )
     assert "FOREIGN KEY" not in ddl2
+
+
+def test_comments_table_and_column(spark, tmp_path):
+    """COMMENT ON TABLE + ALTER COLUMN ... COMMENT: versioned props,
+    DESCRIBE surfaces column comments, SHOW CREATE round-trips both as
+    statement rows, NULL clears."""
+    from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+    lh = Lakehouse(spark, warehouse=str(tmp_path / "wh_cm"))
+    lh.sql("CREATE TABLE tc (id INT, nm STRING)")
+    lh.sql("COMMENT ON TABLE tc IS 'the dim''s table'")
+    lh.sql("ALTER TABLE tc ALTER COLUMN nm COMMENT 'display name'")
+
+    desc = {r.col_name: r.comment for r in lh.sql("DESCRIBE tc").collect()}
+    assert desc == {"id": "", "nm": "display name"}
+
+    ddl = "\n".join(
+        r.createtab_stmt for r in lh.sql("SHOW CREATE TABLE tc").collect()
+    )
+    assert "COMMENT ON TABLE tc IS 'the dim''s table'" in ddl
+    assert "ALTER COLUMN nm COMMENT 'display name'" in ddl
+
+    lh.sql("COMMENT ON TABLE tc IS NULL")
+    lh.sql("ALTER TABLE tc ALTER COLUMN nm COMMENT NULL")
+    ddl2 = "\n".join(
+        r.createtab_stmt for r in lh.sql("SHOW CREATE TABLE tc").collect()
+    )
+    assert "COMMENT" not in ddl2
