@@ -364,10 +364,10 @@ def _fold_state(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:
 
 def append_only_window(table, start: int, end: int) -> bool:
     """True when every commit in ``(start, end]`` is append-shaped —
-    a METADATA-ONLY check over the history, no data read."""
+    a METADATA-ONLY check reading exactly the window's manifests (not
+    the whole history: a long-lived table's refresh must cost the
+    WINDOW, never its age)."""
     ops = {
-        c.operation
-        for c in table.history()
-        if start < c.version <= end
+        table._manifest(v)["operation"] for v in range(start + 1, end + 1)
     }
     return ops <= {"APPEND", "COPY INTO", "TXN APPEND"}
