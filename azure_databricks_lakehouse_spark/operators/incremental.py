@@ -66,6 +66,11 @@ def _aggregate(
 ) -> DataFrame:
     weight = F.lit(1) if sign is None else sign
     aggs = [F.sum(F.col(c) * weight).alias(c) for c in sum_cols]
+    # per-sum non-NULL count: SQL SUM over a group with no non-NULL
+    # values is NULL, and the incremental merge can only reconstruct
+    # that from a counter (a stored NULL and "no change" are otherwise
+    # indistinguishable from 0 after coalescing)
+    aggs += [F.count(F.col(c)).cast("long").alias(f"_nn_{c}") for c in sum_cols]
     aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
     # per-group HLL sketch: the mergeable state that lets the NEXT
@@ -186,11 +191,22 @@ def refresh_sum_aggregate(
     last = int(last)
     if last >= base_version:
         return last  # nothing new — no commit
+    if any(f"_nn_{c}" not in tbl.read().columns for c in sum_cols):
+        # pre-NULL-exactness layout: one-time stamped full rebuild
+        full = _full(base.read(version=base_version))
+        tbl.overwrite(full, extra_props={_WATERMARK: base_version})
+        return base_version
 
     changes = base.changes_between(last, base_version)
     is_ins = F.col("_change_type").isin(*_INSERT_TYPES)
     sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
     d_aggs = [F.sum(F.col(c) * sign).alias(f"_d_{c}") for c in sum_cols]
+    d_aggs += [
+        F.sum(
+            F.when(F.col(c).isNotNull(), sign).otherwise(F.lit(0))
+        ).alias(f"_d_nn_{c}")
+        for c in sum_cols
+    ]
     for c in min_cols:
         d_aggs.append(F.min(F.when(is_ins, F.col(c))).alias(f"_d_ins_min_{c}"))
         d_aggs.append(F.min(F.when(~is_ins, F.col(c))).alias(f"_d_del_min_{c}"))
@@ -226,12 +242,17 @@ def refresh_sum_aggregate(
         needs_rescan = needs_rescan | (
             F.coalesce(delta["_d_retractions"], F.lit(0)) > 0
         )
-    out_cols = keys + [
-        (
-            F.coalesce(cur[c], F.lit(0)) + F.coalesce(delta[f"_d_{c}"], F.lit(0))
-        ).alias(c)
-        for c in sum_cols
-    ]
+    out_cols = list(keys)
+    for c in sum_cols:
+        nn = F.coalesce(cur[f"_nn_{c}"], F.lit(0)) + F.coalesce(
+            delta[f"_d_nn_{c}"], F.lit(0)
+        )
+        raw = F.coalesce(cur[c], F.lit(0)) + F.coalesce(
+            delta[f"_d_{c}"], F.lit(0)
+        )
+        # nn == 0 ⇒ the group holds no non-NULL values ⇒ SQL SUM is NULL
+        out_cols.append(F.when(nn > 0, raw).alias(c))
+        out_cols.append(nn.cast("long").alias(f"_nn_{c}"))
     out_cols += [
         F.least(cur[f"min_{c}"], delta[f"_d_ins_min_{c}"]).alias(f"min_{c}")
         for c in min_cols

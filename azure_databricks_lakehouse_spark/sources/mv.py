@@ -40,6 +40,18 @@ sized by group cardinality.  The state fold uses one null-safe
 full-outer join + overwrite — for MVs whose group cardinality itself
 is huge, a keyed MERGE would replace the overwrite; the fold is
 isolated in ``_fold_state`` for exactly that upgrade.
+
+Relationship to ``operators/incremental.refresh_sum_aggregate``: that
+is the PYTHON operator for pipeline code (fixed output shape, HLL
+distinct sketches, per-group extrema RETRACTION rescan — recompute
+only the groups whose deleted values reached the extremum).  This
+module is the SQL statement surface: it parses arbitrary aliased
+queries, reconstructs exact SQL SUM NULL semantics through a
+hidden-state read view, covers projection MVs and the full-recompute
+fallback, and keeps extrema to append-only windows (the targeted
+rescan is the documented upgrade).  Both share the same signed-weight
+CDF delta algebra; building this layer surfaced (and fixed) the
+operator's NULL-sum drift.
 """
 
 from __future__ import annotations

@@ -286,3 +286,37 @@ def test_distinct_counts_rescan_only_deleted_groups(spark, tmp_path):
         distinct_cols=["id"],
     )
     assert set(_nd_of(spark, agg_root)) == {"a", "c"}
+
+
+def test_all_null_sum_group_stays_null_across_refreshes(spark, tmp_path):
+    """SQL SUM over a group with no non-NULL values is NULL; before the
+    per-sum non-null counters, the merge's coalesce(cur, 0) silently
+    drifted such a group's stored NULL to 0 on the FIRST refresh that
+    touched any other group (found while building the MV layer, which
+    reconstructs the same semantics from its own hidden counters)."""
+    from azure_databricks_lakehouse_spark.operators.incremental import (
+        refresh_sum_aggregate,
+    )
+    from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+    base = ParquetTable.create(
+        spark,
+        str(tmp_path / "b"),
+        spark.createDataFrame([(1, None), (2, 5)], "g int, x int"),
+    )
+    agg = str(tmp_path / "agg")
+    refresh_sum_aggregate(base, agg, group_cols=["g"], sum_cols=["x"])
+    t = ParquetTable.for_path(spark, agg)
+
+    base.append(spark.createDataFrame([(2, 7)], "g int, x int"))
+    refresh_sum_aggregate(base, agg, group_cols=["g"], sum_cols=["x"])
+    got = {r.g: r.x for r in t.read().collect()}
+    assert got == {1: None, 2: 12}
+
+    # the NULL group becoming non-NULL and back again round-trips
+    base.append(spark.createDataFrame([(1, 3)], "g int, x int"))
+    refresh_sum_aggregate(base, agg, group_cols=["g"], sum_cols=["x"])
+    assert {r.g: r.x for r in t.read().collect()}[1] == 3
+    base.delete("g = 1 AND x = 3")
+    refresh_sum_aggregate(base, agg, group_cols=["g"], sum_cols=["x"])
+    assert {r.g: r.x for r in t.read().collect()}[1] is None
