@@ -1273,10 +1273,15 @@ class Lakehouse:
                         delta = _mv.delta_state(
                             base.changes_between(dep, cur), plan
                         )
+                        # state + watermark land in ONE commit: a crash
+                        # can leave the old state (delta replays once)
+                        # or the new state (cursor advanced) — never a
+                        # folded state whose cursor still replays the
+                        # same delta (double-apply)
                         table.overwrite(
-                            _mv._fold_state(table.read(), delta, plan)
+                            _mv._fold_state(table.read(), delta, plan),
+                            extra_props={"mv_dep_version": cur},
                         )
-                        table.set_properties({"mv_dep_version": cur})
                         mode, dep_out = "incremental", cur
                     elif not plan.grouped and _mv.append_only_window(
                         base, dep, cur
@@ -1300,19 +1305,23 @@ class Lakehouse:
                         q = f"SELECT {plan.items} FROM {tmp}"
                         if plan.where:
                             q += f" WHERE {plan.where}"
-                        table.append(self.spark.sql(q))
-                        table.set_properties({"mv_dep_version": cur})
+                        table.append(
+                            self.spark.sql(q),
+                            props_update=lambda p: {
+                                **p,
+                                "mv_dep_version": cur,
+                            },
+                        )
                         mode, dep_out = "incremental", cur
                 except FileNotFoundError:
                     mode = "full"  # CDF horizon VACUUMed: recompute
         if mode == "full":
             df, dep_out = self._mv_compute(body, plan)
-            table.overwrite(df)
             up: dict = {"mv_query": body}
             if plan is not None:
                 up["mv_dep_table"] = plan.table
                 up["mv_dep_version"] = dep_out
-            table.set_properties(up)
+            table.overwrite(df, extra_props=up)
         return self.spark.createDataFrame(
             [(name, mode, dep_out)],
             "view string, mode string, dep_version long",

@@ -230,3 +230,21 @@ def test_min_max_falls_back_to_full_on_delete(lh):
     assert _mv_rows(lh, "mm2") == _recompute(lh, _QM)
     rows = {x.g: x.mn for x in lh.sql("SELECT * FROM mm2").collect()}
     assert rows[1] == 20  # the rescan found the survivor
+
+
+def test_incremental_refresh_is_one_atomic_commit(lh):
+    """State fold + dependency cursor land in ONE commit — a crash can
+    leave the old state (delta replays once) or the new state (cursor
+    advanced), never a folded state whose cursor re-applies the same
+    delta (double-apply)."""
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    data = lh.table("m__mvdata")
+    before = data.latest_version()
+    lh.sql("INSERT INTO b VALUES (1, 100)")
+    lh.sql("REFRESH MATERIALIZED VIEW m")
+    assert data.latest_version() == before + 1  # exactly one commit
+    assert (
+        data.properties()["mv_dep_version"]
+        == lh.table("b").latest_version()
+    )
