@@ -31,6 +31,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events_ops,
         lakehouse_ops,
         relational,
+        sql_surface,
         text_ops,
         vector_ops,
     )
@@ -45,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_ops,
         vector_ops,
         advanced_ops,
+        sql_surface,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -355,48 +355,101 @@ FROM orders
 """
 
 
-# --- q11: top-k per group via ranking window (W1 generalization) -----------
+# --- q11: ranking surface — per-group window, QUALIFY route, global top-k --
+# QUALIFY text shared verbatim by the engine front-end and the DuckDB
+# oracle: Spark has no QUALIFY, so sources/sql.py rewrites it into a
+# window projection + filter; DuckDB runs it natively — the rewrite
+# (including select-alias visibility in the post-filter) is verified
+# against a first-class implementation, the q34/ASOF pattern.
+_Q11_QUALIFY = """
+SELECT o_orderstatus AS grp, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       ROW_NUMBER() OVER (
+         PARTITION BY o_orderstatus
+         ORDER BY o_totalprice DESC, o_orderkey
+       ) AS rnk
+FROM orders
+QUALIFY rnk <= 5
+"""
+
+
 def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ranking shapes in one tagged union (round-10 corpus
+    consolidation under the driver's 50-query budget — the former
+    q12_global_topk merges in, freeing its slot):
+
+    - ``part='window'``: top-3 orders per market segment via a ranking
+      window (W1 generalization), the original q11.
+    - ``part='qualify'``: top-5 orders per status via the Databricks
+      ``QUALIFY`` clause routed through the engine SQL front-end
+      (round-10 surface) — the window lives in the post-filter and the
+      predicate references a select-list alias, both QUALIFY-specific
+      behaviors Spark SQL cannot parse.
+    - ``part='global'``: global top-100 by ``orderBy().limit()`` (§2.7)
+      — the plan must stay ``TakeOrderedAndProject`` (per-partition
+      heap + single merge, never a global sort; pinned in
+      tests/test_plan_shapes.py).
+    """
+    from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
     t = bind(spark, sf_dir, "orders", "customer")
     joined = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
-    return (
-        joined.withColumn("rank_in_segment", F.row_number().over(w))
-        .filter(F.col("rank_in_segment") <= 3)
-        .select("c_mktsegment", "rank_in_segment", "o_orderkey", "o_totalprice")
+    window_part = (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.lit("window").alias("part"),
+            F.col("c_mktsegment").alias("grp"),
+            F.col("rnk"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+        )
     )
-
-
-_Q11_SQL = """
-SELECT c_mktsegment, rank_in_segment, o_orderkey, o_totalprice
-FROM (
-  SELECT c_mktsegment, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                            ORDER BY o_totalprice DESC, o_orderkey ASC)
-           AS rank_in_segment
-  FROM orders JOIN customer ON o_custkey = c_custkey
-) WHERE rank_in_segment <= 3
-"""
-
-
-# --- q12: global top-k (orderBy + limit, §2.7) ------------------------------
-def q12_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = bind(spark, sf_dir, "orders")
-    return (
+    qualify_part = (
+        Lakehouse(spark)
+        .sql(_Q11_QUALIFY)
+        .select(
+            F.lit("qualify").alias("part"), "grp", "rnk", "o_orderkey", "price"
+        )
+    )
+    global_part = (
         t["orders"]
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(
+            F.lit("global").alias("part"),
+            F.col("o_custkey").cast("string").alias("grp"),
+            F.lit(None).cast("int").alias("rnk"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+        )
     )
+    return window_part.unionByName(qualify_part).unionByName(global_part)
 
 
-_Q12_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC
-LIMIT 100
+_Q11_SQL = f"""
+SELECT 'window' AS part, grp, rnk, o_orderkey, price
+FROM (
+  SELECT c_mktsegment AS grp, o_orderkey, o_totalprice AS price,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3
+UNION ALL
+SELECT 'qualify', grp, rnk, o_orderkey, price FROM ({_Q11_QUALIFY})
+UNION ALL
+SELECT 'global', CAST(o_custkey AS VARCHAR), CAST(NULL AS INTEGER),
+       o_orderkey, price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice AS price
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 100
+)
 """
 
 
@@ -526,7 +579,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q09_date_parts": QuerySpec(q09_date_parts, _Q09_SQL),
     "q10_distinct_counts": QuerySpec(q10_distinct_counts, _Q10_SQL),
     "q11_topk_per_group": QuerySpec(q11_topk_per_group, _Q11_SQL),
-    "q12_global_topk": QuerySpec(q12_global_topk, _Q12_SQL),
     "q13_semi_anti_set_ops": QuerySpec(q13_semi_anti_set_ops, _Q13_SQL),
     "q14_rollup_customers": QuerySpec(q14_rollup_customers, _Q14_SQL),
     "q15_pivot_status": QuerySpec(q15_pivot_status, _Q15_SQL),

@@ -1,0 +1,175 @@
+"""Round-10 SQL-surface query: column profiling + the materialized-view
+refresh lifecycle in ONE long-format tagged union under the DuckDB
+oracle (the QUALIFY clause lands in q11's tagged union — see
+``queries/relational.py``).
+
+Round 10 added user-facing surfaces that previously had only unit
+tests; this query puts two of them under the driver's value-hash gate
+without growing the corpus past the 50-query budget:
+
+- **Column profiling** (``part='profile'``): the ``dbutils.data.
+  summarize`` / data-profile surface (``operators/profile.py``) — one
+  aggregate pass computes every per-column stat.  The oracle is the
+  long-format UNION ALL of the equivalent scalar aggregates; only
+  metrics with engine-independent string renderings participate (exact
+  counts, integer extrema, string lengths — approx sketches and float
+  means are unit-tested in tests/test_profile.py instead, their
+  renderings are engine-specific).
+- **Materialized view** (``part='mv'``): CREATE MATERIALIZED VIEW →
+  mixed DML on the base table (INSERT + UPDATE + DELETE in one refresh
+  window) → CDF-driven incremental REFRESH → read.  The oracle
+  recomputes the defining aggregate from the equivalent relational
+  state, so the signed-weight delta fold (``sources/mv.py``) answers to
+  DuckDB, not just to a recompute by the same engine.
+
+Both parts render as ``(part, item, metric, value)`` with ``value``
+stringified; money stays DECIMAL through every step (cast from the raw
+double ONCE, scales chosen so no later cast ever rounds — see
+``functions/numeric.py`` on why casting derived doubles diverges).
+
+Scale notes: the profile is ONE scan regardless of column count; the
+MV refresh reads only the CDF window of the three DMLs — at 100 TB the
+refresh cost is proportional to the changed files, never the base
+table (``sources/mv.py`` delta-state design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.operators.profile import profile
+from azure_databricks_lakehouse_spark.queries import QuerySpec
+from azure_databricks_lakehouse_spark.queries.lakehouse_ops import _scratch
+from azure_databricks_lakehouse_spark.sources.catalog import bind
+from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+# metrics whose string rendering is engine-independent: exact integer
+# counts/extrema and string lengths (see module doc).
+_PROFILE_METRICS = ("count", "nulls", "min", "max", "min_len", "max_len")
+_PROFILE_COLS = ("doc_id", "n_chars", "lang", "source")
+
+# base = orders not divisible by 4 (decimal money from the start); the
+# DML batch inserts the ÷4 complement repriced ×1.1, bumps ÷10=3 totals,
+# and deletes ÷10=7 — insert + update + delete all land in ONE refresh
+# window, exercising group birth, mutation, and the signed-weight fold.
+# DECIMAL(21,3): price has 2 decimals, ×1.1 yields exactly 3, so no cast
+# in the whole lifecycle ever rounds.
+_MV_QUERY = (
+    "SELECT status, SUM(total) AS total_sum, COUNT(*) AS n_orders, "
+    "COUNT(total) AS n_priced FROM fact GROUP BY status"
+)
+
+_MV_SCRIPT = f"""
+CREATE TABLE fact AS
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(21,3)) AS total
+  FROM orders WHERE o_orderkey % 4 <> 0;
+CREATE MATERIALIZED VIEW mv_status AS {_MV_QUERY};
+INSERT INTO fact
+  SELECT o_orderkey, 'U' AS status,
+         CAST(o_totalprice AS DECIMAL(21,3)) * 1.1 AS total
+  FROM orders WHERE o_orderkey % 4 = 0;
+UPDATE fact SET total = total + 1 WHERE o_orderkey % 10 = 3;
+DELETE FROM fact WHERE o_orderkey % 10 = 7;
+REFRESH MATERIALIZED VIEW mv_status
+"""
+
+
+def q56_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = bind(spark, sf_dir, "documents", "orders")
+
+    prof = (
+        profile(t["documents"], columns=list(_PROFILE_COLS))
+        .filter(F.col("metric").isin(*_PROFILE_METRICS))
+        .select(
+            F.lit("profile").alias("part"),
+            F.col("column").alias("item"),
+            "metric",
+            "value",
+        )
+    )
+
+    wh = _scratch(sf_dir, "mv_warehouse")
+    lh = Lakehouse(spark, warehouse=wh)
+    lh.sql_script(_MV_SCRIPT)
+    mv_wide = lh.sql(
+        "SELECT status, CAST(total_sum AS DECIMAL(38,3)) AS total_sum, "
+        "n_orders, n_priced FROM mv_status"
+    )
+    mv = mv_wide.select(
+        F.lit("mv").alias("part"),
+        F.col("status").alias("item"),
+        F.explode(
+            F.create_map(
+                F.lit("total_sum"), F.col("total_sum").cast("string"),
+                F.lit("n_orders"), F.col("n_orders").cast("string"),
+                F.lit("n_priced"), F.col("n_priced").cast("string"),
+            )
+        ).alias("metric", "value"),
+    )
+    return prof.unionByName(mv)
+
+
+def _profile_oracle() -> str:
+    numeric = {"doc_id", "n_chars"}
+    pieces = []
+    for c in _PROFILE_COLS:
+        pieces.append(
+            f"SELECT 'profile' AS part, '{c}' AS item, 'count' AS metric, "
+            f"CAST(COUNT({c}) AS VARCHAR) AS value FROM documents"
+        )
+        pieces.append(
+            f"SELECT 'profile', '{c}', 'nulls', "
+            f"CAST(COUNT(*) - COUNT({c}) AS VARCHAR) FROM documents"
+        )
+        if c in numeric:
+            for m, fn in (("min", "MIN"), ("max", "MAX")):
+                pieces.append(
+                    f"SELECT 'profile', '{c}', '{m}', "
+                    f"CAST({fn}({c}) AS VARCHAR) FROM documents"
+                )
+        else:
+            for m, fn in (("min_len", "MIN"), ("max_len", "MAX")):
+                pieces.append(
+                    f"SELECT 'profile', '{c}', '{m}', "
+                    f"CAST({fn}(LENGTH({c})) AS VARCHAR) FROM documents"
+                )
+    return "\nUNION ALL\n".join(pieces)
+
+
+_Q56_SQL = f"""
+WITH fact0 AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(21,3)) AS total
+  FROM orders WHERE o_orderkey % 4 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'U' AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(21,3)) * 1.1
+              AS DECIMAL(21,3)) AS total
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+fact AS (
+  SELECT o_orderkey, status,
+         CASE WHEN o_orderkey % 10 = 3
+              THEN CAST(total + 1 AS DECIMAL(21,3)) ELSE total END AS total
+  FROM fact0 WHERE o_orderkey % 10 <> 7
+),
+mv AS (
+  SELECT status, CAST(SUM(total) AS DECIMAL(38,3)) AS total_sum,
+         COUNT(*) AS n_orders, COUNT(total) AS n_priced
+  FROM fact GROUP BY status
+)
+{_profile_oracle()}
+UNION ALL
+SELECT 'mv', status, 'total_sum', CAST(total_sum AS VARCHAR) FROM mv
+UNION ALL
+SELECT 'mv', status, 'n_orders', CAST(n_orders AS VARCHAR) FROM mv
+UNION ALL
+SELECT 'mv', status, 'n_priced', CAST(n_priced AS VARCHAR) FROM mv
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q56_sql_surface": QuerySpec(q56_sql_surface, _Q56_SQL),
+}

@@ -38,9 +38,10 @@ def test_q04_broadcasts_generated_date_dim(spark, sf_dir, queries):
     assert_broadcast_join(queries["q04_date_dim_join"](spark, sf_dir), 2)
 
 
-def test_q12_uses_take_ordered(spark, sf_dir, queries):
-    # global top-k must not materialize a global sort
-    plan = physical_plan(queries["q12_global_topk"](spark, sf_dir))
+def test_q11_global_part_uses_take_ordered(spark, sf_dir, queries):
+    # the global top-k part (former q12, merged round-10) must not
+    # materialize a global sort — per-partition heap + single merge
+    plan = physical_plan(queries["q11_topk_per_group"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
 
 
