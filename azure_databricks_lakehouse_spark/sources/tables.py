@@ -873,7 +873,17 @@ class ParquetTable:
             # prune real matches (positions mod the wrong m_bits)
             if any(
                 bp.get(k) != cp.get(k)
-                for k in ("check_constraints", "not_null", "generated", "bloom")
+                for k in (
+                    "check_constraints",
+                    "not_null",
+                    "generated",
+                    "bloom",
+                    # a concurrent appendOnly enable must conflict with
+                    # in-flight row-removing DML: the DML's gate
+                    # validated against the base snapshot's flag
+                    "delta.appendOnly",
+                    "appendOnly",
+                )
             ):
                 raise ConcurrentModificationError(
                     f"concurrent commit v{v} ({cur['operation']}) changed "
@@ -960,13 +970,19 @@ class ParquetTable:
             f"{self.root}; extreme contention — back off and retry"
         )
 
-    def _gate_append_only(self, op: str) -> None:
+    def _gate_append_only(self, op: str, m: dict) -> None:
         """Delta ``delta.appendOnly`` parity: a table marked append-only
         refuses every row-removing operation (DELETE/UPDATE/MERGE/
         overwrite forms) with a clear error; appends, OPTIMIZE
         (row-preserving by contract), and metadata commits stay
-        allowed."""
-        props = self._manifest().get("props", {})
+        allowed.
+
+        Takes the PLANNING manifest ``m`` so the gate and the DML plan
+        read one consistent snapshot (a separate latest-read here could
+        validate a different version than the plan computes against);
+        a CONCURRENT appendOnly flip is caught by the rebase walk
+        (:meth:`_rebase_target` treats it as a validated-prop change)."""
+        props = m.get("props", {})
         flag = props.get("delta.appendOnly", props.get("appendOnly"))
         if str(flag).lower() == "true":
             raise ValueError(
@@ -1008,8 +1024,8 @@ class ParquetTable:
         VACUUM; OPTIMIZE (or ``purge_deletion_vectors``) materializes
         DVs away.
         """
-        self._gate_append_only("DELETE")
         m = self._manifest()
+        self._gate_append_only("DELETE", m)
         dec, pred = self._row_marker(condition)
         hit = F.col("__hit")
         candidates = self._prune_files(m, pred)
@@ -1104,8 +1120,8 @@ class ParquetTable:
         (``update_preimage`` / ``update_postimage`` — Delta's CDF row
         types).
         """
-        self._gate_append_only("UPDATE")
         m = self._manifest()
+        self._gate_append_only("UPDATE", m)
         schema_cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
         unknown = set(assignments) - set(schema_cols)
         if unknown:
@@ -1300,9 +1316,9 @@ class ParquetTable:
         current version, so every DML twin (row-wise vs IN-subquery)
         produces an IDENTICAL history and relative
         ``RESTORE ... VERSION AS OF v-1`` composes the same way."""
-        self._gate_append_only("UPDATE")
         cols = [col] if isinstance(col, str) else list(col)
         m = self._manifest()
+        self._gate_append_only("UPDATE", m)
         schema = _schema_from_json(self.spark, m["schema"])
         types = {f.name: f.dataType for f in schema.fields}
         for c in cols:
@@ -1531,8 +1547,8 @@ class ParquetTable:
         rebase and land; a concurrent writer of the replaced region
         raises ``ConcurrentModificationError``.
         """
-        self._gate_append_only("replaceWhere/INSERT OVERWRITE")
         m = self._manifest()
+        self._gate_append_only("replaceWhere/INSERT OVERWRITE", m)
         if m.get("props", {}).get("identity"):
             raise ValueError(
                 "replaceWhere is not supported on tables with identity "
@@ -3664,8 +3680,8 @@ class ParquetTable:
         behavior: the commit records delete rows for the OLD snapshot
         and insert rows for the new one — cost ∝ old+new size, which is
         exactly why it's opt-in — making overwrites streamable."""
-        self._gate_append_only("OVERWRITE")
         m = self._manifest()
+        self._gate_append_only("OVERWRITE", m)
         df = self._apply_generated(df, m)
         df = self._apply_defaults(df, m)
         ident = self._refuse_explicit_identity(df, m, "OVERWRITE")
@@ -3809,8 +3825,8 @@ class ParquetTable:
         the high water is untouched.  Never expose to user sources: it
         bypasses the GENERATED ALWAYS refusal.
         """
-        self._gate_append_only("MERGE")
         m = self._manifest()
+        self._gate_append_only("MERGE", m)
         ident = m.get("props", {}).get("identity", {})
         if identity_passthrough:
             # source rows are target rows: identity values are already

@@ -155,3 +155,16 @@ def test_concurrent_analyze_never_conflicts_and_stats_survive_rebase(
     assert final.read().count() == 50
     ops = [c.operation for c in final.history()]
     assert ops == ["CREATE", "ANALYZE", "DELETE"]
+
+
+def test_concurrent_append_only_enable_conflicts_with_dml(spark, root):
+    """A DML planned while delta.appendOnly was unset must NOT land
+    after a concurrent commit enables it: the gate validated the BASE
+    snapshot's flag, so the rebase walk treats the flip as a
+    validated-prop change (round-10 conflict-matrix entry — without it
+    a row-removing DML would slip onto a now-append-only table)."""
+    t = _table(spark, root)
+    b = _stale_writer(spark, root)
+    t.set_properties({"delta.appendOnly": "true"})
+    with pytest.raises(ConcurrentModificationError, match="constraints|config"):
+        b.delete("part = 'b' AND k = 60")
