@@ -65,11 +65,25 @@ GROUP BY 1, 2
 """
 
 
-# --- q22: JSON props extraction (from_json over MapType-ish payload) -------
+# --- q22: semi-structured props — from_json AND VARIANT (round-10) ---------
 def q22_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-bucket rollup through BOTH semi-structured routes,
+    tagged ``impl='from_json'|'variant'`` (round-10 corpus extension
+    under the 50-query budget):
+
+    - ``from_json``: schema-on-read struct extraction (codegen'd, the
+      pre-VARIANT Databricks idiom), the original q22.
+    - ``variant``: ``parse_json`` into Spark 4's VARIANT binary then
+      ``variant_get`` path extraction — the Databricks VARIANT surface
+      (GA DBR 15.3).  Both impls must agree with the oracle's
+      ``json_extract_string``, which pins the two engines' JSON→int
+      semantics against DuckDB's.
+
+    Both are pure projections into one hash aggregate each — no extra
+    shuffle beyond each agg's partial/final pair."""
     t = bind(spark, sf_dir, "events")
     k = F.from_json("props", "k INT").getField("k")
-    return (
+    base = (
         t["events"]
         .select(k.alias("k_bucket"), "value")
         .groupBy("k_bucket")
@@ -77,15 +91,33 @@ def q22_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dec_sum("value").alias("sum_value"),
         )
+        .select(F.lit("from_json").alias("impl"), "*")
     )
+    kv = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    var = (
+        t["events"]
+        .select(kv.alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(F.lit("variant").alias("impl"), "*")
+    )
+    return base.unionByName(var)
 
 
 _Q22_SQL = f"""
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_bucket,
-       COUNT(*) AS n_events,
-       {dec_sum_sql('"value"')} AS sum_value
-FROM events
-GROUP BY 1
+WITH rolled AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_bucket,
+         COUNT(*) AS n_events,
+         {dec_sum_sql('"value"')} AS sum_value
+  FROM events
+  GROUP BY 1
+)
+SELECT 'from_json' AS impl, * FROM rolled
+UNION ALL
+SELECT 'variant', * FROM rolled
 """
 
 

@@ -111,6 +111,20 @@ class _FilePartition(InputPartition):
 class TableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.root = options["path"]
+        if any("variant" in f.dataType.simpleString() for f in schema.fields):
+            # executor-side rows route through pyarrow record batches,
+            # and the installed pyarrow predates the VARIANT parquet
+            # LogicalType (it rejects such footers at open) — fail at
+            # stream CONSTRUCTION with the workaround instead of
+            # per-batch deep in a task retry loop.  Batch CDF
+            # (changes_between / table_changes) reads via Spark's JVM
+            # parquet and supports variant fully.
+            raise ValueError(
+                "streaming CDF over a VARIANT column is not supported "
+                "by this pyarrow build — read changes in batch via "
+                "table_changes()/changes_between(), or project the "
+                "variant column to a typed/string column first"
+            )
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
             # Delta's modern spelling of the same opt-out (this source's

@@ -585,6 +585,15 @@ class Lakehouse:
             return self._refresh_mv_stmt(stmt)
         if kw == "COMMENT":
             return self._comment_on(stmt)
+        if kw == "DECLARE":
+            # session variables (Databricks / Spark 4 DECLARE [OR
+            # REPLACE] VARIABLE) — Spark implements them natively;
+            # later statements reference them through every route that
+            # ends in spark.sql, and DML predicates resolve them via
+            # the analyzer (tests/test_session_variables.py)
+            return self.spark.sql(stmt)
+        if kw == "SET" and _ci(r"^SET\s+VAR(IABLE)?\b").match(stmt):
+            return self.spark.sql(stmt)
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
 
     def sql_script(self, script: str) -> DataFrame:
@@ -3413,6 +3422,8 @@ class Lakehouse:
     )
 
     def _drop(self, stmt: str) -> DataFrame:
+        if _ci(r"^DROP\s+TEMPORARY\s+VARIABLE\b").match(stmt):
+            return self.spark.sql(stmt)  # session variable — native
         m = self._DROP.match(stmt)
         if not m:
             raise ValueError(f"unsupported DROP form: {stmt[:80]!r}")

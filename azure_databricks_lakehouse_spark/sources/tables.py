@@ -2074,8 +2074,6 @@ class ParquetTable:
         open for files that predate round 10 or whose table really has
         a ``__nrows`` DATA column (then the stats entry is that
         column's range, not a count)."""
-        import pyarrow.parquet as pq
-
         phys = {
             _physical_name(m, f.name)
             for f in _schema_from_json(self.spark, m["schema"]).fields
@@ -2088,9 +2086,7 @@ class ParquetTable:
             out[f] = (
                 int(rng[0])
                 if rng is not None
-                else pq.ParquetFile(
-                    os.path.join(data_root, f)
-                ).metadata.num_rows
+                else _footer_rows(data_root, f)
             )
         return out
 
@@ -5279,15 +5275,55 @@ def _load_sidecar(path: str) -> tuple[dict, dict]:
     return stats, bloom_rows
 
 
+def _jvm_footer_rows(path: str) -> int | None:
+    """Row count from the parquet footer via Spark's OWN (JVM) parquet
+    reader — the fallback for files carrying logical types the
+    installed pyarrow predates (VARIANT: parquet-java writes a Thrift
+    LogicalType pyarrow's parser rejects at OPEN, so every
+    footer-metadata path would fail on a variant-bearing file).
+    Metadata-only: reads the footer blocks, never a data page.
+    Returns None when no active session exists or the JVM read fails —
+    callers keep their original error path."""
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        hif = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(os.path.abspath(path)), conf
+        )
+        rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(hif)
+        try:
+            blocks = rd.getFooter().getBlocks()
+            return int(
+                sum(blocks.get(i).getRowCount() for i in range(blocks.size()))
+            )
+        finally:
+            rd.close()
+    except Exception:  # noqa: BLE001 - fallback is advisory
+        return None
+
+
+def _footer_rows(data_root: str, rel: str) -> int:
+    """One file's footer row count: pyarrow fast path, JVM fallback for
+    logical types pyarrow cannot parse (VARIANT)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(data_root, rel)
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 - e.g. OSError: unknown LogicalType
+        n = _jvm_footer_rows(path)
+        if n is None:
+            raise
+        return n
+
+
 def _file_rows(data_root: str, rels: list[str]) -> int:
     """Total row count of written files, from parquet footers (no data
     read) — how an identity commit learns its allocation size."""
-    import pyarrow.parquet as pq
-
-    return sum(
-        pq.ParquetFile(os.path.join(data_root, r)).metadata.num_rows
-        for r in rels
-    )
+    return sum(_footer_rows(data_root, r) for r in rels)
 
 
 def _stat_scalar(v):
@@ -5314,7 +5350,17 @@ def _file_stats(data_root: str, rels: list[str]) -> dict[str, dict]:
 
     out: dict[str, dict] = {}
     for rel in rels:
-        meta = pq.ParquetFile(os.path.join(data_root, rel)).metadata
+        try:
+            meta = pq.ParquetFile(os.path.join(data_root, rel)).metadata
+        except Exception:  # noqa: BLE001 - logical type pyarrow predates
+            # a VARIANT-bearing file: pyarrow rejects the footer at
+            # open, so min/max stats are unavailable (the file simply
+            # never prunes) — but the row count still lands via the
+            # JVM footer so metadata COUNT stays exact and zero-scan
+            n = _jvm_footer_rows(os.path.join(data_root, rel))
+            if n is not None:
+                out[rel] = {"__nrows": [n, n]}
+            continue
         cols: dict[str, list] = {}
         for rg in range(meta.num_row_groups):
             group = meta.row_group(rg)

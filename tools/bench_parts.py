@@ -61,6 +61,7 @@ UNION_PARTS: dict[str, tuple[str, list[str]]] = {
     "q30_cosine_topk": ("part", ["dense", "bm25", "rrf"]),
     "q41_training_data_prep": ("part", ["pipeline", "dsir"]),
     "q11_topk_per_group": ("part", ["window", "qualify", "global"]),
+    "q22_props_json": ("impl", ["from_json", "variant"]),
     "q56_sql_surface": ("part", ["profile", "mv"]),
 }
 
