@@ -80,6 +80,9 @@ from azure_databricks_lakehouse_spark.plans import cbo
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
+# row tracking: the physical column rewrites materialize preserved row
+# ids into (never part of the logical schema; reserved)
+_ROW_ID_PHYS = "__row_id"
 _CDC_DIR = "_change_data"
 _DV_DIR = "_deletion_vectors"
 _SIDECAR_DIR = os.path.join(_MANIFEST_DIR, "_sidecars")
@@ -475,7 +478,10 @@ class ParquetTable:
         return best
 
     def read(
-        self, version: int | None = None, timestamp=None
+        self,
+        version: int | None = None,
+        timestamp=None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read; ``version`` pins a historical manifest (D5 time
         travel — ``versionAsOf``), ``timestamp`` resolves one via
@@ -486,13 +492,20 @@ class ParquetTable:
         last file holding an evolved column is dropped (e.g. a DELETE
         that swallowed it whole), the column still surfaces as typed
         NULLs — table schema is a metadata contract, not an accident of
-        which files survive."""
+        which files survive.
+
+        ``with_row_ids`` (Delta ``delta.enableRowTracking`` /
+        ``_metadata.row_id`` parity) adds ``_row_id``: a stable long
+        identifying the logical row across commits — fresh rows draw
+        ids from a per-file base (metadata-only, rebase-safe), rewrites
+        carry preserved ids in a materialized physical column, and the
+        read coalesces the two.  Requires the table property."""
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.version_at(timestamp)
         m = self._manifest(version)
-        df = self._read_files_dv(m["files"], m)
+        df = self._read_files_dv(m["files"], m, with_row_ids=with_row_ids)
         return self._fill_missing(df, m)
 
     def register(self, name: str, version: int | None = None) -> None:
@@ -780,16 +793,30 @@ class ParquetTable:
         return out
 
     def _read_files_aligned(
-        self, files: list[str], m: dict, keep_pos: bool = False
+        self,
+        files: list[str],
+        m: dict,
+        keep_pos: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Read a file subset (deletion vectors applied) and align it to
         the MANIFEST schema: a subset of old files can be narrower than
         the table after schema evolution, and DML expressions must still
         resolve every declared column (missing ones surface as typed
         NULLs, exactly as a full mergeSchema read would).  ``keep_pos``
-        carries the ``__rel``/``__ri`` position columns through."""
-        df = self._fill_missing(self._read_files_dv(files, m, keep_pos=keep_pos), m)
-        cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
+        carries the ``__rel``/``__ri`` position columns through.
+        ``with_row_ids`` appends the rows' stable ids under the PHYSICAL
+        ``__row_id`` name — rewrite paths thread it into their output
+        files so preserved rows keep their identity (row tracking)."""
+        df = self._fill_missing(
+            self._read_files_dv(
+                files, m, keep_pos=keep_pos, with_row_ids=with_row_ids
+            ),
+            m,
+        )
+        cols: list = _schema_from_json(self.spark, m["schema"]).fieldNames()
+        if with_row_ids:
+            cols += [F.col("_row_id").alias(_ROW_ID_PHYS)]
         if keep_pos:
             cols += ["__rel", "__ri"]
         return df.select(*cols)
@@ -1047,9 +1074,10 @@ class ParquetTable:
         cdc_files: list[str] = []
         dv_rels: list[str] = []
         if rewrite:
+            rt = self._rt_state(m) is not None
             files = _write_files(
                 _to_physical_df(
-                    dec(self._read_files_aligned(rewrite, m))
+                    dec(self._read_files_aligned(rewrite, m, with_row_ids=rt))
                     .filter(~hit)
                     .drop("__hit"),
                     m,
@@ -1170,14 +1198,22 @@ class ParquetTable:
             # Delta implicit-cast semantics) — without the cast, a
             # double RHS into a decimal column would commit a data file
             # whose physical type contradicts the table schema and break
-            # every later read of that file
+            # every later read of that file.  A materialized __row_id
+            # rides through: an updated row is the SAME logical row, so
+            # its post-image keeps its stable id (row tracking).
+            extra = (
+                [F.col(_ROW_ID_PHYS)]
+                if _ROW_ID_PHYS in frame.columns
+                else []
+            )
             out = frame.select(
                 *[
                     assignments[c].cast(gtypes[c]).alias(c)
                     if c in assignments
                     else F.col(c)
                     for c in schema_cols
-                ]
+                ],
+                *extra,
             )
             if gen_auto:
                 out = out.select(
@@ -1186,7 +1222,8 @@ class ParquetTable:
                         if c in gen_auto
                         else F.col(c)
                         for c in schema_cols
-                    ]
+                    ],
+                    *extra,
                 )
             return out
 
@@ -1213,7 +1250,10 @@ class ParquetTable:
                 subdir=_CDC_DIR,
             )
         if rewrite:
-            marked = dec(self._read_files_aligned(rewrite, m))
+            rt = self._rt_state(m) is not None
+            marked = dec(
+                self._read_files_aligned(rewrite, m, with_row_ids=rt)
+            )
             # assignment RHS cast to the declared type BEFORE the
             # when/otherwise — else Spark coerces the branch types (e.g.
             # decimal ⊔ double = double) and the rewritten file's
@@ -1228,6 +1268,7 @@ class ParquetTable:
                     for c in schema_cols
                 ],
                 "__hit",
+                *([_ROW_ID_PHYS] if rt else []),
             )
             if gen_auto:
                 updated = updated.select(
@@ -1243,6 +1284,7 @@ class ParquetTable:
                         for c in schema_cols
                     ],
                     "__hit",
+                    *([_ROW_ID_PHYS] if rt else []),
                 )
             updated = updated.drop("__hit")
             files += _write_files(
@@ -1250,7 +1292,14 @@ class ParquetTable:
             )
         if dv_dest:
             matched = (
-                dec(self._read_files_aligned(dv_dest, m, keep_pos=True))
+                dec(
+                    self._read_files_aligned(
+                        dv_dest,
+                        m,
+                        keep_pos=True,
+                        with_row_ids=self._rt_state(m) is not None,
+                    )
+                )
                 .filter(hit)
                 .drop("__hit")
             )
@@ -1579,9 +1628,15 @@ class ParquetTable:
         files: list[str] = []
         dv_rels: list[str] = []
         if rewrite:
+            # kept (non-replaced) rows are the same logical rows — carry
+            # their materialized row ids through the rewrite
+            rt = self._rt_state(m) is not None
             files = _write_files(
                 _to_physical_df(
-                    self._read_files_aligned(rewrite, m).filter(~cond), m
+                    self._read_files_aligned(
+                        rewrite, m, with_row_ids=rt
+                    ).filter(~cond),
+                    m,
                 ),
                 self.root,
                 m["partition_by"],
@@ -1916,6 +1971,26 @@ class ParquetTable:
         m = self._manifest()
         merged = {**m.get("props", {}), **props}
         merged = {k: v for k, v in merged.items() if v is not None}
+        rt_on = str(merged.get("delta.enableRowTracking")).lower() == "true"
+        if rt_on and "row_tracking_state" not in merged:
+            # enabling row tracking: seed empty state — the _commit hook
+            # backfills a base id for every current file in THIS commit
+            # (metadata-only; materialization only ever happens on later
+            # rewrites).  The physical id column name is reserved.
+            cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
+            if _ROW_ID_PHYS in cols or _ROW_ID_PHYS in m.get(
+                "colmap", {}
+            ).values():
+                raise ValueError(
+                    f"cannot enable row tracking: column {_ROW_ID_PHYS!r} "
+                    "is reserved for materialized row ids"
+                )
+            merged["row_tracking_state"] = {"high_water": 0, "base": {}}
+        if not rt_on:
+            # disabling (or never enabling) drops the state: ids are NOT
+            # stable across a disable/re-enable cycle (re-enabling
+            # reallocates), matching the suspend semantics
+            merged.pop("row_tracking_state", None)
         return self._commit_props(m, merged, "SETPROPERTIES")
 
     # -- ANALYZE TABLE (Spark/Databricks COMPUTE STATISTICS parity) ---------
@@ -3849,7 +3924,11 @@ class ParquetTable:
         inv = _logical_inverse(m)
         lpart = [inv.get(c, c) for c in part_cols]
         pruned = bool(part_cols) and set(lpart) <= set(keys)
-        target = self.read()
+        # row tracking: read the target WITH ids so matched rows keep
+        # their stable identity through the rewrite (inserts stay NULL
+        # and draw fresh ids from the commit's base allocation)
+        rt = self._rt_state(m) is not None
+        target = self.read(with_row_ids=rt)
         if validate_source_keys:
             # collect() is metadata-sized: the frame is pre-aggregated to
             # duplicate KEYS and limited to 1 row — the guard, not data
@@ -3890,7 +3969,12 @@ class ParquetTable:
             source = source.drop(*source_meta_cols)
         source = self._apply_generated(source, m)
         source = self._apply_defaults(source, m)
-        extra = set(target.columns) - set(source.columns) - set(ident)
+        extra = (
+            set(target.columns)
+            - set(source.columns)
+            - set(ident)
+            - ({"_row_id"} if rt else set())
+        )
         if extra:
             # whenMatchedUpdateAll replaces whole rows: a source missing
             # target columns would silently drop them from carried rows.
@@ -3951,7 +4035,9 @@ class ParquetTable:
             if rewrite_files:
                 # DV-aware read: merge must not resurrect rows a
                 # merge-on-read DELETE already masked in these files
-                target = self._read_files_dv(rewrite_files, m)
+                target = self._read_files_dv(
+                    rewrite_files, m, with_row_ids=rt
+                )
             else:
                 target = target.limit(0)
             carried = keep_files
@@ -4020,7 +4106,9 @@ class ParquetTable:
                 )
             rewrite_files = sorted(r["__rel"] for r in hit)
             if rewrite_files:
-                target = self._read_files_dv(rewrite_files, m)
+                target = self._read_files_dv(
+                    rewrite_files, m, with_row_ids=rt
+                )
             else:
                 target = target.limit(0)
             carried = [f for f in m["files"] if f not in set(rewrite_files)]
@@ -4041,6 +4129,18 @@ class ParquetTable:
         # from the high water, which this commit advances.  A concurrent
         # identity append aborts this merge on version collision
         # (_commit_typed), so the reservation can never double-allocate.
+        if rt:
+            # matched source rows ARE their target rows post-update:
+            # inherit the stable id via one key-join (the identity
+            # inheritance pattern); unmatched (insert) rows stay NULL
+            rid_map = target.select(
+                *keys, F.col("_row_id").alias("__rt_rid")
+            )
+            source = (
+                source.join(rid_map, keys, "left")
+                .withColumn("_row_id", F.col("__rt_rid"))
+                .drop("__rt_rid")
+            )
         id_bases: dict = {}
         n_fresh = 0
         if ident:
@@ -4071,6 +4171,8 @@ class ParquetTable:
             .unionByName(source, allowMissingColumns=True)
             .select(*source.columns)
         )
+        if rt:
+            merged = merged.withColumnRenamed("_row_id", _ROW_ID_PHYS)
         files = _write_files(_to_physical_df(merged, m), self.root, part_cols)
         data_root = os.path.join(self.root, _DATA_DIR)
         # CDC sidecar (Delta CDF parity for MERGE): the exact row-level
@@ -4107,7 +4209,7 @@ class ParquetTable:
             ).otherwise(F.lit("insert")),
         )
         cdc_df = pre.unionByName(post, allowMissingColumns=True).select(
-            *source.columns, "_change_type"
+            *[c for c in source.columns if c != "_row_id"], "_change_type"
         )
         cdc_files = _write_files(
             cdc_df,
@@ -4139,7 +4241,11 @@ class ParquetTable:
             root=self.root,
             version=m["version"] + 1,
             files=carried + files,
-            schema=merged.schema.json() if widened else m["schema"],
+            schema=(
+                merged.drop(_ROW_ID_PHYS).schema.json()
+                if widened
+                else m["schema"]
+            ),
             partition_by=part_cols,
             operation="MERGE",
             merged_schema=bool(widened) or m.get("merged_schema", False),
@@ -4293,7 +4399,11 @@ class ParquetTable:
             return m["version"]  # already compact — idempotent no-op
         rewrite_set = set(rewrite)
         carried = [f for f in m["files"] if f not in rewrite_set]
-        df = self._read_files_aligned(rewrite, m)
+        # compaction is row-preserving by contract — materialize row ids
+        # so OPTIMIZE never changes a row's stable identity
+        df = self._read_files_aligned(
+            rewrite, m, with_row_ids=self._rt_state(m) is not None
+        )
         if n_files is None:
             n_files = max(
                 1, round(sum(size[f] for f in rewrite) / threshold)
@@ -4402,7 +4512,12 @@ class ParquetTable:
         rewrite_set = set(rewrite)
         carried = [f for f in m["files"] if f not in rewrite_set]
         files = _write_files(
-            _to_physical_df(self._read_files_aligned(rewrite, m), m),
+            _to_physical_df(
+                self._read_files_aligned(
+                    rewrite, m, with_row_ids=self._rt_state(m) is not None
+                ),
+                m,
+            ),
             self.root,
             m["partition_by"],
         )
@@ -4782,14 +4897,21 @@ class ParquetTable:
         )
 
     def _read_files(
-        self, files: list[str], manifest: dict, logical: bool = True
+        self,
+        files: list[str],
+        manifest: dict,
+        logical: bool = True,
+        extra_fields: Sequence | None = None,
     ) -> DataFrame:
         """Read an explicit file subset under ``manifest``'s schema rules
         (empty list -> empty frame with the manifest schema).  RAW read:
         deletion vectors are NOT applied — snapshot-consistent callers
         go through :meth:`_read_files_dv`.  ``logical=False`` keeps the
         files' PHYSICAL column names (needed when ``_metadata`` must
-        stay resolvable — projections hide it)."""
+        stay resolvable — projections hide it).  ``extra_fields`` appends
+        physical-only fields to the read schema (e.g. the materialized
+        ``__row_id`` column row tracking writes on rewrites) — files
+        lacking one surface it as typed NULLs."""
         if not files:
             return self.spark.createDataFrame(
                 [], schema=_schema_from_json(self.spark, manifest["schema"])
@@ -4826,6 +4948,7 @@ class ParquetTable:
                     )
                     for f in schema.fields
                 ]
+                + list(extra_fields or ())
             )
         )
         df = reader.parquet(
@@ -4900,7 +5023,11 @@ class ParquetTable:
         )
 
     def _read_files_dv(
-        self, files: list[str], m: dict, keep_pos: bool = False
+        self,
+        files: list[str],
+        m: dict,
+        keep_pos: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot-consistent read of a file subset: applies manifest
         ``m``'s deletion vectors (merge-on-read) via a BROADCAST
@@ -4910,13 +5037,19 @@ class ParquetTable:
 
         ``keep_pos`` keeps ``__rel`` (data-root-relative file path) and
         ``__ri`` (physical row index) columns — the DML probe's handle
-        for attributing matches to files and writing new DV entries."""
+        for attributing matches to files and writing new DV entries.
+
+        ``with_row_ids`` adds the stable ``_row_id`` column (row
+        tracking): ``coalesce(materialized __row_id, file base id +
+        physical row index)`` — see :meth:`read`."""
         dvs = m.get("dvs", {})
         need_dv = any(f in dvs for f in files)
         if not files:
             df = self.spark.createDataFrame(
                 [], schema=_schema_from_json(self.spark, m["schema"])
             )
+            if with_row_ids:
+                df = df.withColumn("_row_id", F.lit(None).cast("long"))
             if keep_pos:
                 df = df.withColumns(
                     {
@@ -4925,11 +5058,16 @@ class ParquetTable:
                     }
                 )
             return df
-        if not (need_dv or keep_pos):
+        if not (need_dv or keep_pos or with_row_ids):
             return self._read_files(files, m)
         # grab _metadata BEFORE any logical rename: the hidden metadata
         # column resolves only against the file-source relation
-        base = self._read_files(files, m, logical=False)
+        extra = (
+            [T.StructField(_ROW_ID_PHYS, T.LongType(), True)]
+            if with_row_ids
+            else None
+        )
+        base = self._read_files(files, m, logical=False, extra_fields=extra)
         prefix = self._uri_prefix(m)
         df = base.select(
             F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})").alias(
@@ -4946,9 +5084,59 @@ class ParquetTable:
                 & (df["__ri"] == dv["__row_index"]),
                 "left_anti",
             )
+        if with_row_ids:
+            df = self._rt_attach(df, m)
         if not keep_pos:
             df = df.drop("__rel", "__ri")
         return _to_logical_df(df, m)
+
+    # -- row tracking (Delta delta.enableRowTracking parity) ----------------
+
+    def _rt_state(self, m: dict) -> dict | None:
+        """Row-tracking state iff the feature is ON for manifest ``m``:
+        ``{"high_water": int, "base": {rel_file: base_row_id}}``.  The
+        state rides the versioned props, so RESTORE/time travel sees
+        each version's own id assignment."""
+        props = m.get("props", {})
+        if str(props.get("delta.enableRowTracking")).lower() != "true":
+            return None
+        return props.get("row_tracking_state")
+
+    def _rt_attach(self, df: DataFrame, m: dict) -> DataFrame:
+        """Attach ``_row_id`` to a position-carrying frame (``__rel`` /
+        ``__ri``, plus the physical ``__row_id`` column when selected):
+        a row's stable id is its MATERIALIZED id when a rewrite carried
+        it, else ``file base id + physical row index`` (fresh rows —
+        Delta's exact coalesce).  The base map joins as a broadcast
+        frame sized by the FILE COUNT, never rows."""
+        rt = self._rt_state(m)
+        if rt is None:
+            raise ValueError(
+                "row tracking is not enabled on this table — set "
+                "TBLPROPERTIES ('delta.enableRowTracking' = 'true') first"
+            )
+        base = rt.get("base", {})
+        base_df = self.spark.createDataFrame(
+            [(f, int(b)) for f, b in base.items()] or [(None, None)],
+            "__rt_rel string, __rt_base long",
+        )
+        mat = (
+            F.col(_ROW_ID_PHYS)
+            if _ROW_ID_PHYS in df.columns
+            else F.lit(None).cast("long")
+        )
+        out = (
+            df.join(
+                F.broadcast(base_df),
+                F.col("__rel") == F.col("__rt_rel"),
+                "left",
+            )
+            .withColumn(
+                "_row_id", F.coalesce(mat, F.col("__rt_base") + F.col("__ri"))
+            )
+            .drop("__rt_rel", "__rt_base")
+        )
+        return out.drop(_ROW_ID_PHYS) if _ROW_ID_PHYS in df.columns else out
 
 
 # -- internals --------------------------------------------------------------
@@ -5420,6 +5608,56 @@ def _consolidate_sidecars(
     return _write_sidecar(root, stats, bloom_rows)
 
 
+def _rt_advance(
+    root: str,
+    props: dict | None,
+    files: list[str],
+    stats: dict | None,
+    parent: dict | None,
+) -> dict | None:
+    """Row-tracking bookkeeping for one commit (runs INSIDE ``_commit``
+    so every path — create/append/DML/MERGE/OPTIMIZE/RESTORE/prop
+    commits — maintains it without per-path wiring):
+
+    - prune base entries for files leaving the table;
+    - allocate a base id for every live file without one, spaced by the
+      file's ROW COUNT (footer-exact), advancing the high water.
+
+    Fresh rows therefore get ids purely from metadata — a commit that
+    rebases after losing a race simply re-allocates from the winner's
+    high water, no file rewrite (Delta's base_row_id reconciliation).
+    Preserved ids ride the materialized column and are never touched
+    here.  RESTORE re-commits an old file list WITH its old props, so
+    restored files keep their original base entries (the ``f in base``
+    guard) and ids time-travel with the data."""
+    rt = (props or {}).get("row_tracking_state")
+    if rt is None:
+        return props
+    live = set(files)
+    base = {f: int(b) for f, b in rt.get("base", {}).items() if f in live}
+    hw = int(rt.get("high_water", 0))
+    need = [f for f in sorted(live) if f not in base]
+    side: dict | None = None
+    for f in need:
+        rng = ((stats or {}).get(f) or {}).get("__nrows")
+        if rng is None and parent is not None:
+            if side is None:  # parent sidecars, loaded at most once
+                side = {}
+                for ref in parent.get("stats_sidecars", []):
+                    s, _b = _load_sidecar(os.path.join(root, _SIDECAR_DIR, ref))
+                    for sf, cols in s.items():
+                        side.setdefault(sf, cols)
+            rng = side.get(f, {}).get("__nrows")
+        n = (
+            int(rng[0])
+            if rng is not None
+            else _footer_rows(os.path.join(root, _DATA_DIR), f)
+        )
+        base[f] = hw + 1
+        hw += n
+    return {**props, "row_tracking_state": {"high_water": hw, "base": base}}
+
+
 def _commit_typed(op_label: str, **kwargs) -> int:
     """`_commit`, with a version collision surfaced as the typed
     :class:`ConcurrentModificationError` — for snapshot-wide operations
@@ -5470,6 +5708,7 @@ def _commit(
     file list + sidecar pointers, so the per-commit JSON payload — and
     every reader's manifest parse — stays bounded by the file list,
     never by per-file statistics (the round-5 O(table) driver cost)."""
+    props = _rt_advance(root, props, files, stats, parent)
     cmap = colmap or {}
     refs: list[str] = []
     fold_stats: dict[str, dict] = {}

@@ -1,0 +1,168 @@
+"""Row tracking (Delta ``delta.enableRowTracking`` parity): every row
+gets a stable long id (``_row_id``) that survives every data-preserving
+operation.
+
+Design under test (``sources/tables.py``):
+
+- fresh rows draw ids from a PER-FILE BASE map in the versioned props
+  (``base + _metadata.row_index``) — metadata-only, so a commit that
+  rebases after losing a race re-allocates without rewriting files;
+- rewrites (UPDATE/DELETE copy-on-write, MERGE, OPTIMIZE, replaceWhere)
+  materialize preserved ids into a physical ``__row_id`` column; reads
+  coalesce ``(materialized, base + index)`` — Delta's exact scheme;
+- the allocation hook lives INSIDE ``_commit``, so every path maintains
+  the state without per-path wiring, and RESTORE/time travel see each
+  version's own assignment (state rides the versioned props).
+
+The invariant each test asserts: the (key -> _row_id) map restricted to
+surviving rows is UNCHANGED by the operation, and fresh rows get ids
+never used before.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_lakehouse_spark.sources.tables import ParquetTable
+
+
+@pytest.fixture()
+def tracked(spark, tmp_path):
+    t = ParquetTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    t.set_properties({"delta.enableRowTracking": "true"})
+    return t
+
+
+def _ids(t, **kw):
+    return {r.k: r._row_id for r in t.read(with_row_ids=True, **kw).collect()}
+
+
+def test_enable_backfills_and_ids_are_unique(tracked):
+    ids = _ids(tracked)
+    assert len(ids) == 20
+    assert len(set(ids.values())) == 20
+    assert all(i is not None for i in ids.values())
+
+
+def test_append_allocates_fresh_never_reused(tracked):
+    before = _ids(tracked)
+    tracked.append(
+        tracked.spark.range(20, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    after = _ids(tracked)
+    assert all(after[k] == before[k] for k in before)
+    fresh = {after[k] for k in range(20, 25)}
+    assert len(fresh) == 5 and fresh.isdisjoint(set(before.values()))
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_update_preserves_ids_both_modes(tracked, mode):
+    before = _ids(tracked)
+    tracked.update("k % 3 = 0", {"v": F.col("v") + 1}, mode=mode)
+    after = _ids(tracked)
+    assert after == before, f"update ({mode}) changed a stable row id"
+    # and values actually moved
+    got = {
+        r.k: r.v for r in tracked.read().filter("k % 3 = 0").collect()
+    }
+    assert all(v == k * 10 + 1 for k, v in got.items())
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_delete_survivors_keep_ids(tracked, mode):
+    before = _ids(tracked)
+    tracked.delete("k % 4 = 1", mode=mode)
+    after = _ids(tracked)
+    assert set(after) == {k for k in before if k % 4 != 1}
+    assert all(after[k] == before[k] for k in after)
+
+
+def test_merge_matched_keep_inserts_fresh(tracked, spark):
+    before = _ids(tracked)
+    src = spark.range(15, 30).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    tracked.merge(src, on=["k"])
+    after = _ids(tracked)
+    # matched rows (15..19) and untouched rows keep their ids
+    assert all(after[k] == before[k] for k in before)
+    fresh = {after[k] for k in range(20, 30)}
+    assert len(fresh) == 10 and fresh.isdisjoint(set(before.values()))
+    # updated value landed
+    assert tracked.read().filter("k = 15").collect()[0].v == -1
+
+
+def test_optimize_is_identity_on_row_ids(tracked, spark):
+    tracked.append(
+        spark.range(20, 23).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    before = _ids(tracked)
+    tracked.optimize()
+    assert _ids(tracked) == before
+
+
+def test_replace_where_kept_rows_stable(tracked, spark):
+    before = _ids(tracked)
+    repl = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(999).alias("v")
+    )
+    tracked.overwrite_where(repl, "k < 5")
+    after = _ids(tracked)
+    assert all(after[k] == before[k] for k in before if k >= 5)
+    # replaced region = new logical rows = fresh ids (Delta semantics)
+    assert {after[k] for k in range(5)}.isdisjoint(
+        {before[k] for k in range(5)}
+    )
+
+
+def test_time_travel_and_restore_see_versioned_ids(tracked):
+    v_enabled = tracked.latest_version()
+    ids_then = _ids(tracked)
+    tracked.delete("k >= 10")
+    tracked.append(
+        tracked.spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")
+        )
+    )
+    assert _ids(tracked, version=v_enabled) == ids_then
+    tracked.restore(v_enabled)
+    assert _ids(tracked) == ids_then
+
+
+def test_update_where_in_routes_preserve_ids(tracked, spark):
+    before = _ids(tracked)
+    keys = spark.range(0, 20, 2).select(F.col("id").alias("k"))
+    tracked.update_where_in("k", keys, {"v": F.lit(7)})
+    after = _ids(tracked)
+    assert after == before
+
+
+def test_disable_then_reenable_reallocates(tracked):
+    ids0 = _ids(tracked)
+    tracked.set_properties({"delta.enableRowTracking": "false"})
+    with pytest.raises(ValueError, match="row tracking"):
+        tracked.read(with_row_ids=True).collect()
+    tracked.set_properties({"delta.enableRowTracking": "true"})
+    ids1 = _ids(tracked)
+    assert set(ids1) == set(ids0)  # same rows; ids may differ (documented)
+
+
+def test_reserved_column_guard(spark, tmp_path):
+    t = ParquetTable.create(
+        spark,
+        str(tmp_path / "bad"),
+        spark.range(3).selectExpr("id AS k", "id AS __row_id"),
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        t.set_properties({"delta.enableRowTracking": "true"})
