@@ -168,3 +168,27 @@ def test_concurrent_append_only_enable_conflicts_with_dml(spark, root):
     t.set_properties({"delta.appendOnly": "true"})
     with pytest.raises(ConcurrentModificationError, match="constraints|config"):
         b.delete("part = 'b' AND k = 60")
+
+
+def test_concurrent_appends_allocate_disjoint_row_ids(spark, root):
+    """Row-id allocation is metadata-only, so an append that loses the
+    commit race re-allocates its files' base ids from the WINNER's high
+    water during the rebase — no id collision, no file rewrite."""
+    t = _table(spark, root)
+    t.set_properties({"delta.enableRowTracking": "true"})
+    b = _stale_writer(spark, root)
+    t.append(
+        spark.createDataFrame(
+            [(1000 + i, "a", 1) for i in range(10)], "k int, part string, v int"
+        )
+    )
+    b.append(
+        spark.createDataFrame(
+            [(2000 + i, "b", 2) for i in range(5)], "k int, part string, v int"
+        )
+    )
+    rows = t.read(with_row_ids=True).collect()
+    ids = [r._row_id for r in rows]
+    assert len(rows) == 115
+    assert len(set(ids)) == 115, "concurrent appends must not share row ids"
+    assert all(i is not None for i in ids)

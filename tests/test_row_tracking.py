@@ -166,3 +166,26 @@ def test_reserved_column_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved"):
         t.set_properties({"delta.enableRowTracking": "true"})
+
+
+def test_sql_enable_via_tblproperties(spark, tmp_path):
+    from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+    lh = Lakehouse(spark, warehouse=str(tmp_path / "wh"))
+    lh.sql(
+        "CREATE TABLE rt AS SELECT col1 AS k, col2 AS v FROM VALUES "
+        "(1, 10), (2, 20), (3, 30)"
+    )
+    lh.sql(
+        "ALTER TABLE rt SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    t = lh.table("rt")
+    before = {r.k: r._row_id for r in t.read(with_row_ids=True).collect()}
+    assert len(set(before.values())) == 3
+    lh.sql("UPDATE rt SET v = v + 1 WHERE k = 2")
+    after = {r.k: r._row_id for r in t.read(with_row_ids=True).collect()}
+    assert after == before
+    lh.sql("ALTER TABLE rt UNSET TBLPROPERTIES ('delta.enableRowTracking')")
+    with pytest.raises(ValueError, match="row tracking"):
+        t.read(with_row_ids=True).collect()
