@@ -914,8 +914,8 @@ class ParquetTable:
             ):
                 raise ConcurrentModificationError(
                     f"concurrent commit v{v} ({cur['operation']}) changed "
-                    "table constraints or index config this operation "
-                    "validated/built against"
+                    "table constraints, index config, or append-only "
+                    "state this operation validated/built against"
                 )
             removed = set(prev["files"]) - set(cur["files"])
             overlap = removed & touched

@@ -189,3 +189,22 @@ def test_sql_enable_via_tblproperties(spark, tmp_path):
     lh.sql("ALTER TABLE rt UNSET TBLPROPERTIES ('delta.enableRowTracking')")
     with pytest.raises(ValueError, match="row tracking"):
         t.read(with_row_ids=True).collect()
+
+
+def test_clone_carries_ids_then_diverges_independently(tracked, tmp_path):
+    before = _ids(tracked)
+    c = tracked.clone(str(tmp_path / "c"))
+    assert {r.k: r._row_id for r in c.read(with_row_ids=True).collect()} == (
+        before
+    )
+    # each side allocates from its own high water afterwards
+    c.append(
+        c.spark.range(50, 52).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    )
+    assert _ids(tracked) == before  # source untouched
+
+
+def test_zorder_preserves_ids(tracked):
+    before = _ids(tracked)
+    tracked.optimize(zorder_by=["v"])
+    assert _ids(tracked) == before
