@@ -15,16 +15,21 @@ contract over the engine's own building blocks:
 
 Incremental eligibility (parsed, never guessed):
 
-- **Grouped aggregates** ``SELECT <keys>, SUM(e)/COUNT(*)/COUNT(e)
-  [AS a] ... FROM t [WHERE p] GROUP BY <keys>``: maintained under ANY
-  DML mix.  The refresh aggregates the base table's CDF slice with
-  signed weights (+1 insert/update_postimage, −1
-  delete/update_preimage) into a per-group delta, then folds it into
-  the stored state.  SUM's NULL semantics are kept exactly by storing
-  per-SUM hidden columns (raw 0-for-NULL sum + non-NULL count) and
-  reconstructing ``NULL when count = 0`` in the read view; groups
-  whose row count reaches zero are dropped.  Cost ∝ changed rows +
-  |groups| — never the base table.
+- **Grouped aggregates** ``SELECT <keys>, SUM(e)/COUNT(*)/COUNT(e)/
+  MIN(e)/MAX(e) [AS a] ... FROM t [WHERE p] GROUP BY <keys>``:
+  maintained under ANY DML mix.  The refresh aggregates the base
+  table's CDF slice with signed weights (+1 insert/update_postimage,
+  −1 delete/update_preimage) into a per-group delta, then folds it
+  into the stored state.  SUM's NULL semantics are kept exactly by
+  storing per-SUM hidden columns (raw 0-for-NULL sum + non-NULL
+  count) and reconstructing ``NULL when count = 0`` in the read view;
+  groups whose row count reaches zero are dropped.  MIN/MAX fold
+  optimistically and RESCAN exactly the groups whose removed values
+  reached the stored extremum (:func:`retraction_delta` /
+  :func:`fold_with_retraction` — the proof is in their docstrings);
+  an append-only window skips the retraction bookkeeping entirely.
+  Cost ∝ changed rows + |groups| + the rescanned groups' base rows —
+  never the whole base table.
 - **Projections/filters** (no aggregates): maintained when the CDF
   window is append-shaped (history operations all APPEND — a
   metadata-only check); the new rows are projected and appended.
@@ -48,8 +53,9 @@ only the groups whose deleted values reached the extremum).  This
 module is the SQL statement surface: it parses arbitrary aliased
 queries, reconstructs exact SQL SUM NULL semantics through a
 hidden-state read view, covers projection MVs and the full-recompute
-fallback, and keeps extrema to append-only windows (the targeted
-rescan is the documented upgrade).  Both share the same signed-weight
+fallback, and (round 10) carries the same targeted extrema rescan —
+the upgrade this paragraph used to document as pending.  Both share
+the same signed-weight
 CDF delta algebra; building this layer surfaced (and fixed) the
 operator's NULL-sum drift.
 """
@@ -313,6 +319,207 @@ def delta_state(changes: DataFrame, plan: MvPlan) -> DataFrame:
     if keys:
         return df.groupBy(*keys).agg(*aggs)
     return df.agg(*aggs)
+
+
+def retraction_delta(changes: DataFrame, plan: MvPlan) -> DataFrame:
+    """Signed counter delta PLUS per-extremum retraction evidence, for
+    MIN/MAX maintenance under ARBITRARY DML (the targeted-rescan
+    upgrade the module docstring promised):
+
+    - counters (``_N``, sums, counts): exactly :func:`delta_state`;
+    - per extremum item i: ``__mv_p{i}`` = the extremum over INSERTED
+      values (insert/update_postimage rows), ``__mv_r{i}`` = the
+      extremum over REMOVED values (delete/update_preimage rows), and
+      ``__mv_rc{i}`` = how many removed rows carried a non-NULL value.
+
+    The fold can then prove, per group, whether the stored extremum
+    SURVIVED the window: if every removed value is strictly dominated
+    by the stored extremum, the true new extremum is
+    ``greatest/least(stored, inserted)`` — any inserted-then-removed
+    value is dominated too, so the optimistic fold is exact.  Groups
+    where a removed value reached the stored extremum (or where there
+    is no stored extremum to compare against — a group born in the
+    window with intra-window removals) need a rescan."""
+    w = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(0))
+    )
+    df = changes.withColumn("__mv_w", w).filter(F.col("__mv_w") != 0)
+    if plan.where:
+        df = df.filter(F.expr(plan.where))
+    keys = [F.expr(e).alias(a) for e, a in plan.keys]
+    pos = F.col("__mv_w") == 1
+    aggs = [F.sum("__mv_w").cast("long").alias(_N)]
+    for i, (kind, e, _) in enumerate(plan.aggs):
+        x = F.expr(e)
+        if kind == "sum":
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.col("__mv_w") * F.coalesce(x, F.lit(0))),
+                    F.lit(0),
+                ).alias(f"__mv_s{i}")
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.col("__mv_w") * F.when(x.isNotNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"__mv_c{i}")
+            )
+        elif kind == "count":
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.col("__mv_w") * F.when(x.isNotNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"__mv_c{i}")
+            )
+        elif kind in ("min", "max"):
+            fn = F.min if kind == "min" else F.max
+            aggs.append(fn(F.when(pos, x)).alias(f"__mv_p{i}"))
+            aggs.append(fn(F.when(~pos, x)).alias(f"__mv_r{i}"))
+            aggs.append(
+                F.count(F.when(~pos, x)).cast("long").alias(f"__mv_rc{i}")
+            )
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def fold_with_retraction(
+    old: DataFrame, delta: DataFrame, plan: MvPlan
+) -> DataFrame:
+    """``old ⊕ retraction_delta``: counters fold as in
+    :func:`_fold_state`; each extremum folds OPTIMISTICALLY
+    (``greatest/least(stored, inserted)``) and the result carries one
+    extra boolean ``__mv_unsafe`` marking groups whose optimistic fold
+    is unsound — the caller rescans exactly those groups from the base
+    snapshot.  Grouped plans only (the caller handles the global
+    one-row case with a scalar check)."""
+    key_names = [a for _, a in plan.keys]
+    ext = {
+        i: kind
+        for i, (kind, _, _) in enumerate(plan.aggs)
+        if kind in ("min", "max")
+    }
+    counters = [
+        c
+        for c in state_columns(plan)
+        if c not in key_names and not c.startswith("__mv_m")
+    ]
+    o = old.alias("o")
+    d = delta.alias("d")
+    cond = None
+    for k in key_names:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = eq if cond is None else cond & eq
+    sel = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
+        for k in key_names
+    ]
+    sel += [
+        (
+            F.coalesce(F.col(f"o.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+        ).alias(c)
+        for c in counters
+    ]
+    unsafe = F.lit(False)
+    for i, kind in ext.items():
+        stored = F.col(f"o.__mv_m{i}")
+        fold = (F.least if kind == "min" else F.greatest)(
+            stored, F.col(f"d.__mv_p{i}")
+        )
+        sel.append(fold.alias(f"__mv_m{i}"))
+        dominated = (
+            F.col(f"d.__mv_r{i}") > stored
+            if kind == "min"
+            else F.col(f"d.__mv_r{i}") < stored
+        )
+        # unsafe: removals happened AND we cannot PROVE the stored
+        # extremum survived (stored NULL, or a removed value reached
+        # it — the NULL comparison lands here via coalesce(False))
+        unsafe = unsafe | (
+            (F.coalesce(F.col(f"d.__mv_rc{i}"), F.lit(0)) > 0)
+            & ~F.coalesce(stored.isNotNull() & dominated, F.lit(False))
+        )
+    sel.append(unsafe.alias("__mv_unsafe"))
+    return o.join(d, cond, "fullOuter").select(*sel).filter(F.col(_N) > 0)
+
+
+def global_fold_safe(delta_row, old_row, plan: MvPlan) -> bool:
+    """Scalar safety check for the KEYLESS extrema fold: True iff every
+    extremum provably survived the window's removals (same rule as
+    :func:`fold_with_retraction`, evaluated on the two one-row
+    states)."""
+    for i, (kind, _, _) in enumerate(plan.aggs):
+        if kind not in ("min", "max"):
+            continue
+        if (delta_row[f"__mv_rc{i}"] or 0) == 0:
+            continue
+        stored = old_row[f"__mv_m{i}"] if old_row is not None else None
+        removed = delta_row[f"__mv_r{i}"]
+        if stored is None:
+            return False
+        if kind == "max" and not removed < stored:
+            return False
+        if kind == "min" and not removed > stored:
+            return False
+    return True
+
+
+def global_fold(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:
+    """Keyless ``old ⊕ retraction_delta`` (both one row): counters sum,
+    extrema fold ``least/greatest(stored, inserted)`` — only called
+    after :func:`global_fold_safe` proved the fold exact.  DataFrame
+    arithmetic throughout, so sum/extremum types (decimal scales
+    included) are preserved exactly."""
+    key_names: list[str] = []
+    extrema = {
+        f"__mv_m{i}": (i, kind)
+        for i, (kind, _, _) in enumerate(plan.aggs)
+        if kind in ("min", "max")
+    }
+    counters = [
+        c
+        for c in state_columns(plan)
+        if c not in key_names and c not in extrema
+    ]
+    cols = counters + list(extrema)
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
+    d_cols = [
+        F.col(c).alias(f"__d_{c}") for c in counters
+    ] + [
+        F.col(f"__mv_p{i}").alias(f"__d_{c}")
+        for c, (i, _k) in extrema.items()
+    ]
+    d = delta.select(d_cols)
+    sel = [
+        (
+            F.coalesce(F.col(f"__o_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+        ).alias(c)
+        for c in counters
+    ] + [
+        (F.least if kind == "min" else F.greatest)(
+            F.col(f"__o_{c}"), F.col(f"__d_{c}")
+        ).alias(c)
+        for c, (_i, kind) in extrema.items()
+    ]
+    return o.crossJoin(d).select(*sel)
 
 
 def _fold_state(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:

@@ -1276,8 +1276,8 @@ class Lakehouse:
                         not _mv.has_extrema(plan)
                         or _mv.append_only_window(base, dep, cur)
                     ):
-                        # MIN/MAX fold only under append-only windows
-                        # (an extreme is not decrementable); SUM/COUNT
+                        # MIN/MAX under an append-only window folds
+                        # directly (no retraction possible); SUM/COUNT
                         # fold under any DML mix
                         delta = _mv.delta_state(
                             base.changes_between(dep, cur), plan
@@ -1292,6 +1292,76 @@ class Lakehouse:
                             extra_props={"mv_dep_version": cur},
                         )
                         mode, dep_out = "incremental", cur
+                    elif plan.grouped and plan.keys:
+                        # MIN/MAX under retractions: optimistic fold +
+                        # targeted rescan of exactly the groups whose
+                        # removed values reached the stored extremum —
+                        # cost ∝ changed rows + the rescanned groups'
+                        # base rows, never the whole table
+                        delta = _mv.retraction_delta(
+                            base.changes_between(dep, cur), plan
+                        )
+                        folded = _mv.fold_with_retraction(
+                            table.read(), delta, plan
+                        ).localCheckpoint()
+                        key_names = [a for _, a in plan.keys]
+                        unsafe = folded.filter("__mv_unsafe").select(
+                            *key_names
+                        )
+                        rescan = not unsafe.isEmpty()
+                        final = folded.filter("NOT __mv_unsafe").drop(
+                            "__mv_unsafe"
+                        )
+                        if rescan:
+                            rows = base.read()
+                            # disambiguate: key exprs resolve against
+                            # the base side, the probe side renames
+                            u = unsafe.select(
+                                *[
+                                    F.col(a).alias(f"__mvu_{a}")
+                                    for _, a in plan.keys
+                                ]
+                            )
+                            cond = None
+                            for (e, a) in plan.keys:
+                                eq = F.expr(e).eqNullSafe(
+                                    F.col(f"__mvu_{a}")
+                                )
+                                cond = eq if cond is None else cond & eq
+                            scoped = rows.join(u, cond, "left_semi")
+                            final = final.unionByName(
+                                _mv.full_state(scoped, plan)
+                            )
+                        table.overwrite(
+                            final, extra_props={"mv_dep_version": cur}
+                        )
+                        mode = "incremental_rescan" if rescan else (
+                            "incremental"
+                        )
+                        dep_out = cur
+                    elif plan.grouped:
+                        # global (keyless) extrema: one-row state — a
+                        # scalar safety check (metadata-sized collect)
+                        # decides fold vs recompute
+                        delta_df = _mv.retraction_delta(
+                            base.changes_between(dep, cur), plan
+                        ).localCheckpoint()
+                        if _mv.global_fold_safe(
+                            delta_df.first(), table.read().first(), plan
+                        ):
+                            table.overwrite(
+                                _mv.global_fold(
+                                    table.read(), delta_df, plan
+                                ),
+                                extra_props={"mv_dep_version": cur},
+                            )
+                            mode, dep_out = "incremental", cur
+                        else:
+                            table.overwrite(
+                                _mv.full_state(base.read(), plan),
+                                extra_props={"mv_dep_version": cur},
+                            )
+                            mode, dep_out = "incremental_rescan", cur
                     elif not plan.grouped and _mv.append_only_window(
                         base, dep, cur
                     ):

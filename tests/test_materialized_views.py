@@ -220,16 +220,60 @@ def test_min_max_incremental_under_appends(lh):
     assert rows[6] == (None, None)  # all-NULL group stays NULL
 
 
-def test_min_max_falls_back_to_full_on_delete(lh):
+def test_min_max_rescans_only_on_extremum_removal(lh):
     _mk_base(lh)
     lh.sql(f"CREATE MATERIALIZED VIEW mm2 AS {_QM}")
-    # delete the current minimum of g=1: not decrementable -> full
+    # delete the current minimum of g=1: the optimistic fold is
+    # unsound for exactly that group -> targeted rescan (round-10
+    # upgrade; previously a FULL recompute)
     lh.sql("DELETE FROM b WHERE g = 1 AND x = 10")
     r = lh.sql("REFRESH MATERIALIZED VIEW mm2").collect()[0]
-    assert r.mode == "full"
+    assert r.mode == "incremental_rescan"
     assert _mv_rows(lh, "mm2") == _recompute(lh, _QM)
     rows = {x.g: x.mn for x in lh.sql("SELECT * FROM mm2").collect()}
     assert rows[1] == 20  # the rescan found the survivor
+
+
+def test_min_max_folds_when_removal_is_dominated(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW mm3 AS {_QM}")
+    # remove a NON-extremal value (g=1 holds {10, 20}; 20 is max,
+    # 10 is min -> removing nothing extremal needs a mixed batch):
+    lh.sql("INSERT INTO b VALUES (1, 15)")
+    lh.sql("REFRESH MATERIALIZED VIEW mm3")
+    lh.sql("DELETE FROM b WHERE g = 1 AND x = 15")  # 10 < 15 < 20
+    r = lh.sql("REFRESH MATERIALIZED VIEW mm3").collect()[0]
+    assert r.mode == "incremental", "dominated removal must fold, not rescan"
+    assert _mv_rows(lh, "mm3") == _recompute(lh, _QM)
+
+
+def test_min_max_update_moves_extremum_exactly(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW mm4 AS {_QM}")
+    # UPDATE = remove pre-image + insert post-image in one window:
+    # raising the minimum retracts the stored extremum (rescan), and
+    # the post-image must win
+    lh.sql("UPDATE b SET x = 500 WHERE g = 1 AND x = 10")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mm4").collect()[0]
+    assert r.mode == "incremental_rescan"
+    assert _mv_rows(lh, "mm4") == _recompute(lh, _QM)
+    rows = {x.g: (x.mn, x.mx) for x in lh.sql("SELECT * FROM mm4").collect()}
+    assert rows[1] == (20, 500)
+
+
+def test_global_min_max_fold_and_rescan(lh):
+    _mk_base(lh)
+    q = "SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n FROM b"
+    lh.sql(f"CREATE MATERIALIZED VIEW gm AS {q}")
+    lh.sql("DELETE FROM b WHERE x = 7")  # 7 is neither min nor max...
+    # base x values: 10, 20, 5, NULL, 7 -> min 5, max 20; 7 dominated
+    r = lh.sql("REFRESH MATERIALIZED VIEW gm").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "gm") == _recompute(lh, q)
+    lh.sql("DELETE FROM b WHERE x = 20")  # the global max: rescan
+    r = lh.sql("REFRESH MATERIALIZED VIEW gm").collect()[0]
+    assert r.mode == "incremental_rescan"
+    assert _mv_rows(lh, "gm") == _recompute(lh, q)
 
 
 def test_incremental_refresh_is_one_atomic_commit(lh):
@@ -248,3 +292,46 @@ def test_incremental_refresh_is_one_atomic_commit(lh):
         data.properties()["mv_dep_version"]
         == lh.table("b").latest_version()
     )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_extrema_incremental_matches_recompute_under_random_dml(
+    spark, tmp_path_factory, ops
+):
+    """Round-10 done-criterion for the retraction rescan: after ANY
+    random DML sequence, the MIN/MAX MV refresh (optimistic fold +
+    targeted rescan) must be row-identical to recomputing the defining
+    query — and it must never fall back to full."""
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvext")))
+    lh.sql(
+        "CREATE TABLE he AS SELECT col1 AS g, col2 AS x FROM VALUES "
+        "(1, 10), (2, NULL), (3, 7)"
+    )
+    q = (
+        "SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n, "
+        "SUM(x) AS sx FROM he GROUP BY g"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hme AS {q}")
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(
+                f"({g}, {'NULL' if x is None else x})" for g, x in op[1]
+            )
+            lh.sql(f"INSERT INTO he VALUES {vals}")
+        elif op[0] == "delete":
+            lh.sql(f"DELETE FROM he WHERE g = {op[1]}")
+        else:
+            lh.sql(f"UPDATE he SET x = x + {op[2]} WHERE g = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW hme").collect()[0]
+        assert r.mode in ("incremental", "incremental_rescan", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM hme").collect()),
+            key=str,
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops} (mode {r.mode})"
