@@ -400,7 +400,7 @@ def retraction_delta(changes: DataFrame, plan: MvPlan) -> DataFrame:
 
 
 def fold_with_retraction(
-    old: DataFrame, delta: DataFrame, plan: MvPlan
+    old: DataFrame, delta: DataFrame, plan: MvPlan, keep_dead: bool = False
 ) -> DataFrame:
     """``old ⊕ retraction_delta``: counters fold as in
     :func:`_fold_state`; each extremum folds OPTIMISTICALLY
@@ -457,7 +457,12 @@ def fold_with_retraction(
             & ~F.coalesce(stored.isNotNull() & dominated, F.lit(False))
         )
     sel.append(unsafe.alias("__mv_unsafe"))
-    return o.join(d, cond, "fullOuter").select(*sel).filter(F.col(_N) > 0)
+    merged = o.join(d, cond, "fullOuter").select(*sel)
+    if keep_dead:
+        # keyed-MERGE fold: dead groups become DELETE rows instead of
+        # silently vanishing from an overwritten state
+        return merged.withColumn("__mv_dead", F.col(_N) <= 0)
+    return merged.filter(F.col(_N) > 0)
 
 
 def global_fold_safe(delta_row, old_row, plan: MvPlan) -> bool:
@@ -522,10 +527,13 @@ def global_fold(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:
     return o.crossJoin(d).select(*sel)
 
 
-def _fold_state(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:
+def _fold_state(
+    old: DataFrame, delta: DataFrame, plan: MvPlan, keep_dead: bool = False
+) -> DataFrame:
     """old ⊕ delta: null-safe full-outer join on the group keys, summed
-    hidden columns, dead groups (row count 0) dropped.  Isolated so a
-    keyed-MERGE upgrade (huge group cardinalities) swaps in here."""
+    hidden columns, dead groups (row count 0) dropped — or, with
+    ``keep_dead`` (the keyed-MERGE fold this docstring used to promise),
+    kept and flagged ``__mv_dead`` so they become MERGE deletes."""
     key_names = [a for _, a in plan.keys]
     extrema = {
         f"__mv_m{i}": kind
@@ -578,6 +586,8 @@ def _fold_state(old: DataFrame, delta: DataFrame, plan: MvPlan) -> DataFrame:
             lambda c: F.col(f"o.{c}"), lambda c: F.col(f"d.{c}")
         ),
     )
+    if keep_dead:
+        return merged.withColumn("__mv_dead", F.col(_N) <= 0)
     return merged.filter(F.col(_N) > 0)
 
 

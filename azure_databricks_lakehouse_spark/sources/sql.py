@@ -1235,6 +1235,44 @@ class Lakehouse:
         self._save_catalog()
         return self._status("CREATE MATERIALIZED VIEW", name, 0)
 
+    def _mv_use_merge(self, table, plan, delta) -> bool:
+        """Keyed-MERGE state-fold eligibility: opted in
+        (``mv_fold_mode='merge'``) or ``'auto'`` with a state table
+        whose metadata-exact row count says a per-refresh overwrite
+        dominates; requires group keys and a NULL-free delta key set
+        (merge joins are null-unsafe — a NULL group key falls back to
+        the overwrite fold, correctness over cost)."""
+        if not plan.keys:
+            return False
+        mode = str(table.properties().get("mv_fold_mode", "auto")).lower()
+        if mode == "overwrite":
+            return False
+        if mode != "merge" and table.count() <= 65536:
+            return False
+        cond = None
+        for _, a in plan.keys:
+            isnull = F.col(a).isNull()
+            cond = isnull if cond is None else cond | isnull
+        return delta.where(cond).isEmpty()
+
+    def _mv_write_state(self, table, plan, src, cur, use_merge) -> None:
+        """Land per-group state rows + the refresh cursor in ONE commit
+        (crash-atomic): keyed MERGE when ``src`` holds the AFFECTED
+        groups only (``__mv_dead`` rows delete their target group —
+        cost ∝ changed groups' files, the huge-cardinality path), else
+        a full-state overwrite."""
+        if use_merge:
+            table.merge(
+                src,
+                on=[a for _, a in plan.keys],
+                when_matched_delete=F.col("__mv_dead"),
+                source_meta_cols=("__mv_dead",),
+                validate_source_keys=False,
+                extra_props={"mv_dep_version": cur},
+            )
+        else:
+            table.overwrite(src, extra_props={"mv_dep_version": cur})
+
     def _refresh_mv_stmt(self, stmt: str) -> DataFrame:
         """``REFRESH MATERIALIZED VIEW name [FULL]`` — incremental when
         the stored plan allows (grouped aggregates under any DML via
@@ -1281,15 +1319,32 @@ class Lakehouse:
                         # fold under any DML mix
                         delta = _mv.delta_state(
                             base.changes_between(dep, cur), plan
-                        )
+                        ).localCheckpoint()
+                        use_merge = self._mv_use_merge(table, plan, delta)
+                        stored = table.read()
+                        if use_merge:
+                            # fold only the delta's groups; untouched
+                            # groups carry over by file reference
+                            stored = stored.join(
+                                delta.select(
+                                    *[a for _, a in plan.keys]
+                                ),
+                                [a for _, a in plan.keys],
+                                "left_semi",
+                            )
                         # state + watermark land in ONE commit: a crash
                         # can leave the old state (delta replays once)
                         # or the new state (cursor advanced) — never a
                         # folded state whose cursor still replays the
                         # same delta (double-apply)
-                        table.overwrite(
-                            _mv._fold_state(table.read(), delta, plan),
-                            extra_props={"mv_dep_version": cur},
+                        self._mv_write_state(
+                            table,
+                            plan,
+                            _mv._fold_state(
+                                stored, delta, plan, keep_dead=use_merge
+                            ),
+                            cur,
+                            use_merge,
                         )
                         mode, dep_out = "incremental", cur
                     elif plan.grouped and plan.keys:
@@ -1300,11 +1355,19 @@ class Lakehouse:
                         # base rows, never the whole table
                         delta = _mv.retraction_delta(
                             base.changes_between(dep, cur), plan
-                        )
-                        folded = _mv.fold_with_retraction(
-                            table.read(), delta, plan
                         ).localCheckpoint()
                         key_names = [a for _, a in plan.keys]
+                        use_merge = self._mv_use_merge(table, plan, delta)
+                        stored = table.read()
+                        if use_merge:
+                            stored = stored.join(
+                                delta.select(*key_names),
+                                key_names,
+                                "left_semi",
+                            )
+                        folded = _mv.fold_with_retraction(
+                            stored, delta, plan, keep_dead=use_merge
+                        ).localCheckpoint()
                         unsafe = folded.filter("__mv_unsafe").select(
                             *key_names
                         )
@@ -1329,11 +1392,29 @@ class Lakehouse:
                                 )
                                 cond = eq if cond is None else cond & eq
                             scoped = rows.join(u, cond, "left_semi")
-                            final = final.unionByName(
-                                _mv.full_state(scoped, plan)
-                            )
-                        table.overwrite(
-                            final, extra_props={"mv_dep_version": cur}
+                            recomputed = _mv.full_state(scoped, plan)
+                            if use_merge:
+                                # unsafe keys absent from the rescan
+                                # are dead groups -> MERGE delete rows
+                                state_cols = [
+                                    c
+                                    for c in _mv.state_columns(plan)
+                                    if c not in key_names
+                                ]
+                                unsafe_final = unsafe.join(
+                                    recomputed, key_names, "left"
+                                ).select(
+                                    *key_names,
+                                    *state_cols,
+                                    F.col(_mv._N)
+                                    .isNull()
+                                    .alias("__mv_dead"),
+                                )
+                                final = final.unionByName(unsafe_final)
+                            else:
+                                final = final.unionByName(recomputed)
+                        self._mv_write_state(
+                            table, plan, final, cur, use_merge
                         )
                         mode = "incremental_rescan" if rescan else (
                             "incremental"

@@ -3838,6 +3838,7 @@ class ParquetTable:
         validate_source_keys: bool = True,
         identity_passthrough: bool = False,
         evolve_schema: bool = False,
+        extra_props: dict | None = None,
     ) -> int:
         """D3 parity: keyed upsert with
         ``whenMatchedUpdateAll().whenNotMatchedInsertAll()`` semantics
@@ -4218,6 +4219,11 @@ class ParquetTable:
             subdir=_CDC_DIR,
         )
         commit_props = m.get("props", {})
+        if extra_props:
+            # caller-supplied props land in the SAME commit as the data
+            # (e.g. a materialized view's refresh cursor — crash-atomic
+            # exactly like overwrite's extra_props)
+            commit_props = {**commit_props, **extra_props}
         if id_bases and n_fresh:
             # the inserts' reserved identity range becomes durable with
             # this commit, exactly like append's reservation

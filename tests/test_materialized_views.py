@@ -335,3 +335,55 @@ def test_extrema_incremental_matches_recompute_under_random_dml(
         )
         want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
         assert got == want, f"after {op} of {ops} (mode {r.mode})"
+
+
+# --- keyed-MERGE state fold (huge-cardinality path) --------------------------
+
+
+def _force_merge_fold(lh, name):
+    lh.sql(
+        f"ALTER TABLE {name}__mvdata SET TBLPROPERTIES "
+        "('mv_fold_mode' = 'merge')"
+    )
+
+
+def test_merge_fold_mixed_dml_and_group_death(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    _force_merge_fold(lh, "m")
+    lh.sql("INSERT INTO b VALUES (1, 100), (4, 1)")  # update + new group
+    lh.sql("DELETE FROM b WHERE g = 3")  # group death -> MERGE delete
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh) == _recompute(lh, _Q)
+    data = lh.table("m__mvdata")
+    assert data.history(limit=1)[0].operation == "MERGE"
+    assert data.properties()["mv_dep_version"] == (
+        lh.table("b").latest_version()
+    )
+
+
+def test_merge_fold_extrema_rescan_and_death(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW mm AS {_QM}")
+    _force_merge_fold(lh, "mm")
+    # remove g=1's maximum (rescan) AND kill g=3 entirely (the unsafe
+    # set's dead-group half: rescan finds no survivor -> MERGE delete)
+    lh.sql("DELETE FROM b WHERE (g = 1 AND x = 20) OR g = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mm").collect()[0]
+    assert r.mode == "incremental_rescan"
+    assert _mv_rows(lh, "mm") == _recompute(lh, _QM)
+    assert all(t[0] != 3 for t in _mv_rows(lh, "mm"))
+    assert lh.table("mm__mvdata").history(limit=1)[0].operation == "MERGE"
+
+
+def test_merge_fold_null_group_key_falls_back_to_overwrite(lh):
+    _mk_base(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    _force_merge_fold(lh, "m")
+    lh.sql("INSERT INTO b VALUES (NULL, 42)")  # NULL group in the delta
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh) == _recompute(lh, _Q)
+    # merge joins are null-unsafe: the fold must have overwritten
+    assert lh.table("m__mvdata").history(limit=1)[0].operation == "OVERWRITE"
