@@ -40,11 +40,13 @@ Incremental eligibility (parsed, never guessed):
   still works — refresh is always full recompute.
 
 At 100 TB: the grouped path reads only the CDF slice (cost ∝ change),
-aggregates with one shuffle on the group keys, and rewrites state
-sized by group cardinality.  The state fold uses one null-safe
-full-outer join + overwrite — for MVs whose group cardinality itself
-is huge, a keyed MERGE would replace the overwrite; the fold is
-isolated in ``_fold_state`` for exactly that upgrade.
+aggregates with one shuffle on the group keys, and lands state sized
+by group cardinality.  The fold commits as a full overwrite by
+default; ``mv_fold_mode='merge'`` (or ``'auto'`` past a metadata-count
+threshold) restricts the fold to the DELTA's groups and lands it via
+touched-file-pruned MERGE — dead groups become MERGE-delete rows — so
+a billion-group MV pays per refresh only for the groups that changed
+(the upgrade ``_fold_state``'s docstring used to promise).
 
 Relationship to ``operators/incremental.refresh_sum_aggregate``: that
 is the PYTHON operator for pipeline code (fixed output shape, HLL

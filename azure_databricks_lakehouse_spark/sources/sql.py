@@ -1190,10 +1190,17 @@ class Lakehouse:
         snap = base.read(v)
         if plan.grouped:
             return _mv.full_state(snap, plan), v
+        rid = (
+            base._rt_state(base._manifest(v)) is not None
+        )  # row-tracked base: key the state by stable row id, so the
+        # projection maintains under ARBITRARY DML (see the refresh)
+        if rid:
+            snap = base.read(v, with_row_ids=True)
         self._asof_seq += 1
         tmp = f"__mv_src_{self._asof_seq}"
         snap.createOrReplaceTempView(tmp)
-        q = f"SELECT {plan.items} FROM {tmp}"
+        items = plan.items + (", _row_id AS __mv_rid" if rid else "")
+        q = f"SELECT {items} FROM {tmp}"
         if plan.where:
             q += f" WHERE {plan.where}"
         return self.spark.sql(q), v
@@ -1219,18 +1226,27 @@ class Lakehouse:
         if plan is not None and plan.table not in self._paths:
             plan = None  # base isn't a lakehouse table: no CDF, full-only
         df, dep = self._mv_compute(body, plan)
+        rid = "__mv_rid" in df.columns
         t = ParquetTable.create(self.spark, loc, df)
         props: dict = {"mv_query": body}
         if plan is not None:
             props["mv_dep_table"] = plan.table
             props["mv_dep_version"] = dep
+        if rid:
+            props["mv_rid"] = True
         t.set_properties(props)
         self._paths[data_name] = os.path.abspath(loc)
-        self._views[name] = (
-            _mv.view_body(plan, data_name)
-            if plan is not None and plan.grouped
-            else f"SELECT * FROM {data_name}"
-        )
+        if plan is not None and plan.grouped:
+            view = _mv.view_body(plan, data_name)
+        elif rid:
+            # the id key is state, not a user column — project it away
+            cols = ", ".join(
+                f"`{c}`" for c in df.columns if c != "__mv_rid"
+            )
+            view = f"SELECT {cols} FROM {data_name}"
+        else:
+            view = f"SELECT * FROM {data_name}"
+        self._views[name] = view
         self._mviews.add(name)
         self._save_catalog()
         return self._status("CREATE MATERIALIZED VIEW", name, 0)
@@ -1443,6 +1459,82 @@ class Lakehouse:
                                 extra_props={"mv_dep_version": cur},
                             )
                             mode, dep_out = "incremental_rescan", cur
+                    elif (
+                        not plan.grouped
+                        and props.get("mv_rid")
+                        and all(
+                            base._rt_state(base._manifest(v)) is not None
+                            for v in range(dep, cur + 1)
+                        )
+                    ):
+                        # projection over a ROW-TRACKED base: CDF rows
+                        # carry stable ids, so the state (keyed by
+                        # __mv_rid) maintains under ARBITRARY DML — the
+                        # composition row tracking exists for.  Per id,
+                        # the LAST event decides presence (within one
+                        # commit the post-image outranks its pre-image)
+                        # and supplies the image; images failing the
+                        # MV's WHERE predicate delete too.
+                        ch = base.changes_between(
+                            dep, cur, with_row_ids=True
+                        )
+                        meta = {
+                            "_change_type",
+                            "_commit_version",
+                            "_commit_timestamp",
+                            "_row_id",
+                        }
+                        base_cols = [
+                            c for c in ch.columns if c not in meta
+                        ]
+                        ev = ch.select(
+                            *base_cols,
+                            F.col("_row_id").alias("__mv_rid"),
+                            "_commit_version",
+                            F.col("_change_type")
+                            .isin("insert", "update_postimage")
+                            .cast("int")
+                            .alias("__ins"),
+                        )
+                        from pyspark.sql import Window as _W
+
+                        last = (
+                            ev.withColumn(
+                                "__rn",
+                                F.row_number().over(
+                                    _W.partitionBy("__mv_rid").orderBy(
+                                        F.col("_commit_version").desc(),
+                                        F.col("__ins").desc(),
+                                    )
+                                ),
+                            )
+                            .filter(F.col("__rn") == 1)
+                            .drop("__rn", "_commit_version")
+                        )
+                        alive = F.col("__ins") == 1
+                        if plan.where:
+                            alive = alive & F.coalesce(
+                                F.expr(plan.where), F.lit(False)
+                            )
+                        last = last.withColumn(
+                            "__mv_dead", ~alive
+                        ).drop("__ins")
+                        self._asof_seq += 1
+                        tmp = f"__mv_rid_{self._asof_seq}"
+                        last.createOrReplaceTempView(tmp)
+                        src = self.spark.sql(
+                            f"SELECT {plan.items}, __mv_rid, __mv_dead "
+                            f"FROM {tmp}"
+                        )
+                        table.merge(
+                            src,
+                            on=["__mv_rid"],
+                            when_matched_delete=F.col("__mv_dead"),
+                            source_meta_cols=("__mv_dead",),
+                            validate_source_keys=False,
+                            extra_props={"mv_dep_version": cur},
+                        )
+                        mode, dep_out = "incremental", cur
                     elif not plan.grouped and _mv.append_only_window(
                         base, dep, cur
                     ):
@@ -1481,6 +1573,13 @@ class Lakehouse:
             if plan is not None:
                 up["mv_dep_table"] = plan.table
                 up["mv_dep_version"] = dep_out
+            if "__mv_rid" in df.columns and not props.get("mv_rid"):
+                # created WITHOUT the id key: keep the state shape the
+                # stored view projects (SELECT * would leak the key)
+                df = df.drop("__mv_rid")
+            # the rid key follows the recompute (base may have LOST row
+            # tracking since create); None unsets
+            up["mv_rid"] = True if "__mv_rid" in df.columns else None
             table.overwrite(df, extra_props=up)
         return self.spark.createDataFrame(
             [(name, mode, dep_out)],

@@ -4697,7 +4697,10 @@ class ParquetTable:
     # -- change data feed ---------------------------------------------------
 
     def changes_between(
-        self, start_version: int, end_version: int | None = None
+        self,
+        start_version: int,
+        end_version: int | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Row-level changes committed in ``(start_version, end_version]``
         — the CDF read (Delta's ``table_changes``) that lets a downstream
@@ -4728,6 +4731,15 @@ class ParquetTable:
 
         Versions older than the VACUUM horizon raise FileNotFoundError
         (their manifests are gone) — same retention contract as reads.
+
+        ``with_row_ids`` (row tracking × CDF — the composition Delta
+        built row tracking for) adds ``_row_id`` to every change row:
+        an UPDATE's delete+insert pair SHARES its id, so a consumer can
+        maintain row-level state (e.g. a projection MV) by keying on
+        the id instead of guessing multiset membership.  Requires
+        ``delta.enableRowTracking`` across the whole window; CDC
+        sidecars carry no ids, so every commit takes the file-diff
+        reconstruction (cost ∝ the commit's touched files).
         """
         end = self.latest_version() if end_version is None else end_version
         if start_version > end:
@@ -4790,6 +4802,12 @@ class ParquetTable:
         for v in range(start_version + 1, end + 1):
             m_v = self._manifest(v)
             m = _at_end(m_v)
+            if with_row_ids and self._rt_state(m_v) is None:
+                raise ValueError(
+                    f"changes_between(with_row_ids=True): version {v} "
+                    "has no row-tracking state — enable "
+                    "delta.enableRowTracking before the window starts"
+                )
             if m["operation"] == "OPTIMIZE":
                 continue
             if m["operation"] == "FSCK":
@@ -4804,7 +4822,7 @@ class ParquetTable:
                     "from a snapshot at or after this version"
                 )
             cdc = m.get("cdc_files", [])
-            if cdc:
+            if cdc and not with_row_ids:
                 # DELETE/UPDATE commits record their exact row deltas as
                 # a CDC sidecar — read it directly (cost ∝ changed rows,
                 # zero shuffle) instead of the EXCEPT ALL reconstruction.
@@ -4847,8 +4865,12 @@ class ParquetTable:
             }
             added = sorted((cur_files - prev_files) | dv_changed)
             removed = sorted((prev_files - cur_files) | dv_changed)
-            added_df = self._read_files_dv(added, m)
-            removed_df = self._read_files_dv(removed, prev if removed else m)
+            added_df = self._read_files_dv(
+                added, m, with_row_ids=with_row_ids
+            )
+            removed_df = self._read_files_dv(
+                removed, prev if removed else m, with_row_ids=with_row_ids
+            )
             if removed:
                 # align on the union of columns so EXCEPT ALL compares
                 # row VALUES even across a schema-evolution boundary
@@ -4880,7 +4902,9 @@ class ParquetTable:
                     .withColumn("_commit_timestamp", _commit_ts(m))
                 )
         if not slices:
-            empty = self.read(end if end in have else None).limit(0)
+            empty = self.read(
+                end if end in have else None, with_row_ids=with_row_ids
+            ).limit(0)
             return (
                 empty.withColumn("_change_type", F.lit(""))
                 .withColumn("_commit_version", F.lit(0).cast("long"))

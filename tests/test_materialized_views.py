@@ -387,3 +387,97 @@ def test_merge_fold_null_group_key_falls_back_to_overwrite(lh):
     assert _mv_rows(lh) == _recompute(lh, _Q)
     # merge joins are null-unsafe: the fold must have overwritten
     assert lh.table("m__mvdata").history(limit=1)[0].operation == "OVERWRITE"
+
+
+# --- projection MVs over row-tracked bases (round-10 composition) -----------
+
+
+def _mk_tracked_base(lh, name="rb"):
+    lh.sql(
+        f"CREATE TABLE {name} AS SELECT col1 AS g, col2 AS x FROM VALUES "
+        "(1, 10), (1, 20), (2, 5), (3, 7)"
+    )
+    lh.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+
+
+def test_projection_mv_maintains_under_arbitrary_dml_with_row_ids(lh):
+    _mk_tracked_base(lh)
+    q = "SELECT g, x * 2 AS x2 FROM rb WHERE x IS NOT NULL"
+    lh.sql(f"CREATE MATERIALIZED VIEW rp AS {q}")
+    # the state key never leaks into reads
+    assert sorted(lh.sql("SELECT * FROM rp").columns) == ["g", "x2"]
+    lh.sql("INSERT INTO rb VALUES (4, 40), (4, NULL)")
+    lh.sql("UPDATE rb SET x = 11 WHERE g = 1 AND x = 10")
+    lh.sql("DELETE FROM rb WHERE g = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW rp").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "rp") == _recompute(lh, q)
+    assert lh.table("rp__mvdata").history(limit=1)[0].operation == "MERGE"
+
+
+def test_projection_mv_predicate_exit_deletes_row(lh):
+    _mk_tracked_base(lh)
+    q = "SELECT g, x FROM rb WHERE x > 6"
+    lh.sql(f"CREATE MATERIALIZED VIEW rq AS {q}")
+    # the update moves g=1,x=10 BELOW the predicate: same row id, image
+    # now fails WHERE -> the refresh must DELETE it from the MV
+    lh.sql("UPDATE rb SET x = 1 WHERE g = 1 AND x = 10")
+    # and this one moves INTO the predicate
+    lh.sql("UPDATE rb SET x = 100 WHERE g = 2 AND x = 5")
+    r = lh.sql("REFRESH MATERIALIZED VIEW rq").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "rq") == _recompute(lh, q)
+
+
+def test_projection_mv_rt_disabled_midway_falls_back(lh):
+    _mk_tracked_base(lh)
+    q = "SELECT g, x FROM rb WHERE x IS NOT NULL"
+    lh.sql(f"CREATE MATERIALIZED VIEW rr AS {q}")
+    lh.sql("ALTER TABLE rb UNSET TBLPROPERTIES ('delta.enableRowTracking')")
+    lh.sql("DELETE FROM rb WHERE g = 2")  # rewrite without row ids
+    r = lh.sql("REFRESH MATERIALIZED VIEW rr").collect()[0]
+    assert r.mode == "full"  # id maintenance impossible; stays correct
+    assert _mv_rows(lh, "rr") == _recompute(lh, q)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_projection_mv_rid_matches_recompute_under_random_dml(
+    spark, tmp_path_factory, ops
+):
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvrid")))
+    lh.sql(
+        "CREATE TABLE hr AS SELECT col1 AS g, col2 AS x FROM VALUES "
+        "(1, 10), (2, NULL), (3, 7)"
+    )
+    lh.sql(
+        "ALTER TABLE hr SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    q = "SELECT g, x, x * 3 AS x3 FROM hr WHERE x > 5"
+    lh.sql(f"CREATE MATERIALIZED VIEW hp AS {q}")
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(
+                f"({g}, {'NULL' if x is None else x})" for g, x in op[1]
+            )
+            lh.sql(f"INSERT INTO hr VALUES {vals}")
+        elif op[0] == "delete":
+            lh.sql(f"DELETE FROM hr WHERE g = {op[1]}")
+        else:
+            lh.sql(f"UPDATE hr SET x = x + {op[2]} WHERE g = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW hp").collect()[0]
+        assert r.mode in ("incremental", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM hp").collect()),
+            key=str,
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops}"
