@@ -94,6 +94,7 @@ _SHAPE = _ci(
     r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?$"
 )
 _SUM = _ci(r"^SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
+_AVG = _ci(r"^AVG\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
 _MINMAX = _ci(r"^(?P<f>MIN|MAX)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
 _CNT_STAR = _ci(r"^COUNT\s*\(\s*(?:\*|1)\s*\)\s+AS\s+(?P<a>`?\w+`?)$")
 _CNT = _ci(r"^COUNT\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
@@ -178,6 +179,15 @@ def _parse_aggs(items: list[str]) -> list[tuple[str, str | None, str]] | None:
                 ("sum", sm.group("e").strip(), _unquote_ident(sm.group("a")))
             )
             continue
+        vm = _AVG.match(it)
+        if vm:
+            # AVG is SUM/COUNT: same hidden state as SUM, the read view
+            # reconstructs the quotient (type-exact CAST computed from
+            # the defining query's own analyzed schema at CREATE)
+            out.append(
+                ("avg", vm.group("e").strip(), _unquote_ident(vm.group("a")))
+            )
+            continue
         nm = _CNT.match(it)
         if nm:
             out.append(
@@ -211,7 +221,7 @@ def has_extrema(plan: MvPlan) -> bool:
 def state_columns(plan: MvPlan) -> list[str]:
     cols = [a for _, a in plan.keys] + [_N]
     for i, (kind, _, _) in enumerate(plan.aggs):
-        if kind == "sum":
+        if kind in ("sum", "avg"):
             cols += [f"__mv_s{i}", f"__mv_c{i}"]
         elif kind == "count":
             cols += [f"__mv_c{i}"]
@@ -220,11 +230,27 @@ def state_columns(plan: MvPlan) -> list[str]:
     return cols
 
 
-def view_body(plan: MvPlan, data_name: str) -> str:
-    """The read view reconstructing user columns from hidden state."""
+def view_body(
+    plan: MvPlan, data_name: str, avg_types: dict[int, str] | None = None
+) -> str:
+    """The read view reconstructing user columns from hidden state.
+    ``avg_types`` maps an AVG item's index to the DDL type of the REAL
+    ``AVG(e)`` (taken from the defining query's analyzed schema at
+    CREATE) — the stored sum has Spark's internal sum type, so
+    ``CAST(s / c AS <type>)`` reproduces Average's own divide+cast
+    bit-for-bit."""
     sel = [f"`{a}`" for _, a in plan.keys]
     for i, (kind, _, alias) in enumerate(plan.aggs):
-        if kind == "sum":
+        if kind == "avg":
+            t = (avg_types or {}).get(i)
+            q = f"`__mv_s{i}` / `__mv_c{i}`"
+            if t:
+                q = f"CAST({q} AS {t})"
+            sel.append(
+                f"CASE WHEN `__mv_c{i}` = 0 THEN NULL ELSE {q} END"
+                f" AS `{alias}`"
+            )
+        elif kind == "sum":
             sel.append(
                 f"CASE WHEN `__mv_c{i}` = 0 THEN NULL ELSE `__mv_s{i}` END"
                 f" AS `{alias}`"
@@ -245,7 +271,7 @@ def full_state(base: DataFrame, plan: MvPlan) -> DataFrame:
     keys = [F.expr(e).alias(a) for e, a in plan.keys]
     aggs = [F.count(F.lit(1)).cast("long").alias(_N)]
     for i, (kind, e, _) in enumerate(plan.aggs):
-        if kind == "sum":
+        if kind in ("sum", "avg"):
             x = F.expr(e)
             # raw sum keeps the SUM's natural type (double stays double)
             aggs.append(F.coalesce(F.sum(x), F.lit(0)).alias(f"__mv_s{i}"))
@@ -281,7 +307,7 @@ def delta_state(changes: DataFrame, plan: MvPlan) -> DataFrame:
     keys = [F.expr(e).alias(a) for e, a in plan.keys]
     aggs = [F.sum("__mv_w").cast("long").alias(_N)]
     for i, (kind, e, _) in enumerate(plan.aggs):
-        if kind == "sum":
+        if kind in ("sum", "avg"):
             x = F.expr(e)
             aggs.append(
                 F.coalesce(
@@ -361,7 +387,7 @@ def retraction_delta(changes: DataFrame, plan: MvPlan) -> DataFrame:
     aggs = [F.sum("__mv_w").cast("long").alias(_N)]
     for i, (kind, e, _) in enumerate(plan.aggs):
         x = F.expr(e)
-        if kind == "sum":
+        if kind in ("sum", "avg"):
             aggs.append(
                 F.coalesce(
                     F.sum(F.col("__mv_w") * F.coalesce(x, F.lit(0))),

@@ -1237,7 +1237,23 @@ class Lakehouse:
         t.set_properties(props)
         self._paths[data_name] = os.path.abspath(loc)
         if plan is not None and plan.grouped:
-            view = _mv.view_body(plan, data_name)
+            avg_types = None
+            avg_idx = [
+                i for i, (k, _, _) in enumerate(plan.aggs) if k == "avg"
+            ]
+            if avg_idx:
+                # the defining query's ANALYZED schema names each AVG's
+                # exact output type (analysis only, no job) — the view
+                # reconstructs `CAST(sum/count AS that_type)`, which is
+                # Average's own divide+cast on the same internal sum
+                sch = {
+                    f.name: f.dataType.simpleString()
+                    for f in self._run_query(body).schema.fields
+                }
+                avg_types = {
+                    i: sch[plan.aggs[i][2]] for i in avg_idx
+                }
+            view = _mv.view_body(plan, data_name, avg_types=avg_types)
         elif rid:
             # the id key is state, not a user column — project it away
             cols = ", ".join(

@@ -181,7 +181,10 @@ def test_incremental_matches_recompute_under_random_dml(
         "CREATE TABLE hb AS SELECT col1 AS g, col2 AS x FROM VALUES "
         "(1, 10), (2, NULL), (3, 7)"
     )
-    q = "SELECT g, SUM(x) AS sx, COUNT(*) AS n, COUNT(x) AS nx FROM hb GROUP BY g"
+    q = (
+        "SELECT g, SUM(x) AS sx, COUNT(*) AS n, COUNT(x) AS nx, "
+        "AVG(x) AS ax FROM hb GROUP BY g"
+    )
     lh.sql(f"CREATE MATERIALIZED VIEW hm AS {q}")
     for op in ops:
         if op[0] == "insert":
@@ -481,3 +484,30 @@ def test_projection_mv_rid_matches_recompute_under_random_dml(
         )
         want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
         assert got == want, f"after {op} of {ops}"
+
+
+def test_avg_incremental_with_exact_types(lh):
+    """AVG = SUM/COUNT hidden state; the read view casts the quotient
+    to the REAL AVG's analyzed type, so integer and decimal bases both
+    hash-match a recompute (round-10: previously full-only)."""
+    lh.sql(
+        "CREATE TABLE ab AS SELECT col1 AS g, col2 AS x, "
+        "CAST(col2 AS DECIMAL(10,2)) AS d FROM VALUES "
+        "(1, 10), (1, 21), (2, 5), (2, NULL), (3, 7)"
+    )
+    q = "SELECT g, AVG(x) AS ax, AVG(d) AS ad, COUNT(*) AS n FROM ab GROUP BY g"
+    lh.sql(f"CREATE MATERIALIZED VIEW av AS {q}")
+    assert _mv_rows(lh, "av") == _recompute(lh, q)
+    got = {f.name: f.dataType.simpleString()
+           for f in lh.sql("SELECT * FROM av").schema.fields}
+    want = {f.name: f.dataType.simpleString()
+            for f in lh.sql(q).schema.fields}
+    assert got == want, "view must reconstruct AVG's exact output types"
+    lh.sql("INSERT INTO ab VALUES (1, 100, 3.33), (4, 8, NULL)")
+    lh.sql("DELETE FROM ab WHERE g = 2 AND x = 5")  # group -> all-NULL avg
+    lh.sql("UPDATE ab SET x = x + 1 WHERE g = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW av").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "av") == _recompute(lh, q)
+    rows = {x.g: x.ax for x in lh.sql("SELECT * FROM av").collect()}
+    assert rows[2] is None  # all-NULL group reads NULL, not 0/1
