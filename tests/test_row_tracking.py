@@ -208,3 +208,69 @@ def test_zorder_preserves_ids(tracked):
     before = _ids(tracked)
     tracked.optimize(zorder_by=["v"])
     assert _ids(tracked) == before
+
+
+# --- the done-criterion sweep ------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_rt_op = st.one_of(
+    st.tuples(st.just("insert"), st.integers(1, 3)),
+    st.tuples(st.just("delete"), st.integers(2, 5), st.integers(0, 4)),
+    st.tuples(st.just("update"), st.integers(2, 5), st.integers(0, 4)),
+    st.tuples(st.just("merge"), st.integers(1, 3)),
+    st.tuples(st.just("optimize")),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_rt_op, min_size=1, max_size=5))
+def test_row_ids_stable_under_random_dml(spark, tmp_path_factory, ops):
+    """The row-tracking invariant, swept: after ANY random DML/maintenance
+    sequence, (a) every surviving key keeps its id, (b) ids stay unique,
+    (c) fresh rows never reuse a previously-seen id."""
+    t = ParquetTable.create(
+        spark,
+        str(tmp_path_factory.mktemp("rt") / "t"),
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    t.set_properties({"delta.enableRowTracking": "true"})
+    next_k = 10
+    prev = {r.k: r._row_id for r in t.read(with_row_ids=True).collect()}
+    seen = set(prev.values())
+    for op in ops:
+        if op[0] == "insert":
+            t.append(
+                spark.range(next_k, next_k + op[1]).select(
+                    F.col("id").alias("k"), F.lit(0).alias("v")
+                )
+            )
+            next_k += op[1]
+        elif op[0] == "delete":
+            t.delete(f"k % {op[1]} = {op[2] % op[1]}")
+        elif op[0] == "update":
+            t.update(f"k % {op[1]} = {op[2] % op[1]}", {"v": F.col("v") + 1})
+        elif op[0] == "merge":
+            src = spark.range(next_k - op[1], next_k + op[1]).select(
+                F.col("id").alias("k"), F.lit(-1).alias("v")
+            )
+            t.merge(src, on=["k"])
+            next_k += op[1]
+        else:
+            t.optimize()
+        cur = {r.k: r._row_id for r in t.read(with_row_ids=True).collect()}
+        assert len(set(cur.values())) == len(cur), f"dup ids after {op}"
+        assert all(i is not None for i in cur.values()), f"null id after {op}"
+        for k in cur.keys() & prev.keys():
+            assert cur[k] == prev[k], f"key {k} changed id after {op}"
+        for k in cur.keys() - prev.keys():
+            assert cur[k] not in seen, f"fresh key {k} reused an id ({op})"
+        seen |= set(cur.values())
+        prev = cur
