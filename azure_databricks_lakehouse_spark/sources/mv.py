@@ -16,7 +16,7 @@ contract over the engine's own building blocks:
 Incremental eligibility (parsed, never guessed):
 
 - **Grouped aggregates** ``SELECT <keys>, SUM(e)/COUNT(*)/COUNT(e)/
-  MIN(e)/MAX(e) [AS a] ... FROM t [WHERE p] GROUP BY <keys>``:
+  AVG(e)/MIN(e)/MAX(e) [AS a] ... FROM t [WHERE p] GROUP BY <keys>``:
   maintained under ANY DML mix.  The refresh aggregates the base
   table's CDF slice with signed weights (+1 insert/update_postimage,
   −1 delete/update_preimage) into a per-group delta, then folds it
@@ -30,12 +30,17 @@ Incremental eligibility (parsed, never guessed):
   an append-only window skips the retraction bookkeeping entirely.
   Cost ∝ changed rows + |groups| + the rescanned groups' base rows —
   never the whole base table.
-- **Projections/filters** (no aggregates): maintained when the CDF
-  window is append-shaped (history operations all APPEND — a
-  metadata-only check); the new rows are projected and appended.
-  A rewrite commit in the window falls back to full refresh (without
-  row tracking, deleting a projection's multiset rows is not
-  identifiable).
+- **Projections/filters** (no aggregates): over a ROW-TRACKED base,
+  maintained under ARBITRARY DML — the state keys on the stable row id
+  (``__mv_rid``, hidden from the read view), the CDF window reduces to
+  one action per id (the last event decides presence; an image failing
+  the WHERE predicate deletes), and everything lands via one id-keyed
+  MERGE.  Without row tracking, maintained when the CDF window is
+  append-shaped (new rows projected and appended); a rewrite commit
+  then falls back to full refresh (a projection's multiset rows are
+  not identifiable without ids — exactly why row tracking exists).
+  AVG folds as SUM/COUNT state; the read view casts the quotient to
+  the real AVG's analyzed output type (see :func:`view_body`).
 - **Anything else** (joins, windows, DISTINCT, subqueries): the MV
   still works — refresh is always full recompute.
 
