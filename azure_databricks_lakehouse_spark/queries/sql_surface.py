@@ -21,6 +21,14 @@ without growing the corpus past the 50-query budget:
   recomputes the defining aggregate from the equivalent relational
   state, so the signed-weight delta fold (``sources/mv.py``) answers to
   DuckDB, not just to a recompute by the same engine.
+- **Star-join materialized view** (``part='mvjoin'``, round 11): the
+  reference's gold aggregation-table shape — an aggregate over
+  fact ⋈ dim (gold_rx_claims_load.py:237-245 joins rx claims to
+  dim_date) — maintained INCREMENTALLY under the same fact DML window
+  (``sources/mv.py`` join canonicalization: with dims frozen,
+  Δ(fact ⋈ dims) = Δfact ⋈ dims).  The ``_refresh/mode`` row pins
+  ``incremental`` in the oracle artifact itself: a silent fall-back to
+  full recompute would hash-mismatch, not just slow down.
 
 Both parts render as ``(part, item, metric, value)`` with ``value``
 stringified; money stays DECIMAL through every step (cast from the raw
@@ -60,14 +68,23 @@ _MV_QUERY = (
     "COUNT(total) AS n_priced FROM fact GROUP BY status"
 )
 
+_MVJ_QUERY = (
+    "SELECT dimc.seg AS seg, SUM(fact.total) AS total_sum, "
+    "COUNT(*) AS n_orders FROM fact JOIN dimc "
+    "ON fact.o_custkey = dimc.c_custkey GROUP BY dimc.seg"
+)
+
 _MV_SCRIPT = f"""
 CREATE TABLE fact AS
-  SELECT o_orderkey, o_orderstatus AS status,
+  SELECT o_orderkey, o_custkey, o_orderstatus AS status,
          CAST(o_totalprice AS DECIMAL(21,3)) AS total
   FROM orders WHERE o_orderkey % 4 <> 0;
+CREATE TABLE dimc AS
+  SELECT c_custkey, c_mktsegment AS seg FROM customer;
 CREATE MATERIALIZED VIEW mv_status AS {_MV_QUERY};
+CREATE MATERIALIZED VIEW mv_seg AS {_MVJ_QUERY};
 INSERT INTO fact
-  SELECT o_orderkey, 'U' AS status,
+  SELECT o_orderkey, o_custkey, 'U' AS status,
          CAST(o_totalprice AS DECIMAL(21,3)) * 1.1 AS total
   FROM orders WHERE o_orderkey % 4 = 0;
 UPDATE fact SET total = total + 1 WHERE o_orderkey % 10 = 3;
@@ -77,7 +94,7 @@ REFRESH MATERIALIZED VIEW mv_status
 
 
 def q56_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = bind(spark, sf_dir, "documents", "orders")
+    t = bind(spark, sf_dir, "documents", "orders", "customer")
 
     prof = (
         profile(t["documents"], columns=list(_PROFILE_COLS))
@@ -108,7 +125,30 @@ def q56_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("metric", "value"),
     )
-    return prof.unionByName(mv)
+
+    # the join-MV refresh outside the script so its MODE lands in the
+    # result: the oracle's constant 'incremental' row turns a silent
+    # full-refresh fallback into a hash mismatch
+    mode = lh.sql("REFRESH MATERIALIZED VIEW mv_seg").select(
+        F.lit("mvjoin").alias("part"),
+        F.lit("_refresh").alias("item"),
+        F.lit("mode").alias("metric"),
+        F.col("mode").alias("value"),
+    )
+    mvj = lh.sql(
+        "SELECT seg, CAST(total_sum AS DECIMAL(38,3)) AS total_sum, "
+        "n_orders FROM mv_seg"
+    ).select(
+        F.lit("mvjoin").alias("part"),
+        F.col("seg").alias("item"),
+        F.explode(
+            F.create_map(
+                F.lit("total_sum"), F.col("total_sum").cast("string"),
+                F.lit("n_orders"), F.col("n_orders").cast("string"),
+            )
+        ).alias("metric", "value"),
+    )
+    return prof.unionByName(mv).unionByName(mode).unionByName(mvj)
 
 
 def _profile_oracle() -> str:
@@ -140,17 +180,17 @@ def _profile_oracle() -> str:
 
 _Q56_SQL = f"""
 WITH fact0 AS (
-  SELECT o_orderkey, o_orderstatus AS status,
+  SELECT o_orderkey, o_custkey, o_orderstatus AS status,
          CAST(o_totalprice AS DECIMAL(21,3)) AS total
   FROM orders WHERE o_orderkey % 4 <> 0
   UNION ALL
-  SELECT o_orderkey, 'U' AS status,
+  SELECT o_orderkey, o_custkey, 'U' AS status,
          CAST(CAST(o_totalprice AS DECIMAL(21,3)) * 1.1
               AS DECIMAL(21,3)) AS total
   FROM orders WHERE o_orderkey % 4 = 0
 ),
 fact AS (
-  SELECT o_orderkey, status,
+  SELECT o_orderkey, o_custkey, status,
          CASE WHEN o_orderkey % 10 = 3
               THEN CAST(total + 1 AS DECIMAL(21,3)) ELSE total END AS total
   FROM fact0 WHERE o_orderkey % 10 <> 7
@@ -159,6 +199,13 @@ mv AS (
   SELECT status, CAST(SUM(total) AS DECIMAL(38,3)) AS total_sum,
          COUNT(*) AS n_orders, COUNT(total) AS n_priced
   FROM fact GROUP BY status
+),
+jmv AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(SUM(f.total) AS DECIMAL(38,3)) AS total_sum,
+         COUNT(*) AS n_orders
+  FROM fact f JOIN customer c ON f.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
 )
 {_profile_oracle()}
 UNION ALL
@@ -167,6 +214,12 @@ UNION ALL
 SELECT 'mv', status, 'n_orders', CAST(n_orders AS VARCHAR) FROM mv
 UNION ALL
 SELECT 'mv', status, 'n_priced', CAST(n_priced AS VARCHAR) FROM mv
+UNION ALL
+SELECT 'mvjoin', '_refresh', 'mode', 'incremental'
+UNION ALL
+SELECT 'mvjoin', seg, 'total_sum', CAST(total_sum AS VARCHAR) FROM jmv
+UNION ALL
+SELECT 'mvjoin', seg, 'n_orders', CAST(n_orders AS VARCHAR) FROM jmv
 """
 
 

@@ -41,8 +41,27 @@ Incremental eligibility (parsed, never guessed):
   not identifiable without ids — exactly why row tracking exists).
   AVG folds as SUM/COUNT state; the read view casts the quotient to
   the real AVG's analyzed output type (see :func:`view_body`).
-- **Anything else** (joins, windows, DISTINCT, subqueries): the MV
-  still works — refresh is always full recompute.
+- **Star-join aggregates** ``SELECT <keys>, <aggs> FROM fact [AS f]
+  [INNER|LEFT] JOIN dim [AS d] ON <cond> ... [WHERE p] GROUP BY
+  <keys>`` — the reference's own gold aggregation-table shape
+  (``/root/reference/gold/gold_rx_claims_load.py:237-245`` aggregates
+  a claims fact joined to ``dim_date``): maintained under ANY DML mix
+  **on the fact table** while every dim is at its pinned version.  The
+  algebra: with dims frozen, the join chain is a deterministic
+  per-fact-row flatmap (each fact row maps to its join matches — one
+  null-extended row for an unmatched LEFT-join row — independently of
+  every other fact row), so ``Δ(fact ⋈ dims) = Δfact ⋈ dims`` holds
+  multiset-exactly for any INNER/LEFT chain with the fact leftmost.
+  The refresh therefore joins the fact CDF slice (weights riding
+  along) to the pinned dims, canonicalizes key/agg expressions to
+  fixed columns (:func:`joined_rows` + :func:`canonical_plan`), and
+  folds through the SAME signed-weight machinery as the single-table
+  path — MIN/MAX retraction rescans included, scoped to the unsafe
+  groups' join rows.  A dim-side change (pinned version moved) is the
+  documented fallback: full recompute, dims re-pinned.  RIGHT/FULL/
+  CROSS/comma joins are not fact-preserving flatmaps — full-only.
+- **Anything else** (windows, DISTINCT, subqueries, non-grouped
+  joins): the MV still works — refresh is always full recompute.
 
 At 100 TB: the grouped path reads only the CDF slice (cost ∝ change),
 aggregates with one shuffle on the group keys, and lands state sized
@@ -86,18 +105,25 @@ from azure_databricks_lakehouse_spark.sources.sql import (
 _N = "__mv_n"  # per-group live row count (group death tracking)
 
 _FORBIDDEN = _ci(
-    r"\b(JOIN|HAVING|ORDER|LIMIT|DISTINCT|UNION|INTERSECT|EXCEPT|MINUS"
+    r"\b(HAVING|ORDER|LIMIT|DISTINCT|UNION|INTERSECT|EXCEPT|MINUS"
     r"|QUALIFY|OVER|PIVOT|LATERAL)\b"
 )
+# join types whose delta is NOT a per-fact-row flatmap (or that hide
+# the join condition): full-refresh-only when present in the FROM
+_BAD_JOIN = _ci(r"\b(RIGHT|FULL|CROSS|SEMI|ANTI|NATURAL|USING)\b")
 _NONDET = _ci(
     r"\b(rand|randn|uuid|shuffle|current_timestamp|current_date|now"
     r"|monotonically_increasing_id|input_file_name)\s*\("
 )
 _SHAPE = _ci(
-    r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<tbl>`?[\w.]+`?)"
+    r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<from>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?$"
 )
+_JOIN_KW = _ci(r"\s+(?:INNER\s+|LEFT\s+(?:OUTER\s+)?)?JOIN\s+")
+_LEFT_KW = _ci(r"^\s+LEFT\b")
+_TBL_REF = _ci(r"^(?P<t>`?[\w.]+`?)(?:\s+(?:AS\s+)?(?P<a>`?\w+`?))?$")
+_ON_SPLIT = _ci(r"^(?P<ref>.+?)\s+ON\s+(?P<cond>.+)$")
 _SUM = _ci(r"^SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
 _AVG = _ci(r"^AVG\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
 _MINMAX = _ci(r"^(?P<f>MIN|MAX)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>`?\w+`?)$")
@@ -117,6 +143,63 @@ class MvPlan:
     # (kind 'sum'|'count'|'count_star', expr|None, alias)
     aggs: list[tuple[str, str | None, str]] = field(default_factory=list)
     items: str | None = None  # raw select list (projection refresh)
+    # star-join tail: (table, alias, 'inner'|'left', on-condition) per
+    # JOIN clause, fact first in the FROM (empty = single-table plan)
+    joins: list[tuple[str, str, str, str]] = field(default_factory=list)
+    fact_alias: str | None = None
+
+
+def _parse_from(from_sql: str) -> tuple[str, str, list[tuple[str, str, str, str]]] | None:
+    """``(fact_table, fact_alias, joins)`` from a FROM clause, or
+    ``None`` when it isn't a fact-first INNER/LEFT equihain the delta
+    algebra covers.  Structure (JOIN keyword spans) is found on the
+    string-masked twin so literals can't fake a join; the spans slice
+    the ORIGINAL text, so conditions keep their literals intact."""
+    masked = _mask_strings(from_sql)
+    if _BAD_JOIN.search(masked):
+        return None
+    if len(_split_top(masked, ",")) > 1:
+        return None  # comma join: not fact-preserving
+    hits = list(_JOIN_KW.finditer(masked))
+    segs: list[tuple[str, bool]] = []  # (original segment, is_left)
+    prev, prev_left = 0, False
+    for h in hits:
+        segs.append((from_sql[prev : h.start()], prev_left))
+        prev = h.end()
+        prev_left = bool(_LEFT_KW.match(masked[h.start() : h.end()]))
+    segs.append((from_sql[prev:], prev_left))
+    fm = _TBL_REF.match(segs[0][0].strip())
+    if not fm:
+        return None
+    fact = _unquote_ident(fm.group("t"))
+    fact_alias = (
+        _unquote_ident(fm.group("a"))
+        if fm.group("a")
+        else fact.rsplit(".", 1)[-1]
+    )
+    joins: list[tuple[str, str, str, str]] = []
+    seen = {fact_alias}
+    for seg, is_left in segs[1:]:
+        om = _ON_SPLIT.match(seg.strip())
+        if not om:
+            return None
+        rm = _TBL_REF.match(om.group("ref").strip())
+        if not rm:
+            return None
+        t = _unquote_ident(rm.group("t"))
+        a = (
+            _unquote_ident(rm.group("a"))
+            if rm.group("a")
+            else t.rsplit(".", 1)[-1]
+        )
+        if t == fact or a in seen:
+            # a self-join's "dim" side changes with the fact (the
+            # frozen-dim premise breaks); duplicate aliases are
+            # ambiguous — both full-only
+            return None
+        seen.add(a)
+        joins.append((t, a, "left" if is_left else "inner", om.group("cond").strip()))
+    return fact, fact_alias, joins
 
 
 def parse_plan(query: str) -> MvPlan | None:
@@ -131,7 +214,10 @@ def parse_plan(query: str) -> MvPlan | None:
     m = _SHAPE.match(q)
     if not m:
         return None
-    table = _unquote_ident(m.group("tbl"))
+    parsed_from = _parse_from(m.group("from"))
+    if parsed_from is None:
+        return None
+    table, fact_alias, joins = parsed_from
     where = m.group("where")
     if where and _NONDET.search(_mask_strings(where)):
         return None
@@ -144,8 +230,16 @@ def parse_plan(query: str) -> MvPlan | None:
             aggs = _parse_aggs(items)
             if aggs is None:
                 return None
-            return MvPlan(table, where, grouped=True, keys=[], aggs=aggs)
-        return MvPlan(table, where, grouped=False, items=m.group("items"))
+            return MvPlan(
+                table, where, grouped=True, keys=[], aggs=aggs,
+                joins=joins, fact_alias=fact_alias,
+            )
+        if joins:
+            return None  # join projections have no id key: full-only
+        return MvPlan(
+            table, where, grouped=False, items=m.group("items"),
+            fact_alias=fact_alias,
+        )
     gb = [g.strip() for g in _split_top(m.group("gb"), ",")]
     keys: list[tuple[str, str]] = []
     agg_items: list[str] = []
@@ -157,7 +251,16 @@ def parse_plan(query: str) -> MvPlan | None:
             else (it, None)
         )
         if expr in gb or it in gb:
-            name = alias or (_unquote_ident(expr) if re.fullmatch(r"`?[\w]+`?", expr) else None)
+            # a join plan aggregates over CANONICAL columns, so a
+            # qualified bare key (d.n_name) self-names as its last
+            # segment; single-table plans evaluate exprs over the raw
+            # base frame where no qualifier scope exists — strict there
+            pat = r"`?[\w]+`?(?:\.`?[\w]+`?)?" if joins else r"`?[\w]+`?"
+            name = alias or (
+                _unquote_ident(expr.rsplit(".", 1)[-1])
+                if re.fullmatch(pat, expr)
+                else None
+            )
             if name is None:
                 return None  # complex key expression needs an alias
             keys.append((expr if expr in gb else it, name))
@@ -165,10 +268,16 @@ def parse_plan(query: str) -> MvPlan | None:
             agg_items.append(it)
     if len(keys) != len(gb):
         return None  # a GROUP BY expr not projected: full-only
+    names = [a for _, a in keys]
+    if len(set(names)) != len(names) or any(a.startswith("__mv_") for a in names):
+        return None  # colliding/reserved canonical key names
     aggs = _parse_aggs(agg_items)
     if aggs is None or not aggs:
         return None
-    return MvPlan(table, where, grouped=True, keys=keys, aggs=aggs)
+    return MvPlan(
+        table, where, grouped=True, keys=keys, aggs=aggs,
+        joins=joins, fact_alias=fact_alias,
+    )
 
 
 def _parse_aggs(items: list[str]) -> list[tuple[str, str | None, str]] | None:
@@ -211,6 +320,55 @@ def _parse_aggs(items: list[str]) -> list[tuple[str, str | None, str]] | None:
             continue
         return None  # AVG/unaliased/unknown aggregates: full-only
     return out
+
+
+def joined_rows(
+    plan: MvPlan,
+    fact: DataFrame,
+    dims: dict[str, DataFrame],
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The join plan's pre-aggregation rows, CANONICALIZED: the fact
+    frame (a snapshot, or a CDF slice whose ``extra_cols`` ride along
+    fact-qualified) joined through the plan's INNER/LEFT chain against
+    ``dims`` (alias → frozen dim frame), WHERE applied, and every key /
+    aggregate-argument expression projected to a fixed column — keys
+    under their aliases, agg args as ``__mv_e{i}``.  Downstream the
+    SINGLE-TABLE machinery (:func:`full_state` / :func:`delta_state` /
+    :func:`retraction_delta`) runs unchanged over these rows via
+    :func:`canonical_plan`."""
+    fa = plan.fact_alias or plan.table.rsplit(".", 1)[-1]
+    df = fact.alias(fa)
+    for t, a, jt, cond in plan.joins:
+        df = df.join(dims[a].alias(a), F.expr(cond), jt)
+    if plan.where:
+        df = df.filter(F.expr(plan.where))
+    sel = [F.expr(e).alias(a) for e, a in plan.keys]
+    sel += [
+        F.expr(e).alias(f"__mv_e{i}")
+        for i, (_, e, _) in enumerate(plan.aggs)
+        if e is not None
+    ]
+    sel += [F.col(f"{fa}.{c}").alias(c) for c in extra_cols]
+    return df.select(*sel)
+
+
+def canonical_plan(plan: MvPlan) -> MvPlan:
+    """``plan`` rewritten against :func:`joined_rows` output: keys are
+    their own aliases, agg args are the ``__mv_e{i}`` columns, WHERE and
+    joins already folded in.  State columns, read view and fold algebra
+    are IDENTICAL to the original plan's (same aliases, same agg kinds
+    in the same order), so the stored state is interchangeable."""
+    return MvPlan(
+        plan.table,
+        None,
+        grouped=True,
+        keys=[(a, a) for _, a in plan.keys],
+        aggs=[
+            (kind, None if e is None else f"__mv_e{i}", alias)
+            for i, (kind, e, alias) in enumerate(plan.aggs)
+        ],
+    )
 
 
 def has_extrema(plan: MvPlan) -> bool:

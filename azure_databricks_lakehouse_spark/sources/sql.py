@@ -1177,19 +1177,30 @@ class Lakehouse:
     )
 
     def _mv_compute(self, body: str, plan):
-        """(initial/full MV frame, pinned dependency version|None).  An
-        incrementally-maintainable plan computes from an EXPLICITLY
-        pinned snapshot so the stored dependency version matches the
-        materialized rows exactly; full-only MVs run the raw query."""
+        """(initial/full MV frame, pinned fact version|None, pinned dim
+        versions|None).  An incrementally-maintainable plan computes
+        from EXPLICITLY pinned snapshots so the stored dependency
+        versions match the materialized rows exactly; full-only MVs run
+        the raw query."""
         from azure_databricks_lakehouse_spark.sources import mv as _mv
 
         if plan is None:
-            return self._run_query(body), None
+            return self._run_query(body), None, None
         base = self.table(plan.table)
         v = base.latest_version()
         snap = base.read(v)
+        if plan.joins:
+            dims: dict = {}
+            dimver: dict = {}
+            for t, a, _jt, _cond in plan.joins:
+                dt = self.table(t)
+                dv = dt.latest_version()
+                dims[a] = dt.read(dv)
+                dimver[t] = dv
+            rows = _mv.joined_rows(plan, snap, dims)
+            return _mv.full_state(rows, _mv.canonical_plan(plan)), v, dimver
         if plan.grouped:
-            return _mv.full_state(snap, plan), v
+            return _mv.full_state(snap, plan), v, None
         rid = (
             base._rt_state(base._manifest(v)) is not None
         )  # row-tracked base: key the state by stable row id, so the
@@ -1203,7 +1214,7 @@ class Lakehouse:
         q = f"SELECT {items} FROM {tmp}"
         if plan.where:
             q += f" WHERE {plan.where}"
-        return self.spark.sql(q), v
+        return self.spark.sql(q), v, None
 
     def _create_mv(self, m) -> DataFrame:
         """``CREATE MATERIALIZED VIEW name [LOCATION '...'] AS SELECT``
@@ -1223,15 +1234,20 @@ class Lakehouse:
         data_name = f"{name}__mvdata"
         loc = m.group("loc") or self._default_location(data_name)
         plan = _mv.parse_plan(body)
-        if plan is not None and plan.table not in self._paths:
-            plan = None  # base isn't a lakehouse table: no CDF, full-only
-        df, dep = self._mv_compute(body, plan)
+        if plan is not None and (
+            plan.table not in self._paths
+            or any(t not in self._paths for t, _, _, _ in plan.joins)
+        ):
+            plan = None  # a base isn't a lakehouse table: no CDF, full-only
+        df, dep, dimver = self._mv_compute(body, plan)
         rid = "__mv_rid" in df.columns
         t = ParquetTable.create(self.spark, loc, df)
         props: dict = {"mv_query": body}
         if plan is not None:
             props["mv_dep_table"] = plan.table
             props["mv_dep_version"] = dep
+            if dimver:
+                props["mv_dep_dims"] = dimver
         if rid:
             props["mv_rid"] = True
         t.set_properties(props)
@@ -1328,19 +1344,60 @@ class Lakehouse:
         props = table.properties()
         body = props["mv_query"]
         plan = _mv.parse_plan(body)
-        if plan is not None and plan.table not in self._paths:
+        if plan is not None and (
+            plan.table not in self._paths
+            or any(t not in self._paths for t, _, _, _ in plan.joins)
+        ):
             plan = None
         mode, dep_out = "full", None
         if plan is not None and not force_full:
             base = self.table(plan.table)
             cur = base.latest_version()
             dep = props.get("mv_dep_version")
-            if dep == cur:
+            # star-join plans fold a fact-side delta against FROZEN
+            # dims: incremental only while every dim sits at its pinned
+            # version; a moved dim is the documented full-refresh
+            # fallback (dims re-pinned by the full branch below)
+            dims: dict = {}
+            dims_ok = True
+            if plan.joins:
+                pinned = props.get("mv_dep_dims") or {}
+                for t, a, _jt, _cond in plan.joins:
+                    dt = self.table(t)
+                    dv = dt.latest_version()
+                    if pinned.get(t) != dv:
+                        dims_ok = False
+                        break
+                    dims[a] = dt.read(dv)
+            if dep == cur and dims_ok:
                 return self.spark.createDataFrame(
                     [(name, "noop", dep)],
                     "view string, mode string, dep_version long",
                 )
-            if dep is not None:
+            if plan.joins and dims_ok:
+                aplan = _mv.canonical_plan(plan)
+
+                def _chg_rows():
+                    return _mv.joined_rows(
+                        plan,
+                        base.changes_between(dep, cur),
+                        dims,
+                        extra_cols=("_change_type",),
+                    )
+
+                def _base_rows():
+                    return _mv.joined_rows(plan, base.read(), dims)
+
+            else:
+                aplan = plan
+
+                def _chg_rows():
+                    return base.changes_between(dep, cur)
+
+                def _base_rows():
+                    return base.read()
+
+            if dep is not None and dims_ok:
                 try:
                     if plan.grouped and (
                         not _mv.has_extrema(plan)
@@ -1350,18 +1407,18 @@ class Lakehouse:
                         # directly (no retraction possible); SUM/COUNT
                         # fold under any DML mix
                         delta = _mv.delta_state(
-                            base.changes_between(dep, cur), plan
+                            _chg_rows(), aplan
                         ).localCheckpoint()
-                        use_merge = self._mv_use_merge(table, plan, delta)
+                        use_merge = self._mv_use_merge(table, aplan, delta)
                         stored = table.read()
                         if use_merge:
                             # fold only the delta's groups; untouched
                             # groups carry over by file reference
                             stored = stored.join(
                                 delta.select(
-                                    *[a for _, a in plan.keys]
+                                    *[a for _, a in aplan.keys]
                                 ),
-                                [a for _, a in plan.keys],
+                                [a for _, a in aplan.keys],
                                 "left_semi",
                             )
                         # state + watermark land in ONE commit: a crash
@@ -1371,9 +1428,9 @@ class Lakehouse:
                         # same delta (double-apply)
                         self._mv_write_state(
                             table,
-                            plan,
+                            aplan,
                             _mv._fold_state(
-                                stored, delta, plan, keep_dead=use_merge
+                                stored, delta, aplan, keep_dead=use_merge
                             ),
                             cur,
                             use_merge,
@@ -1386,10 +1443,10 @@ class Lakehouse:
                         # cost ∝ changed rows + the rescanned groups'
                         # base rows, never the whole table
                         delta = _mv.retraction_delta(
-                            base.changes_between(dep, cur), plan
+                            _chg_rows(), aplan
                         ).localCheckpoint()
-                        key_names = [a for _, a in plan.keys]
-                        use_merge = self._mv_use_merge(table, plan, delta)
+                        key_names = [a for _, a in aplan.keys]
+                        use_merge = self._mv_use_merge(table, aplan, delta)
                         stored = table.read()
                         if use_merge:
                             stored = stored.join(
@@ -1398,7 +1455,7 @@ class Lakehouse:
                                 "left_semi",
                             )
                         folded = _mv.fold_with_retraction(
-                            stored, delta, plan, keep_dead=use_merge
+                            stored, delta, aplan, keep_dead=use_merge
                         ).localCheckpoint()
                         unsafe = folded.filter("__mv_unsafe").select(
                             *key_names
@@ -1408,29 +1465,31 @@ class Lakehouse:
                             "__mv_unsafe"
                         )
                         if rescan:
-                            rows = base.read()
+                            rows = _base_rows()
                             # disambiguate: key exprs resolve against
                             # the base side, the probe side renames
+                            # (join plans' rows are already canonical —
+                            # aplan's key exprs ARE the aliases)
                             u = unsafe.select(
                                 *[
                                     F.col(a).alias(f"__mvu_{a}")
-                                    for _, a in plan.keys
+                                    for _, a in aplan.keys
                                 ]
                             )
                             cond = None
-                            for (e, a) in plan.keys:
+                            for (e, a) in aplan.keys:
                                 eq = F.expr(e).eqNullSafe(
                                     F.col(f"__mvu_{a}")
                                 )
                                 cond = eq if cond is None else cond & eq
                             scoped = rows.join(u, cond, "left_semi")
-                            recomputed = _mv.full_state(scoped, plan)
+                            recomputed = _mv.full_state(scoped, aplan)
                             if use_merge:
                                 # unsafe keys absent from the rescan
                                 # are dead groups -> MERGE delete rows
                                 state_cols = [
                                     c
-                                    for c in _mv.state_columns(plan)
+                                    for c in _mv.state_columns(aplan)
                                     if c not in key_names
                                 ]
                                 unsafe_final = unsafe.join(
@@ -1446,7 +1505,7 @@ class Lakehouse:
                             else:
                                 final = final.unionByName(recomputed)
                         self._mv_write_state(
-                            table, plan, final, cur, use_merge
+                            table, aplan, final, cur, use_merge
                         )
                         mode = "incremental_rescan" if rescan else (
                             "incremental"
@@ -1457,21 +1516,21 @@ class Lakehouse:
                         # scalar safety check (metadata-sized collect)
                         # decides fold vs recompute
                         delta_df = _mv.retraction_delta(
-                            base.changes_between(dep, cur), plan
+                            _chg_rows(), aplan
                         ).localCheckpoint()
                         if _mv.global_fold_safe(
-                            delta_df.first(), table.read().first(), plan
+                            delta_df.first(), table.read().first(), aplan
                         ):
                             table.overwrite(
                                 _mv.global_fold(
-                                    table.read(), delta_df, plan
+                                    table.read(), delta_df, aplan
                                 ),
                                 extra_props={"mv_dep_version": cur},
                             )
                             mode, dep_out = "incremental", cur
                         else:
                             table.overwrite(
-                                _mv.full_state(base.read(), plan),
+                                _mv.full_state(_base_rows(), aplan),
                                 extra_props={"mv_dep_version": cur},
                             )
                             mode, dep_out = "incremental_rescan", cur
@@ -1584,11 +1643,14 @@ class Lakehouse:
                 except FileNotFoundError:
                     mode = "full"  # CDF horizon VACUUMed: recompute
         if mode == "full":
-            df, dep_out = self._mv_compute(body, plan)
+            df, dep_out, dimver = self._mv_compute(body, plan)
             up: dict = {"mv_query": body}
             if plan is not None:
                 up["mv_dep_table"] = plan.table
                 up["mv_dep_version"] = dep_out
+                if dimver:
+                    # re-pin the dim versions with the recompute
+                    up["mv_dep_dims"] = dimver
             if "__mv_rid" in df.columns and not props.get("mv_rid"):
                 # created WITHOUT the id key: keep the state shape the
                 # stored view projects (SELECT * would leak the key)

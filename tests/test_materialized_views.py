@@ -124,15 +124,28 @@ def test_projection_mv_appends_incrementally_then_falls_back(lh):
     assert _mv_rows(lh, "mp") == _recompute(lh, q)
 
 
-def test_ineligible_query_is_full_only(lh):
+def test_star_join_aggregate_is_now_incremental(lh):
+    # round 11: the fact⋈dim groupBy shape maintains incrementally
+    # under fact DML (tests/test_mv_join.py has the full matrix) —
+    # this pin used to assert the pre-join-support full-only fallback
     _mk_base(lh)
     lh.sql("CREATE TABLE d AS SELECT col1 AS g, col2 AS nm FROM VALUES (1,'a'),(2,'b')")
     q = "SELECT b.g AS g, SUM(b.x) AS sx FROM b JOIN d ON b.g = d.g GROUP BY b.g"
     lh.sql(f"CREATE MATERIALIZED VIEW mj AS {q}")
     lh.sql("INSERT INTO b VALUES (1, 1)")
     r = lh.sql("REFRESH MATERIALIZED VIEW mj").collect()[0]
-    assert r.mode == "full"
+    assert r.mode == "incremental"
     assert _mv_rows(lh, "mj") == _recompute(lh, q)
+
+
+def test_ineligible_query_is_full_only(lh):
+    _mk_base(lh)
+    q = "SELECT DISTINCT g FROM b"
+    lh.sql(f"CREATE MATERIALIZED VIEW md AS {q}")
+    lh.sql("INSERT INTO b VALUES (1, 1), (7, 70)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW md").collect()[0]
+    assert r.mode == "full"
+    assert _mv_rows(lh, "md") == _recompute(lh, q)
 
 
 def test_drop_materialized_view(lh):

@@ -1,0 +1,271 @@
+"""Star-join materialized views with fact-side incremental refresh
+(``sources/mv.py`` join canonicalization + the CREATE/REFRESH engine).
+
+The maintained shape is the reference's own gold aggregation-table
+query — aggregates over a fact joined to dimensions
+(/root/reference/gold/gold_rx_claims_load.py:237-245 aggregates rx
+claims joined to dim_date).  With every dim FROZEN at its pinned
+version the join chain is a per-fact-row flatmap, so
+``Δ(fact ⋈ dims) = Δfact ⋈ dims`` and the single-table signed-weight
+fold applies verbatim over canonicalized join rows.  A dim-side change
+is the documented full-refresh fallback (dims re-pinned).
+
+Done-criterion, like the single-table sweeps: after ANY random fact
+DML sequence, incremental refresh must leave the MV row-identical to
+recomputing the defining query from scratch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return Lakehouse(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk(lh):
+    lh.sql(
+        "CREATE TABLE f AS SELECT col1 AS k, col2 AS x FROM VALUES "
+        "(1, 10), (1, 20), (2, 5), (2, NULL), (3, 7), (9, 99)"
+    )
+    lh.sql(
+        "CREATE TABLE d AS SELECT col1 AS k, col2 AS name FROM VALUES "
+        "(1, 'a'), (2, 'b'), (3, 'c')"
+    )
+
+
+def _rows(lh, q):
+    return sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+
+
+_Q = (
+    "SELECT d.name AS nm, SUM(f.x) AS sx, COUNT(*) AS n, AVG(f.x) AS ax "
+    "FROM f JOIN d ON f.k = d.k GROUP BY d.name"
+)
+
+
+def test_create_and_read(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
+    # dependency pins recorded for both sides
+    props = lh.table("m__mvdata").properties()
+    assert props["mv_dep_table"] == "f"
+    assert props["mv_dep_dims"] == {"d": 0}
+
+
+def test_fact_mixed_dml_refreshes_incrementally(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    lh.sql("INSERT INTO f VALUES (1, 100), (4, 1)")  # 4 has no dim row
+    lh.sql("UPDATE f SET x = 50 WHERE k = 2 AND x = 5")
+    lh.sql("DELETE FROM f WHERE k = 3")  # group death
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
+    assert all(t[0] != "c" for t in _rows(lh, "SELECT * FROM m"))
+
+
+def test_dim_change_falls_back_to_full_and_repins(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    lh.sql("UPDATE d SET name = 'z' WHERE k = 1")
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
+    # re-pinned: fact DML alone is incremental again
+    lh.sql("INSERT INTO f VALUES (2, 9)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
+
+
+def test_dim_change_with_unchanged_fact_is_not_noop(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    lh.sql("DELETE FROM d WHERE k = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
+    assert lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0].mode == "noop"
+
+
+def test_min_max_retraction_rescans_exactly(lh):
+    _mk(lh)
+    q = (
+        "SELECT d.name AS nm, MIN(f.x) AS mn, MAX(f.x) AS mx, COUNT(*) AS n "
+        "FROM f JOIN d ON f.k = d.k GROUP BY d.name"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW mm AS {q}")
+    lh.sql("DELETE FROM f WHERE k = 1 AND x = 20")  # removes group a's max
+    r = lh.sql("REFRESH MATERIALIZED VIEW mm").collect()[0]
+    assert r.mode == "incremental_rescan"
+    assert _rows(lh, "SELECT * FROM mm") == _rows(lh, q)
+    # dominated removal folds without rescan: 15 sits strictly between
+    # group a's stored min (10) and max (30)
+    lh.sql("INSERT INTO f VALUES (1, 15), (1, 30)")
+    lh.sql("REFRESH MATERIALIZED VIEW mm")
+    lh.sql("DELETE FROM f WHERE k = 1 AND x = 15")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mm").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mm") == _rows(lh, q)
+
+
+def test_left_join_counts_unmatched_fact_rows(lh):
+    _mk(lh)
+    q = (
+        "SELECT d.name AS nm, COUNT(*) AS n, SUM(f.x) AS sx "
+        "FROM f LEFT JOIN d ON f.k = d.k GROUP BY d.name"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW ml AS {q}")
+    lh.sql("INSERT INTO f VALUES (8, 88), (1, 1)")  # unmatched + matched
+    lh.sql("DELETE FROM f WHERE k = 9")  # unmatched row leaves NULL group
+    r = lh.sql("REFRESH MATERIALIZED VIEW ml").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM ml") == _rows(lh, q)
+
+
+def test_global_aggregate_over_join(lh):
+    _mk(lh)
+    q = "SELECT SUM(f.x) AS sx, COUNT(*) AS n FROM f JOIN d ON f.k = d.k"
+    lh.sql(f"CREATE MATERIALIZED VIEW mg AS {q}")
+    lh.sql("DELETE FROM f WHERE k = 2 AND x = 5")
+    lh.sql("INSERT INTO f VALUES (3, 70)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mg").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mg") == _rows(lh, q)
+
+
+def test_where_over_join_columns(lh):
+    _mk(lh)
+    q = (
+        "SELECT d.name AS nm, COUNT(*) AS n FROM f JOIN d ON f.k = d.k "
+        "WHERE f.x > 5 AND d.name <> 'q' GROUP BY d.name"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW mw AS {q}")
+    lh.sql("INSERT INTO f VALUES (1, 2), (1, 200)")  # one below, one above
+    r = lh.sql("REFRESH MATERIALIZED VIEW mw").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mw") == _rows(lh, q)
+
+
+def test_two_dims_role_playing(lh):
+    _mk(lh)
+    lh.sql(
+        "CREATE TABLE d2 AS SELECT col1 AS k, col2 AS tag FROM VALUES "
+        "(10, 'X'), (88, 'Y'), (200, 'Z')"
+    )
+    q = (
+        "SELECT d.name AS nm, d2.tag AS tg, COUNT(*) AS n FROM f "
+        "JOIN d ON f.k = d.k LEFT JOIN d2 ON f.x = d2.k "
+        "GROUP BY d.name, d2.tag"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW m2 AS {q}")
+    lh.sql("DELETE FROM f WHERE x = 10")
+    lh.sql("INSERT INTO f VALUES (3, 200)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW m2").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM m2") == _rows(lh, q)
+    # a SECOND dim moving also falls back
+    lh.sql("INSERT INTO d2 VALUES (7, 'W')")
+    assert lh.sql("REFRESH MATERIALIZED VIEW m2").collect()[0].mode == "full"
+    assert _rows(lh, "SELECT * FROM m2") == _rows(lh, q)
+
+
+@pytest.mark.parametrize(
+    "frm",
+    [
+        "f JOIN f AS f2 ON f.k = f2.k",  # self-join: dim side moves with fact
+        "f RIGHT JOIN d ON f.k = d.k",
+        "f CROSS JOIN d",
+        "f, d",
+        "f JOIN d USING (k)",
+    ],
+)
+def test_non_flatmap_joins_are_full_only(lh, frm):
+    _mk(lh)
+    name = f"mf{abs(hash(frm)) % 1000}"
+    q = f"SELECT COUNT(*) AS n FROM {frm}"
+    lh.sql(f"CREATE MATERIALIZED VIEW {name} AS {q}")
+    lh.sql("INSERT INTO f VALUES (1, 1)")
+    r = lh.sql(f"REFRESH MATERIALIZED VIEW {name}").collect()[0]
+    assert r.mode == "full", frm
+    assert _rows(lh, f"SELECT * FROM {name}") == _rows(lh, q)
+
+
+def test_join_projection_is_full_only(lh):
+    _mk(lh)
+    q = "SELECT f.k AS k, d.name AS nm FROM f JOIN d ON f.k = d.k"
+    lh.sql(f"CREATE MATERIALIZED VIEW mp AS {q}")
+    lh.sql("INSERT INTO f VALUES (1, 1)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mp").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM mp") == _rows(lh, q)
+
+
+# --- the done-criterion sweep ----------------------------------------------
+
+KEYS = [1, 2, 3, 9]
+
+_op = st.one_of(
+    st.tuples(
+        st.just("insert"),
+        st.lists(
+            st.tuples(st.sampled_from(KEYS), st.integers(0, 50) | st.none()),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    st.tuples(st.just("delete"), st.sampled_from(KEYS)),
+    st.tuples(st.just("update"), st.sampled_from(KEYS), st.integers(0, 50)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_join_incremental_matches_recompute_under_random_dml(
+    spark, tmp_path_factory, ops
+):
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvjhyp")))
+    lh.sql(
+        "CREATE TABLE hf AS SELECT col1 AS k, col2 AS x FROM VALUES "
+        "(1, 10), (2, NULL), (3, 7), (9, 99)"
+    )
+    lh.sql(
+        "CREATE TABLE hd AS SELECT col1 AS k, col2 AS name FROM VALUES "
+        "(1, 'a'), (2, 'b'), (3, 'c')"
+    )
+    q = (
+        "SELECT hd.name AS nm, SUM(hf.x) AS sx, COUNT(*) AS n, "
+        "COUNT(hf.x) AS nx, AVG(hf.x) AS ax, MIN(hf.x) AS mn, "
+        "MAX(hf.x) AS mx FROM hf LEFT JOIN hd ON hf.k = hd.k "
+        "GROUP BY hd.name"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hm AS {q}")
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(
+                f"({g}, {'NULL' if x is None else x})" for g, x in op[1]
+            )
+            lh.sql(f"INSERT INTO hf VALUES {vals}")
+        elif op[0] == "delete":
+            lh.sql(f"DELETE FROM hf WHERE k = {op[1]}")
+        else:
+            lh.sql(f"UPDATE hf SET x = x + {op[2]} WHERE k = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW hm").collect()[0]
+        assert r.mode in ("incremental", "incremental_rescan", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM hm").collect()), key=str
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops}"
