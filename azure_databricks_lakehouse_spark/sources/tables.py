@@ -1073,54 +1073,84 @@ class ParquetTable:
         files: list[str] = []
         cdc_files: list[str] = []
         dv_rels: list[str] = []
-        if rewrite:
-            rt = self._rt_state(m) is not None
-            files = _write_files(
-                _to_physical_df(
-                    dec(self._read_files_aligned(rewrite, m, with_row_ids=rt))
-                    .filter(~hit)
-                    .drop("__hit"),
-                    m,
-                ),
-                self.root,
-                m["partition_by"],
+        # each touched file class is READ (and its match predicate /
+        # key-join evaluated) exactly ONCE: the marked frames persist
+        # across the data, DV and CDC write actions instead of a fresh
+        # scan per sink — the per-commit constant the bench pays, and a
+        # third pass over the rewrite working set at 100 TB
+        marked_rw = marked_dv = None
+        schema_cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
+        try:
+            if rewrite:
+                rt = self._rt_state(m) is not None
+                marked_rw = dec(
+                    self._read_files_aligned(rewrite, m, with_row_ids=rt)
+                ).persist()
+                files = _write_files(
+                    _to_physical_df(
+                        marked_rw.filter(~hit).drop("__hit"), m
+                    ),
+                    self.root,
+                    m["partition_by"],
+                )
+            if dv_dest:
+                marked_dv = dec(
+                    self._read_files_aligned(dv_dest, m, keep_pos=True)
+                ).persist()
+                dv_rels = self._write_dv_entries(
+                    marked_dv.filter(hit).drop("__hit")
+                )
+            if touched:
+                # CDC sidecars store LOGICAL names (they are read
+                # directly, never through the mapping) — partition them
+                # logically too.  Deleted rows come from the cached
+                # marked frames; only whole-file drops still scan.
+                inv = _logical_inverse(m)
+                parts: list[DataFrame] = []
+                if marked_rw is not None:
+                    parts.append(
+                        marked_rw.filter(hit).select(*schema_cols)
+                    )
+                if marked_dv is not None:
+                    parts.append(
+                        marked_dv.filter(hit).select(*schema_cols)
+                    )
+                if drop:
+                    parts.append(
+                        self._read_files_aligned(drop, m).select(
+                            *schema_cols
+                        )
+                    )
+                cdc_df = parts[0]
+                for p in parts[1:]:
+                    cdc_df = cdc_df.unionByName(p)
+                cdc_files = _write_files(
+                    cdc_df.withColumn("_change_type", F.lit("delete")),
+                    self.root,
+                    [inv.get(c, c) for c in m["partition_by"]],
+                    subdir=_CDC_DIR,
+                )
+            return self._commit_dml_rebase(
+                m,
+                "DELETE",
+                touched=set(touched),
+                removed_by_us=gone,
+                new_files=files,
+                dv_dest=dv_dest,
+                dv_rels=dv_rels,
+                cdc_files=cdc_files,
+                metrics={
+                    "rows_deleted": n_rows,
+                    "files_dropped": len(drop),
+                    "files_rewritten": len(rewrite),
+                    "files_dv_masked": len(dv_dest),
+                    "files_added": len(files),
+                },
             )
-        if dv_dest:
-            dv_rels = self._write_dv_entries(
-                dec(self._read_files_aligned(dv_dest, m, keep_pos=True))
-                .filter(hit)
-                .drop("__hit")
-            )
-        if touched:
-            # CDC sidecars store LOGICAL names (they are read directly,
-            # never through the mapping) — partition them logically too
-            inv = _logical_inverse(m)
-            cdc_files = _write_files(
-                dec(self._read_files_aligned(touched, m))
-                .filter(hit)
-                .drop("__hit")
-                .withColumn("_change_type", F.lit("delete")),
-                self.root,
-                [inv.get(c, c) for c in m["partition_by"]],
-                subdir=_CDC_DIR,
-            )
-        return self._commit_dml_rebase(
-            m,
-            "DELETE",
-            touched=set(touched),
-            removed_by_us=gone,
-            new_files=files,
-            dv_dest=dv_dest,
-            dv_rels=dv_rels,
-            cdc_files=cdc_files,
-            metrics={
-                "rows_deleted": n_rows,
-                "files_dropped": len(drop),
-                "files_rewritten": len(rewrite),
-                "files_dv_masked": len(dv_dest),
-                "files_added": len(files),
-            },
-        )
+        finally:
+            for cached in (marked_rw, marked_dv):
+                if cached is not None:
+                    cached.unpersist()
 
     def update(
         self,
@@ -1227,12 +1257,36 @@ class ParquetTable:
                 )
             return out
 
-        if touched:
-            pre = (
-                dec(self._read_files_aligned(touched, m))
-                .filter(hit)
-                .drop("__hit")
-            )
+        # rewrite and DV classes are READ (and the match predicate /
+        # key-join evaluated) exactly ONCE each: the marked frames
+        # persist across the data, DV-sidecar and CDC write actions,
+        # and the DV post-images ride the SAME write action as the
+        # rewrite output — one commit pays one scan per file class and
+        # one data write, not a fresh scan per sink
+        rt = self._rt_state(m) is not None
+        marked_rw = marked_dv = matched_dv = None
+        if rewrite:
+            marked_rw = dec(
+                self._read_files_aligned(rewrite, m, with_row_ids=rt)
+            ).persist()
+        if dv_dest:
+            marked_dv = dec(
+                self._read_files_aligned(
+                    dv_dest, m, keep_pos=True, with_row_ids=rt
+                )
+            ).persist()
+            matched_dv = marked_dv.filter(hit).drop("__hit")
+        try:
+            pre_parts: list[DataFrame] = []
+            if marked_rw is not None:
+                pre_parts.append(
+                    marked_rw.filter(hit).select(*schema_cols)
+                )
+            if matched_dv is not None:
+                pre_parts.append(matched_dv.select(*schema_cols))
+            pre = pre_parts[0]
+            for p in pre_parts[1:]:
+                pre = pre.unionByName(p)
             post = _post_image(pre)
             # constraints are checked on the POST-update image of matched
             # rows only — the checked set stays proportional to the change
@@ -1249,83 +1303,77 @@ class ParquetTable:
                 [inv.get(c, c) for c in m["partition_by"]],
                 subdir=_CDC_DIR,
             )
-        if rewrite:
-            rt = self._rt_state(m) is not None
-            marked = dec(
-                self._read_files_aligned(rewrite, m, with_row_ids=rt)
-            )
-            # assignment RHS cast to the declared type BEFORE the
-            # when/otherwise — else Spark coerces the branch types (e.g.
-            # decimal ⊔ double = double) and the rewritten file's
-            # physical type contradicts the table schema
-            updated = marked.select(
-                *[
-                    F.when(F.col("__hit"), assignments[c].cast(gtypes[c]))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in assignments
-                    else F.col(c)
-                    for c in schema_cols
-                ],
-                "__hit",
-                *([_ROW_ID_PHYS] if rt else []),
-            )
-            if gen_auto:
-                updated = updated.select(
+
+            # new data = rewritten files' rows + the DV-masked rows'
+            # post-images, in ONE write action
+            data_parts: list[DataFrame] = []
+            if marked_rw is not None:
+                # assignment RHS cast to the declared type BEFORE the
+                # when/otherwise — else Spark coerces the branch types
+                # (e.g. decimal ⊔ double = double) and the rewritten
+                # file's physical type contradicts the table schema
+                updated = marked_rw.select(
                     *[
-                        F.when(
-                            F.col("__hit"),
-                            F.expr(gen_auto[c]).cast(gtypes[c]),
-                        )
+                        F.when(F.col("__hit"), assignments[c].cast(gtypes[c]))
                         .otherwise(F.col(c))
                         .alias(c)
-                        if c in gen_auto
+                        if c in assignments
                         else F.col(c)
                         for c in schema_cols
                     ],
                     "__hit",
                     *([_ROW_ID_PHYS] if rt else []),
                 )
-            updated = updated.drop("__hit")
-            files += _write_files(
-                _to_physical_df(updated, m), self.root, m["partition_by"]
-            )
-        if dv_dest:
-            matched = (
-                dec(
-                    self._read_files_aligned(
-                        dv_dest,
-                        m,
-                        keep_pos=True,
-                        with_row_ids=self._rt_state(m) is not None,
+                if gen_auto:
+                    updated = updated.select(
+                        *[
+                            F.when(
+                                F.col("__hit"),
+                                F.expr(gen_auto[c]).cast(gtypes[c]),
+                            )
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            if c in gen_auto
+                            else F.col(c)
+                            for c in schema_cols
+                        ],
+                        "__hit",
+                        *([_ROW_ID_PHYS] if rt else []),
                     )
+                data_parts.append(updated.drop("__hit"))
+            if matched_dv is not None:
+                # post-images of the DV-masked rows append as new rows
+                data_parts.append(
+                    _post_image(matched_dv.drop("__rel", "__ri"))
                 )
-                .filter(hit)
-                .drop("__hit")
-            )
-            dv_rels = self._write_dv_entries(matched)
-            # post-images of the DV-masked rows are appended as new files
+            data_df = data_parts[0]
+            for p in data_parts[1:]:
+                data_df = data_df.unionByName(p)
             files += _write_files(
-                _to_physical_df(_post_image(matched), m),
-                self.root,
-                m["partition_by"],
+                _to_physical_df(data_df, m), self.root, m["partition_by"]
             )
-        return self._commit_dml_rebase(
-            m,
-            "UPDATE",
-            touched=set(touched),
-            removed_by_us=rewrite_set,
-            new_files=files,
-            dv_dest=dv_dest,
-            dv_rels=dv_rels,
-            cdc_files=cdc_files,
-            metrics={
-                "rows_updated": n_rows,
-                "files_rewritten": len(rewrite),
-                "files_dv_masked": len(dv_dest),
-                "files_added": len(files),
-            },
-        )
+            if matched_dv is not None:
+                dv_rels = self._write_dv_entries(matched_dv)
+            return self._commit_dml_rebase(
+                m,
+                "UPDATE",
+                touched=set(touched),
+                removed_by_us=rewrite_set,
+                new_files=files,
+                dv_dest=dv_dest,
+                dv_rels=dv_rels,
+                cdc_files=cdc_files,
+                metrics={
+                    "rows_updated": n_rows,
+                    "files_rewritten": len(rewrite),
+                    "files_dv_masked": len(dv_dest),
+                    "files_added": len(files),
+                },
+            )
+        finally:
+            for cached in (marked_rw, marked_dv):
+                if cached is not None:
+                    cached.unpersist()
 
     def update_where_in(
         self, col: str | Sequence[str], keys: DataFrame, assignments: dict
@@ -4124,6 +4172,12 @@ class ParquetTable:
             # only runs on the already-rare zero-touched-file path.
             return m["version"]
 
+        # the matched-file rows feed the rewrite, the CDC pre-images,
+        # the matched-key projections, and (row-tracked / identity
+        # tables) the id-inheritance joins — persist so the commit pays
+        # ONE scan of its rewrite working set, not one per consumer
+        target = target.persist()
+
         # identity attach: matched source rows inherit their target
         # row's identity values (one key-join against the already-read
         # rewrite rows); unmatched rows draw a fresh contiguous range
@@ -4273,6 +4327,7 @@ class ParquetTable:
                 "files_carried": len(carried),
             },
         )
+        target.unpersist()
         self._post_commit()
         return version
 
