@@ -372,6 +372,21 @@ FROM orders
 QUALIFY rnk <= 5
 """
 
+# QUALIFY under a SELECT DISTINCT head (round 11): the filter runs on
+# the PRE-dedup rows (standard order QUALIFY→DISTINCT) — survivors are
+# the (status, custkey-bucket) pairs whose first-by-orderkey row has a
+# key divisible by 3.  The oracle twin spells the evaluation order out
+# explicitly (window+filter inside, DISTINCT outside), so the rewrite
+# answers to the ORDER, not to DuckDB's own QUALIFY implementation.
+_Q11_QUALIFY_DISTINCT = """
+SELECT DISTINCT o_orderstatus AS grp, CAST(o_custkey % 100 AS INT) AS ck
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY o_orderstatus, o_custkey % 100
+    ORDER BY o_orderkey) = 1
+  AND o_orderkey % 3 = 0
+"""
+
 
 def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three ranking shapes in one tagged union (round-10 corpus
@@ -408,12 +423,16 @@ def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("price"),
         )
     )
-    qualify_part = (
-        Lakehouse(spark)
-        .sql(_Q11_QUALIFY)
-        .select(
-            F.lit("qualify").alias("part"), "grp", "rnk", "o_orderkey", "price"
-        )
+    lh = Lakehouse(spark)
+    qualify_part = lh.sql(_Q11_QUALIFY).select(
+        F.lit("qualify").alias("part"), "grp", "rnk", "o_orderkey", "price"
+    )
+    qualify_distinct_part = lh.sql(_Q11_QUALIFY_DISTINCT).select(
+        F.lit("qualify_distinct").alias("part"),
+        "grp",
+        F.col("ck").alias("rnk"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("price"),
     )
     global_part = (
         t["orders"]
@@ -427,7 +446,11 @@ def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("price"),
         )
     )
-    return window_part.unionByName(qualify_part).unionByName(global_part)
+    return (
+        window_part.unionByName(qualify_part)
+        .unionByName(qualify_distinct_part)
+        .unionByName(global_part)
+    )
 
 
 _Q11_SQL = f"""
@@ -441,6 +464,16 @@ FROM (
 ) WHERE rnk <= 3
 UNION ALL
 SELECT 'qualify', grp, rnk, o_orderkey, price FROM ({_Q11_QUALIFY})
+UNION ALL
+SELECT DISTINCT 'qualify_distinct', grp, ck,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM (
+  SELECT o_orderstatus AS grp, CAST(o_custkey % 100 AS INTEGER) AS ck,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus, o_custkey % 100
+                            ORDER BY o_orderkey) AS rn,
+         o_orderkey
+  FROM orders
+) WHERE rn = 1 AND o_orderkey % 3 = 0
 UNION ALL
 SELECT 'global', CAST(o_custkey AS VARCHAR), CAST(NULL AS INTEGER),
        o_orderkey, price

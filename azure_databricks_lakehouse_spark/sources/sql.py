@@ -1059,10 +1059,21 @@ class Lakehouse:
 
         Recurses into every parenthesized group first, so QUALIFY works
         inside CTE bodies, derived tables, and expanded stored views.
-        Refused (clear error instead of silent drift): ``SELECT
-        DISTINCT`` heads (QUALIFY precedes DISTINCT in the standard
-        evaluation order; this rewrite would invert them) and a QUALIFY
-        branch of a top-level set operation (wrap it in a subquery)."""
+
+        ``SELECT DISTINCT`` heads keep the standard evaluation order
+        (QUALIFY before DISTINCT): DISTINCT moves to the OUTER select —
+        ``SELECT DISTINCT * EXCEPT (__qualify__) FROM (...) WHERE
+        __qualify__`` — so the filter runs on the pre-dedup rows.
+
+        Top-level set operations bind QUALIFY to ITS select block
+        (Databricks scoping: QUALIFY is a clause of one SELECT): a
+        set-op keyword before the QUALIFY splits off the LAST branch
+        for rewriting; one after the predicate ends the branch there
+        and the remaining chain rewrites recursively.  A trailing
+        ORDER BY/LIMIT keeps its top-level position, so it still
+        applies to the whole set operation.  ``* EXCEPT (...)`` is
+        distinguished from the EXCEPT set operator by the preceding
+        ``*``."""
         blanked = _blank_strings(stmt)
         out: list[str] = []
         i, n = 0, len(stmt)
@@ -1105,21 +1116,48 @@ class Lakehouse:
         cut = min(cuts) if cuts else len(rest)
         pred, tail = rest[:cut].strip(), rest[cut:].strip()
         pb = _blank_strings(pred)
-        for kw in ("UNION", "INTERSECT", "EXCEPT", "MINUS"):
-            if _find_top_keyword(pb, kw) >= 0:
-                raise ValueError(
-                    "QUALIFY in a set-operation branch: wrap the "
-                    "branch in a subquery"
-                )
+        set_kw = _ci(r"^(UNION|INTERSECT|EXCEPT|MINUS)(\s+(ALL|DISTINCT))?\s+")
+        pred_ops = self._top_set_ops(pb)
+        if pred_ops:
+            # the predicate text runs into the NEXT set-op branch: cut
+            # the branch there, rewrite it, recurse on the chain
+            scut = pred_ops[0]
+            branch = f"{head} QUALIFY {pred[:scut].strip()}"
+            chain = pred[scut:].strip() + ((" " + tail) if tail else "")
+            km = set_kw.match(chain)
+            if not km:  # pathological text: let Spark's parser complain
+                return stmt
+            return (
+                self._rewrite_qualify(branch)
+                + " "
+                + chain[: km.end()].strip()
+                + " "
+                + self._rewrite_qualify(chain[km.end() :])
+            )
         hb = _blank_strings(head)
+        head_ops = self._top_set_ops(hb)
+        if head_ops:
+            # QUALIFY binds to the LAST branch of the set operation
+            scut = head_ops[-1]
+            km = set_kw.match(head[scut:])
+            if not km:
+                return stmt
+            branch_start = scut + km.end()
+            branch = f"{head[branch_start:]} QUALIFY {pred}"
+            if tail:
+                branch += " " + tail
+            return head[:branch_start] + self._rewrite_qualify(branch)
         # only the MAIN select matters; CTE bodies are inside parens
         sp = _find_top_keyword(hb, "SELECT")
-        if sp >= 0 and _ci(r"^SELECT\s+DISTINCT\b").match(head[sp:]):
-            raise ValueError(
-                "QUALIFY with SELECT DISTINCT is not supported (QUALIFY "
-                "evaluates before DISTINCT); apply DISTINCT in an outer "
-                "query"
-            )
+        distinct = ""
+        if sp >= 0:
+            dm = _ci(r"^SELECT\s+DISTINCT\b").match(head[sp:])
+            if dm:
+                # QUALIFY precedes DISTINCT (standard order): filter on
+                # the pre-dedup rows, dedup in the OUTER select
+                distinct = "DISTINCT "
+                head = head[:sp] + "SELECT" + head[sp + dm.end() :]
+                hb = _blank_strings(head)
         f = _find_top_keyword(hb, "FROM")
         if f < 0:
             raise ValueError(
@@ -1127,12 +1165,31 @@ class Lakehouse:
             )
         inner = f"{head[:f].rstrip()}, ({pred}) AS __qualify__ {head[f:]}"
         rewritten = (
-            f"SELECT * EXCEPT (__qualify__) FROM ({inner}) "
+            f"SELECT {distinct}* EXCEPT (__qualify__) FROM ({inner}) "
             f"__qualify_src__ WHERE __qualify__"
         )
         if tail:
             rewritten += " " + tail
         return rewritten
+
+    @staticmethod
+    def _top_set_ops(blanked: str) -> list[int]:
+        """Positions of genuine top-level set-operation keywords in a
+        string-blanked SQL fragment.  ``* EXCEPT (cols)`` (the
+        Databricks star-except projection) is excluded by the ``*``
+        that always directly precedes it."""
+        out: list[int] = []
+        for kw in ("UNION", "INTERSECT", "EXCEPT", "MINUS"):
+            start = 0
+            while True:
+                p = _find_top_keyword(blanked[start:], kw)
+                if p < 0:
+                    break
+                pos = start + p
+                if not blanked[:pos].rstrip().endswith("*"):
+                    out.append(pos)
+                start = pos + len(kw)
+        return sorted(out)
 
     @staticmethod
     def _view_name(name: str) -> str:

@@ -102,20 +102,60 @@ def test_qualify_null_predicate_excludes(lh):
     assert sorted((r.k, r.s) for r in rows) == [(1, "c"), (2, "d")]
 
 
-def test_qualify_distinct_head_raises(lh):
-    with pytest.raises(ValueError, match="DISTINCT"):
-        lh.sql(
-            "SELECT DISTINCT k FROM q "
-            "QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1"
-        )
+def test_qualify_distinct_head_keeps_standard_order(lh):
+    # QUALIFY filters BEFORE DISTINCT dedups (round 11: rewrite, not
+    # refusal): the rank-2 rows per k are (1,'c',7) and (2,'d',3);
+    # DISTINCT then collapses the projected k values
+    rows = lh.sql(
+        "SELECT DISTINCT k FROM q "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) <= 2"
+    ).collect()
+    assert sorted(r.k for r in rows) == [1, 2]
+    # the filter ran pre-dedup: a predicate keeping only one row per k
+    # still yields both distinct keys, while a rank over the DISTINCT
+    # projection would have collapsed to a single row first
+    rows = lh.sql(
+        "SELECT DISTINCT k FROM q "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1"
+    ).collect()
+    assert sorted(r.k for r in rows) == [1, 2]
 
 
-def test_qualify_set_operation_branch_raises(lh):
-    with pytest.raises(ValueError, match="set-operation"):
-        lh.sql(
-            "SELECT k FROM q QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1 "
-            "UNION ALL SELECT k FROM q"
-        )
+def test_qualify_in_first_set_operation_branch(lh):
+    rows = lh.sql(
+        "SELECT k FROM q QUALIFY ROW_NUMBER() OVER (ORDER BY v DESC) = 1 "
+        "UNION ALL SELECT k FROM q"
+    ).collect()
+    # branch 1 keeps only the global-max row (k=1, v=9); branch 2 all 5
+    assert sorted(r.k for r in rows) == [1, 1, 1, 1, 2, 2]
+
+
+def test_qualify_in_last_set_operation_branch(lh):
+    rows = lh.sql(
+        "SELECT k FROM q WHERE k = 2 UNION ALL SELECT k FROM q "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY v DESC) = 1"
+    ).collect()
+    assert sorted(r.k for r in rows) == [1, 2, 2]
+
+
+def test_qualify_in_both_set_operation_branches_with_order(lh):
+    rows = lh.sql(
+        "SELECT k, v FROM q QUALIFY ROW_NUMBER() OVER (ORDER BY v DESC) = 1 "
+        "UNION ALL SELECT k, v FROM q "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY v) <= 2 "
+        "ORDER BY v LIMIT 2"
+    ).collect()
+    # branch 1 -> (1,9); branch 2 -> (2,3),(2,4); global ORDER BY v
+    # LIMIT 2 applies to the WHOLE union
+    assert [(r.k, r.v) for r in rows] == [(2, 3), (2, 4)]
+
+
+def test_qualify_star_except_head_is_not_a_set_op(lh):
+    rows = lh.sql(
+        "SELECT * EXCEPT (s) FROM q "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1"
+    ).collect()
+    assert sorted((r.k, r.v) for r in rows) == [(1, 9), (2, 4)]
 
 
 def test_qualify_word_inside_string_is_inert(lh):
