@@ -152,6 +152,11 @@ def q20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
       with a decorrelated correlated-EXISTS predicate carrying a
       residual conjunct (``part='exists'``); the update moves rows
       ACROSS partitions (status is the partition column).
+    - v4 (round 11) ``UPDATE ... SET total = total + (SELECT COUNT(*)
+      ... WHERE f.kk % 1000 = q20t.k % 1000) WHERE status='E'`` — an
+      equality-correlated AGGREGATE scalar in SET, decorrelated to a
+      keyed lookup left-joined onto the touched rows
+      (``part='corr'``); both equality sides are expressions.
     - ``part='meta'``: ANALYZE then the metadata-only aggregate plane —
       unfiltered COUNT/MIN/MAX (zero-scan from footers + fresh column
       stats), partition-filtered COUNT and MIN/MAX over the partition
@@ -201,6 +206,17 @@ def q20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exists_ = tbl.read().withColumn("part", F.lit("exists"))
 
+    # v4 (round 11): equality-correlated AGGREGATE scalar in SET —
+    # decorrelated to a keyed lookup joined onto the touched rows
+    # (``part='corr'``); the key is an expression on both sides
+    lh.sql(
+        "UPDATE q20t SET total = total + "
+        "(SELECT CAST(COUNT(*) AS DOUBLE) FROM q20_flag f "
+        "WHERE f.kk % 1000 = q20t.k % 1000) "
+        "WHERE status = 'E'"
+    )
+    corr = tbl.read().withColumn("part", F.lit("corr"))
+
     lh.sql("ANALYZE TABLE q20t COMPUTE STATISTICS FOR COLUMNS total")
     m_all = lh.sql(
         "SELECT COUNT(*) AS c, MIN(total) AS mn, MAX(total) AS mx FROM q20t"
@@ -248,6 +264,7 @@ def q20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tag(tbl.read(version=0), "v0")
         .unionByName(_tag(not_in.drop("part"), "not_in"))
         .unionByName(_tag(exists_.drop("part"), "exists"))
+        .unionByName(_tag(corr.drop("part"), "corr"))
         .unionByName(meta)
     )
 
@@ -270,23 +287,34 @@ v3 AS (
          CASE WHEN k % 64 = 0 THEN 'E' ELSE s END AS s,
          CASE WHEN k % 64 = 0 THEN x + (SELECT c FROM keepn) ELSE x END AS x
   FROM v2
+),
+buckets AS (
+  SELECT o_orderkey % 1000 AS b, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM orders GROUP BY o_orderkey % 1000
+),
+v4 AS (
+  SELECT k, s,
+         CASE WHEN s = 'E' THEN x + COALESCE(
+           (SELECT c FROM buckets WHERE b = k % 1000), 0) ELSE x END AS x
+  FROM v3
 )
 SELECT 'v0' AS part, k, s, x FROM v0
 UNION ALL SELECT 'not_in', k, s, x FROM v2
 UNION ALL SELECT 'exists', k, s, x FROM v3
-UNION ALL SELECT 'meta', (SELECT COUNT(*) FROM v3), 'count_all',
+UNION ALL SELECT 'corr', k, s, x FROM v4
+UNION ALL SELECT 'meta', (SELECT COUNT(*) FROM v4), 'count_all',
   CAST(NULL AS DOUBLE)
 UNION ALL SELECT 'meta', CAST(NULL AS BIGINT), 'min_total',
-  (SELECT MIN(x) FROM v3)
+  (SELECT MIN(x) FROM v4)
 UNION ALL SELECT 'meta', CAST(NULL AS BIGINT), 'max_total',
-  (SELECT MAX(x) FROM v3)
-UNION ALL SELECT 'meta', (SELECT COUNT(*) FROM v3 WHERE s = 'F'),
+  (SELECT MAX(x) FROM v4)
+UNION ALL SELECT 'meta', (SELECT COUNT(*) FROM v4 WHERE s = 'F'),
   'count_status_f', CAST(NULL AS DOUBLE)
 UNION ALL SELECT 'meta', CAST(NULL AS BIGINT),
-  'min_status=' || (SELECT MIN(s) FROM v3 WHERE s <> 'E'),
+  'min_status=' || (SELECT MIN(s) FROM v4 WHERE s <> 'E'),
   CAST(NULL AS DOUBLE)
 UNION ALL SELECT 'meta', CAST(NULL AS BIGINT),
-  'max_status=' || (SELECT MAX(s) FROM v3 WHERE s <> 'E'),
+  'max_status=' || (SELECT MAX(s) FROM v4 WHERE s <> 'E'),
   CAST(NULL AS DOUBLE)
 UNION ALL SELECT 'meta', (SELECT COUNT(*) FROM v0), 'count_v0',
   CAST(NULL AS DOUBLE)

@@ -2874,7 +2874,9 @@ class Lakehouse:
             )
         return lit
 
-    def _fold_scalar_subqueries(self, name: str, text: str, what: str) -> str:
+    def _fold_scalar_subqueries(
+        self, name: str, text: str, what: str, corr_out: list | None = None
+    ) -> str:
         """Replace each UNCORRELATED scalar subquery ``(SELECT ...)`` in
         ``text`` with its value as a typed SQL literal (Databricks
         evaluates DML scalar subqueries ONCE against the pre-statement
@@ -2884,11 +2886,18 @@ class Lakehouse:
         Membership subqueries — a ``(SELECT ...)`` preceded by ``IN`` or
         ``EXISTS`` — are left verbatim for their own decorrelated
         routes.  SQL scalar contract enforced per subquery: exactly one
-        column, at most one row (empty ⇒ typed NULL); a subquery
-        referencing the target table's own columns (``name.col``) is
-        correlated and raises toward MERGE.  The subquery result is one
-        scalar by contract — the ``limit(2).collect()`` is metadata-
-        sized, not a data move."""
+        column, at most one row (empty ⇒ typed NULL).  The subquery
+        result is one scalar by contract — the ``limit(2).collect()``
+        is metadata-sized, not a data move.
+
+        CORRELATED scalars (referencing ``name.col``): with
+        ``corr_out`` given (the UPDATE SET route), an equality-
+        correlated AGGREGATE subquery decorrelates to a keyed lookup —
+        see :meth:`_decorrelate_scalar` — appending ``(lookup_frame,
+        join_cond_sql)`` to ``corr_out`` and replacing the subquery
+        text with a CASE over the lookup's value/hit columns.  Without
+        ``corr_out`` (DELETE WHERE / UPDATE WHERE), correlation still
+        raises toward MERGE."""
         blanked = _blank_strings(text)
         out: list[str] = []
         i, n = 0, len(text)
@@ -2928,10 +2937,16 @@ class Lakehouse:
             if _ci(
                 rf"\b(?:`{re.escape(name)}`|{re.escape(name)})\s*\."
             ).search(_mask_strings(inner)):
-                raise ValueError(
-                    f"correlated scalar subqueries in {what} are not "
-                    "supported; use MERGE instead"
-                )
+                if corr_out is None:
+                    raise ValueError(
+                        f"correlated scalar subqueries in {what} are not "
+                        "supported; use MERGE instead"
+                    )
+                repl = self._decorrelate_scalar(name, inner, corr_out, what)
+                out.append(text[i:start])
+                out.append(repl)
+                i = end + 1
+                continue
             df = self._run_query(inner)
             if len(df.columns) != 1:
                 raise ValueError(
@@ -2950,6 +2965,140 @@ class Lakehouse:
             out.append(f"({self._scalar_literal(v, typ)})")
             i = end + 1
         return "".join(out)
+
+    _CORR_AGG = _ci(
+        r"\b(sum|count|avg|mean|min|max|first|first_value|last|last_value"
+        r"|any_value|stddev|stddev_samp|stddev_pop|variance|var_samp"
+        r"|var_pop|approx_count_distinct|median|mode|bool_and|bool_or"
+        r"|bit_and|bit_or|bit_xor|collect_list|collect_set)\s*\("
+    )
+
+    def _strip_target_qual(self, name: str, expr: str) -> str:
+        """``expr`` with ``name.`` / `` `name`.`` qualifiers removed
+        OUTSIDE string literals — a decorrelated outer-side expression
+        evaluates against the target's own (unqualified) frame."""
+        pat = _ci(rf"\b(?:`{re.escape(name)}`|{re.escape(name)})\s*\.\s*")
+        lit = r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")"
+        out: list[str] = []
+        for i, seg in enumerate(re.split(lit, expr)):
+            out.append(seg if i % 2 else pat.sub("", seg))
+        return "".join(out)
+
+    def _decorrelate_scalar(
+        self, name: str, inner: str, corr_out: list, what: str
+    ) -> str:
+        """An equality-correlated AGGREGATE scalar subquery
+        (Databricks ``UPDATE t SET c = (SELECT agg(x) FROM s WHERE
+        s.k = t.k [AND residual])``) decorrelated to a keyed lookup:
+
+        - the correlation conjuncts (the WHERE's top-level ``AND``
+          terms referencing ``name.col``) must each be an equality with
+          the target refs on exactly one side; the inner sides become
+          the lookup's GROUP BY keys, the outer sides its join keys;
+        - the lookup computes the item per key group (key-unique BY
+          CONSTRUCTION, so the later left join can never fan out a
+          target row);
+        - empty groups get the item's true over-empty-relation value
+          (``COUNT``→0, ``SUM``→NULL, computed by running the item
+          over ``WHERE false`` — not a blanket NULL), via a hit flag;
+        - appends ``(lookup_frame, join_cond_sql)`` to ``corr_out`` and
+          returns the CASE expression the SET text continues with.
+          :meth:`ParquetTable.update` left-joins each lookup onto the
+          matched rows — one broadcast-sized join per subquery, cost ∝
+          touched files, never the table.
+
+        Non-aggregate items, non-equality correlation, and correlated
+        FROM/GROUP BY shapes keep the explicit refusal toward MERGE."""
+        tref = _ci(rf"\b(?:`{re.escape(name)}`|{re.escape(name)})\s*\.")
+
+        def _refuse(why: str):
+            raise ValueError(
+                f"correlated scalar subquery in {what} not supported "
+                f"({why}); supported shape: (SELECT <agg> FROM s WHERE "
+                f"s.k = {name}.k [AND ...]) — use MERGE otherwise"
+            )
+
+        ib = _blank_strings(inner)
+        if not _ci(r"^SELECT\b").match(inner):
+            _refuse("not a SELECT")
+        f = _find_top_keyword(ib, "FROM")
+        if f < 0:
+            _refuse("no FROM clause")
+        item = inner[6:f].strip()
+        frm = inner[f:].strip()
+        fb = _blank_strings(frm)
+        for kw in ("GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY"):
+            if _find_top_keyword(fb, kw) >= 0:
+                _refuse(f"{kw} clause in a correlated scalar")
+        if len(_split_top(item, ",")) != 1:
+            _refuse("must return exactly one column")
+        if tref.search(_mask_strings(item)):
+            _refuse("target columns in the select item")
+        if not self._CORR_AGG.search(_mask_strings(item)):
+            _refuse("only aggregate items decorrelate to a keyed lookup")
+        w = _find_top_keyword(fb, "WHERE")
+        if w < 0:
+            _refuse("correlation must live in the WHERE clause")
+        from_core = frm[:w].strip()
+        where_txt = frm[w + 5 :].strip()
+        if tref.search(_mask_strings(from_core)):
+            _refuse("target columns in the FROM clause")
+        pairs: list[tuple[str, str]] = []  # (inner key expr, outer expr)
+        residual: list[str] = []
+        for c in _split_top_and(where_txt):
+            if not tref.search(_mask_strings(c)):
+                residual.append(c)
+                continue
+            cb = _blank_strings(c)
+            if any(
+                _find_top_keyword(cb, kw) >= 0
+                for kw in ("OR", "NOT", "IN", "EXISTS", "BETWEEN", "LIKE", "IS")
+            ):
+                _refuse(f"non-equality correlation: {c[:60]!r}")
+            eq = _top_eq_split(c)
+            if eq is None:
+                _refuse(f"non-equality correlation: {c[:60]!r}")
+            lhs, rhs = (s.strip() for s in eq)
+            for side in (lhs, rhs):
+                sb = _blank_strings(side)
+                if _top_eq_split(sb) is not None or any(
+                    ch in "<>!" for ch in sb
+                ):
+                    # a second comparator at top level: not the simple
+                    # equality the keyed-lookup algebra covers
+                    _refuse(f"non-equality correlation: {c[:60]!r}")
+            l_has = bool(tref.search(_mask_strings(lhs)))
+            r_has = bool(tref.search(_mask_strings(rhs)))
+            if l_has == r_has:
+                _refuse(f"target columns on both equality sides: {c[:60]!r}")
+            outer, innr = (lhs, rhs) if l_has else (rhs, lhs)
+            pairs.append((innr, self._strip_target_qual(name, outer)))
+        n = len(corr_out)
+        keys = [f"__corr{n}_k{i}" for i in range(len(pairs))]
+        key_sel = ", ".join(
+            f"({innr}) AS {k}" for (innr, _), k in zip(pairs, keys)
+        )
+        res_sql = (
+            " WHERE " + " AND ".join(f"({r})" for r in residual)
+            if residual
+            else ""
+        )
+        gb = ", ".join(f"({innr})" for innr, _ in pairs)
+        lookup = self._run_query(
+            f"SELECT {key_sel}, ({item}) AS __corr{n}_v, "
+            f"true AS __corr{n}_hit {from_core}{res_sql} GROUP BY {gb}"
+        )
+        empty_df = self._run_query(
+            f"SELECT ({item}) AS v {from_core} WHERE false"
+        )
+        ev = empty_df.collect()[0][0]
+        typ = empty_df.schema.fields[0].dataType.simpleString()
+        else_lit = self._scalar_literal(ev, typ)
+        cond_sql = " AND ".join(
+            f"({outer}) = {k}" for (_, outer), k in zip(pairs, keys)
+        )
+        corr_out.append((lookup, cond_sql))
+        return f"(CASE WHEN __corr{n}_hit THEN __corr{n}_v ELSE {else_lit} END)"
 
     def _delete(self, stmt: str) -> DataFrame:
         m = self._DELETE.match(stmt)
@@ -3233,13 +3382,16 @@ class Lakehouse:
         set_part, cond = (
             (tail[:w], tail[w + 5 :].strip()) if w >= 0 else (tail, "true")
         )
+        corr: list = []
         if _ci(r"\(\s*SELECT\b").search(_mask_strings(set_part)):
             # scalar subqueries in SET values (Databricks: UPDATE ...
             # SET v = (SELECT max(x) FROM s)) fold to typed literals
             # BEFORE assignment parsing, so they compose with every
-            # predicate route below (row-wise, IN, EXISTS)
+            # predicate route below (row-wise, IN, EXISTS).  Equality-
+            # correlated AGGREGATE scalars decorrelate to keyed lookups
+            # (``corr``) the row-wise update joins per matched row.
             set_part = self._fold_scalar_subqueries(
-                name, set_part, "UPDATE SET"
+                name, set_part, "UPDATE SET", corr_out=corr
             )
         assignments = {}
         for item in _split_top(set_part, ","):
@@ -3250,6 +3402,11 @@ class Lakehouse:
         sub = self._IN_SUBQUERY.match(cond)
         if sub and not self._in_match_ok(sub):
             sub = None  # compound predicate, not a whole-predicate IN
+        if (sub or self._parse_exists(name, cond) is not None) and corr:
+            raise ValueError(
+                "correlated scalar SET values combined with an "
+                "IN/EXISTS predicate are not supported; use MERGE"
+            )
         if sub:
             return self._update_in_subquery(name, assignments, sub)
         ex = self._parse_exists(name, cond)
@@ -3271,7 +3428,7 @@ class Lakehouse:
                 )
         table = self.table(name)
         before = table.latest_version()
-        version = table.update(cond, assignments)
+        version = table.update(cond, assignments, corr_lookups=corr or None)
         c = table.history(limit=1)[0]
         n = (
             (c.metrics or {}).get("rows_updated", 0)

@@ -1158,6 +1158,7 @@ class ParquetTable:
         assignments: dict,
         mode: str = "auto",
         dv_threshold: float = 0.5,
+        corr_lookups: Sequence[tuple[DataFrame, str]] | None = None,
     ) -> int:
         """Delta-DML parity: ``UPDATE SET col = expr WHERE condition``
         (condition as Column, or SQL string for metadata pruning).
@@ -1177,6 +1178,15 @@ class ParquetTable:
         rows land as a CDC sidecar in the same commit
         (``update_preimage`` / ``update_postimage`` — Delta's CDF row
         types).
+
+        ``corr_lookups``: decorrelated scalar-subquery lookups — each
+        ``(frame, join_cond_sql)`` LEFT-joins onto the touched rows
+        before assignments evaluate, so an assignment may reference
+        the frame's columns (the SQL front-end's correlated UPDATE:
+        ``SET c = (SELECT agg FROM s WHERE s.k = t.k)``).  Frames must
+        be key-unique on their join columns (the front-end builds them
+        with GROUP BY), so the join can never fan a target row out;
+        the join cost rides the touched files, never the table.
         """
         m = self._manifest()
         self._gate_append_only("UPDATE", m)
@@ -1264,15 +1274,29 @@ class ParquetTable:
         # rewrite output — one commit pays one scan per file class and
         # one data write, not a fresh scan per sink
         rt = self._rt_state(m) is not None
+        corr_cols = [
+            c for lk, _ in (corr_lookups or ()) for c in lk.columns
+        ]
+
+        def _attach(frame: DataFrame) -> DataFrame:
+            # decorrelated scalar lookups ride the touched rows: one
+            # key-unique left join each (never a fan-out), evaluated
+            # once thanks to the persist below
+            for lk, cond_sql in corr_lookups or ():
+                frame = frame.join(lk, F.expr(cond_sql), "left")
+            return frame
+
         marked_rw = marked_dv = matched_dv = None
         if rewrite:
-            marked_rw = dec(
-                self._read_files_aligned(rewrite, m, with_row_ids=rt)
+            marked_rw = _attach(
+                dec(self._read_files_aligned(rewrite, m, with_row_ids=rt))
             ).persist()
         if dv_dest:
-            marked_dv = dec(
-                self._read_files_aligned(
-                    dv_dest, m, keep_pos=True, with_row_ids=rt
+            marked_dv = _attach(
+                dec(
+                    self._read_files_aligned(
+                        dv_dest, m, keep_pos=True, with_row_ids=rt
+                    )
                 )
             ).persist()
             matched_dv = marked_dv.filter(hit).drop("__hit")
@@ -1280,14 +1304,17 @@ class ParquetTable:
             pre_parts: list[DataFrame] = []
             if marked_rw is not None:
                 pre_parts.append(
-                    marked_rw.filter(hit).select(*schema_cols)
+                    marked_rw.filter(hit).select(*schema_cols, *corr_cols)
                 )
             if matched_dv is not None:
-                pre_parts.append(matched_dv.select(*schema_cols))
+                pre_parts.append(
+                    matched_dv.select(*schema_cols, *corr_cols)
+                )
             pre = pre_parts[0]
             for p in pre_parts[1:]:
                 pre = pre.unionByName(p)
             post = _post_image(pre)
+            pre = pre.select(*schema_cols)  # lookup cols: eval-only
             # constraints are checked on the POST-update image of matched
             # rows only — the checked set stays proportional to the change
             self._enforce_current(post, m, "UPDATE")

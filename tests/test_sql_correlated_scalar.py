@@ -1,0 +1,237 @@
+"""Correlated scalar subqueries in UPDATE SET (round-11 SQL surface).
+
+Databricks supports ``UPDATE t SET c = (SELECT agg(x) FROM s WHERE
+s.k = t.k)``.  The engine decorrelates the equality-correlated
+aggregate to a keyed lookup (GROUP BY the inner sides of the
+correlation equalities) LEFT-joined onto the touched rows — key-unique
+by construction, so no fan-out — with the item's true over-empty-
+relation value for unmatched keys (COUNT→0, SUM→NULL, computed by
+running the item over WHERE false, never a blanket NULL).
+
+Done-criterion (VERDICT round 10 #5): hypothesis conformance against a
+precomputed-join UPDATE twin over random data and correlation shapes.
+
+Refusals stay explicit for the shapes whose delta algebra is NOT a
+keyed lookup: non-aggregate items, non-equality correlation, target
+refs in the item/FROM, correlation in DELETE/UPDATE WHERE, and the
+combination with IN/EXISTS predicates — all raise toward MERGE.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return Lakehouse(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk(lh):
+    lh.sql(
+        "CREATE TABLE t AS SELECT col1 AS k, col2 AS c, col3 AS note "
+        "FROM VALUES (1, 0, 'x'), (2, 0, 'y'), (3, 0, 'z'), "
+        "(CAST(NULL AS INT), 0, 'n')"
+    )
+    lh.sql(
+        "CREATE TABLE s AS SELECT col1 AS k, col2 AS v FROM VALUES "
+        "(1, 10), (1, 20), (2, 5), (4, 99), (2, CAST(NULL AS INT))"
+    )
+
+
+def _state(lh, q="SELECT k, c FROM t"):
+    return sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+
+
+def test_correlated_sum(lh):
+    _mk(lh)
+    lh.sql("UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE s.k = t.k)")
+    assert _state(lh) == sorted(
+        [(1, 30), (2, 5), (3, None), (None, None)], key=str
+    )
+
+
+def test_correlated_count_star_empty_group_is_zero(lh):
+    _mk(lh)
+    lh.sql("UPDATE t SET c = (SELECT COUNT(*) FROM s WHERE s.k = t.k)")
+    assert _state(lh) == sorted(
+        [(1, 2), (2, 2), (3, 0), (None, 0)], key=str
+    )
+
+
+def test_correlated_count_col_skips_nulls(lh):
+    _mk(lh)
+    lh.sql("UPDATE t SET c = (SELECT COUNT(s.v) FROM s WHERE s.k = t.k)")
+    assert _state(lh) == sorted(
+        [(1, 2), (2, 1), (3, 0), (None, 0)], key=str
+    )
+
+
+def test_residual_predicate_and_row_where(lh):
+    _mk(lh)
+    lh.sql(
+        "UPDATE t SET c = (SELECT MAX(s.v) FROM s WHERE s.k = t.k "
+        "AND s.v < 15) WHERE note <> 'z'"
+    )
+    assert _state(lh) == sorted(
+        [(1, 10), (2, 5), (3, 0), (None, None)], key=str
+    )
+
+
+def test_flipped_equality_and_expression_keys(lh):
+    _mk(lh)
+    # outer side on the left, inner side an expression
+    lh.sql("UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE t.k = s.k + 1)")
+    # t.k=2 matches s.k=1 (30); t.k=3 matches s.k=2 (5); t.k=1 none
+    assert _state(lh) == sorted(
+        [(1, None), (2, 30), (3, 5), (None, None)], key=str
+    )
+
+
+def test_two_correlated_subqueries_in_one_set(lh):
+    _mk(lh)
+    lh.sql(
+        "UPDATE t SET c = (SELECT COUNT(*) FROM s WHERE s.k = t.k) "
+        "+ (SELECT COALESCE(MIN(s.v), 0) FROM s WHERE s.k = t.k)"
+    )
+    assert _state(lh) == sorted(
+        [(1, 12), (2, 7), (3, 0), (None, 0)], key=str
+    )
+
+
+def test_mixed_with_uncorrelated_scalar(lh):
+    _mk(lh)
+    lh.sql(
+        "UPDATE t SET c = (SELECT MAX(s.v) FROM s) "
+        "+ (SELECT COUNT(*) FROM s WHERE s.k = t.k)"
+    )
+    assert _state(lh) == sorted(
+        [(1, 101), (2, 101), (3, 99), (None, 99)], key=str
+    )
+
+
+def test_cdf_carries_pre_and_post_images(lh):
+    _mk(lh)
+    lh.sql("UPDATE t SET c = (SELECT COUNT(*) FROM s WHERE s.k = t.k)")
+    t = lh.table("t")
+    # changes_between maps update_preimage/postimage onto its
+    # delete/insert contract (an UPDATE is its delete+insert pair)
+    ch = t.changes_between(0, t.latest_version())
+    rows = {(r.k, r.c, r._change_type) for r in ch.collect()}
+    assert (1, 0, "delete") in rows
+    assert (1, 2, "insert") in rows
+    # the lookup's hidden columns never leak into CDC or data
+    assert not [c for c in ch.columns if c.startswith("__corr")]
+    assert not [c for c in lh.sql("SELECT * FROM t").columns if c.startswith("__corr")]
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # non-aggregate item
+        "UPDATE t SET c = (SELECT s.v FROM s WHERE s.k = t.k)",
+        # non-equality correlation
+        "UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE s.k > t.k)",
+        # target refs on both equality sides
+        "UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE t.k = t.k)",
+        # target ref in the item
+        "UPDATE t SET c = (SELECT SUM(s.v) + t.k FROM s WHERE s.k = t.k)",
+        # correlated GROUP BY shape
+        "UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE s.k = t.k GROUP BY s.k)",
+        # OR-composed correlation (not a top-level AND equality)
+        "UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE s.k = t.k OR s.v = 1)",
+        # correlation in DELETE WHERE
+        "DELETE FROM t WHERE c < (SELECT AVG(s.v) FROM s WHERE s.k = t.k)",
+    ],
+)
+def test_unsupported_shapes_raise_toward_merge(lh, stmt):
+    _mk(lh)
+    with pytest.raises(ValueError, match="(?i)correlated|MERGE"):
+        lh.sql(stmt)
+
+
+def test_combined_with_in_predicate_raises(lh):
+    _mk(lh)
+    with pytest.raises(ValueError, match="IN/EXISTS"):
+        lh.sql(
+            "UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE s.k = t.k) "
+            "WHERE k IN (SELECT k FROM s)"
+        )
+
+
+# --- the done-criterion sweep ----------------------------------------------
+
+_AGGS = ["SUM(s.v)", "COUNT(*)", "COUNT(s.v)", "MIN(s.v)", "MAX(s.v)", "AVG(s.v)"]
+
+_rows_t = st.lists(
+    st.tuples(st.integers(0, 4) | st.none(), st.integers(0, 9)),
+    min_size=1,
+    max_size=6,
+)
+_rows_s = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 50) | st.none()),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    t_rows=_rows_t,
+    s_rows=_rows_s,
+    agg=st.sampled_from(_AGGS),
+    threshold=st.integers(0, 9),
+)
+def test_matches_precomputed_join_twin(
+    spark, tmp_path_factory, t_rows, s_rows, agg, threshold
+):
+    """The correlated UPDATE must leave the table row-identical to the
+    spelled-out twin: precompute the per-key aggregate with an explicit
+    GROUP BY + left join, then assign — the decorrelation made manual."""
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("corr")))
+    t_vals = ", ".join(
+        f"({'NULL' if k is None else k}, {c})" for k, c in t_rows
+    )
+    s_vals = (
+        ", ".join(f"({k}, {'NULL' if v is None else v})" for k, v in s_rows)
+        or "(NULL, NULL)"
+    )
+    lh.sql(
+        "CREATE TABLE t AS SELECT CAST(col1 AS INT) AS k, "
+        f"CAST(col2 AS DOUBLE) AS c FROM VALUES {t_vals}"
+    )
+    lh.sql(
+        "CREATE TABLE s AS SELECT CAST(col1 AS INT) AS k, "
+        f"CAST(col2 AS INT) AS v FROM VALUES {s_vals}"
+    )
+    if not s_rows:
+        lh.sql("DELETE FROM s WHERE true")
+    # the manual twin, computed BEFORE the correlated UPDATE mutates t
+    twin = lh.sql(
+        "SELECT t.k AS k, CASE WHEN t.c >= {th} THEN "
+        "CASE WHEN g.k IS NOT NULL THEN CAST(g.a AS DOUBLE) "
+        "ELSE CAST(e.a AS DOUBLE) END ELSE t.c END AS c "
+        "FROM t LEFT JOIN (SELECT s.k, {agg} AS a FROM s GROUP BY s.k) g "
+        "ON t.k = g.k "
+        "CROSS JOIN (SELECT {agg} AS a FROM s WHERE false) e".format(
+            th=threshold, agg=agg
+        )
+    ).collect()
+    want = sorted(((r.k, r.c) for r in twin), key=str)
+    lh.sql(
+        f"UPDATE t SET c = (SELECT {agg} FROM s WHERE s.k = t.k) "
+        f"WHERE c >= {threshold}"
+    )
+    got = sorted(
+        ((r.k, r.c) for r in lh.sql("SELECT k, c FROM t").collect()),
+        key=str,
+    )
+    assert got == want, (t_rows, s_rows, agg, threshold)

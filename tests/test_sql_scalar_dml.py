@@ -109,11 +109,21 @@ def test_multi_column_scalar_subquery_raises(lh):
         lh.sql("DELETE FROM t WHERE v < (SELECT x, x FROM s LIMIT 1)")
 
 
-def test_correlated_scalar_subquery_raises_toward_merge(lh):
+def test_correlated_scalar_set_decorrelates(lh):
+    # round 11: equality-correlated aggregate SET values decorrelate to
+    # a keyed lookup (tests/test_sql_correlated_scalar.py has the full
+    # matrix); this pin used to assert the pre-support refusal
+    _mk(lh)
+    lh.sql("UPDATE t SET v = (SELECT MAX(x) FROM s WHERE s.x = t.k)")
+    # no s.x equals any t.k (5,7 vs 1..4): MAX over empty = NULL
+    assert _state(lh) == [(1, None), (2, None), (3, None), (4, None)]
+
+
+def test_correlated_scalar_in_where_still_raises_toward_merge(lh):
     _mk(lh)
     with pytest.raises(ValueError, match="correlated.*MERGE"):
         lh.sql(
-            "UPDATE t SET v = (SELECT MAX(x) FROM s WHERE s.x = t.k)"
+            "DELETE FROM t WHERE v < (SELECT AVG(x) FROM s WHERE s.x = t.k)"
         )
 
 
