@@ -111,20 +111,28 @@ class _FilePartition(InputPartition):
 class TableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.root = options["path"]
-        if any("variant" in f.dataType.simpleString() for f in schema.fields):
-            # executor-side rows route through pyarrow record batches,
-            # and the installed pyarrow predates the VARIANT parquet
-            # LogicalType (it rejects such footers at open) — fail at
-            # stream CONSTRUCTION with the workaround instead of
-            # per-batch deep in a task retry loop.  Batch CDF
-            # (changes_between / table_changes) reads via Spark's JVM
-            # parquet and supports variant fully.
-            raise ValueError(
-                "streaming CDF over a VARIANT column is not supported "
-                "by this pyarrow build — read changes in batch via "
-                "table_changes()/changes_between(), or project the "
-                "variant column to a typed/string column first"
-            )
+        # TOP-LEVEL variant columns stream (round 11): the executor read
+        # routes through parquet_compat.read_table_compat, which strips
+        # the VARIANT footer annotation the installed pyarrow rejects,
+        # and the {value, metadata} binary pair rebuilds a VariantVal
+        # (the engine writes variant UNSHREDDED — see _write_files).
+        # Variant NESTED inside arrays/maps/structs would need a
+        # recursive rebuild — fail at stream CONSTRUCTION with the
+        # batch workaround instead of per-batch in a task retry loop.
+        for f in schema.fields:
+            s = f.dataType.simpleString()
+            if "variant" in s and s != "variant":
+                raise ValueError(
+                    f"streaming CDF over NESTED variant ({f.name}: {s}) "
+                    "is not supported — read changes in batch via "
+                    "table_changes()/changes_between(), or project the "
+                    "variant out of the nested type first"
+                )
+        self.variant_fields = {
+            f.name
+            for f in schema.fields
+            if f.dataType.simpleString() == "variant"
+        }
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
             # Delta's modern spelling of the same opt-out (this source's
@@ -310,7 +318,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         import urllib.parse
 
-        import pyarrow.parquet as pq
+        from azure_databricks_lakehouse_spark.sources.parquet_compat import (
+            read_table_compat,
+        )
 
         # Hive-partitioned files carry the partition values in DIRECTORY
         # names (part=x/...), not in the parquet columns — recover them
@@ -351,7 +361,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             else:
                 part_vals[name] = val
 
-        table = pq.read_table(partition.path)
+        table = read_table_compat(partition.path)
         cols = set(table.column_names)
         # column mapping: data files store physical names — read each
         # logical field from its physical column
@@ -382,6 +392,23 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 return r["_change_type"] if "_change_type" in cols else "insert"
             p = phys.get(name, name)
             v = r[p] if p in cols else part_vals.get(name)
+            if name in self.variant_fields and v is not None:
+                # unshredded variant: a {value, metadata} binary pair
+                # (engine writes — _write_files disables shredding).
+                # A shredded file carries typed_value subtrees instead;
+                # rebuilding those would mean reimplementing the
+                # shredding spec — refuse with the batch workaround.
+                from pyspark.sql.types import VariantVal
+
+                if not isinstance(v, dict) or v.get("value") is None:
+                    raise ValueError(
+                        f"variant column {name!r} in "
+                        f"{partition.path} is parquet-SHREDDED; the "
+                        "streaming CDF reads unshredded variant only — "
+                        "rewrite the file (OPTIMIZE) or consume in "
+                        "batch via changes_between()"
+                    )
+                return VariantVal(bytes(v["value"]), bytes(v["metadata"]))
             if (
                 name in ts_names
                 and isinstance(v, _dt.datetime)

@@ -5453,20 +5453,44 @@ def _write_files(
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
-    if optimize_write and not preserve_layout:
-        spark = df.sparkSession
-        key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-        old = spark.conf.get(key, None)
-        spark.conf.set(key, f"{max(1, int(optimize_write * 4))}MB")
-        try:
+    # VARIANT columns land UNSHREDDED ({value, metadata} binary pair,
+    # Spark's pre-shredding layout): the streaming CDF source reads
+    # data/CDC files executor-side through pyarrow (parquet_compat
+    # strips the VARIANT footer annotation pyarrow can't parse), and a
+    # VariantVal rebuilds directly from the pair — reconstructing the
+    # SHREDDED form (typed_value subtrees) would mean reimplementing
+    # the shredding spec in Python.  The trade is variant-subfield
+    # parquet pushdown, which the engine's JVM batch reads never
+    # relied on.
+    spark = df.sparkSession
+    shred_key = "spark.sql.variant.writeShredding.enabled"
+    shred_old = None
+    has_variant = any(
+        "variant" in f.dataType.simpleString() for f in df.schema.fields
+    )
+    if has_variant:
+        shred_old = spark.conf.get(shred_key, None)
+        spark.conf.set(shred_key, "false")
+    try:
+        if optimize_write and not preserve_layout:
+            key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            old = spark.conf.get(key, None)
+            spark.conf.set(key, f"{max(1, int(optimize_write * 4))}MB")
+            try:
+                writer.parquet(staging)
+            finally:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+        else:
             writer.parquet(staging)
-        finally:
-            if old is None:
-                spark.conf.unset(key)
+    finally:
+        if has_variant:
+            if shred_old is None:
+                spark.conf.unset(shred_key)
             else:
-                spark.conf.set(key, old)
-    else:
-        writer.parquet(staging)
+                spark.conf.set(shred_key, shred_old)
     data_root = os.path.join(root, subdir)
     rels: list[str] = []
     for dirpath, _dirs, fnames in os.walk(staging):

@@ -592,3 +592,77 @@ def test_evolving_merge_streams_new_column(registered, tmp_path):
         (1, "update_postimage", 1, 42),
         (1, "update_preimage", 1, None),
     ]
+
+
+def test_variant_column_streams(registered, tmp_path):
+    """Round 11: TOP-LEVEL variant columns stream — the q22 fixture
+    shape (events.props parsed into VARIANT) written as a lakehouse
+    table, DML'd, and consumed through the streaming CDF.  The
+    executor read routes through parquet_compat (pyarrow rejects the
+    VARIANT footer annotation) and rebuilds VariantVal from the
+    engine's unshredded {value, metadata} pair."""
+    import os as _os
+
+    from tests.conftest import SF_DIR
+
+    spark = registered
+    root = str(tmp_path / "vtbl")
+    events = spark.read.parquet(
+        _os.path.join(SF_DIR, "events.parquet")
+    ).selectExpr("CAST(event_id AS INT) AS k", "props").limit(6)
+    base = events.selectExpr("k", "parse_json(props) AS props")
+    split = events.selectExpr("k").limit(2)
+    first = base.join(split, "k", "left_semi")
+    rest = base.join(split, "k", "left_anti")
+    t = ParquetTable.create(spark, root, first)
+    t.append(rest)  # v1
+    t.update("k = k", {"props": F.expr("parse_json('{\"patched\": true}')")})  # v2 sidecar
+    n = base.count()
+    # n inserts (v0+v1) + n pre-images + n post-images (v2)
+    got = _drain(spark, root, "cdf_variant_sink", want_rows=3 * n)
+    assert len(got) == 3 * n
+    js = {(r["k"], r["_change_type"], str(r["props"])) for r in got}
+    # every post-image carries the patched payload
+    posts = {x for x in js if x[1] == "update_postimage"}
+    assert len(posts) == n
+    assert all('"patched":true' in x[2] for x in posts)
+    # the batch CDF agrees row-for-row (its contract maps update
+    # images to delete/insert)
+    mapped = {
+        (k, {"update_preimage": "delete", "update_postimage": "insert"}.get(ct, ct), j)
+        for (k, ct, j) in js
+    }
+    want = {
+        (r["k"], r["_change_type"], str(r["j"]))
+        for r in t.changes_between(1, 2)
+        .selectExpr("k", "_change_type", "to_json(props) AS j")
+        .collect()
+    }
+    stream_json = {
+        (k, ct, x)
+        for (k, ct, x) in mapped
+    }
+    assert want <= stream_json
+
+
+def test_nested_variant_still_refuses(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "nvtbl")
+    df = spark.sql(
+        "SELECT 1 AS k, array(parse_json('{\"a\":1}')) AS vs"
+    )
+    ParquetTable.create(spark, root, df)
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_nested_variant")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="NESTED variant"):
+            q.awaitTermination(60)
+    finally:
+        q.stop()
