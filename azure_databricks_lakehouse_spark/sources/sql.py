@@ -1298,15 +1298,29 @@ class Lakehouse:
             plan = None  # a base isn't a lakehouse table: no CDF, full-only
         df, dep, dimver = self._mv_compute(body, plan)
         rid = "__mv_rid" in df.columns
-        t = ParquetTable.create(self.spark, loc, df)
-        props: dict = {"mv_query": body}
-        if plan is not None:
-            props["mv_dep_table"] = plan.table
-            props["mv_dep_version"] = dep
-            if dimver:
-                props["mv_dep_dims"] = dimver
-        if rid:
-            props["mv_rid"] = True
+        if is_table(loc) and f"{name}__mvdata" not in self._paths:
+            orphan = ParquetTable.for_path(self.spark, loc)
+            if "mv_query" not in orphan.properties():
+                raise FileExistsError(
+                    f"LOCATION {loc!r} holds a table that is not "
+                    "materialized-view state; refusing to overwrite"
+                )
+            # DROP MATERIALIZED VIEW keeps data (external-table
+            # semantics) — re-running the SHOW CREATE DDL reclaims the
+            # orphaned state dir with a fresh materialization
+            orphan.overwrite(df)
+            t = orphan
+        else:
+            t = ParquetTable.create(self.spark, loc, df)
+        # None values UNSET (set_properties contract) — reclaiming an
+        # orphaned state dir must not inherit stale refresh state
+        props: dict = {
+            "mv_query": body,
+            "mv_dep_table": plan.table if plan is not None else None,
+            "mv_dep_version": dep if plan is not None else None,
+            "mv_dep_dims": dimver if (plan is not None and dimver) else None,
+            "mv_rid": True if rid else None,
+        }
         t.set_properties(props)
         self._paths[data_name] = os.path.abspath(loc)
         if plan is not None and plan.grouped:
@@ -4038,6 +4052,9 @@ class Lakehouse:
             "mv_dep_version",
             "st_query",
             "st_checkpoint",
+            "mv_dep_dims",
+            "mv_rid",
+            "mv_fold_mode",
         }
     )
 
@@ -4051,9 +4068,16 @@ class Lakehouse:
         execute the rows in order to rebuild the table at a new
         LOCATION.  Bloom-index config is maintenance state and is not
         emitted."""
+        if name in self._mviews:
+            # Databricks' SHOW CREATE TABLE answers for MVs too —
+            # emitting a plain CREATE TABLE of the hidden state table
+            # would round-trip into something that is NOT an MV
+            return self._show_create_mv(name)
         table = self.table(name)
         d = table.detail()
         props = d["properties"]
+        if "st_query" in props:
+            return self._show_create_st(name, props)
         schema = _schema_from_json(self.spark, d["schema"])
         ident = props.get("identity", {})
         gen = props.get("generated", {})
@@ -4140,7 +4164,63 @@ class Lakehouse:
             )
         return self.spark.createDataFrame(rows, "createtab_stmt string")
 
+    def _show_create_mv(self, name: str) -> DataFrame:
+        """``SHOW CREATE MATERIALIZED VIEW mv`` — DDL that reconstructs
+        the MV through this front-end's own parser (round-trip tested):
+        the defining query and data LOCATION ride the data table's
+        versioned properties, so the emitted statement recreates the
+        same MV (recomputed fresh, dependency versions re-pinned).  A
+        non-default fold mode follows as an ALTER row."""
+        if name not in self._mviews:
+            raise KeyError(f"unknown materialized view {name!r}")
+        data_name = f"{name}__mvdata"
+        props = self.table(data_name).properties()
+        loc = self._paths[data_name].replace("'", "''")
+        rows = [
+            (
+                f"CREATE MATERIALIZED VIEW {name} LOCATION '{loc}' "
+                f"AS {props['mv_query']}",
+            )
+        ]
+        fold = props.get("mv_fold_mode")
+        if fold:
+            rows.append(
+                (
+                    f"ALTER TABLE {data_name} SET TBLPROPERTIES "
+                    f"('mv_fold_mode' = '{fold}')",
+                )
+            )
+        return self.spark.createDataFrame(rows, "createtab_stmt string")
+
+    def _show_create_st(self, name: str, props: dict) -> DataFrame:
+        """``SHOW CREATE STREAMING TABLE st`` — the pipeline spec
+        (query + target LOCATION) as round-trippable DDL."""
+        loc = self._paths[name].replace("'", "''")
+        return self.spark.createDataFrame(
+            [
+                (
+                    f"CREATE STREAMING TABLE {name} LOCATION '{loc}' "
+                    f"AS {props['st_query']}",
+                )
+            ],
+            "createtab_stmt string",
+        )
+
     def _show(self, stmt: str) -> DataFrame:
+        scm = _ci(
+            r"^SHOW\s+CREATE\s+MATERIALIZED\s+VIEW\s+(`?[\w.]+`?)$"
+        ).match(stmt)
+        if scm:
+            return self._show_create_mv(_unquote_ident(scm.group(1)))
+        scs = _ci(
+            r"^SHOW\s+CREATE\s+STREAMING\s+TABLE\s+(`?[\w.]+`?)$"
+        ).match(stmt)
+        if scs:
+            name = _unquote_ident(scs.group(1))
+            props = self.table(name).properties()
+            if "st_query" not in props:
+                raise ValueError(f"{name} is not a streaming table")
+            return self._show_create_st(name, props)
         sc = _ci(r"^SHOW\s+CREATE\s+TABLE\s+(`?[\w.]+`?)$").match(stmt)
         if sc:
             return self._show_create(_unquote_ident(sc.group(1)))

@@ -269,3 +269,51 @@ def test_join_incremental_matches_recompute_under_random_dml(
         )
         want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
         assert got == want, f"after {op} of {ops}"
+
+
+def test_show_create_materialized_view_round_trips(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
+    rows = lh.sql("SHOW CREATE MATERIALIZED VIEW m").collect()
+    ddl = rows[0].createtab_stmt
+    assert ddl.startswith("CREATE MATERIALIZED VIEW m LOCATION ")
+    assert _Q in ddl
+    # SHOW CREATE TABLE on an MV answers with the MV DDL, not the
+    # hidden state table's CREATE TABLE
+    assert lh.sql("SHOW CREATE TABLE m").collect()[0].createtab_stmt == ddl
+    # drop (external semantics: state dir stays) and re-run the DDL:
+    # the orphaned state dir is reclaimed, the MV reads and refreshes
+    lh.sql("DROP MATERIALIZED VIEW m")
+    lh.sql(ddl)
+    assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
+    lh.sql("INSERT INTO f VALUES (2, 9)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
+
+
+def test_create_mv_refuses_foreign_location(lh):
+    import pytest as _pytest
+
+    _mk(lh)
+    loc = lh._paths["f"]  # a REAL table's location, not MV state
+    with _pytest.raises(FileExistsError, match="not .*materialized-view"):
+        lh.sql(
+            f"CREATE MATERIALIZED VIEW mx LOCATION '{loc}' AS "
+            "SELECT k, COUNT(*) AS n FROM d GROUP BY k"
+        )
+
+
+def test_show_create_streaming_table_round_trips(lh):
+    _mk(lh)
+    lh.sql(
+        "CREATE STREAMING TABLE st AS SELECT k, x FROM STREAM(f) "
+        "WHERE x IS NOT NULL"
+    )
+    ddl = lh.sql("SHOW CREATE STREAMING TABLE st").collect()[0].createtab_stmt
+    assert ddl.startswith("CREATE STREAMING TABLE st LOCATION ")
+    assert "FROM STREAM(f)" in ddl
+    # SHOW CREATE TABLE redirects for streaming tables too
+    assert (
+        lh.sql("SHOW CREATE TABLE st").collect()[0].createtab_stmt == ddl
+    )
