@@ -60,8 +60,15 @@ Incremental eligibility (parsed, never guessed):
   groups' join rows.  A dim-side change (pinned version moved) is the
   documented fallback: full recompute, dims re-pinned.  RIGHT/FULL/
   CROSS/comma joins are not fact-preserving flatmaps — full-only.
-- **Anything else** (windows, DISTINCT, subqueries, non-grouped
-  joins): the MV still works — refresh is always full recompute.
+- **SELECT DISTINCT** (round 11): ``SELECT DISTINCT <items> FROM t
+  [joins] [WHERE p]`` is exactly a GROUP BY over the items with ZERO
+  aggregates — the state is (keys, live count) and the same signed-
+  weight fold maintains it under any DML (a key leaves the view when
+  its live count reaches zero).  Star-join DISTINCT composes with the
+  join canonicalization above.  DISTINCT anywhere else
+  (``COUNT(DISTINCT x)``, DISTINCT over GROUP BY) stays full-only.
+- **Anything else** (windows, subqueries, non-grouped joins): the MV
+  still works — refresh is always full recompute.
 
 At 100 TB: the grouped path reads only the CDF slice (cost ∝ change),
 aggregates with one shuffle on the group keys, and lands state sized
@@ -206,6 +213,15 @@ def parse_plan(query: str) -> MvPlan | None:
     """The query as an :class:`MvPlan`, or ``None`` when its shape is
     not incrementally maintainable (full-refresh-only MV)."""
     q = " ".join(query.split())
+    # SELECT DISTINCT <items> ≡ GROUP BY <items> with zero aggregates:
+    # the state is (keys, live-count) and the SAME signed-weight fold
+    # maintains it under any DML (a key dies when its count hits 0).
+    # Only the LEADING form qualifies — DISTINCT anywhere else (e.g.
+    # COUNT(DISTINCT x)) stays full-only via _FORBIDDEN below.
+    dm = _ci(r"^SELECT\s+DISTINCT\s+").match(q)
+    distinct = bool(dm)
+    if distinct:
+        q = "SELECT " + q[dm.end() :]
     masked = _mask_strings(q)
     if _FORBIDDEN.search(masked) or _NONDET.search(masked):
         return None
@@ -222,6 +238,37 @@ def parse_plan(query: str) -> MvPlan | None:
     if where and _NONDET.search(_mask_strings(where)):
         return None
     items = [i.strip() for i in _split_top(m.group("items"), ",")]
+    if distinct:
+        if m.group("gb") is not None or _ci(
+            r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\("
+        ).search(_mask_strings(m.group("items"))):
+            return None  # DISTINCT over aggregates/groups: full-only
+        keys = []
+        pat = r"`?[\w]+`?(?:\.`?[\w]+`?)?" if joins else r"`?[\w]+`?"
+        for it in items:
+            am = _ALIASED.match(it)
+            expr, alias = (
+                (am.group("e").strip(), _unquote_ident(am.group("a")))
+                if am
+                else (it, None)
+            )
+            name = alias or (
+                _unquote_ident(expr.rsplit(".", 1)[-1])
+                if re.fullmatch(pat, expr)
+                else None
+            )
+            if name is None:
+                return None  # complex DISTINCT item needs an alias
+            keys.append((expr, name))
+        names = [a for _, a in keys]
+        if len(set(names)) != len(names) or any(
+            a.startswith("__mv_") for a in names
+        ):
+            return None
+        return MvPlan(
+            table, where, grouped=True, keys=keys, aggs=[],
+            joins=joins, fact_alias=fact_alias,
+        )
     if m.group("gb") is None:
         # projection/filter: every item must be agg-free
         if _ci(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(").search(_mask_strings(m.group("items"))):

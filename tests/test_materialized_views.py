@@ -140,12 +140,59 @@ def test_star_join_aggregate_is_now_incremental(lh):
 
 def test_ineligible_query_is_full_only(lh):
     _mk_base(lh)
-    q = "SELECT DISTINCT g FROM b"
+    q = "SELECT g, COUNT(DISTINCT x) AS dx FROM b GROUP BY g"
     lh.sql(f"CREATE MATERIALIZED VIEW md AS {q}")
     lh.sql("INSERT INTO b VALUES (1, 1), (7, 70)")
     r = lh.sql("REFRESH MATERIALIZED VIEW md").collect()[0]
     assert r.mode == "full"
     assert _mv_rows(lh, "md") == _recompute(lh, q)
+
+
+def test_distinct_mv_maintains_incrementally(lh):
+    # round 11: SELECT DISTINCT ≡ zero-aggregate GROUP BY — maintained
+    # under any DML; a key leaves when its last row does
+    _mk_base(lh)
+    q = "SELECT DISTINCT g FROM b"
+    lh.sql(f"CREATE MATERIALIZED VIEW mdk AS {q}")
+    lh.sql("INSERT INTO b VALUES (1, 1), (7, 70)")  # dup key + new key
+    r = lh.sql("REFRESH MATERIALIZED VIEW mdk").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "mdk") == _recompute(lh, q)
+    lh.sql("DELETE FROM b WHERE g = 1 AND x = 1")  # key survives (2 rows left)
+    lh.sql("REFRESH MATERIALIZED VIEW mdk")
+    assert _mv_rows(lh, "mdk") == _recompute(lh, q)
+    lh.sql("DELETE FROM b WHERE g = 1")  # key death
+    r = lh.sql("REFRESH MATERIALIZED VIEW mdk").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "mdk") == _recompute(lh, q)
+    assert all(t[0] != 1 for t in _mv_rows(lh, "mdk"))
+
+
+def test_distinct_mv_multi_item_with_where_and_expr(lh):
+    _mk_base(lh)
+    q = "SELECT DISTINCT g, x % 3 AS x3 FROM b WHERE x IS NOT NULL"
+    lh.sql(f"CREATE MATERIALIZED VIEW mdw AS {q}")
+    lh.sql("INSERT INTO b VALUES (1, 13), (2, NULL), (5, 6)")
+    lh.sql("UPDATE b SET x = x + 1 WHERE g = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mdw").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "mdw") == _recompute(lh, q)
+
+
+def test_distinct_mv_over_star_join(lh):
+    _mk_base(lh)
+    lh.sql(
+        "CREATE TABLE dd AS SELECT col1 AS g, col2 AS nm FROM VALUES "
+        "(1,'a'),(2,'b'),(3,'c')"
+    )
+    q = "SELECT DISTINCT dd.nm AS nm FROM b JOIN dd ON b.g = dd.g"
+    lh.sql(f"CREATE MATERIALIZED VIEW mdj AS {q}")
+    lh.sql("DELETE FROM b WHERE g = 3")  # 'c' dies
+    lh.sql("INSERT INTO b VALUES (2, 99)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mdj").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "mdj") == _recompute(lh, q)
+    assert all(t[0] != "c" for t in _mv_rows(lh, "mdj"))
 
 
 def test_drop_materialized_view(lh):
