@@ -29,6 +29,9 @@ without growing the corpus past the 50-query budget:
   Δ(fact ⋈ dims) = Δfact ⋈ dims).  The ``_refresh/mode`` row pins
   ``incremental`` in the oracle artifact itself: a silent fall-back to
   full recompute would hash-mismatch, not just slow down.
+- **DISTINCT materialized view** (``part='mvdistinct'``, round 11):
+  ``SELECT DISTINCT`` maintained as a zero-aggregate group state —
+  same mode pin, key set checked against the relational DISTINCT.
 
 Both parts render as ``(part, item, metric, value)`` with ``value``
 stringified; money stays DECIMAL through every step (cast from the raw
@@ -74,6 +77,8 @@ _MVJ_QUERY = (
     "ON fact.o_custkey = dimc.c_custkey GROUP BY dimc.seg"
 )
 
+_MVD_QUERY = "SELECT DISTINCT o_custkey % 500 AS ck FROM fact"
+
 _MV_SCRIPT = f"""
 CREATE TABLE fact AS
   SELECT o_orderkey, o_custkey, o_orderstatus AS status,
@@ -83,6 +88,7 @@ CREATE TABLE dimc AS
   SELECT c_custkey, c_mktsegment AS seg FROM customer;
 CREATE MATERIALIZED VIEW mv_status AS {_MV_QUERY};
 CREATE MATERIALIZED VIEW mv_seg AS {_MVJ_QUERY};
+CREATE MATERIALIZED VIEW mv_dk AS {_MVD_QUERY};
 INSERT INTO fact
   SELECT o_orderkey, o_custkey, 'U' AS status,
          CAST(o_totalprice AS DECIMAL(21,3)) * 1.1 AS total
@@ -148,7 +154,27 @@ def q56_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("metric", "value"),
     )
-    return prof.unionByName(mv).unionByName(mode).unionByName(mvj)
+    # DISTINCT MV (round 11): zero-aggregate grouped state — the mode
+    # row pins incremental maintenance, the key rows pin the values
+    dmode = lh.sql("REFRESH MATERIALIZED VIEW mv_dk").select(
+        F.lit("mvdistinct").alias("part"),
+        F.lit("_refresh").alias("item"),
+        F.lit("mode").alias("metric"),
+        F.col("mode").alias("value"),
+    )
+    mvd = lh.sql("SELECT ck FROM mv_dk").select(
+        F.lit("mvdistinct").alias("part"),
+        F.col("ck").cast("string").alias("item"),
+        F.lit("distinct").alias("metric"),
+        F.lit("1").alias("value"),
+    )
+    return (
+        prof.unionByName(mv)
+        .unionByName(mode)
+        .unionByName(mvj)
+        .unionByName(dmode)
+        .unionByName(mvd)
+    )
 
 
 def _profile_oracle() -> str:
@@ -220,6 +246,12 @@ UNION ALL
 SELECT 'mvjoin', seg, 'total_sum', CAST(total_sum AS VARCHAR) FROM jmv
 UNION ALL
 SELECT 'mvjoin', seg, 'n_orders', CAST(n_orders AS VARCHAR) FROM jmv
+UNION ALL
+SELECT 'mvdistinct', '_refresh', 'mode', 'incremental'
+UNION ALL
+SELECT DISTINCT 'mvdistinct', CAST(o_custkey % 500 AS VARCHAR),
+       'distinct', '1'
+FROM fact
 """
 
 
