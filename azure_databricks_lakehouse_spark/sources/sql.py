@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.plans import cbo
 from azure_databricks_lakehouse_spark.sources.tables import (
+    CorrelatedCondition,
     ParquetTable,
     _schema_from_json,
     is_table,
@@ -3140,12 +3141,17 @@ class Lakehouse:
                     name, tcols, keys, null_aware=False
                 )
             return self._delete_in_keys(name, tcols, keys)
+        corr: list = []
         if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
             # not a whole-predicate membership form: fold UNCORRELATED
-            # scalar subqueries to typed literals and ride the row-wise
+            # scalar subqueries to typed literals, decorrelate
+            # equality-correlated AGGREGATE scalars to keyed lookups
+            # (same machinery as UPDATE SET), and ride the row-wise
             # path; membership subqueries surviving the fold are the
             # compound forms MERGE owns
-            cond = self._fold_scalar_subqueries(name, cond, "DELETE WHERE")
+            cond = self._fold_scalar_subqueries(
+                name, cond, "DELETE WHERE", corr_out=corr
+            )
             if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
                 raise ValueError(
                     "IN/EXISTS subqueries in DELETE are supported only "
@@ -3155,7 +3161,9 @@ class Lakehouse:
                 )
         table = self.table(name)
         before = table.latest_version()
-        version = table.delete(cond)
+        version = table.delete(
+            CorrelatedCondition(tuple(corr), cond) if corr else cond
+        )
         c = table.history(limit=1)[0]
         # version > before distinguishes a fresh commit from a
         # zero-match no-commit whose latest version happens to also be
@@ -3431,8 +3439,14 @@ class Lakehouse:
                     name, assignments, tcols, keys, null_aware=False
                 )
             return self._update_in_exists_keys(name, assignments, tcols, keys)
+        set_n = len(corr)
         if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
-            cond = self._fold_scalar_subqueries(name, cond, "UPDATE WHERE")
+            # the shared corr list keeps lookup column names unique
+            # across the SET and WHERE folds; the slice split below
+            # routes each lookup to its consumer
+            cond = self._fold_scalar_subqueries(
+                name, cond, "UPDATE WHERE", corr_out=corr
+            )
             if _ci(r"\(\s*SELECT\b").search(_mask_strings(cond)):
                 raise ValueError(
                     "IN/EXISTS subqueries in UPDATE are supported only "
@@ -3440,9 +3454,16 @@ class Lakehouse:
                     "conditions use MERGE ... WHEN MATCHED [AND p] "
                     "THEN UPDATE SET ..."
                 )
+        where_corr, set_corr = corr[set_n:], corr[:set_n]
         table = self.table(name)
         before = table.latest_version()
-        version = table.update(cond, assignments, corr_lookups=corr or None)
+        version = table.update(
+            CorrelatedCondition(tuple(where_corr), cond)
+            if where_corr
+            else cond,
+            assignments,
+            corr_lookups=set_corr or None,
+        )
         c = table.history(limit=1)[0]
         n = (
             (c.metrics or {}).get("rows_updated", 0)

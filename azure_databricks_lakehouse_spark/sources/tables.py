@@ -208,6 +208,38 @@ def is_table(path: str) -> bool:
 
 
 @dataclass(frozen=True)
+class CorrelatedCondition:
+    """A DML condition whose predicate references DECORRELATED scalar
+    lookups — the engine shape behind ``DELETE/UPDATE ... WHERE expr
+    <op> (SELECT agg FROM s WHERE s.k = t.k)`` (the SQL front-end
+    rewrites the correlated scalar to a ``CASE WHEN __corrN_hit THEN
+    __corrN_v ELSE <empty-group literal> END`` over a key-unique
+    lookup frame).
+
+    ``lookups``: ``((frame, join_cond_sql), ...)`` — each frame is
+    key-unique on its join keys (built with GROUP BY), so the left
+    join can never fan a row out; ``predicate`` is boolean SQL over
+    the table's columns plus the lookup columns.  The decorator
+    projects the lookup columns away after stamping ``__hit``, so
+    rewrite/CDC frames keep the table schema.  No metadata prune tree:
+    a per-key threshold can't be ruled out from footer stats."""
+
+    lookups: tuple
+    predicate: str
+
+    def _decorator(self):
+        def dec(df: DataFrame) -> DataFrame:
+            cols = list(df.columns)
+            out = df
+            for lk, cond_sql in self.lookups:
+                out = out.join(lk, F.expr(cond_sql), "left")
+            hit = F.coalesce(F.expr(self.predicate), F.lit(False))
+            return out.select(*cols, hit.alias("__hit"))
+
+        return dec
+
+
+@dataclass(frozen=True)
 class KeyAntiCondition:
     """A DML condition that matches rows whose key does NOT appear in
     ``keys`` — the join-shaped predicate behind ``DELETE/UPDATE ...
@@ -700,7 +732,7 @@ class ParquetTable:
         No prune tree for key specs: anti-membership can't rule out a
         file from metadata (a file with NO key in the probe is all
         hits, not no hits)."""
-        if isinstance(condition, KeyAntiCondition):
+        if isinstance(condition, (KeyAntiCondition, CorrelatedCondition)):
             return condition._decorator(), None
         cond_col, pred = self._as_condition(condition)
         base = F.coalesce(cond_col, F.lit(False))

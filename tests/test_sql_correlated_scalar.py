@@ -144,14 +144,49 @@ def test_cdf_carries_pre_and_post_images(lh):
         "UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE s.k = t.k GROUP BY s.k)",
         # OR-composed correlation (not a top-level AND equality)
         "UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE s.k = t.k OR s.v = 1)",
-        # correlation in DELETE WHERE
-        "DELETE FROM t WHERE c < (SELECT AVG(s.v) FROM s WHERE s.k = t.k)",
+        # non-aggregate correlated scalar in a WHERE comparison
+        "DELETE FROM t WHERE c < (SELECT s.v FROM s WHERE s.k = t.k)",
     ],
 )
 def test_unsupported_shapes_raise_toward_merge(lh, stmt):
     _mk(lh)
     with pytest.raises(ValueError, match="(?i)correlated|MERGE"):
         lh.sql(stmt)
+
+
+def test_correlated_scalar_in_delete_where(lh):
+    _mk(lh)
+    # delete rows whose note count... use COUNT: k=1 has 2 source rows,
+    # k=2 has 2, k=3 none (0), NULL key none (0)
+    r = lh.sql(
+        "DELETE FROM t WHERE (SELECT COUNT(*) FROM s WHERE s.k = t.k) >= 2"
+    ).collect()[0]
+    assert r.num_affected_rows == 2
+    assert sorted(x[0] for x in _state(lh) if x[0] is not None) == [3]
+
+
+def test_correlated_scalar_in_update_where_and_set_together(lh):
+    _mk(lh)
+    # WHERE correlation picks rows with any source match; SET
+    # correlation assigns the per-key max — two independent lookups
+    lh.sql(
+        "UPDATE t SET c = (SELECT MAX(s.v) FROM s WHERE s.k = t.k) "
+        "WHERE (SELECT COUNT(s.v) FROM s WHERE s.k = t.k) > 0"
+    )
+    assert _state(lh) == sorted(
+        [(1, 20), (2, 5), (3, 0), (None, 0)], key=str
+    )
+
+
+def test_correlated_where_comparison_against_column(lh):
+    _mk(lh)
+    lh.sql("UPDATE t SET c = 15 WHERE k = 1")
+    # AVG(v) for k=1 is 15.0 -> c >= avg matches row k=1 exactly
+    r = lh.sql(
+        "DELETE FROM t WHERE c >= (SELECT AVG(s.v) FROM s WHERE s.k = t.k)"
+    ).collect()[0]
+    assert r.num_affected_rows == 1
+    assert all(x[0] != 1 for x in _state(lh))
 
 
 def test_combined_with_in_predicate_raises(lh):

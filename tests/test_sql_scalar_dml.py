@@ -119,12 +119,17 @@ def test_correlated_scalar_set_decorrelates(lh):
     assert _state(lh) == [(1, None), (2, None), (3, None), (4, None)]
 
 
-def test_correlated_scalar_in_where_still_raises_toward_merge(lh):
+def test_correlated_scalar_in_where_decorrelates_too(lh):
     _mk(lh)
-    with pytest.raises(ValueError, match="correlated.*MERGE"):
-        lh.sql(
-            "DELETE FROM t WHERE v < (SELECT AVG(x) FROM s WHERE s.x = t.k)"
-        )
+    # no s.x equals any t.k: AVG over empty = NULL, comparison UNKNOWN,
+    # zero matches — and a zero-match DML commits nothing
+    before = lh.table("t").latest_version()
+    r = lh.sql(
+        "DELETE FROM t WHERE v < (SELECT AVG(x) FROM s WHERE s.x = t.k)"
+    ).collect()[0]
+    assert r.num_affected_rows == 0
+    assert lh.table("t").latest_version() == before
+    assert len(_state(lh)) == 4
 
 
 def test_string_literal_containing_select_is_not_a_subquery(lh):
