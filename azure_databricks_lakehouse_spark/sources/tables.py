@@ -4234,8 +4234,47 @@ class ParquetTable:
         # the matched-file rows feed the rewrite, the CDC pre-images,
         # the matched-key projections, and (row-tracked / identity
         # tables) the id-inheritance joins — persist so the commit pays
-        # ONE scan of its rewrite working set, not one per consumer
+        # ONE scan of its rewrite working set, not one per consumer.
+        # try/finally below: a commit conflict must not leak the cache.
         target = target.persist()
+        try:
+            return self._merge_publish(
+                m,
+                source,
+                keys,
+                target,
+                src_keys,
+                carried,
+                rewrite_files,
+                widened,
+                rt,
+                ident,
+                lpart,
+                part_cols,
+                extra_props,
+            )
+        finally:
+            target.unpersist()
+
+    def _merge_publish(
+        self,
+        m,
+        source,
+        keys,
+        target,
+        src_keys,
+        carried,
+        rewrite_files,
+        widened,
+        rt,
+        ident,
+        lpart,
+        part_cols,
+        extra_props,
+    ) -> int:
+        """The write-and-commit tail of :meth:`merge`, split out so the
+        persisted ``target`` (the matched files' rows) is released by a
+        try/finally even when the commit loses a conflict race."""
 
         # identity attach: matched source rows inherit their target
         # row's identity values (one key-join against the already-read
@@ -4386,7 +4425,6 @@ class ParquetTable:
                 "files_carried": len(carried),
             },
         )
-        target.unpersist()
         self._post_commit()
         return version
 
