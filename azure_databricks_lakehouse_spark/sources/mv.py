@@ -102,6 +102,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.sources.sql import (
+    _blank_strings,
     _ci,
     _find_top_keyword,
     _mask_strings,
@@ -154,6 +155,10 @@ class MvPlan:
     # JOIN clause, fact first in the FROM (empty = single-table plan)
     joins: list[tuple[str, str, str, str]] = field(default_factory=list)
     fact_alias: str | None = None
+    # window plan (QUALIFY over per-key windows): maintained by SCOPED
+    # per-key rescan — ``keys`` hold the shared PARTITION BY exprs
+    window: bool = False
+    qualify: str | None = None
 
 
 def _parse_from(from_sql: str) -> tuple[str, str, list[tuple[str, str, str, str]]] | None:
@@ -222,6 +227,11 @@ def parse_plan(query: str) -> MvPlan | None:
     distinct = bool(dm)
     if distinct:
         q = "SELECT " + q[dm.end() :]
+    # per-key window shape (QUALIFY): its OVER(...) clauses carry ORDER
+    # BY text the flat forbidden-keyword scan below would reject, so it
+    # parses on its own path (scoped per-key rescan maintenance)
+    if not distinct and _find_top_keyword(_blank_strings(q), "QUALIFY") >= 0:
+        return _parse_window_plan(q)
     masked = _mask_strings(q)
     if _FORBIDDEN.search(masked) or _NONDET.search(masked):
         return None
@@ -324,6 +334,128 @@ def parse_plan(query: str) -> MvPlan | None:
     return MvPlan(
         table, where, grouped=True, keys=keys, aggs=aggs,
         joins=joins, fact_alias=fact_alias,
+    )
+
+
+def _over_spans(text: str) -> list[tuple[int, int]] | None:
+    """(start, end) byte spans of every ``OVER ( ... )`` group in the
+    string-blanked ``text``; None when any is unbalanced."""
+    spans: list[tuple[int, int]] = []
+    for m in _ci(r"\bOVER\s*\(").finditer(text):
+        depth, j = 0, m.end() - 1
+        while j < len(text):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            return None
+        spans.append((m.start(), j + 1))
+    return spans
+
+
+def _parse_window_plan(q: str) -> MvPlan | None:
+    """``SELECT <items> FROM t [WHERE p] QUALIFY <pred>`` where every
+    window partitions by the SAME key expressions and each key is
+    projected — the dedup-to-latest / top-k-per-key shape
+    (``operators/dedup.py``'s ranking window as a materialized view).
+
+    Maintainable by SCOPED PER-KEY RESCAN under ANY DML: a window
+    partitioned by ``pk`` makes each output key group a pure function
+    of the base rows carrying that key, so a refresh recomputes exactly
+    the key groups the CDF window touched and lands them via one
+    key-group MERGE (replace / delete per group).  Cost ∝ the affected
+    keys' base rows — never the table."""
+    qpos = _find_top_keyword(_blank_strings(q), "QUALIFY")
+    head, qual = q[:qpos].strip(), q[qpos + 7 :].strip()
+    if not qual:
+        return None
+    hq = head + " " + qual  # the query sans the QUALIFY keyword itself
+    spans = _over_spans(_blank_strings(hq))
+    if not spans:
+        return None
+    # forbidden/nondeterminism checks on the text OUTSIDE the windows
+    # (ORDER BY belongs inside an OVER clause here) + NONDET inside too
+    outside = []
+    prev = 0
+    for s, e in spans:
+        outside.append(hq[prev:s])
+        prev = e
+    outside.append(hq[prev:])
+    out_masked = _mask_strings(" ".join(outside))
+    if _FORBIDDEN.search(out_masked) or _NONDET.search(_mask_strings(q)):
+        return None
+    if _ci(r"\(\s*SELECT\b").search(_mask_strings(q)):
+        return None
+    # every OVER must share one PARTITION BY list
+    pk_norm: str | None = None
+    for s, e in spans:
+        inner = hq[s:e]
+        pm = _ci(r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<rest>.+)\)$").match(inner)
+        if not pm:
+            return None  # a global window cannot scope a rescan
+        rest = pm.group("rest")
+        rb = _blank_strings(rest)
+        cuts = [
+            p
+            for kw in ("ORDER", "ROWS", "RANGE")
+            if (p := _find_top_keyword(rb, kw)) >= 0
+        ]
+        pb = rest[: min(cuts)] if cuts else rest
+        norm = " ".join(pb.split())
+        if pk_norm is None:
+            pk_norm = norm
+        elif norm != pk_norm:
+            return None  # mixed partitioning: no single scoping key
+    m = _SHAPE.match(head)
+    if not m or m.group("gb") is not None:
+        return None
+    parsed_from = _parse_from(m.group("from"))
+    if parsed_from is None:
+        return None
+    table, fact_alias, joins = parsed_from
+    if joins:
+        return None  # window-over-join: full-only (scoping is 1-table)
+    where = m.group("where")
+    items = [i.strip() for i in _split_top(m.group("items"), ",")]
+    pk_exprs = [p.strip() for p in _split_top(pk_norm, ",")]
+    keys: list[tuple[str, str]] = []
+    for pk in pk_exprs:
+        name = None
+        for it in items:
+            am = _ALIASED.match(it)
+            expr, alias = (
+                (am.group("e").strip(), _unquote_ident(am.group("a")))
+                if am
+                else (it, None)
+            )
+            if expr == pk or it == pk:
+                name = alias or (
+                    _unquote_ident(pk)
+                    if re.fullmatch(r"`?[\w]+`?", pk)
+                    else None
+                )
+                break
+        if name is None:
+            return None  # a partition key the view doesn't project
+        keys.append((pk, name))
+    names = [a for _, a in keys]
+    if len(set(names)) != len(names) or any(
+        a.startswith("__mv_") for a in names
+    ):
+        return None
+    return MvPlan(
+        table,
+        where,
+        grouped=False,
+        keys=keys,
+        items=m.group("items"),
+        fact_alias=fact_alias,
+        window=True,
+        qualify=qual,
     )
 
 

@@ -1247,6 +1247,17 @@ class Lakehouse:
         base = self.table(plan.table)
         v = base.latest_version()
         snap = base.read(v)
+        if plan.window:
+            # run the defining query (QUALIFY included — _run_query
+            # rewrites it) over the PINNED snapshot
+            self._asof_seq += 1
+            tmp = f"__mv_win_{self._asof_seq}"
+            snap.createOrReplaceTempView(tmp)
+            return (
+                self._run_query(self._sub_ident(body, plan.table, tmp)),
+                v,
+                None,
+            )
         if plan.joins:
             dims: dict = {}
             dimver: dict = {}
@@ -1393,6 +1404,74 @@ class Lakehouse:
         else:
             table.overwrite(src, extra_props={"mv_dep_version": cur})
 
+    def _refresh_window_mv(
+        self, table, base, plan, body: str, dep: int, cur: int
+    ) -> tuple[str, int]:
+        """Incremental refresh of a per-key WINDOW MV (QUALIFY over
+        windows all partitioned by the same keys — dedup-to-latest /
+        top-k-per-key) by SCOPED PER-KEY RESCAN:
+
+        1. affected keys = the key expressions over EVERY image in the
+           CDF window (pre AND post, unfiltered — a row leaving the
+           WHERE set still changes its key group's answer);
+        2. recompute the defining query over ONLY the affected keys'
+           base rows (semi-join scope; cost ∝ those keys' rows);
+        3. land per key group via MERGE: groups with survivors are
+           replaced wholesale (multi-row groups supported — ``rn <= k``
+           keeps k rows), groups with none become delete rows.
+
+        Sound because a window partitioned by ``pk`` makes each output
+        group a pure function of the base rows carrying that key.  A
+        NULL key component falls back to a full refresh: MERGE's key
+        join is null-unsafe, and NULL forms a real window group."""
+        key_names = [a for _, a in plan.keys]
+        kdf = (
+            base.changes_between(dep, cur)
+            .select([F.expr(e).alias(a) for e, a in plan.keys])
+            .distinct()
+            .localCheckpoint()
+        )
+        if kdf.isEmpty():
+            # data-preserving commits only (e.g. OPTIMIZE): nothing to
+            # rescan — advance the cursor without touching state
+            table.set_properties({"mv_dep_version": cur})
+            return "incremental", cur
+        nullcond = None
+        for a in key_names:
+            isnull = F.col(a).isNull()
+            nullcond = isnull if nullcond is None else nullcond | isnull
+        if not kdf.where(nullcond).isEmpty():
+            return "full", None
+        # scoped base rows: semi-join on the key EXPRESSIONS
+        probe = kdf.select(
+            *[F.col(a).alias(f"__mvw_{a}") for a in key_names]
+        )
+        cond = None
+        for e, a in plan.keys:
+            eq = F.expr(e).eqNullSafe(F.col(f"__mvw_{a}"))
+            cond = eq if cond is None else cond & eq
+        scoped = base.read().join(probe, cond, "left_semi")
+        self._asof_seq += 1
+        tmp = f"__mv_win_{self._asof_seq}"
+        scoped.createOrReplaceTempView(tmp)
+        survivors = self._run_query(
+            self._sub_ident(body, plan.table, tmp)
+        ).withColumn("__mv_alive", F.lit(True))
+        src = (
+            kdf.join(survivors, key_names, "left")
+            .withColumn("__mv_dead", F.col("__mv_alive").isNull())
+            .drop("__mv_alive")
+        )
+        table.merge(
+            src,
+            on=key_names,
+            when_matched_delete=F.col("__mv_dead"),
+            source_meta_cols=("__mv_dead",),
+            validate_source_keys=False,
+            extra_props={"mv_dep_version": cur},
+        )
+        return "incremental", cur
+
     def _refresh_mv_stmt(self, stmt: str) -> DataFrame:
         """``REFRESH MATERIALIZED VIEW name [FULL]`` — incremental when
         the stored plan allows (grouped aggregates under any DML via
@@ -1471,7 +1550,11 @@ class Lakehouse:
 
             if dep is not None and dims_ok:
                 try:
-                    if plan.grouped and (
+                    if plan.window:
+                        mode, dep_out = self._refresh_window_mv(
+                            table, base, plan, body, dep, cur
+                        )
+                    elif plan.grouped and (
                         not _mv.has_extrema(plan)
                         or _mv.append_only_window(base, dep, cur)
                     ):

@@ -1,0 +1,211 @@
+"""Per-key WINDOW materialized views (QUALIFY over same-key windows —
+the dedup-to-latest / top-k-per-key shape, ``operators/dedup.py``'s
+ranking window as a view) maintained by SCOPED PER-KEY RESCAN.
+
+A window partitioned by ``pk`` makes each output key group a pure
+function of the base rows carrying that key, so a refresh recomputes
+exactly the key groups the CDF window touched (pre- AND post-images —
+a deleted winner retracts) and lands them via one key-group MERGE:
+replace groups with survivors (multi-row groups — ``rn <= k`` — ride
+the group-replace semantics), delete groups without.
+
+Done-criterion: after ANY random DML sequence, incremental refresh
+leaves the MV row-identical to recomputing the defining query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from azure_databricks_lakehouse_spark.sources.sql import Lakehouse
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return Lakehouse(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk(lh):
+    lh.sql(
+        "CREATE TABLE c AS SELECT col1 AS k, col2 AS seq, col3 AS v "
+        "FROM VALUES (1, 1, 'a'), (1, 2, 'b'), (2, 1, 'c'), (3, 5, 'd')"
+    )
+
+
+def _rows(lh, q):
+    return sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+
+
+_Q = (
+    "SELECT k, seq, v FROM c QUALIFY ROW_NUMBER() OVER "
+    "(PARTITION BY k ORDER BY seq DESC) = 1"
+)
+
+
+def test_dedup_to_latest_full_lifecycle(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW latest AS {_Q}")
+    assert _rows(lh, "SELECT * FROM latest") == _rows(lh, _Q)
+    # new winner, new key, whole-key delete, in-place update
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z'), (4, 1, 'n')")
+    lh.sql("DELETE FROM c WHERE k = 3")
+    lh.sql("UPDATE c SET v = 'cc' WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW latest").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM latest") == _rows(lh, _Q)
+    assert all(t[0] != 3 for t in _rows(lh, "SELECT * FROM latest"))
+
+
+def test_deleting_the_winner_retracts_to_previous(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW latest AS {_Q}")
+    lh.sql("DELETE FROM c WHERE k = 1 AND seq = 2")  # current winner
+    r = lh.sql("REFRESH MATERIALIZED VIEW latest").collect()[0]
+    assert r.mode == "incremental"
+    got = {t[0]: t for t in _rows(lh, "SELECT * FROM latest")}
+    assert got[1] == (1, 1, "a")  # previous row wins again
+    assert _rows(lh, "SELECT * FROM latest") == _rows(lh, _Q)
+
+
+def test_top_k_groups_replace_wholesale(lh):
+    _mk(lh)
+    q = (
+        "SELECT k, seq FROM c QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY seq DESC) <= 2"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW top2 AS {q}")
+    lh.sql("INSERT INTO c VALUES (1, 7, 'q'), (1, 8, 'r')")
+    r = lh.sql("REFRESH MATERIALIZED VIEW top2").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM top2") == _rows(lh, q)
+
+
+def test_where_alias_and_tiebreakers(lh):
+    _mk(lh)
+    q = (
+        "SELECT k AS kk, seq FROM c WHERE v <> 'x' QUALIFY ROW_NUMBER() "
+        "OVER (PARTITION BY k ORDER BY seq DESC, v ASC) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW w3 AS {q}")
+    # the 'x' row outranks by seq but is WHERE-excluded
+    lh.sql("INSERT INTO c VALUES (2, 99, 'x'), (2, 98, 'y')")
+    r = lh.sql("REFRESH MATERIALIZED VIEW w3").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM w3") == _rows(lh, q)
+
+
+def test_rank_and_alias_reference_forms(lh):
+    _mk(lh)
+    # windowed item aliased then referenced in QUALIFY — the stored
+    # data table carries the rank column too
+    q = (
+        "SELECT k, seq, RANK() OVER (PARTITION BY k ORDER BY seq DESC) "
+        "AS rnk FROM c QUALIFY rnk = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW wr AS {q}")
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z'), (1, 9, 'zz')")  # rank tie
+    r = lh.sql("REFRESH MATERIALIZED VIEW wr").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wr") == _rows(lh, q)
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # global window: no partition key to scope the rescan
+        "SELECT k, seq FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY seq) = 1",
+        # mixed partition keys across windows
+        "SELECT k, seq FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY k "
+        "ORDER BY seq) = 1 AND RANK() OVER (PARTITION BY v ORDER BY seq) = 1",
+        # partition key not projected
+        "SELECT seq, v FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY k "
+        "ORDER BY seq DESC) = 1",
+    ],
+)
+def test_unscopable_windows_are_full_only(lh, q):
+    _mk(lh)
+    name = f"wf{abs(hash(q)) % 1000}"
+    lh.sql(f"CREATE MATERIALIZED VIEW {name} AS {q}")
+    lh.sql("INSERT INTO c VALUES (5, 1, 'e')")
+    r = lh.sql(f"REFRESH MATERIALIZED VIEW {name}").collect()[0]
+    assert r.mode == "full", q
+    assert _rows(lh, f"SELECT * FROM {name}") == _rows(lh, q)
+
+
+def test_null_partition_key_falls_back_to_full(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW latest AS {_Q}")
+    lh.sql("INSERT INTO c VALUES (CAST(NULL AS INT), 1, 'n')")
+    r = lh.sql("REFRESH MATERIALIZED VIEW latest").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM latest") == _rows(lh, _Q)
+
+
+def test_optimize_only_window_advances_cursor(lh):
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW latest AS {_Q}")
+    lh.table("c").optimize(n_files=1)
+    r = lh.sql("REFRESH MATERIALIZED VIEW latest").collect()[0]
+    assert r.mode == "incremental"
+    assert lh.sql("REFRESH MATERIALIZED VIEW latest").collect()[0].mode == "noop"
+    assert _rows(lh, "SELECT * FROM latest") == _rows(lh, _Q)
+
+
+# --- the done-criterion sweep ----------------------------------------------
+
+KEYS = [1, 2, 3]
+
+_op = st.one_of(
+    st.tuples(
+        st.just("insert"),
+        st.lists(
+            st.tuples(st.sampled_from(KEYS), st.integers(0, 50)),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    st.tuples(st.just("delete_key"), st.sampled_from(KEYS)),
+    st.tuples(st.just("delete_row"), st.sampled_from(KEYS), st.integers(0, 50)),
+    st.tuples(st.just("update"), st.sampled_from(KEYS), st.integers(0, 50)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_window_incremental_matches_recompute_under_random_dml(
+    spark, tmp_path_factory, ops
+):
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvwhyp")))
+    lh.sql(
+        "CREATE TABLE hc AS SELECT col1 AS k, col2 AS seq FROM VALUES "
+        "(1, 10), (2, 1), (3, 7)"
+    )
+    # unique (k, seq) winners: ties broken by seq keep determinism
+    q = (
+        "SELECT k, seq FROM hc QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY seq DESC) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hw AS {q}")
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(f"({g}, {x})" for g, x in op[1])
+            lh.sql(f"INSERT INTO hc VALUES {vals}")
+        elif op[0] == "delete_key":
+            lh.sql(f"DELETE FROM hc WHERE k = {op[1]}")
+        elif op[0] == "delete_row":
+            lh.sql(f"DELETE FROM hc WHERE k = {op[1]} AND seq = {op[2]}")
+        else:
+            lh.sql(f"UPDATE hc SET seq = seq + {op[2]} WHERE k = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW hw").collect()[0]
+        assert r.mode in ("incremental", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM hw").collect()), key=str
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops}"
