@@ -67,8 +67,18 @@ Incremental eligibility (parsed, never guessed):
   its live count reaches zero).  Star-join DISTINCT composes with the
   join canonicalization above.  DISTINCT anywhere else
   (``COUNT(DISTINCT x)``, DISTINCT over GROUP BY) stays full-only.
-- **Anything else** (windows, subqueries, non-grouped joins): the MV
-  still works — refresh is always full recompute.
+- **Per-key windows** (round 11): ``SELECT <items> FROM t [WHERE p]
+  QUALIFY <pred>`` where every window partitions by the SAME projected
+  keys — dedup-to-latest / top-k-per-key — maintained under ANY DML by
+  SCOPED PER-KEY RESCAN: each output key group is a pure function of
+  the base rows carrying that key, so the refresh recomputes exactly
+  the key groups the CDF window touched (pre- and post-images — a
+  deleted winner retracts) and lands them via one key-group MERGE
+  (groups replace wholesale, so ``rn <= k`` keeps k rows; empty groups
+  delete).  Global windows, mixed partition keys, unprojected keys,
+  and NULL key components fall back to full refresh.
+- **Anything else** (subqueries, non-grouped joins, global windows):
+  the MV still works — refresh is always full recompute.
 
 At 100 TB: the grouped path reads only the CDF slice (cost ∝ change),
 aggregates with one shuffle on the group keys, and lands state sized
