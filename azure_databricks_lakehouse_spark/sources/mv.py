@@ -123,7 +123,7 @@ from azure_databricks_lakehouse_spark.sources.sql import (
 _N = "__mv_n"  # per-group live row count (group death tracking)
 
 _FORBIDDEN = _ci(
-    r"\b(HAVING|ORDER|LIMIT|DISTINCT|UNION|INTERSECT|EXCEPT|MINUS"
+    r"\b(ORDER|LIMIT|DISTINCT|UNION|INTERSECT|EXCEPT|MINUS"
     r"|QUALIFY|OVER|PIVOT|LATERAL)\b"
 )
 # join types whose delta is NOT a per-fact-row flatmap (or that hide
@@ -136,7 +136,8 @@ _NONDET = _ci(
 _SHAPE = _ci(
     r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<from>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?$"
+    r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?"
+    r"(?:\s+HAVING\s+(?P<hav>.+?))?$"
 )
 _JOIN_KW = _ci(r"\s+(?:INNER\s+|LEFT\s+(?:OUTER\s+)?)?JOIN\s+")
 _LEFT_KW = _ci(r"^\s+LEFT\b")
@@ -169,6 +170,11 @@ class MvPlan:
     # per-key rescan — ``keys`` hold the shared PARTITION BY exprs
     window: bool = False
     qualify: str | None = None
+    # HAVING predicate REWRITTEN over the view's aliases (grouped plans
+    # only): the state keeps EVERY group — a group can enter/leave the
+    # HAVING set under DML — and the read view filters.  Aggregates the
+    # user didn't project ride hidden ``__mv_h{i}`` items.
+    having: str | None = None
 
 
 def _parse_from(from_sql: str) -> tuple[str, str, list[tuple[str, str, str, str]]] | None:
@@ -258,6 +264,8 @@ def parse_plan(query: str) -> MvPlan | None:
     if where and _NONDET.search(_mask_strings(where)):
         return None
     items = [i.strip() for i in _split_top(m.group("items"), ",")]
+    if m.group("hav") is not None and (distinct or m.group("gb") is None):
+        return None  # HAVING only maintains over a grouped plan
     if distinct:
         if m.group("gb") is not None or _ci(
             r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\("
@@ -341,9 +349,16 @@ def parse_plan(query: str) -> MvPlan | None:
     aggs = _parse_aggs(agg_items)
     if aggs is None or not aggs:
         return None
+    having = None
+    if m.group("hav") is not None:
+        rewritten = _rewrite_having(m.group("hav"), aggs)
+        if rewritten is None:
+            return None
+        having, extra = rewritten
+        aggs = aggs + extra
     return MvPlan(
         table, where, grouped=True, keys=keys, aggs=aggs,
-        joins=joins, fact_alias=fact_alias,
+        joins=joins, fact_alias=fact_alias, having=having,
     )
 
 
@@ -421,7 +436,7 @@ def _parse_window_plan(q: str) -> MvPlan | None:
         elif norm != pk_norm:
             return None  # mixed partitioning: no single scoping key
     m = _SHAPE.match(head)
-    if not m or m.group("gb") is not None:
+    if not m or m.group("gb") is not None or m.group("hav") is not None:
         return None
     parsed_from = _parse_from(m.group("from"))
     if parsed_from is None:
@@ -558,6 +573,71 @@ def canonical_plan(plan: MvPlan) -> MvPlan:
             for i, (kind, e, alias) in enumerate(plan.aggs)
         ],
     )
+
+
+_AGG_CALL = _ci(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(")
+
+
+def _rewrite_having(
+    hav: str, aggs: list[tuple[str, str | None, str]]
+) -> tuple[str, list[tuple[str, str | None, str]]] | None:
+    """``(having-over-aliases, hidden extra agg items)`` — every
+    aggregate call in the HAVING text is replaced by the alias of the
+    matching projected item, or by a fresh HIDDEN item (``__mv_h{i}``)
+    the state maintains but the read view projects away.  The view
+    then filters ``WHERE <rewritten>`` over the reconstructed aliases,
+    so a group entering/leaving the HAVING set under DML is just a
+    row appearing/disappearing from the filtered read.  None when a
+    call isn't a supported aggregate (or a hidden AVG, whose exact
+    output type has no analyzed-schema source) — full-only."""
+    if _NONDET.search(_mask_strings(hav)):
+        return None
+    blanked = _blank_strings(hav)
+    spans: list[tuple[int, int]] = []
+    for am in _AGG_CALL.finditer(blanked):
+        depth, j = 0, am.end() - 1
+        while j < len(blanked):
+            if blanked[j] == "(":
+                depth += 1
+            elif blanked[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            return None
+        spans.append((am.start(), j + 1))
+    # keep OUTERMOST spans only (a nested aggregate is invalid SQL
+    # anyway, but a corrupted rewrite must never reach the parser)
+    spans = [
+        (s, e)
+        for s, e in spans
+        if not any(os_ < s and e <= oe for os_, oe in spans if (os_, oe) != (s, e))
+    ]
+    if not spans:
+        return None  # HAVING without an aggregate: use WHERE instead
+    existing = {
+        (kind, " ".join(e.split()) if e else None): alias
+        for kind, e, alias in aggs
+    }
+    extra: list[tuple[str, str | None, str]] = []
+    out = hav
+    for s, e in reversed(spans):
+        call = hav[s:e]
+        parsed = _parse_aggs([f"{call} AS __mv_probe"])
+        if parsed is None:
+            return None
+        kind, expr, _ = parsed[0]
+        key = (kind, " ".join(expr.split()) if expr else None)
+        alias = existing.get(key)
+        if alias is None:
+            if kind == "avg":
+                return None  # no analyzed output type for a hidden AVG
+            alias = f"__mv_h{len(extra)}"
+            existing[key] = alias
+            extra.append((kind, expr, alias))
+        out = out[:s] + f"`{alias}`" + out[e:]
+    return out, extra
 
 
 def has_extrema(plan: MvPlan) -> bool:

@@ -1353,6 +1353,21 @@ class Lakehouse:
                     i: sch[plan.aggs[i][2]] for i in avg_idx
                 }
             view = _mv.view_body(plan, data_name, avg_types=avg_types)
+            if plan.having:
+                # state keeps EVERY group; the read filters.  Hidden
+                # HAVING-only aggregates project away here.
+                hidden = [
+                    a for _, _, a in plan.aggs if a.startswith("__mv_h")
+                ]
+                exc = (
+                    " EXCEPT (" + ", ".join(f"`{h}`" for h in hidden) + ")"
+                    if hidden
+                    else ""
+                )
+                view = (
+                    f"SELECT *{exc} FROM ({view}) __mv_hv "
+                    f"WHERE {plan.having}"
+                )
         elif rid:
             # the id key is state, not a user column — project it away
             cols = ", ".join(

@@ -571,3 +571,86 @@ def test_avg_incremental_with_exact_types(lh):
     assert _mv_rows(lh, "av") == _recompute(lh, q)
     rows = {x.g: x.ax for x in lh.sql("SELECT * FROM av").collect()}
     assert rows[2] is None  # all-NULL group reads NULL, not 0/1
+
+
+def test_having_mv_groups_enter_and_leave(lh):
+    # round 11: HAVING maintains over grouped plans — the state keeps
+    # EVERY group, the read view filters over reconstructed aliases
+    _mk_base(lh)
+    q = (
+        "SELECT g, SUM(x) AS sx, COUNT(*) AS n FROM b GROUP BY g "
+        "HAVING COUNT(*) >= 2"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hv AS {q}")
+    assert _mv_rows(lh, "hv") == _recompute(lh, q)
+    lh.sql("INSERT INTO b VALUES (3, 1), (4, 4)")  # 3 enters; 4 stays out
+    lh.sql("DELETE FROM b WHERE g = 1 AND x = 10")  # 1 leaves (n -> 1)
+    r = lh.sql("REFRESH MATERIALIZED VIEW hv").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "hv") == _recompute(lh, q)
+    got = _mv_rows(lh, "hv")
+    assert all(t[0] not in (1, 4) for t in got)
+    assert any(t[0] == 3 for t in got)
+
+
+def test_having_mv_hidden_aggregates(lh):
+    _mk_base(lh)
+    # MIN is HAVING-only: it rides hidden state the view projects away
+    q = (
+        "SELECT g, COUNT(*) AS n FROM b GROUP BY g "
+        "HAVING MIN(x) < 8 AND SUM(x) > 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hh AS {q}")
+    assert [c for c in lh.sql("SELECT * FROM hh").columns] == ["g", "n"]
+    lh.sql("INSERT INTO b VALUES (4, 2)")
+    lh.sql("DELETE FROM b WHERE g = 2 AND x = 5")  # min removal: rescan
+    r = lh.sql("REFRESH MATERIALIZED VIEW hh").collect()[0]
+    assert r.mode in ("incremental", "incremental_rescan")
+    assert _mv_rows(lh, "hh") == _recompute(lh, q)
+
+
+def test_having_mv_over_star_join(lh):
+    _mk_base(lh)
+    lh.sql(
+        "CREATE TABLE dh AS SELECT col1 AS g, col2 AS nm FROM VALUES "
+        "(1,'a'),(2,'b'),(3,'c')"
+    )
+    q = (
+        "SELECT dh.nm AS nm, SUM(b.x) AS sx FROM b JOIN dh ON b.g = dh.g "
+        "GROUP BY dh.nm HAVING COUNT(*) > 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hj AS {q}")
+    lh.sql("INSERT INTO b VALUES (3, 9)")  # 'c' enters the HAVING set
+    r = lh.sql("REFRESH MATERIALIZED VIEW hj").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "hj") == _recompute(lh, q)
+
+
+def test_having_unsupported_shapes_stay_full_only(lh):
+    _mk_base(lh)
+    # hidden AVG (no analyzed output type) and aggregate-free HAVING
+    for q in (
+        "SELECT g, COUNT(*) AS n FROM b GROUP BY g HAVING AVG(x) > 5",
+        "SELECT g, COUNT(*) AS n FROM b GROUP BY g HAVING g > 1",
+    ):
+        name = f"hf{abs(hash(q)) % 1000}"
+        lh.sql(f"CREATE MATERIALIZED VIEW {name} AS {q}")
+        lh.sql("INSERT INTO b VALUES (1, 3)")
+        r = lh.sql(f"REFRESH MATERIALIZED VIEW {name}").collect()[0]
+        assert r.mode == "full", q
+        assert _mv_rows(lh, name) == _recompute(lh, q)
+
+
+def test_having_projected_avg_is_incremental(lh):
+    _mk_base(lh)
+    # AVG in HAVING is fine when PROJECTED (its exact type comes from
+    # the defining query's analyzed schema)
+    q = (
+        "SELECT g, AVG(x) AS ax FROM b GROUP BY g "
+        "HAVING AVG(x) > 6 AND COUNT(*) >= 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW ha AS {q}")
+    lh.sql("INSERT INTO b VALUES (2, 50), (1, 0)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW ha").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "ha") == _recompute(lh, q)
