@@ -654,3 +654,43 @@ def test_having_projected_avg_is_incremental(lh):
     r = lh.sql("REFRESH MATERIALIZED VIEW ha").collect()[0]
     assert r.mode == "incremental"
     assert _mv_rows(lh, "ha") == _recompute(lh, q)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_having_incremental_matches_recompute_under_random_dml(
+    spark, tmp_path_factory, ops
+):
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvhav")))
+    lh.sql(
+        "CREATE TABLE hvb AS SELECT col1 AS g, col2 AS x FROM VALUES "
+        "(1, 10), (2, NULL), (3, 7)"
+    )
+    # visible SUM/COUNT + hidden MIN/MAX state driving the filter
+    q = (
+        "SELECT g, SUM(x) AS sx, COUNT(*) AS n FROM hvb GROUP BY g "
+        "HAVING COUNT(x) >= 1 AND MAX(x) < 45 AND SUM(x) > 2"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hvm AS {q}")
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(
+                f"({g}, {'NULL' if x is None else x})" for g, x in op[1]
+            )
+            lh.sql(f"INSERT INTO hvb VALUES {vals}")
+        elif op[0] == "delete":
+            lh.sql(f"DELETE FROM hvb WHERE g = {op[1]}")
+        else:
+            lh.sql(f"UPDATE hvb SET x = x + {op[2]} WHERE g = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW hvm").collect()[0]
+        assert r.mode in ("incremental", "incremental_rescan", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM hvm").collect()),
+            key=str,
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops}"
