@@ -318,6 +318,8 @@ class TableChangesStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         import urllib.parse
 
+        from pyspark.sql.types import VariantVal
+
         from azure_databricks_lakehouse_spark.sources.parquet_compat import (
             read_table_compat,
         )
@@ -398,8 +400,6 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 # A shredded file carries typed_value subtrees instead;
                 # rebuilding those would mean reimplementing the
                 # shredding spec — refuse with the batch workaround.
-                from pyspark.sql.types import VariantVal
-
                 if not isinstance(v, dict) or v.get("value") is None:
                     raise ValueError(
                         f"variant column {name!r} in "

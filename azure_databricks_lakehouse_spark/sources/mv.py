@@ -112,6 +112,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.sources.sql import (
+    _bare_idents,
     _blank_strings,
     _ci,
     _find_top_keyword,
@@ -179,11 +180,14 @@ class MvPlan:
 
 def _parse_from(from_sql: str) -> tuple[str, str, list[tuple[str, str, str, str]]] | None:
     """``(fact_table, fact_alias, joins)`` from a FROM clause, or
-    ``None`` when it isn't a fact-first INNER/LEFT equihain the delta
+    ``None`` when it isn't a fact-first INNER/LEFT chain the delta
     algebra covers.  Structure (JOIN keyword spans) is found on the
-    string-masked twin so literals can't fake a join; the spans slice
-    the ORIGINAL text, so conditions keep their literals intact."""
-    masked = _mask_strings(from_sql)
+    LENGTH-PRESERVING string-blanked twin so literals can't fake a
+    join AND the spans stay valid on the original text (the shrinking
+    ``_mask_strings`` twin would shift every offset after a literal —
+    a join condition like ``d.flag = 'Y' AND f.k1 = d.k12`` would
+    silently lose its last character)."""
+    masked = _blank_strings(from_sql)
     if _BAD_JOIN.search(masked):
         return None
     if len(_split_top(masked, ",")) > 1:
@@ -351,7 +355,9 @@ def parse_plan(query: str) -> MvPlan | None:
         return None
     having = None
     if m.group("hav") is not None:
-        rewritten = _rewrite_having(m.group("hav"), aggs)
+        rewritten = _rewrite_having(
+            m.group("hav"), aggs, [a for _, a in keys]
+        )
         if rewritten is None:
             return None
         having, extra = rewritten
@@ -579,7 +585,9 @@ _AGG_CALL = _ci(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(")
 
 
 def _rewrite_having(
-    hav: str, aggs: list[tuple[str, str | None, str]]
+    hav: str,
+    aggs: list[tuple[str, str | None, str]],
+    key_names: list[str],
 ) -> tuple[str, list[tuple[str, str | None, str]]] | None:
     """``(having-over-aliases, hidden extra agg items)`` — every
     aggregate call in the HAVING text is replaced by the alias of the
@@ -637,6 +645,16 @@ def _rewrite_having(
             existing[key] = alias
             extra.append((kind, expr, alias))
         out = out[:s] + f"`{alias}`" + out[e:]
+    # every remaining column-like reference must be a KEY ALIAS (the
+    # only non-aggregate columns the read view exposes): a raw GROUP BY
+    # expression or unaliased base column would make the view filter on
+    # a column the state table does not have — full-only instead of an
+    # unresolvable view
+    allowed = set(key_names) | {alias for _, _, alias in aggs} | {
+        alias for _, _, alias in extra
+    }
+    if any(w not in allowed for w in _bare_idents(out)):
+        return None
     return out, extra
 
 

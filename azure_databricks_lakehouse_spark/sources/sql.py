@@ -351,6 +351,38 @@ def _mask_strings(s: str) -> str:
     )
 
 
+# words an expression may use without naming a column
+_SQL_WORDS = frozenset(
+    {
+        "and", "or", "not", "in", "is", "null", "true", "false",
+        "case", "when", "then", "else", "end", "between", "like",
+        "div", "distinct", "interval", "asc", "desc", "as",
+    }
+)
+
+
+def _bare_idents(text: str) -> set[str]:
+    """Column-like identifiers in ``text`` (string-blanked): bare or
+    backticked words that are not SQL keywords and not function calls
+    (followed by ``(``)."""
+    b = _blank_strings(text)
+    out: set[str] = set()
+    for m in re.finditer(r"`([^`]+)`|\b([A-Za-z_]\w*)\b", b):
+        if m.group(1):
+            out.add(m.group(1))
+            continue
+        word = m.group(2)
+        j = m.end()
+        while j < len(b) and b[j].isspace():
+            j += 1
+        if j < len(b) and b[j] == "(":
+            continue  # function call
+        if word.lower() in _SQL_WORDS:
+            continue
+        out.add(word)
+    return out
+
+
 def _blank_strings(s: str) -> str:
     """Length-preserving :func:`_mask_strings`: literal content becomes
     spaces instead of vanishing, so indexes computed on the masked text
@@ -1311,6 +1343,14 @@ class Lakehouse:
         df, dep, dimver = self._mv_compute(body, plan)
         rid = "__mv_rid" in df.columns
         if is_table(loc) and f"{name}__mvdata" not in self._paths:
+            if os.path.abspath(loc) in set(self._paths.values()):
+                # the location belongs to a LIVE registered table (e.g.
+                # another MV's state dir) — an "orphan" is by definition
+                # unregistered
+                raise FileExistsError(
+                    f"LOCATION {loc!r} belongs to a registered table; "
+                    "refusing to overwrite"
+                )
             orphan = ParquetTable.for_path(self.spark, loc)
             if "mv_query" not in orphan.properties():
                 raise FileExistsError(
@@ -3085,6 +3125,10 @@ class Lakehouse:
         r"|var_pop|approx_count_distinct|median|mode|bool_and|bool_or"
         r"|bit_and|bit_or|bit_xor|collect_list|collect_set)\s*\("
     )
+    _INTEGRALS = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+    def _bare_idents(self, text: str) -> set[str]:
+        return _bare_idents(text)
 
     def _strip_target_qual(self, name: str, expr: str) -> str:
         """``expr`` with ``name.`` / `` `name`.`` qualifiers removed
@@ -3186,6 +3230,40 @@ class Lakehouse:
                 _refuse(f"target columns on both equality sides: {c[:60]!r}")
             outer, innr = (lhs, rhs) if l_has else (rhs, lhs)
             pairs.append((innr, self._strip_target_qual(name, outer)))
+        # the outer sides must reference ONLY target columns: a mixed
+        # side like ``t.k + s.k = 0`` would strip to a join condition
+        # naming a column that exists nowhere — refuse cleanly instead
+        tgt0 = self.table(name).read().limit(0)
+        tcols = {c.lower() for c in tgt0.columns}
+        for innr, outer in pairs:
+            bad = {
+                w for w in self._bare_idents(outer) if w.lower() not in tcols
+            }
+            if bad:
+                _refuse(
+                    "the target side of a correlation equality also "
+                    f"references non-target names {sorted(bad)}"
+                )
+        # the sides must agree on type up to injective integer widening:
+        # a lossy implicit coercion ('1' and '01' as strings both equal
+        # int 1) would let the key-unique lookup FAN OUT a target row —
+        # and true correlated semantics would have aggregated those
+        # inner groups together.  Analysis only, no jobs.
+        for innr, outer in pairs:
+            ot = tgt0.selectExpr(f"({outer}) AS o").schema[0].dataType
+            it = (
+                self._run_query(f"SELECT ({innr}) AS v {from_core} WHERE false")
+                .schema[0]
+                .dataType
+            )
+            os_, is_ = ot.simpleString(), it.simpleString()
+            if os_ != is_ and not (
+                os_ in self._INTEGRALS and is_ in self._INTEGRALS
+            ):
+                _refuse(
+                    f"correlation equality sides have different types "
+                    f"({is_} vs {os_}); cast one side explicitly"
+                )
         n = len(corr_out)
         keys = [f"__corr{n}_k{i}" for i in range(len(pairs))]
         key_sel = ", ".join(
@@ -3206,7 +3284,15 @@ class Lakehouse:
         )
         ev = empty_df.collect()[0][0]
         typ = empty_df.schema.fields[0].dataType.simpleString()
-        else_lit = self._scalar_literal(ev, typ)
+        try:
+            else_lit = self._scalar_literal(ev, typ)
+        except ValueError:
+            # e.g. collect_list over an empty group is [] (an array,
+            # not NULL) — no SQL literal to fold; refuse with the shape
+            _refuse(
+                f"the item's empty-group value {ev!r} has no SQL "
+                "literal form; COALESCE/aggregate differently"
+            )
         cond_sql = " AND ".join(
             f"({outer}) = {k}" for (_, outer), k in zip(pairs, keys)
         )

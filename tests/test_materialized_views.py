@@ -694,3 +694,35 @@ def test_having_incremental_matches_recompute_under_random_dml(
         )
         want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
         assert got == want, f"after {op} of {ops}"
+
+
+def test_having_referencing_raw_key_expr_is_full_only(lh):
+    # round-11 review finding: HAVING naming a raw GROUP BY expression
+    # (not its projected alias) would have built a view filtering on a
+    # column the state table lacks — full-only instead
+    _mk_base(lh)
+    for q in (
+        "SELECT g AS grp, SUM(x) AS s FROM b GROUP BY g "
+        "HAVING SUM(x) > 1 AND g < 100",
+        "SELECT g % 2 AS g2, COUNT(*) AS n FROM b GROUP BY g % 2 "
+        "HAVING COUNT(*) > 0 AND g % 2 = 1",
+    ):
+        name = f"hk{abs(hash(q)) % 1000}"
+        lh.sql(f"CREATE MATERIALIZED VIEW {name} AS {q}")
+        lh.sql("INSERT INTO b VALUES (1, 3)")
+        r = lh.sql(f"REFRESH MATERIALIZED VIEW {name}").collect()[0]
+        assert r.mode == "full", q
+        assert _mv_rows(lh, name) == _recompute(lh, q)
+
+
+def test_having_referencing_key_alias_is_incremental(lh):
+    _mk_base(lh)
+    q = (
+        "SELECT g AS grp, SUM(x) AS s FROM b GROUP BY g "
+        "HAVING SUM(x) > 1 AND grp < 100"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hka AS {q}")
+    lh.sql("INSERT INTO b VALUES (1, 3)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW hka").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "hka") == _recompute(lh, q)

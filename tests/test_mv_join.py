@@ -317,3 +317,46 @@ def test_show_create_streaming_table_round_trips(lh):
     assert (
         lh.sql("SHOW CREATE TABLE st").collect()[0].createtab_stmt == ddl
     )
+
+
+def test_parse_from_preserves_literals_before_later_joins():
+    # round-11 review finding: spans computed on the shrinking
+    # _mask_strings twin corrupted every offset after a string literal
+    # — 'd.k12' lost its last character.  _blank_strings preserves
+    # length, so conditions keep their exact text.
+    from azure_databricks_lakehouse_spark.sources.mv import _parse_from
+
+    fact, alias, joins = _parse_from(
+        "f JOIN d ON d.flag = 'Y' AND f.k1 = d.k12 JOIN e ON f.a = e.a"
+    )
+    assert fact == "f"
+    assert joins[0][3] == "d.flag = 'Y' AND f.k1 = d.k12"
+    assert joins[1][3] == "f.a = e.a"
+
+
+def test_join_mv_with_literal_in_condition(lh):
+    _mk(lh)
+    q = (
+        "SELECT d.name AS nm, COUNT(*) AS n FROM f "
+        "JOIN d ON d.name <> 'zz' AND f.k = d.k GROUP BY d.name"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW mlit AS {q}")
+    lh.sql("INSERT INTO f VALUES (1, 77)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mlit").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mlit") == _rows(lh, q)
+
+
+def test_create_mv_refuses_live_mv_state_location(lh):
+    import pytest as _pytest
+
+    _mk(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW mvl AS {_Q}")
+    loc = lh._paths["mvl__mvdata"]
+    with _pytest.raises(FileExistsError, match="registered table"):
+        lh.sql(
+            f"CREATE MATERIALIZED VIEW mvl2 LOCATION '{loc}' AS "
+            "SELECT k, COUNT(*) AS n FROM d GROUP BY k"
+        )
+    # the live MV is untouched
+    assert _rows(lh, "SELECT * FROM mvl") == _rows(lh, _Q)

@@ -270,3 +270,51 @@ def test_matches_precomputed_join_twin(
         key=str,
     )
     assert got == want, (t_rows, s_rows, agg, threshold)
+
+
+def test_type_mismatched_correlation_refuses(lh):
+    # round-11 review finding: a lossy implicit coercion (string '1'
+    # and '01' both equal int 1) would fan the key-unique lookup out —
+    # and true correlated semantics would merge those inner groups.
+    # Mismatched side types refuse toward an explicit cast.
+    _mk(lh)
+    lh.sql(
+        "CREATE TABLE ss AS SELECT col1 AS k, col2 AS v FROM VALUES "
+        "('1', 10), ('01', 20)"
+    )
+    with pytest.raises(ValueError, match="different types"):
+        lh.sql("UPDATE t SET c = (SELECT SUM(ss.v) FROM ss WHERE ss.k = t.k)")
+    # the explicit cast works and aggregates BOTH inner groups
+    lh.sql(
+        "UPDATE t SET c = (SELECT SUM(ss.v) FROM ss "
+        "WHERE CAST(ss.k AS INT) = t.k)"
+    )
+    assert dict((x[0], x[1]) for x in _state(lh))[1] == 30
+
+
+def test_integer_widening_correlation_is_allowed(lh):
+    _mk(lh)
+    lh.sql(
+        "CREATE TABLE sb AS SELECT CAST(col1 AS BIGINT) AS k, col2 AS v "
+        "FROM VALUES (1, 10), (2, 5)"
+    )
+    lh.sql("UPDATE t SET c = (SELECT COUNT(sb.v) FROM sb WHERE sb.k = t.k)")
+    assert _state(lh) == sorted(
+        [(1, 1), (2, 1), (3, 0), (None, 0)], key=str
+    )
+
+
+def test_mixed_side_equality_refuses(lh):
+    _mk(lh)
+    with pytest.raises(ValueError, match="non-target names"):
+        lh.sql("UPDATE t SET c = (SELECT SUM(s.v) FROM s WHERE t.k + s.k = 0)")
+
+
+def test_unrenderable_empty_group_value_refuses(lh):
+    _mk(lh)
+    lh.sql("CREATE TABLE sa AS SELECT col1 AS k, col2 AS v FROM VALUES (1, 2)")
+    with pytest.raises(ValueError, match="empty-group"):
+        lh.sql(
+            "UPDATE t SET note = CAST((SELECT collect_list(sa.v) FROM sa "
+            "WHERE sa.k = t.k) AS STRING)"
+        )
