@@ -296,7 +296,15 @@ def test_create_mv_refuses_foreign_location(lh):
     import pytest as _pytest
 
     _mk(lh)
-    loc = lh._paths["f"]  # a REAL table's location, not MV state
+    # a LIVE registered table's location: the registered-table guard
+    loc = lh._paths["f"]
+    with _pytest.raises(FileExistsError, match="registered table"):
+        lh.sql(
+            f"CREATE MATERIALIZED VIEW mx LOCATION '{loc}' AS "
+            "SELECT k, COUNT(*) AS n FROM d GROUP BY k"
+        )
+    # an UNREGISTERED table that is not MV state: the orphan guard
+    lh.sql("DROP TABLE f")
     with _pytest.raises(FileExistsError, match="not .*materialized-view"):
         lh.sql(
             f"CREATE MATERIALIZED VIEW mx LOCATION '{loc}' AS "
