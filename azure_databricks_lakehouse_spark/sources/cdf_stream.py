@@ -111,27 +111,19 @@ class _FilePartition(InputPartition):
 class TableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.root = options["path"]
-        # TOP-LEVEL variant columns stream (round 11): the executor read
-        # routes through parquet_compat.read_table_compat, which strips
-        # the VARIANT footer annotation the installed pyarrow rejects,
-        # and the {value, metadata} binary pair rebuilds a VariantVal
-        # (the engine writes variant UNSHREDDED — see _write_files).
-        # Variant NESTED inside arrays/maps/structs would need a
-        # recursive rebuild — fail at stream CONSTRUCTION with the
-        # batch workaround instead of per-batch in a task retry loop.
-        for f in schema.fields:
-            s = f.dataType.simpleString()
-            if "variant" in s and s != "variant":
-                raise ValueError(
-                    f"streaming CDF over NESTED variant ({f.name}: {s}) "
-                    "is not supported — read changes in batch via "
-                    "table_changes()/changes_between(), or project the "
-                    "variant out of the nested type first"
-                )
+        # Variant columns stream (round 11, NESTED since round 12): the
+        # executor read routes through parquet_compat.read_table_compat
+        # — the footer patcher walks the FLAT SchemaElement list, so it
+        # strips the VARIANT annotation from nested leaves too — and a
+        # type-driven recursive rebuild turns every {value, metadata}
+        # binary pair back into a VariantVal wherever VariantType sits
+        # in the declared schema (top level, struct fields, array
+        # elements, map values).  The engine writes variant UNSHREDDED
+        # (see _write_files); a shredded file still refuses per file.
         self.variant_fields = {
             f.name
             for f in schema.fields
-            if f.dataType.simpleString() == "variant"
+            if "variant" in f.dataType.simpleString()
         }
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
@@ -380,6 +372,59 @@ class TableChangesStreamReader(DataSourceStreamReader):
             if f.dataType.simpleString() == "timestamp"
         }
 
+        from pyspark.sql.types import (
+            ArrayType,
+            MapType,
+            StructType,
+            TimestampType,
+            VariantType,
+        )
+
+        def _rebuild(dt, name: str, v):
+            """Type-driven recursive rebuild of one pyarrow value into
+            the declared Spark type: VariantType leaves turn their
+            unshredded {value, metadata} binary pair (engine writes —
+            _write_files disables shredding) back into a VariantVal at
+            ANY nesting depth; INT96-naive timestamps re-attach UTC."""
+            if v is None:
+                return None
+            if isinstance(dt, VariantType):
+                # a shredded file carries typed_value subtrees instead;
+                # rebuilding those would mean reimplementing the
+                # shredding spec — refuse with the batch workaround
+                if not isinstance(v, dict) or v.get("value") is None:
+                    raise ValueError(
+                        f"variant column {name!r} in "
+                        f"{partition.path} is parquet-SHREDDED; the "
+                        "streaming CDF reads unshredded variant only — "
+                        "rewrite the file (OPTIMIZE) or consume in "
+                        "batch via changes_between()"
+                    )
+                return VariantVal(bytes(v["value"]), bytes(v["metadata"]))
+            if isinstance(dt, StructType):
+                return {
+                    f.name: _rebuild(f.dataType, name, v.get(f.name))
+                    for f in dt.fields
+                }
+            if isinstance(dt, ArrayType):
+                return [_rebuild(dt.elementType, name, e) for e in v]
+            if isinstance(dt, MapType):
+                items = v.items() if isinstance(v, dict) else v
+                return {
+                    k: _rebuild(dt.valueType, name, x) for k, x in items
+                }
+            if isinstance(dt, TimestampType) and (
+                isinstance(v, _dt.datetime) and v.tzinfo is None
+            ):
+                return v.replace(tzinfo=_dt.timezone.utc)
+            return v
+
+        variant_types = {
+            f.name: f.dataType
+            for f in self.schema.fields
+            if f.name in self.variant_fields
+        }
+
         def _val(name: str, r: dict):
             if name == "_commit_version":
                 return partition.version
@@ -395,20 +440,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             p = phys.get(name, name)
             v = r[p] if p in cols else part_vals.get(name)
             if name in self.variant_fields and v is not None:
-                # unshredded variant: a {value, metadata} binary pair
-                # (engine writes — _write_files disables shredding).
-                # A shredded file carries typed_value subtrees instead;
-                # rebuilding those would mean reimplementing the
-                # shredding spec — refuse with the batch workaround.
-                if not isinstance(v, dict) or v.get("value") is None:
-                    raise ValueError(
-                        f"variant column {name!r} in "
-                        f"{partition.path} is parquet-SHREDDED; the "
-                        "streaming CDF reads unshredded variant only — "
-                        "rewrite the file (OPTIMIZE) or consume in "
-                        "batch via changes_between()"
-                    )
-                return VariantVal(bytes(v["value"]), bytes(v["metadata"]))
+                return _rebuild(variant_types[name], name, v)
             if (
                 name in ts_names
                 and isinstance(v, _dt.datetime)

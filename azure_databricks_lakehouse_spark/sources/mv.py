@@ -313,11 +313,13 @@ def parse_plan(query: str) -> MvPlan | None:
                 table, where, grouped=True, keys=[], aggs=aggs,
                 joins=joins, fact_alias=fact_alias,
             )
-        if joins:
-            return None  # join projections have no id key: full-only
+        # join projections (round 12) key their state by the FACT row
+        # id against frozen dims (rid MERGE replaces a fanned-out rid
+        # group wholesale); without row tracking they maintain under
+        # append-only windows and fall back to full otherwise
         return MvPlan(
             table, where, grouped=False, items=m.group("items"),
-            fact_alias=fact_alias,
+            joins=joins, fact_alias=fact_alias,
         )
     gb = [g.strip() for g in _split_top(m.group("gb"), ",")]
     keys: list[tuple[str, str]] = []
@@ -448,11 +450,27 @@ def _parse_window_plan(q: str) -> MvPlan | None:
     if parsed_from is None:
         return None
     table, fact_alias, joins = parsed_from
-    if joins:
-        return None  # window-over-join: full-only (scoping is 1-table)
     where = m.group("where")
     items = [i.strip() for i in _split_top(m.group("items"), ",")]
     pk_exprs = [p.strip() for p in _split_top(pk_norm, ",")]
+    if joins:
+        # window-over-join (round 12): maintainable by the same scoped
+        # per-key rescan ONLY when every partition key is a FACT-side
+        # column — then the fact CDF alone names the touched groups and
+        # the scope is a fact-only semi-join (frozen-dim premise for
+        # the rescan's join).  Dim-side keys: full-only.
+        fact_q = _ci(rf"^`?{re.escape(fact_alias)}`?\s*\.\s*`?\w+`?$")
+        if not all(fact_q.match(pk) for pk in pk_exprs):
+            return None
+        # the rescan substitutes TABLE NAMES in the body text: renaming
+        # a table captures any OTHER ref's alias spelled the same way
+        # (a ref aliased AS its own table name renames consistently and
+        # stays safe) — refuse the capture shapes, full-only
+        refs = [(table, fact_alias)] + [(t, a) for t, a, _, _ in joins]
+        for _rt, ra in refs:
+            for st, _sa in refs:
+                if ra == st and _rt != st:
+                    return None
     keys: list[tuple[str, str]] = []
     for pk in pk_exprs:
         name = None
@@ -464,9 +482,10 @@ def _parse_window_plan(q: str) -> MvPlan | None:
                 else (it, None)
             )
             if expr == pk or it == pk:
+                bare = r"`?[\w]+`?(?:\.`?[\w]+`?)?" if joins else r"`?[\w]+`?"
                 name = alias or (
-                    _unquote_ident(pk)
-                    if re.fullmatch(r"`?[\w]+`?", pk)
+                    _unquote_ident(pk.rsplit(".", 1)[-1])
+                    if re.fullmatch(bare, pk)
                     else None
                 )
                 break
@@ -484,6 +503,7 @@ def _parse_window_plan(q: str) -> MvPlan | None:
         grouped=False,
         keys=keys,
         items=m.group("items"),
+        joins=joins,
         fact_alias=fact_alias,
         window=True,
         qualify=qual,
@@ -639,8 +659,10 @@ def _rewrite_having(
         key = (kind, " ".join(expr.split()) if expr else None)
         alias = existing.get(key)
         if alias is None:
-            if kind == "avg":
-                return None  # no analyzed output type for a hidden AVG
+            # hidden AVG (round 12): its exact output type comes from a
+            # one-column probe analyzed against the base schema at
+            # CREATE (sql.py avg_types) — same machinery as a projected
+            # AVG, so it maintains incrementally like any other item
             alias = f"__mv_h{len(extra)}"
             existing[key] = alias
             extra.append((kind, expr, alias))

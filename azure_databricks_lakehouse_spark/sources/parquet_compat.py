@@ -124,8 +124,11 @@ def _skip_value(b: bytes, pos: int, t: int) -> int:
         pos += 1
         kt, vt = kv >> 4, kv & 0x0F
         for _ in range(size):
-            pos = _skip_value(b, pos, kt)
-            pos = _skip_value(b, pos, vt)
+            # bool elements inside maps carry 1 payload byte (unlike
+            # struct fields, where the bool lives in the type nibble) —
+            # _skip_value(_TRUE/_FALSE) consumes 0 and would desync
+            pos = pos + 1 if kt in (_TRUE, _FALSE) else _skip_value(b, pos, kt)
+            pos = pos + 1 if vt in (_TRUE, _FALSE) else _skip_value(b, pos, vt)
         return pos
     raise ValueError(f"unknown thrift compact type {t} at {pos}")
 
@@ -235,7 +238,10 @@ def read_table_compat(path: str):
 
     try:
         return pq.read_table(path)
-    except OSError as exc:
+    except (OSError, ValueError) as exc:
+        # pyarrow surfaces footer parse failures as OSError on some
+        # builds and ArrowInvalid (a ValueError subclass) on others —
+        # both routes gate on the characteristic LogicalType message
         if "LogicalType" not in str(exc):
             raise
     with open(path, "rb") as fh:

@@ -394,6 +394,125 @@ def _blank_strings(s: str) -> str:
     )
 
 
+# words that terminate a table-ref list / can never be a table alias
+_FROM_STOP_WORDS = frozenset(
+    {
+        "where", "group", "order", "limit", "having", "qualify", "on",
+        "using", "join", "inner", "left", "right", "full", "cross",
+        "outer", "union", "intersect", "except", "lateral", "natural",
+        "anti", "semi", "window", "values", "tablesample", "pivot",
+        "unpivot", "distribute", "cluster", "sort", "for", "when",
+        "and", "or", "not", "in", "is", "set", "as",
+    }
+)
+
+
+def _from_decl_names(sql: str) -> tuple[set[str], set[str]]:
+    """Table names and aliases DECLARED by ``FROM`` / ``JOIN`` clauses
+    in ``sql``, lower-cased and unquoted: ``(declared at the
+    statement's own top level, declared at any nesting depth)``.
+
+    Used for correlation classification (SQL name scoping): in
+    ``UPDATE t SET c = (SELECT max(x) FROM s AS t WHERE t.k = 1)`` the
+    inner alias ``t`` SHADOWS the target, so ``t.k`` is an inner-scope
+    reference and the subquery is uncorrelated — the pre-round-12 code
+    classified it as correlated and decorrelated to silent wrong data.
+    A top-level declaration shadows for the whole subquery (nested
+    scopes inherit and can only re-shadow inward); a declaration only
+    at a nested depth makes target-name refs ambiguous to this
+    parser, so callers refuse loudly toward MERGE for that case."""
+    b = _blank_strings(sql)
+    n = len(b)
+    top: set[str] = set()
+    anyd: set[str] = set()
+
+    def _take_ident(i: int) -> tuple[str | None, int]:
+        while i < n and b[i].isspace():
+            i += 1
+        if i < n and b[i] == "`":
+            j = b.find("`", i + 1)
+            if j < 0:
+                return None, n
+            return b[i + 1 : j], j + 1
+        j = i
+        while j < n and (b[j].isalnum() or b[j] in "_.$"):
+            j += 1
+        return (b[i:j] or None), j
+
+    depth = 0
+    i = 0
+    kw = _ci(r"\b(FROM|JOIN)\b")
+    while i < n:
+        ch = b[i]
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        m = kw.match(b, i)
+        if not m:
+            i += 1
+            continue
+        d0 = depth
+        i = m.end()
+        # parse a comma-separated table-ref list (FROM a x, b y) /
+        # the single ref after JOIN; each ref = table|(...) [AS] [alias]
+        while True:
+            while i < n and b[i].isspace():
+                i += 1
+            if i < n and b[i] == "(":
+                # derived table / nested parens: scan the group's own
+                # FROMs recursively (they declare at a NESTED depth),
+                # then continue after it for the alias
+                d = 0
+                gstart = i
+                while i < n:
+                    if b[i] == "(":
+                        d += 1
+                    elif b[i] == ")":
+                        d -= 1
+                        if d == 0:
+                            i += 1
+                            break
+                    i += 1
+                nt, na = _from_decl_names(b[gstart + 1 : i - 1])
+                anyd |= nt | na
+            else:
+                before = i
+                name, i = _take_ident(i)
+                if name is None:
+                    break
+                if name.lower() in _FROM_STOP_WORDS:
+                    i = before
+                    break
+                rec = name.split(".")[-1].lower()
+                anyd.add(rec)
+                if d0 == 0:
+                    top.add(rec)
+            # optional [AS] alias
+            save = i
+            alias, i = _take_ident(i)
+            if alias and alias.lower() == "as":
+                alias, i = _take_ident(i)
+            if alias is None or alias.lower() in _FROM_STOP_WORDS or "." in alias:
+                i = save
+            else:
+                rec = alias.lower()
+                anyd.add(rec)
+                if d0 == 0:
+                    top.add(rec)
+            while i < n and b[i].isspace():
+                i += 1
+            if i < n and b[i] == ",":
+                i += 1
+                continue
+            break
+    return top, anyd
+
+
 class Lakehouse:
     """Name→table catalog plus the ``sql()`` dispatcher.
 
@@ -1266,6 +1385,25 @@ class Lakehouse:
         r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(`?[\w.]+`?)(\s+FULL)?$"
     )
 
+    def _pin_dim_views(self, plan) -> tuple[dict, dict]:
+        """(dim versions, table name → temp view) for a join plan's
+        dims, each read at its PINNED latest version — SQL-text compute
+        paths substitute the table names so the query sees exactly the
+        frozen snapshots the stored ``mv_dep_dims`` record."""
+        dimver: dict = {}
+        views: dict = {}
+        for t, _a, _jt, _cond in plan.joins:
+            if t in views:
+                continue
+            dt = self.table(t)
+            dv = dt.latest_version()
+            self._asof_seq += 1
+            dview = f"__mv_dim_{self._asof_seq}"
+            dt.read(dv).createOrReplaceTempView(dview)
+            dimver[t] = dv
+            views[t] = dview
+        return dimver, views
+
     def _mv_compute(self, body: str, plan):
         """(initial/full MV frame, pinned fact version|None, pinned dim
         versions|None).  An incrementally-maintainable plan computes
@@ -1285,12 +1423,17 @@ class Lakehouse:
             self._asof_seq += 1
             tmp = f"__mv_win_{self._asof_seq}"
             snap.createOrReplaceTempView(tmp)
-            return (
-                self._run_query(self._sub_ident(body, plan.table, tmp)),
-                v,
-                None,
-            )
-        if plan.joins:
+            sub = self._sub_ident(body, plan.table, tmp)
+            dimver = None
+            if plan.joins:
+                # window-over-join (round 12): per-key rescan scopes by
+                # FACT-side partition keys against FROZEN dims — the
+                # star-join premise; a moved dim falls back to full
+                dimver, dviews = self._pin_dim_views(plan)
+                for t, dview in dviews.items():
+                    sub = self._sub_ident(sub, t, dview)
+            return self._run_query(sub), v, dimver
+        if plan.joins and plan.grouped:
             dims: dict = {}
             dimver: dict = {}
             for t, a, _jt, _cond in plan.joins:
@@ -1300,8 +1443,14 @@ class Lakehouse:
                 dimver[t] = dv
             rows = _mv.joined_rows(plan, snap, dims)
             return _mv.full_state(rows, _mv.canonical_plan(plan)), v, dimver
+        # single-table paths evaluate the plan's expressions directly
+        # over the base frame; alias it with the FROM clause's alias
+        # (or the table's own name) so qualified refs (``f.g`` under
+        # ``FROM b f``, ``b.g`` under ``FROM b``) resolve — round-12
+        # ADVICE: _parse_from accepts the alias, the frames must too
+        fa = plan.fact_alias or plan.table.rsplit(".", 1)[-1]
         if plan.grouped:
-            return _mv.full_state(snap, plan), v, None
+            return _mv.full_state(snap.alias(fa), plan), v, None
         rid = (
             base._rt_state(base._manifest(v)) is not None
         )  # row-tracked base: key the state by stable row id, so the
@@ -1311,11 +1460,25 @@ class Lakehouse:
         self._asof_seq += 1
         tmp = f"__mv_src_{self._asof_seq}"
         snap.createOrReplaceTempView(tmp)
-        items = plan.items + (", _row_id AS __mv_rid" if rid else "")
-        q = f"SELECT {items} FROM {tmp}"
+        if plan.joins:
+            # projection-over-join (round 12): keyed by the FACT row id
+            # against frozen dims — a 1:N dim join fans a rid out into
+            # a multi-row group the refresh replaces wholesale
+            dimver, dviews = self._pin_dim_views(plan)
+            rid_item = f", `{fa}`._row_id AS __mv_rid" if rid else ""
+            q = f"SELECT {plan.items}{rid_item} FROM {tmp} AS `{fa}`"
+            for jt_t, jt_a, jt_k, jt_c in plan.joins:
+                q += (
+                    f" {'LEFT' if jt_k == 'left' else 'INNER'} JOIN "
+                    f"{dviews[jt_t]} AS `{jt_a}` ON {jt_c}"
+                )
+        else:
+            dimver = None
+            items = plan.items + (", _row_id AS __mv_rid" if rid else "")
+            q = f"SELECT {items} FROM {tmp} AS `{fa}`"
         if plan.where:
             q += f" WHERE {plan.where}"
-        return self.spark.sql(q), v, None
+        return self.spark.sql(q), v, dimver
 
     def _create_mv(self, m) -> DataFrame:
         """``CREATE MATERIALIZED VIEW name [LOCATION '...'] AS SELECT``
@@ -1389,6 +1552,37 @@ class Lakehouse:
                     f.name: f.dataType.simpleString()
                     for f in self._run_query(body).schema.fields
                 }
+                hidden_avg = [
+                    i for i in avg_idx if plan.aggs[i][2] not in sch
+                ]
+                if hidden_avg:
+                    # HIDDEN AVGs (HAVING-only, round 12) have no
+                    # projected item to read a type from — analyze a
+                    # one-row-zero-data probe of just those aggregates
+                    # against the same FROM clause (analysis only)
+                    fa = plan.fact_alias or plan.table.rsplit(".", 1)[-1]
+                    frm = f"FROM {plan.table} AS `{fa}`"
+                    for jt_t, jt_a, jt_k, jt_c in plan.joins:
+                        frm += (
+                            f" {'LEFT' if jt_k == 'left' else 'INNER'} "
+                            f"JOIN {jt_t} AS `{jt_a}` ON {jt_c}"
+                        )
+                    probe_items = ", ".join(
+                        f"AVG({plan.aggs[i][1]}) AS `__mv_probe{i}`"
+                        for i in hidden_avg
+                    )
+                    psch = {
+                        f.name: f.dataType.simpleString()
+                        for f in self._run_query(
+                            f"SELECT {probe_items} {frm}"
+                        ).schema.fields
+                    }
+                    sch.update(
+                        {
+                            plan.aggs[i][2]: psch[f"__mv_probe{i}"]
+                            for i in hidden_avg
+                        }
+                    )
                 avg_types = {
                     i: sch[plan.aggs[i][2]] for i in avg_idx
                 }
@@ -1460,7 +1654,8 @@ class Lakehouse:
             table.overwrite(src, extra_props={"mv_dep_version": cur})
 
     def _refresh_window_mv(
-        self, table, base, plan, body: str, dep: int, cur: int
+        self, table, base, plan, body: str, dep: int, cur: int,
+        dims: dict | None = None,
     ) -> tuple[str, int]:
         """Incremental refresh of a per-key WINDOW MV (QUALIFY over
         windows all partitioned by the same keys — dedup-to-latest /
@@ -1480,8 +1675,12 @@ class Lakehouse:
         NULL key component falls back to a full refresh: MERGE's key
         join is null-unsafe, and NULL forms a real window group."""
         key_names = [a for _, a in plan.keys]
+        # window plans are single-table: alias the frames so qualified
+        # partition-key exprs (``f.pk`` under ``FROM b f``) resolve
+        wfa = plan.fact_alias or plan.table.rsplit(".", 1)[-1]
         kdf = (
             base.changes_between(dep, cur)
+            .alias(wfa)
             .select([F.expr(e).alias(a) for e, a in plan.keys])
             .distinct()
             .localCheckpoint()
@@ -1505,13 +1704,28 @@ class Lakehouse:
         for e, a in plan.keys:
             eq = F.expr(e).eqNullSafe(F.col(f"__mvw_{a}"))
             cond = eq if cond is None else cond & eq
-        scoped = base.read().join(probe, cond, "left_semi")
+        scoped = base.read().alias(wfa).join(probe, cond, "left_semi")
         self._asof_seq += 1
         tmp = f"__mv_win_{self._asof_seq}"
         scoped.createOrReplaceTempView(tmp)
-        survivors = self._run_query(
-            self._sub_ident(body, plan.table, tmp)
-        ).withColumn("__mv_alive", F.lit(True))
+        sub = self._sub_ident(body, plan.table, tmp)
+        if plan.joins:
+            # window-over-join: the rescan joins the scoped fact rows
+            # to the PINNED dims (frozen — the caller gates on dims_ok,
+            # and the parser requires fact-side partition keys so the
+            # fact CDF alone names the touched groups)
+            seen: set = set()
+            for jt_t, jt_a, _jt_k, _jt_c in plan.joins:
+                if jt_t in seen:
+                    continue
+                seen.add(jt_t)
+                self._asof_seq += 1
+                dview = f"__mv_dim_{self._asof_seq}"
+                dims[jt_a].createOrReplaceTempView(dview)
+                sub = self._sub_ident(sub, jt_t, dview)
+        survivors = self._run_query(sub).withColumn(
+            "__mv_alive", F.lit(True)
+        )
         src = (
             kdf.join(survivors, key_names, "left")
             .withColumn("__mv_dead", F.col("__mv_alive").isNull())
@@ -1596,18 +1810,22 @@ class Lakehouse:
 
             else:
                 aplan = plan
+                # single-table plans evaluate key/agg exprs directly
+                # over these frames: alias with the FROM clause's
+                # alias so qualified refs resolve (see _mv_compute)
+                fa = plan.fact_alias or plan.table.rsplit(".", 1)[-1]
 
                 def _chg_rows():
-                    return base.changes_between(dep, cur)
+                    return base.changes_between(dep, cur).alias(fa)
 
                 def _base_rows():
-                    return base.read()
+                    return base.read().alias(fa)
 
             if dep is not None and dims_ok:
                 try:
                     if plan.window:
                         mode, dep_out = self._refresh_window_mv(
-                            table, base, plan, body, dep, cur
+                            table, base, plan, body, dep, cur, dims
                         )
                     elif plan.grouped and (
                         not _mv.has_extrema(plan)
@@ -1796,21 +2014,63 @@ class Lakehouse:
                             .filter(F.col("__rn") == 1)
                             .drop("__rn", "_commit_version")
                         )
-                        alive = F.col("__ins") == 1
-                        if plan.where:
-                            alive = alive & F.coalesce(
-                                F.expr(plan.where), F.lit(False)
+                        pfa = plan.fact_alias or plan.table.rsplit(
+                            ".", 1
+                        )[-1]
+                        if plan.joins:
+                            # projection-over-join (round 12): per-rid
+                            # post-images re-derive their view rows
+                            # through the PINNED dims (dims_ok gated);
+                            # a 1:N dim fans a rid into a multi-row
+                            # group replaced wholesale, a rid with no
+                            # surviving row (deleted, WHERE-failed, or
+                            # INNER-unmatched) becomes a delete row
+                            rids = last.select("__mv_rid").distinct()
+                            jf = (
+                                last.filter(F.col("__ins") == 1)
+                                .drop("__ins")
+                                .alias(pfa)
                             )
-                        last = last.withColumn(
-                            "__mv_dead", ~alive
-                        ).drop("__ins")
-                        self._asof_seq += 1
-                        tmp = f"__mv_rid_{self._asof_seq}"
-                        last.createOrReplaceTempView(tmp)
-                        src = self.spark.sql(
-                            f"SELECT {plan.items}, __mv_rid, __mv_dead "
-                            f"FROM {tmp}"
-                        )
+                            for jt_t, jt_a, jt_k, jt_c in plan.joins:
+                                jf = jf.join(
+                                    dims[jt_a].alias(jt_a),
+                                    F.expr(jt_c),
+                                    jt_k,
+                                )
+                            if plan.where:
+                                jf = jf.filter(F.expr(plan.where))
+                            live = jf.selectExpr(
+                                *[
+                                    i.strip()
+                                    for i in _split_top(plan.items, ",")
+                                ],
+                                "__mv_rid",
+                            ).withColumn("__mv_alive", F.lit(True))
+                            src = (
+                                rids.join(live, "__mv_rid", "left")
+                                .withColumn(
+                                    "__mv_dead",
+                                    F.col("__mv_alive").isNull(),
+                                )
+                                .drop("__mv_alive")
+                            )
+                        else:
+                            last = last.alias(pfa)
+                            alive = F.col("__ins") == 1
+                            if plan.where:
+                                alive = alive & F.coalesce(
+                                    F.expr(plan.where), F.lit(False)
+                                )
+                            last = last.withColumn(
+                                "__mv_dead", ~alive
+                            ).drop("__ins")
+                            self._asof_seq += 1
+                            tmp = f"__mv_rid_{self._asof_seq}"
+                            last.createOrReplaceTempView(tmp)
+                            src = self.spark.sql(
+                                f"SELECT {plan.items}, __mv_rid, "
+                                f"__mv_dead FROM {tmp} AS `{pfa}`"
+                            )
                         table.merge(
                             src,
                             on=["__mv_rid"],
@@ -1839,11 +2099,39 @@ class Lakehouse:
                         self._asof_seq += 1
                         tmp = f"__mv_chg_{self._asof_seq}"
                         ch.createOrReplaceTempView(tmp)
-                        q = f"SELECT {plan.items} FROM {tmp}"
-                        if plan.where:
-                            q += f" WHERE {plan.where}"
+                        pfa = plan.fact_alias or plan.table.rsplit(
+                            ".", 1
+                        )[-1]
+                        if plan.joins:
+                            # append-only projection-over-join: new
+                            # fact rows joined to the frozen dims ARE
+                            # the new view rows (no old row's output
+                            # can change while dims sit pinned)
+                            jf = ch.alias(pfa)
+                            for jt_t, jt_a, jt_k, jt_c in plan.joins:
+                                jf = jf.join(
+                                    dims[jt_a].alias(jt_a),
+                                    F.expr(jt_c),
+                                    jt_k,
+                                )
+                            if plan.where:
+                                jf = jf.filter(F.expr(plan.where))
+                            new_rows = jf.selectExpr(
+                                *[
+                                    i.strip()
+                                    for i in _split_top(plan.items, ",")
+                                ]
+                            )
+                        else:
+                            q = (
+                                f"SELECT {plan.items} FROM {tmp} "
+                                f"AS `{pfa}`"
+                            )
+                            if plan.where:
+                                q += f" WHERE {plan.where}"
+                            new_rows = self.spark.sql(q)
                         table.append(
-                            self.spark.sql(q),
+                            new_rows,
                             props_update=lambda p: {
                                 **p,
                                 "mv_dep_version": cur,
@@ -3090,16 +3378,34 @@ class Lakehouse:
             if _ci(
                 rf"\b(?:`{re.escape(name)}`|{re.escape(name)})\s*\."
             ).search(_mask_strings(inner)):
-                if corr_out is None:
-                    raise ValueError(
-                        f"correlated scalar subqueries in {what} are not "
-                        "supported; use MERGE instead"
+                # SQL name scoping: an inner FROM alias equal to the
+                # target name SHADOWS the target — those refs are
+                # inner-scope, the subquery is UNCORRELATED (fall
+                # through to the fold).  Shadowing only in a nested
+                # scope leaves refs ambiguous to this parser: refuse
+                # loudly rather than decorrelate to wrong data.
+                top_decl, any_decl = _from_decl_names(inner)
+                if name.lower() not in top_decl:
+                    if name.lower() in any_decl:
+                        raise ValueError(
+                            f"a subquery inside the scalar subquery in "
+                            f"{what} re-declares the target name "
+                            f"{name!r} as a table/alias, making its "
+                            "references ambiguous; rename the inner "
+                            "alias or use MERGE instead"
+                        )
+                    if corr_out is None:
+                        raise ValueError(
+                            f"correlated scalar subqueries in {what} "
+                            "are not supported; use MERGE instead"
+                        )
+                    repl = self._decorrelate_scalar(
+                        name, inner, corr_out, what
                     )
-                repl = self._decorrelate_scalar(name, inner, corr_out, what)
-                out.append(text[i:start])
-                out.append(repl)
-                i = end + 1
-                continue
+                    out.append(text[i:start])
+                    out.append(repl)
+                    i = end + 1
+                    continue
             df = self._run_query(inner)
             if len(df.columns) != 1:
                 raise ValueError(
@@ -3406,11 +3712,18 @@ class Lakehouse:
                 if f.name not in tcols and f.name not in ident
             ],
         )
-        # column-pruned semi count = rows about to be deleted (the
-        # MERGE commit's metrics carry file counts, not row counts)
-        n = table.read().select(*tcols).join(keys, tcols, "semi").count()
+        # rows_deleted is observed DURING the merge's CDC write action
+        # (round 12) — no pre-commit count job; a zero-match statement
+        # commits nothing, so the metric defaults to 0
+        before = table.latest_version()
         version = table.merge(
             keys, on=tcols, when_matched_delete=F.lit(True)
+        )
+        c = table.history(limit=1)[0]
+        n = (
+            (c.metrics or {}).get("rows_deleted", 0)
+            if version > before and c.operation == "MERGE"
+            else 0
         )
         return self.spark.createDataFrame(
             [(name, version, n)],
@@ -3439,6 +3752,21 @@ class Lakehouse:
         if not m:
             return None
         sub = m.group("sub").strip()
+        # scoping guard (round 12, mirrors _fold_scalar_subqueries): an
+        # inner FROM alias equal to the target name shadows the target,
+        # so what LOOKS like an equality correlation ('t.k = 5' under
+        # FROM s AS t) is inner-scope — decorrelating it would silently
+        # filter on the wrong table.  Refuse loudly instead.
+        if _ci(rf"\b(?:`{re.escape(name)}`|{re.escape(name)})\s*\.").search(
+            _mask_strings(sub)
+        ):
+            top_decl, any_decl = _from_decl_names(sub)
+            if name.lower() in top_decl or name.lower() in any_decl:
+                raise ValueError(
+                    f"the EXISTS subquery re-declares the target name "
+                    f"{name!r} as a table/alias, shadowing the "
+                    "correlation; rename the inner alias or use MERGE"
+                )
         w = _find_top_keyword(sub, "WHERE")
         if w < 0:
             raise ValueError(
@@ -3560,17 +3888,17 @@ class Lakehouse:
         """Shared positive-membership UPDATE tail (IN and decorrelated
         EXISTS): update-only MERGE on the key columns."""
         table = self.table(name)
+        before = table.latest_version()
         version = table.update_where_in(tcols, keys, assignments)
-        # column-pruned semi count = rows just updated (the MERGE
-        # commit's metrics carry file counts, not row counts; counting
-        # after the commit is safe because the membership columns are
-        # unassignable — post-images keep their keys)
-        nn = None
-        for c in tcols:
-            p = F.col(c).isNotNull()
-            nn = p if nn is None else (nn & p)
-        k = keys.toDF(*tcols).where(nn).distinct()
-        n = table.read().select(*tcols).join(k, tcols, "semi").count()
+        # rows_updated is observed DURING the merge's CDC write action
+        # (round 12) — no post-commit count job; a zero-match statement
+        # commits nothing, so the metric defaults to 0
+        c = table.history(limit=1)[0]
+        n = (
+            (c.metrics or {}).get("rows_updated", 0)
+            if version > before and c.operation == "MERGE"
+            else 0
+        )
         return self.spark.createDataFrame(
             [(name, version, n)],
             "table string, version int, num_affected_rows long",

@@ -3936,6 +3936,27 @@ class ParquetTable:
         self._post_commit()
         return version
 
+    def _merge_dup_abort(self, dup_keys, target, keys) -> None:
+        """Raise Delta's multiple-source-rows-match error with the
+        offending key — the DETAILED path, reached only after the cheap
+        guard (folded into the touched-file probe, or the pruned path's
+        eager check) says a duplicate source key exists."""
+        hit = (
+            dup_keys.join(target.select(*keys), keys, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if hit:
+            raise ValueError(
+                "MERGE aborted: multiple source rows match the "
+                f"same target row for key {tuple(hit[0])!r} on "
+                f"{keys} — the update would be nondeterministic "
+                "(Delta raises the same way). De-duplicate the "
+                "source on the merge keys first, or pass "
+                "validate_source_keys=False to accept "
+                "last-writer-undefined duplicates."
+            )
+
     def merge(
         self,
         source: DataFrame,
@@ -3984,9 +4005,10 @@ class ParquetTable:
         this engine's anti-join+union would silently store BOTH source
         rows.  Duplicate keys that match no target row stay legal —
         they are plain multi-row inserts, exactly Delta's behavior.
-        Cost: one count-aggregate over the source (∝ source, never the
-        table); the target-side semi-join probe runs only in the rare
-        case the source actually carries duplicate keys.
+        Cost: the duplicate-key flag rides the touched-file probe's own
+        collect (no extra Spark action — round 12); the partition-pruned
+        path pays a dedicated source count-aggregate, and the detailed
+        target-side check runs only when a duplicate actually exists.
 
         ``evolve_schema`` (Delta's ``withSchemaEvolution()`` / SQL
         ``MERGE WITH SCHEMA EVOLUTION``): opt-in — a source carrying
@@ -4037,31 +4059,21 @@ class ParquetTable:
         # and draw fresh ids from the commit's base allocation)
         rt = self._rt_state(m) is not None
         target = self.read(with_row_ids=rt)
+        # duplicate-source-key guard (Delta
+        # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET): the duplicate-KEY
+        # frame is built lazily here over the FULL source (delete rows
+        # included) and FOLDED INTO the touched-file probe's one collect
+        # on the findTouchedFiles path (round 12 — one fewer Spark
+        # action per validated MERGE); the partition-pruned path, whose
+        # probe is a partition-value collect, validates eagerly.
+        dup_keys = None
         if validate_source_keys:
-            # collect() is metadata-sized: the frame is pre-aggregated to
-            # duplicate KEYS and limited to 1 row — the guard, not data
             dup_keys = (
                 source.groupBy(*keys)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") > 1)
                 .drop("__n")
             )
-            if dup_keys.limit(1).count() > 0:
-                hit = (
-                    dup_keys.join(target.select(*keys), keys, "left_semi")
-                    .limit(1)
-                    .collect()
-                )
-                if hit:
-                    raise ValueError(
-                        "MERGE aborted: multiple source rows match the "
-                        f"same target row for key {tuple(hit[0])!r} on "
-                        f"{keys} — the update would be nondeterministic "
-                        "(Delta raises the same way). De-duplicate the "
-                        "source on the merge keys first, or pass "
-                        "validate_source_keys=False to accept "
-                        "last-writer-undefined duplicates."
-                    )
         # split the CDC clauses BEFORE schema checks: meta columns are
         # contract-excluded from the payload, delete rows carry no payload
         if when_matched_delete is not None:
@@ -4121,6 +4133,8 @@ class ParquetTable:
         self._enforce_current(source, m, "MERGE")
 
         if pruned:
+            if dup_keys is not None and dup_keys.limit(1).count() > 0:
+                self._merge_dup_abort(dup_keys, target, keys)
             # Source partitions are typically few (e.g. days in a batch):
             # collect their values (scalar metadata, not row data) and
             # split target files by whether their partition is touched.
@@ -4165,6 +4179,14 @@ class ParquetTable:
             probe_keys = (
                 src_keys if src_keys is not None else source.select(*keys)
             ).distinct()
+            if dup_keys is not None:
+                # ride the dup flag on the probe keys so the guard and
+                # the touched-file scan share ONE collect; a flagged key
+                # that reaches a target file IS a duplicate matching a
+                # target row (the detailed abort re-derives the key)
+                probe_keys = probe_keys.join(
+                    dup_keys.withColumn("__dup", F.lit(True)), keys, "left"
+                )
             probe = self._read_files_aligned(m["files"], m, keep_pos=True)
             # Stats-driven side choice (CBO): when THIS snapshot's
             # ANALYZE column stats bound the target's key projection
@@ -4193,6 +4215,7 @@ class ParquetTable:
                 )
                 rows = (fresh or {}).get("num_rows") or 0
                 est += int(rows * (avg_path + cbo._STRING_OVERHEAD))
+            sel = ["__rel"] + (["__dup"] if dup_keys is not None else [])
             if est is not None and est <= cbo.DEFAULT_BROADCAST_THRESHOLD:
                 hit = (
                     probe_keys.join(
@@ -4200,19 +4223,25 @@ class ParquetTable:
                         keys,
                         "inner",
                     )
-                    .select("__rel")
+                    .select(*sel)
                     .distinct()
                     .collect()
                 )
             else:
+                # inner (not left_semi) so the __dup flag can ride; the
+                # probe keys are DISTINCT, so output cardinality equals
+                # the semi join's (one row per matching target row,
+                # bounded by the distinct projection)
                 hit = (
                     probe.select(*keys, "__rel")
-                    .join(probe_keys, keys, "left_semi")
-                    .select("__rel")
+                    .join(probe_keys, keys, "inner")
+                    .select(*sel)
                     .distinct()
                     .collect()
                 )
-            rewrite_files = sorted(r["__rel"] for r in hit)
+            if dup_keys is not None and any(r["__dup"] for r in hit):
+                self._merge_dup_abort(dup_keys, target, keys)
+            rewrite_files = sorted({r["__rel"] for r in hit})
             if rewrite_files:
                 target = self._read_files_dv(
                     rewrite_files, m, with_row_ids=rt
@@ -4364,12 +4393,36 @@ class ParquetTable:
         cdc_df = pre.unionByName(post, allowMissingColumns=True).select(
             *[c for c in source.columns if c != "_row_id"], "_change_type"
         )
+        # row-level operation metrics ride the CDC write action itself
+        # (observe = CollectMetrics, zero extra Spark actions): the CDC
+        # frame already enumerates exactly the updated / inserted /
+        # deleted rows, so counting them here replaces the separate
+        # post-commit count jobs callers used to pay (round 12 — the
+        # per-action DML commit floor)
+        from pyspark.sql import Observation
+
+        cdc_obs = Observation()
+        cdc_df = cdc_df.observe(
+            cdc_obs,
+            F.sum(
+                F.when(
+                    F.col("_change_type") == "update_postimage", 1
+                ).otherwise(0)
+            ).alias("__u"),
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).alias("__i"),
+            F.sum(
+                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+            ).alias("__d"),
+        )
         cdc_files = _write_files(
             cdc_df,
             self.root,
             lpart,
             subdir=_CDC_DIR,
         )
+        cdc_counts = cdc_obs.get  # the write above ran the action
         commit_props = m.get("props", {})
         if extra_props:
             # caller-supplied props land in the SAME commit as the data
@@ -4423,6 +4476,11 @@ class ParquetTable:
                 "files_added": len(files),
                 "files_removed": len(m["files"]) - len(carried),
                 "files_carried": len(carried),
+                # Delta's numTargetRows{Updated,Inserted,Deleted} —
+                # observed during the CDC write, never a separate job
+                "rows_updated": int(cdc_counts.get("__u") or 0),
+                "rows_inserted": int(cdc_counts.get("__i") or 0),
+                "rows_deleted": int(cdc_counts.get("__d") or 0),
             },
         )
         self._post_commit()

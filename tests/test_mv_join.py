@@ -199,14 +199,97 @@ def test_non_flatmap_joins_are_full_only(lh, frm):
     assert _rows(lh, f"SELECT * FROM {name}") == _rows(lh, q)
 
 
-def test_join_projection_is_full_only(lh):
+# --- projection-over-join (round 12): rid-keyed against frozen dims --------
+
+
+def test_join_projection_rid_incremental(lh):
     _mk(lh)
-    q = "SELECT f.k AS k, d.name AS nm FROM f JOIN d ON f.k = d.k"
+    lh.sql(
+        "ALTER TABLE f SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    q = "SELECT f.k AS k, f.x AS x, d.name AS nm FROM f JOIN d ON f.k = d.k"
     lh.sql(f"CREATE MATERIALIZED VIEW mp AS {q}")
-    lh.sql("INSERT INTO f VALUES (1, 1)")
-    r = lh.sql("REFRESH MATERIALIZED VIEW mp").collect()[0]
-    assert r.mode == "full"
     assert _rows(lh, "SELECT * FROM mp") == _rows(lh, q)
+    lh.sql("INSERT INTO f VALUES (1, 1), (7, 3)")  # matched + no dim row
+    lh.sql("DELETE FROM f WHERE k = 3")
+    lh.sql("UPDATE f SET x = 0 WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mp").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mp") == _rows(lh, q)
+
+
+def test_join_projection_rid_fanout_group_replace(lh):
+    # a dim with DUPLICATE join keys fans one fact rid into a
+    # multi-row group — the MERGE must replace the group wholesale
+    _mk(lh)
+    lh.sql(
+        "ALTER TABLE f SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    lh.sql(
+        "CREATE TABLE dd AS SELECT col1 AS k, col2 AS tag FROM VALUES "
+        "(1, 'p'), (1, 'q'), (2, 'r')"
+    )
+    q = "SELECT f.k AS k, f.x AS x, dd.tag AS tg FROM f JOIN dd ON f.k = dd.k"
+    lh.sql(f"CREATE MATERIALIZED VIEW mfo AS {q}")
+    lh.sql("UPDATE f SET x = 77 WHERE k = 1 AND x = 10")
+    lh.sql("DELETE FROM f WHERE k = 2 AND x IS NULL")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mfo").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mfo") == _rows(lh, q)
+
+
+def test_join_projection_left_and_where(lh):
+    _mk(lh)
+    lh.sql(
+        "ALTER TABLE f SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    q = (
+        "SELECT f.k AS k, d.name AS nm FROM f LEFT JOIN d ON f.k = d.k "
+        "WHERE f.x > 5"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW mlw AS {q}")
+    # cross the WHERE boundary both ways + an unmatched LEFT row
+    lh.sql("UPDATE f SET x = 1 WHERE k = 1 AND x = 10")
+    lh.sql("UPDATE f SET x = 50 WHERE k = 2 AND x = 5")
+    lh.sql("INSERT INTO f VALUES (42, 100)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mlw").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mlw") == _rows(lh, q)
+
+
+def test_join_projection_dim_change_falls_back_and_repins(lh):
+    _mk(lh)
+    lh.sql(
+        "ALTER TABLE f SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    q = "SELECT f.k AS k, d.name AS nm FROM f JOIN d ON f.k = d.k"
+    lh.sql(f"CREATE MATERIALIZED VIEW mdc AS {q}")
+    lh.sql("UPDATE d SET name = 'zz' WHERE k = 1")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mdc").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM mdc") == _rows(lh, q)
+    lh.sql("INSERT INTO f VALUES (1, 5)")  # re-pinned: incremental again
+    r = lh.sql("REFRESH MATERIALIZED VIEW mdc").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mdc") == _rows(lh, q)
+
+
+def test_join_projection_append_only_without_rid(lh):
+    _mk(lh)  # NOT row-tracked: appends fold, rewrites fall back
+    q = "SELECT f.k AS k, d.name AS nm FROM f JOIN d ON f.k = d.k"
+    lh.sql(f"CREATE MATERIALIZED VIEW mpa AS {q}")
+    lh.sql("INSERT INTO f VALUES (1, 1)")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mpa").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mpa") == _rows(lh, q)
+    lh.sql("DELETE FROM f WHERE k = 1 AND x = 1")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mpa").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM mpa") == _rows(lh, q)
 
 
 # --- the done-criterion sweep ----------------------------------------------
@@ -368,3 +451,50 @@ def test_create_mv_refuses_live_mv_state_location(lh):
         )
     # the live MV is untouched
     assert _rows(lh, "SELECT * FROM mvl") == _rows(lh, _Q)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_join_projection_rid_matches_recompute_under_random_dml(
+    spark, tmp_path_factory, ops
+):
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvjp")))
+    lh.sql(
+        "CREATE TABLE jf AS SELECT col1 AS k, col2 AS x FROM VALUES "
+        "(1, 10), (2, NULL), (3, 7), (9, 99)"
+    )
+    lh.sql(
+        "ALTER TABLE jf SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    lh.sql(
+        "CREATE TABLE jd AS SELECT col1 AS k, col2 AS name FROM VALUES "
+        "(1, 'a'), (2, 'b'), (3, 'c'), (3, 'cc')"
+    )
+    q = (
+        "SELECT jf.k AS k, jf.x AS x, jd.name AS nm FROM jf "
+        "LEFT JOIN jd ON jf.k = jd.k WHERE jf.x IS NULL OR jf.x < 60"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW jp AS {q}")
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(
+                f"({g}, {'NULL' if x is None else x})" for g, x in op[1]
+            )
+            lh.sql(f"INSERT INTO jf VALUES {vals}")
+        elif op[0] == "delete":
+            lh.sql(f"DELETE FROM jf WHERE k = {op[1]}")
+        else:
+            lh.sql(f"UPDATE jf SET x = x + {op[2]} WHERE k = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW jp").collect()[0]
+        assert r.mode in ("incremental", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM jp").collect()),
+            key=str,
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops}"

@@ -209,3 +209,101 @@ def test_window_incremental_matches_recompute_under_random_dml(
         )
         want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
         assert got == want, f"after {op} of {ops}"
+
+
+def test_window_mv_with_from_alias(lh):
+    # round 12: _parse_from accepts ``FROM c w``; the rescan paths
+    # alias the base/CDF frames so qualified partition keys resolve
+    _mk(lh)
+    q = (
+        "SELECT w.k AS k, w.seq AS seq, w.v AS v FROM c w QUALIFY "
+        "ROW_NUMBER() OVER (PARTITION BY w.k ORDER BY w.seq DESC) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW lw AS {q}")
+    assert _rows(lh, "SELECT * FROM lw") == _rows(lh, q)
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z'), (4, 1, 'n')")
+    lh.sql("DELETE FROM c WHERE k = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW lw").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM lw") == _rows(lh, q)
+
+
+# --- window-over-join (round 12): fact-key rescan against frozen dims ------
+
+
+def _mk_dim(lh):
+    lh.sql(
+        "CREATE TABLE dj AS SELECT col1 AS k, col2 AS lbl FROM VALUES "
+        "(1, 'a'), (2, 'b'), (3, 'x'), (4, 'd')"
+    )
+
+
+_QJ = (
+    "SELECT c.k AS k, c.seq AS seq, dj.lbl AS lbl FROM c "
+    "JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
+    "(PARTITION BY c.k ORDER BY c.seq DESC) = 1"
+)
+
+
+def test_window_over_join_incremental(lh):
+    _mk(lh)
+    _mk_dim(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW wj AS {_QJ}")
+    assert _rows(lh, "SELECT * FROM wj") == _rows(lh, _QJ)
+    props = lh.table("wj__mvdata").properties()
+    assert props["mv_dep_dims"] == {"dj": 0}  # dims pinned at create
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z'), (4, 1, 'n'), (7, 1, 'u')")
+    lh.sql("DELETE FROM c WHERE k = 3")
+    lh.sql("UPDATE c SET v = 'cc' WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wj").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wj") == _rows(lh, _QJ)
+
+
+def test_window_over_join_dim_change_falls_back_and_repins(lh):
+    _mk(lh)
+    _mk_dim(lh)
+    lh.sql(f"CREATE MATERIALIZED VIEW wjd AS {_QJ}")
+    lh.sql("UPDATE dj SET lbl = 'bb' WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjd").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM wjd") == _rows(lh, _QJ)
+    lh.sql("INSERT INTO c VALUES (2, 7, 'q')")  # re-pinned: incremental
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjd").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wjd") == _rows(lh, _QJ)
+
+
+def test_window_over_join_left_and_dim_order(lh):
+    _mk(lh)
+    _mk_dim(lh)
+    # LEFT join keeps unmatched fact keys; the window may ORDER BY a
+    # dim column (group content is a pure function of fact rows once
+    # dims are frozen)
+    q = (
+        "SELECT c.k AS k, c.seq AS seq, dj.lbl AS lbl FROM c "
+        "LEFT JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY c.k ORDER BY dj.lbl DESC, c.seq DESC) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW wjl AS {q}")
+    lh.sql("INSERT INTO c VALUES (8, 1, 'm'), (1, 99, 'w')")
+    lh.sql("DELETE FROM c WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjl").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wjl") == _rows(lh, q)
+
+
+def test_window_over_join_dim_partition_key_is_full_only(lh):
+    _mk(lh)
+    _mk_dim(lh)
+    # a DIM-side partition key can't be scoped from the fact CDF alone
+    q = (
+        "SELECT c.k AS k, c.seq AS seq, dj.lbl AS lbl FROM c "
+        "JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY dj.lbl ORDER BY c.seq DESC) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW wjf AS {q}")
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z')")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjf").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM wjf") == _rows(lh, q)

@@ -318,3 +318,61 @@ def test_unrenderable_empty_group_value_refuses(lh):
             "UPDATE t SET note = CAST((SELECT collect_list(sa.v) FROM sa "
             "WHERE sa.k = t.k) AS STRING)"
         )
+
+
+# -- inner-alias scoping (round 12) ----------------------------------------
+# SQL name resolution: an inner FROM alias equal to the target name
+# SHADOWS the target, so target-name refs inside the subquery are
+# inner-scope and the subquery is UNCORRELATED.  The round-11 code
+# classified them as correlated and decorrelated to silent wrong data.
+
+
+def test_inner_alias_shadows_target_folds_uncorrelated(lh):
+    _mk(lh)
+    # t.v / t.k bind to the INNER alias (FROM s AS t): uncorrelated,
+    # MAX(v) over s.k=1 is 20 — every target row gets the constant
+    lh.sql("UPDATE t SET c = (SELECT MAX(t.v) FROM s AS t WHERE t.k = 1)")
+    assert _state(lh) == sorted(
+        [(1, 20), (2, 20), (3, 20), (None, 20)], key=str
+    )
+
+
+def test_inner_alias_shadow_in_delete_where_folds(lh):
+    _mk(lh)
+    # previously refused as "correlated"; now folds to the constant 99
+    r = lh.sql(
+        "DELETE FROM t WHERE c < (SELECT MAX(t.v) FROM s AS t)"
+    ).collect()[0]
+    assert r.num_affected_rows == 4
+    assert _state(lh) == []
+
+
+def test_nested_shadow_refuses_loudly(lh):
+    _mk(lh)
+    # the shadowing alias lives in a NESTED scope: refs are ambiguous
+    # to the engine's parser — loud refusal, never silent wrong data
+    with pytest.raises(ValueError, match="re-declares"):
+        lh.sql(
+            "UPDATE t SET c = (SELECT MAX(z.v) FROM "
+            "(SELECT u.v AS v FROM s AS t JOIN s u ON t.k = u.k) z)"
+        )
+
+
+def test_exists_shadowed_alias_refuses_loudly(lh):
+    _mk(lh)
+    with pytest.raises(ValueError, match="(?i)shadow"):
+        lh.sql(
+            "DELETE FROM t WHERE EXISTS "
+            "(SELECT 1 FROM s AS t WHERE t.k = 1)"
+        )
+
+
+def test_unshadowed_correlation_still_decorrelates(lh):
+    _mk(lh)
+    # the guard must not fire when the inner FROM declares other names
+    lh.sql(
+        "UPDATE t SET c = (SELECT SUM(q.v) FROM s AS q WHERE q.k = t.k)"
+    )
+    assert _state(lh) == sorted(
+        [(1, 30), (2, 5), (3, None), (None, None)], key=str
+    )
