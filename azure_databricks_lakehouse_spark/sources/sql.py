@@ -1635,12 +1635,44 @@ class Lakehouse:
             cond = isnull if cond is None else cond | isnull
         return delta.where(cond).isEmpty()
 
-    def _mv_write_state(self, table, plan, src, cur, use_merge) -> None:
+    def _mv_guard_cursor(self, table, dep) -> None:
+        """REFRESH-vs-REFRESH guard (round 12): a state landing is only
+        sound while the stored cursor still equals the ``dep`` this
+        refresh folded from — a concurrent refresh that already
+        advanced it would make this landing a DOUBLE-APPLY of the same
+        CDF delta (folded state + delta, folded again).  Re-read the
+        props at landing time (driver-side manifest read, no Spark
+        action) and raise the typed conflict instead; the caller
+        retries from the new cursor.  Check-then-commit, so a loser
+        that lands in the microseconds between this read and the
+        commit's version write still collides on the VERSION number
+        (``_commit_typed``) — the guard converts the common
+        interleavings into the typed error with the precise message."""
+        from azure_databricks_lakehouse_spark.sources.tables import (
+            ConcurrentModificationError,
+        )
+
+        if dep is None:
+            return  # create-time / full-refresh landings have no cursor
+        now = table.properties().get("mv_dep_version")
+        if now != dep:
+            raise ConcurrentModificationError(
+                "REFRESH MATERIALIZED VIEW collided with a concurrent "
+                f"refresh: the stored cursor moved {dep!r} -> {now!r} "
+                "while this refresh folded its delta; re-run REFRESH "
+                "to fold from the new cursor"
+            )
+
+    def _mv_write_state(
+        self, table, plan, src, cur, use_merge, dep=None
+    ) -> None:
         """Land per-group state rows + the refresh cursor in ONE commit
         (crash-atomic): keyed MERGE when ``src`` holds the AFFECTED
         groups only (``__mv_dead`` rows delete their target group —
         cost ∝ changed groups' files, the huge-cardinality path), else
-        a full-state overwrite."""
+        a full-state overwrite.  ``dep`` (when given) re-arms the
+        concurrent-refresh cursor guard at landing time."""
+        self._mv_guard_cursor(table, dep)
         if use_merge:
             table.merge(
                 src,
@@ -1688,6 +1720,7 @@ class Lakehouse:
         if kdf.isEmpty():
             # data-preserving commits only (e.g. OPTIMIZE): nothing to
             # rescan — advance the cursor without touching state
+            self._mv_guard_cursor(table, dep)
             table.set_properties({"mv_dep_version": cur})
             return "incremental", cur
         nullcond = None
@@ -1731,6 +1764,7 @@ class Lakehouse:
             .withColumn("__mv_dead", F.col("__mv_alive").isNull())
             .drop("__mv_alive")
         )
+        self._mv_guard_cursor(table, dep)
         table.merge(
             src,
             on=key_names,
@@ -1862,6 +1896,7 @@ class Lakehouse:
                             ),
                             cur,
                             use_merge,
+                            dep=dep,
                         )
                         mode, dep_out = "incremental", cur
                     elif plan.grouped and plan.keys:
@@ -1933,7 +1968,7 @@ class Lakehouse:
                             else:
                                 final = final.unionByName(recomputed)
                         self._mv_write_state(
-                            table, aplan, final, cur, use_merge
+                            table, aplan, final, cur, use_merge, dep=dep
                         )
                         mode = "incremental_rescan" if rescan else (
                             "incremental"
@@ -1949,6 +1984,7 @@ class Lakehouse:
                         if _mv.global_fold_safe(
                             delta_df.first(), table.read().first(), aplan
                         ):
+                            self._mv_guard_cursor(table, dep)
                             table.overwrite(
                                 _mv.global_fold(
                                     table.read(), delta_df, aplan
@@ -1957,6 +1993,7 @@ class Lakehouse:
                             )
                             mode, dep_out = "incremental", cur
                         else:
+                            self._mv_guard_cursor(table, dep)
                             table.overwrite(
                                 _mv.full_state(_base_rows(), aplan),
                                 extra_props={"mv_dep_version": cur},
@@ -2071,6 +2108,7 @@ class Lakehouse:
                                 f"SELECT {plan.items}, __mv_rid, "
                                 f"__mv_dead FROM {tmp} AS `{pfa}`"
                             )
+                        self._mv_guard_cursor(table, dep)
                         table.merge(
                             src,
                             on=["__mv_rid"],
@@ -2130,6 +2168,7 @@ class Lakehouse:
                             if plan.where:
                                 q += f" WHERE {plan.where}"
                             new_rows = self.spark.sql(q)
+                        self._mv_guard_cursor(table, dep)
                         table.append(
                             new_rows,
                             props_update=lambda p: {

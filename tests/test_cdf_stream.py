@@ -645,24 +645,52 @@ def test_variant_column_streams(registered, tmp_path):
     assert want <= stream_json
 
 
-def test_nested_variant_still_refuses(registered, tmp_path):
+def test_nested_variant_streams(registered, tmp_path):
+    """Round 12 (verdict #6): variant NESTED in struct/array/map
+    streams — the footer patcher walks the flat SchemaElement list, so
+    nested VARIANT annotations strip like top-level ones, and the
+    type-driven recursive rebuild turns every {value, metadata} pair
+    back into a VariantVal at its declared position."""
     spark = registered
     root = str(tmp_path / "nvtbl")
+    # both rows in the CREATE frame so the declared schema is nullable
+    # at every level (NULL map, NULL variant leaf, NULL array element)
     df = spark.sql(
-        "SELECT 1 AS k, array(parse_json('{\"a\":1}')) AS vs"
+        "SELECT 1 AS k, "
+        "CAST(array(parse_json('{\"a\":1}')) AS ARRAY<VARIANT>) AS vs, "
+        "CAST(named_struct('tag', 'x', 'v', parse_json('{\"b\":2}')) "
+        "AS STRUCT<tag: STRING, v: VARIANT>) AS sv, "
+        "CAST(map('m1', parse_json('[3,4]')) AS MAP<STRING, VARIANT>) AS mv"
+        " UNION ALL SELECT 2 AS k, "
+        "CAST(array(parse_json('5'), NULL) AS ARRAY<VARIANT>) AS vs, "
+        "CAST(named_struct('tag', 'y', 'v', CAST(NULL AS VARIANT)) "
+        "AS STRUCT<tag: STRING, v: VARIANT>) AS sv, "
+        "CAST(NULL AS MAP<STRING, VARIANT>) AS mv"
     )
-    ParquetTable.create(spark, root, df)
-    q = (
-        spark.readStream.format("table_changes")
-        .option("path", root)
-        .load()
-        .writeStream.format("memory")
-        .queryName("cdf_nested_variant")
-        .outputMode("append")
-        .start()
+    t = ParquetTable.create(spark, root, df)
+    t.append(
+        spark.sql(
+            "SELECT 3 AS k, "
+            "CAST(array(parse_json('true')) AS ARRAY<VARIANT>) AS vs, "
+            "CAST(named_struct('tag', 'z', 'v', parse_json('7')) "
+            "AS STRUCT<tag: STRING, v: VARIANT>) AS sv, "
+            "CAST(map('m2', parse_json('\"s\"')) AS MAP<STRING, VARIANT>)"
+            " AS mv"
+        )
     )
-    try:
-        with pytest.raises(Exception, match="NESTED variant"):
-            q.awaitTermination(60)
-    finally:
-        q.stop()
+    got = _drain(spark, root, "cdf_nested_variant_sink", want_rows=3)
+    by_k = {r["k"]: r for r in got}
+    assert set(by_k) == {1, 2, 3}
+    r1 = by_k[1]
+    assert [str(v) for v in r1["vs"]] == ['{"a":1}']
+    assert r1["sv"]["tag"] == "x" and '"b":2' in str(r1["sv"]["v"])
+    assert str(r1["mv"]["m1"]) == "[3,4]"
+    r2 = by_k[2]
+    assert str(r2["vs"][0]) == "5" and r2["vs"][1] is None
+    assert r2["sv"]["tag"] == "y" and r2["sv"]["v"] is None
+    assert r2["mv"] is None
+    r3 = by_k[3]
+    assert str(r3["vs"][0]) == "true"
+    assert str(r3["sv"]["v"]) == "7"
+    assert str(r3["mv"]["m2"]) == '"s"'
+    assert r3["_change_type"] == "insert" and r3["_commit_version"] == 1
