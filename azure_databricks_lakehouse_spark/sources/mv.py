@@ -39,8 +39,15 @@ Incremental eligibility (parsed, never guessed):
   append-shaped (new rows projected and appended); a rewrite commit
   then falls back to full refresh (a projection's multiset rows are
   not identifiable without ids — exactly why row tracking exists).
-  AVG folds as SUM/COUNT state; the read view casts the quotient to
-  the real AVG's analyzed output type (see :func:`view_body`).
+  **Over a join** (round 12) the same machinery composes with frozen
+  dims: the state keys on the FACT row id, each rid's last post-image
+  re-derives its view rows through the pinned dims (a 1:N dim fans a
+  rid into a multi-row group the MERGE replaces wholesale; an
+  INNER-unmatched or WHERE-failed post-image deletes), and without
+  row tracking the append-only fold joins just the new fact rows to
+  the frozen dims.  AVG folds as SUM/COUNT state; the read view casts
+  the quotient to the real AVG's analyzed output type (see
+  :func:`view_body`).
 - **Star-join aggregates** ``SELECT <keys>, <aggs> FROM fact [AS f]
   [INNER|LEFT] JOIN dim [AS d] ON <cond> ... [WHERE p] GROUP BY
   <keys>`` — the reference's own gold aggregation-table shape
@@ -75,10 +82,17 @@ Incremental eligibility (parsed, never guessed):
   the key groups the CDF window touched (pre- and post-images — a
   deleted winner retracts) and lands them via one key-group MERGE
   (groups replace wholesale, so ``rn <= k`` keeps k rows; empty groups
-  delete).  Global windows, mixed partition keys, unprojected keys,
-  and NULL key components fall back to full refresh.
-- **Anything else** (subqueries, non-grouped joins, global windows):
-  the MV still works — refresh is always full recompute.
+  delete).  **Over a join** (round 12) the same rescan applies when
+  every partition key is FACT-side: the fact CDF alone names the
+  touched groups, the scope is a fact-only semi-join, and the rescan
+  runs the defining query over scoped fact rows joined to the PINNED
+  dims (ORDER BY / items may reference dim columns — with dims frozen
+  each group is still a pure function of its fact rows); dim-side
+  partition keys, table-name/alias capture shapes, global windows,
+  mixed partition keys, unprojected keys, and NULL key components
+  fall back to full refresh.
+- **Anything else** (subqueries, RIGHT/FULL/CROSS joins, global
+  windows): the MV still works — refresh is always full recompute.
 
 At 100 TB: the grouped path reads only the CDF slice (cost ∝ change),
 aggregates with one shuffle on the group keys, and lands state sized
@@ -616,8 +630,9 @@ def _rewrite_having(
     then filters ``WHERE <rewritten>`` over the reconstructed aliases,
     so a group entering/leaving the HAVING set under DML is just a
     row appearing/disappearing from the filtered read.  None when a
-    call isn't a supported aggregate (or a hidden AVG, whose exact
-    output type has no analyzed-schema source) — full-only."""
+    call isn't a supported aggregate — full-only.  A hidden AVG
+    (round 12) maintains like any item; its exact output type comes
+    from a probe query analyzed at CREATE (sql.py ``avg_types``)."""
     if _NONDET.search(_mask_strings(hav)):
         return None
     blanked = _blank_strings(hav)
