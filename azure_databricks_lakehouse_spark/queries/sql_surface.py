@@ -32,6 +32,15 @@ without growing the corpus past the 50-query budget:
 - **DISTINCT materialized view** (``part='mvdistinct'``, round 11):
   ``SELECT DISTINCT`` maintained as a zero-aggregate group state —
   same mode pin, key set checked against the relational DISTINCT.
+- **Round-12 MV shapes**, each with its own mode pin over a second
+  small fact's DML window: ``part='mvwin'`` window-over-join (top
+  order per customer through a dim join — scoped per-key rescan
+  against pinned dims, checked against DuckDB's native window),
+  ``part='mvrid'`` projection-over-join keyed by the row-tracked
+  fact's stable row id (WHERE boundary crossed both ways by the
+  +100000 bump), ``part='mvhavg'`` HAVING with a HIDDEN AVG (the two
+  ``%2`` groups' averages are engineered ~100k apart, so the 200000
+  threshold is SF-robust).
 
 Both parts render as ``(part, item, metric, value)`` with ``value``
 stringified; money stays DECIMAL through every step (cast from the raw
@@ -79,6 +88,29 @@ _MVJ_QUERY = (
 
 _MVD_QUERY = "SELECT DISTINCT o_custkey % 500 AS ck FROM fact"
 
+# round-12 shapes over a SECOND, small fact (÷16 slices keep the extra
+# lifecycle cheap): window-over-join (fact-side partition key, scoped
+# per-key rescan against pinned dims), rid-keyed projection-over-join
+# (row-tracked fact), and HAVING with a HIDDEN AVG.  The ×1.1 insert
+# slice plus the +100000 bump on even keys puts the two %2 groups'
+# averages ~100k apart, so the 200000 HAVING threshold is robust at
+# every SF (sample means vary by a few k, the gap is engineered).
+_MVW_QUERY = (
+    "SELECT f.o_custkey AS ck, f.o_orderkey AS ok, d.seg AS seg "
+    "FROM fact2 f JOIN dimc d ON f.o_custkey = d.c_custkey "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY f.o_custkey "
+    "ORDER BY f.total DESC, f.o_orderkey) = 1"
+)
+_MVR_QUERY = (
+    "SELECT f.o_orderkey AS ok, f.total AS total, d.seg AS seg "
+    "FROM fact2 f JOIN dimc d ON f.o_custkey = d.c_custkey "
+    "WHERE f.total > 200000"
+)
+_MVH_QUERY = (
+    "SELECT o_orderkey % 2 AS odd, COUNT(*) AS n, SUM(total) AS ts "
+    "FROM fact2 GROUP BY o_orderkey % 2 HAVING AVG(total) > 200000"
+)
+
 _MV_SCRIPT = f"""
 CREATE TABLE fact AS
   SELECT o_orderkey, o_custkey, o_orderstatus AS status,
@@ -89,12 +121,26 @@ CREATE TABLE dimc AS
 CREATE MATERIALIZED VIEW mv_status AS {_MV_QUERY};
 CREATE MATERIALIZED VIEW mv_seg AS {_MVJ_QUERY};
 CREATE MATERIALIZED VIEW mv_dk AS {_MVD_QUERY};
+CREATE TABLE fact2 AS
+  SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(21,3)) AS total
+  FROM orders WHERE o_orderkey % 16 = 1;
+ALTER TABLE fact2 SET TBLPROPERTIES ('delta.enableRowTracking' = 'true');
+CREATE MATERIALIZED VIEW mv_win AS {_MVW_QUERY};
+CREATE MATERIALIZED VIEW mv_rid AS {_MVR_QUERY};
+CREATE MATERIALIZED VIEW mv_havg AS {_MVH_QUERY};
 INSERT INTO fact
   SELECT o_orderkey, o_custkey, 'U' AS status,
          CAST(o_totalprice AS DECIMAL(21,3)) * 1.1 AS total
   FROM orders WHERE o_orderkey % 4 = 0;
 UPDATE fact SET total = total + 1 WHERE o_orderkey % 10 = 3;
 DELETE FROM fact WHERE o_orderkey % 10 = 7;
+INSERT INTO fact2
+  SELECT o_orderkey, o_custkey, 'U' AS status,
+         CAST(o_totalprice AS DECIMAL(21,3)) * 1.1 AS total
+  FROM orders WHERE o_orderkey % 16 = 2;
+UPDATE fact2 SET total = total + 100000 WHERE o_orderkey % 2 = 0;
+DELETE FROM fact2 WHERE o_orderkey % 5 = 2;
 REFRESH MATERIALIZED VIEW mv_status
 """
 
@@ -168,12 +214,59 @@ def q56_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("distinct").alias("metric"),
         F.lit("1").alias("value"),
     )
+
+    # round-12 MV shapes (see module doc): each refresh MODE is pinned
+    # 'incremental' in the oracle, so a silent full-refresh fallback
+    # hash-mismatches instead of just slowing down
+    def _mode_row(view: str, part: str) -> DataFrame:
+        return lh.sql(f"REFRESH MATERIALIZED VIEW {view}").select(
+            F.lit(part).alias("part"),
+            F.lit("_refresh").alias("item"),
+            F.lit("mode").alias("metric"),
+            F.col("mode").alias("value"),
+        )
+
+    wmode = _mode_row("mv_win", "mvwin")
+    mvw = lh.sql("SELECT ck, ok, seg FROM mv_win").select(
+        F.lit("mvwin").alias("part"),
+        F.col("ck").cast("string").alias("item"),
+        F.lit("top").alias("metric"),
+        F.concat_ws("|", F.col("ok").cast("string"), "seg").alias("value"),
+    )
+    rmode = _mode_row("mv_rid", "mvrid")
+    mvr = lh.sql("SELECT ok, total, seg FROM mv_rid").select(
+        F.lit("mvrid").alias("part"),
+        F.col("ok").cast("string").alias("item"),
+        F.lit("row").alias("metric"),
+        F.concat_ws(
+            "|", "seg", F.col("total").cast("string")
+        ).alias("value"),
+    )
+    hmode = _mode_row("mv_havg", "mvhavg")
+    mvh = lh.sql(
+        "SELECT odd, CAST(ts AS DECIMAL(38,3)) AS ts, n FROM mv_havg"
+    ).select(
+        F.lit("mvhavg").alias("part"),
+        F.col("odd").cast("string").alias("item"),
+        F.explode(
+            F.create_map(
+                F.lit("n"), F.col("n").cast("string"),
+                F.lit("ts"), F.col("ts").cast("string"),
+            )
+        ).alias("metric", "value"),
+    )
     return (
         prof.unionByName(mv)
         .unionByName(mode)
         .unionByName(mvj)
         .unionByName(dmode)
         .unionByName(mvd)
+        .unionByName(wmode)
+        .unionByName(mvw)
+        .unionByName(rmode)
+        .unionByName(mvr)
+        .unionByName(hmode)
+        .unionByName(mvh)
     )
 
 
@@ -232,6 +325,42 @@ jmv AS (
          COUNT(*) AS n_orders
   FROM fact f JOIN customer c ON f.o_custkey = c.c_custkey
   GROUP BY c.c_mktsegment
+),
+f2a AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(21,3)) AS total
+  FROM orders WHERE o_orderkey % 16 = 1
+  UNION ALL
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(21,3)) * 1.1
+              AS DECIMAL(21,3)) AS total
+  FROM orders WHERE o_orderkey % 16 = 2
+),
+f2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN CAST(total + 100000 AS DECIMAL(21,3))
+              ELSE total END AS total
+  FROM f2a WHERE o_orderkey % 5 <> 2
+),
+wtop AS (
+  SELECT ck, ok, seg FROM (
+    SELECT f.o_custkey AS ck, f.o_orderkey AS ok,
+           c.c_mktsegment AS seg,
+           ROW_NUMBER() OVER (PARTITION BY f.o_custkey
+                              ORDER BY f.total DESC, f.o_orderkey) AS rn
+    FROM f2 f JOIN customer c ON f.o_custkey = c.c_custkey
+  ) WHERE rn = 1
+),
+ridrows AS (
+  SELECT f.o_orderkey AS ok, f.total AS total, c.c_mktsegment AS seg
+  FROM f2 f JOIN customer c ON f.o_custkey = c.c_custkey
+  WHERE f.total > 200000
+),
+havg AS (
+  SELECT o_orderkey % 2 AS odd, COUNT(*) AS n,
+         CAST(SUM(total) AS DECIMAL(38,3)) AS ts
+  FROM f2 GROUP BY o_orderkey % 2 HAVING AVG(total) > 200000
 )
 {_profile_oracle()}
 UNION ALL
@@ -252,6 +381,24 @@ UNION ALL
 SELECT DISTINCT 'mvdistinct', CAST(o_custkey % 500 AS VARCHAR),
        'distinct', '1'
 FROM fact
+UNION ALL
+SELECT 'mvwin', '_refresh', 'mode', 'incremental'
+UNION ALL
+SELECT 'mvwin', CAST(ck AS VARCHAR), 'top',
+       CAST(ok AS VARCHAR) || '|' || seg
+FROM wtop
+UNION ALL
+SELECT 'mvrid', '_refresh', 'mode', 'incremental'
+UNION ALL
+SELECT 'mvrid', CAST(ok AS VARCHAR), 'row',
+       seg || '|' || CAST(total AS VARCHAR)
+FROM ridrows
+UNION ALL
+SELECT 'mvhavg', '_refresh', 'mode', 'incremental'
+UNION ALL
+SELECT 'mvhavg', CAST(odd AS VARCHAR), 'n', CAST(n AS VARCHAR) FROM havg
+UNION ALL
+SELECT 'mvhavg', CAST(odd AS VARCHAR), 'ts', CAST(ts AS VARCHAR) FROM havg
 """
 
 
