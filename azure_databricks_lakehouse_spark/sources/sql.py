@@ -1763,6 +1763,11 @@ class Lakehouse:
             kdf.join(survivors, key_names, "left")
             .withColumn("__mv_dead", F.col("__mv_alive").isNull())
             .drop("__mv_alive")
+            # materialize once: the MERGE's probe/write/CDC actions
+            # would each re-run the scoped rescan (base semi-join +
+            # window) otherwise; size = the touched groups' output
+            # rows — exactly the merge source any engine materializes
+            .localCheckpoint()
         )
         self._mv_guard_cursor(table, dep)
         table.merge(
@@ -2050,6 +2055,14 @@ class Lakehouse:
                             )
                             .filter(F.col("__rn") == 1)
                             .drop("__rn", "_commit_version")
+                            # pin the per-rid last events: the frame
+                            # branches (rids + live) and feeds a MERGE
+                            # whose probe/write/CDC actions would each
+                            # re-evaluate the CDF-with-row-ids scan and
+                            # the window (measured 10.8 s → ~2 s on the
+                            # q56 rid refresh); size ∝ the CDF slice,
+                            # never the table
+                            .localCheckpoint()
                         )
                         pfa = plan.fact_alias or plan.table.rsplit(
                             ".", 1
@@ -2090,6 +2103,9 @@ class Lakehouse:
                                     F.col("__mv_alive").isNull(),
                                 )
                                 .drop("__mv_alive")
+                                # one dim join, not one per MERGE
+                                # action; size ∝ changed rids ⋈ dims
+                                .localCheckpoint()
                             )
                         else:
                             last = last.alias(pfa)

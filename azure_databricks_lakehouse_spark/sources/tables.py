@@ -1544,7 +1544,9 @@ class ParquetTable:
                 for c in types
                 if c not in gen_auto
             ]
-        )
+        ).localCheckpoint()  # one table semi-scan, not one per merge
+        # action (probe/write/CDC each consume the source); size ∝
+        # matched rows — the merge source any engine materializes
         return self.merge(
             post,
             on=cols,
