@@ -83,14 +83,17 @@ Incremental eligibility (parsed, never guessed):
   deleted winner retracts) and lands them via one key-group MERGE
   (groups replace wholesale, so ``rn <= k`` keeps k rows; empty groups
   delete).  **Over a join** (round 12) the same rescan applies when
-  every partition key is FACT-side: the fact CDF alone names the
-  touched groups, the scope is a fact-only semi-join, and the rescan
-  runs the defining query over scoped fact rows joined to the PINNED
-  dims (ORDER BY / items may reference dim columns — with dims frozen
-  each group is still a pure function of its fact rows); dim-side
-  partition keys, table-name/alias capture shapes, global windows,
-  mixed partition keys, unprojected keys, and NULL key components
-  fall back to full refresh.
+  every partition key is a simple qualified column of the fact or of
+  ONE dim: fact-side keys come straight from the fact CDF and scope a
+  fact-only semi-join; dim-side keys (``PARTITION BY d.seg`` — top-k
+  per dim attribute) come from the CDF joined to the PINNED dims and
+  scope fact ⟕semi the touched dim rows — a safe SUPERSET (the MERGE
+  lands only the touched groups; semi joins never fan out).  ORDER BY
+  / items may reference dim columns — with dims frozen each group is
+  still a pure function of its fact rows.  Keys across two dims,
+  expression keys over a join, table-name/alias capture shapes,
+  global windows, mixed OVER partitioning, unprojected keys, and NULL
+  key components fall back to full refresh.
 - **Anything else** (subqueries, RIGHT/FULL/CROSS joins, global
   windows): the MV still works — refresh is always full recompute.
 
@@ -468,13 +471,27 @@ def _parse_window_plan(q: str) -> MvPlan | None:
     items = [i.strip() for i in _split_top(m.group("items"), ",")]
     pk_exprs = [p.strip() for p in _split_top(pk_norm, ",")]
     if joins:
-        # window-over-join (round 12): maintainable by the same scoped
-        # per-key rescan ONLY when every partition key is a FACT-side
-        # column — then the fact CDF alone names the touched groups and
-        # the scope is a fact-only semi-join (frozen-dim premise for
-        # the rescan's join).  Dim-side keys: full-only.
-        fact_q = _ci(rf"^`?{re.escape(fact_alias)}`?\s*\.\s*`?\w+`?$")
-        if not all(fact_q.match(pk) for pk in pk_exprs):
+        # window-over-join (round 12): maintainable by the scoped
+        # per-key rescan when every partition key is a SIMPLE QUALIFIED
+        # column of the fact or of ONE dim.  Fact-side keys: the fact
+        # CDF alone names the touched groups and the scope is a
+        # fact-only semi-join.  Dim-side keys (PARTITION BY d.seg —
+        # top-k per dim attribute): touched keys come from the CDF
+        # joined to the PINNED dims, and the scope is fact ⟕semi the
+        # touched dim rows — a SUPERSET of the needed rows (safe: the
+        # MERGE replaces only kdf's groups), never a fan-out.  Keys
+        # spread across TWO dims have no single-sided scope: full-only.
+        aliasq = _ci(r"^`?(\w+)`?\s*\.\s*`?\w+`?$")
+        sides: set[str] = set()
+        for pk in pk_exprs:
+            am2 = aliasq.match(pk)
+            if not am2:
+                return None
+            sides.add(_unquote_ident(am2.group(1)))
+        dim_aliases = {a for _, a, _, _ in joins}
+        if not sides <= ({fact_alias} | dim_aliases):
+            return None
+        if len(sides & dim_aliases) > 1:
             return None
         # the rescan substitutes TABLE NAMES in the body text: renaming
         # a table captures any OTHER ref's alias spelled the same way

@@ -1707,12 +1707,27 @@ class Lakehouse:
         NULL key component falls back to a full refresh: MERGE's key
         join is null-unsafe, and NULL forms a real window group."""
         key_names = [a for _, a in plan.keys]
-        # window plans are single-table: alias the frames so qualified
-        # partition-key exprs (``f.pk`` under ``FROM b f``) resolve
+        # alias the frames so qualified partition-key exprs (``f.pk``
+        # under ``FROM b f``) resolve
         wfa = plan.fact_alias or plan.table.rsplit(".", 1)[-1]
+        # classify DIM-side partition keys (the parser admits at most
+        # one dim alias): they need the CDF joined to the pinned dims
+        # for the touched-key set, and a dim-semi superset scope
+        dim_aliases = {a for _, a, _, _ in plan.joins}
+        scope_dim = None
+        dim_keys: list[tuple[str, str]] = []
+        for e, a in plan.keys:
+            am = re.match(r"^`?(\w+)`?\s*\.", e)
+            al = _unquote_ident(am.group(1)) if am else None
+            if al and al in dim_aliases:
+                scope_dim = al
+                dim_keys.append((e, a))
+        chg = base.changes_between(dep, cur).alias(wfa)
+        if scope_dim is not None:
+            for jt_t, jt_a, jt_k, jt_c in plan.joins:
+                chg = chg.join(dims[jt_a].alias(jt_a), F.expr(jt_c), jt_k)
         kdf = (
-            base.changes_between(dep, cur)
-            .alias(wfa)
+            chg
             .select([F.expr(e).alias(a) for e, a in plan.keys])
             .distinct()
             .localCheckpoint()
@@ -1729,15 +1744,41 @@ class Lakehouse:
             nullcond = isnull if nullcond is None else nullcond | isnull
         if not kdf.where(nullcond).isEmpty():
             return "full", None
-        # scoped base rows: semi-join on the key EXPRESSIONS
-        probe = kdf.select(
-            *[F.col(a).alias(f"__mvw_{a}") for a in key_names]
-        )
-        cond = None
-        for e, a in plan.keys:
-            eq = F.expr(e).eqNullSafe(F.col(f"__mvw_{a}"))
-            cond = eq if cond is None else cond & eq
-        scoped = base.read().alias(wfa).join(probe, cond, "left_semi")
+        if scope_dim is None:
+            # scoped base rows: semi-join on the (fact-side) key exprs
+            probe = kdf.select(
+                *[F.col(a).alias(f"__mvw_{a}") for a in key_names]
+            )
+            cond = None
+            for e, a in plan.keys:
+                eq = F.expr(e).eqNullSafe(F.col(f"__mvw_{a}"))
+                cond = eq if cond is None else cond & eq
+            scoped = base.read().alias(wfa).join(probe, cond, "left_semi")
+        else:
+            # dim-side keys: touched dim rows = the pinned dim semi the
+            # touched key values; scoped fact = fact semi those dim
+            # rows on the join condition — a SUPERSET of the needed
+            # rows (extra groups recompute identically; the MERGE only
+            # lands kdf's groups), and semi joins can never fan out
+            dprobe = kdf.select(
+                *[F.col(a).alias(f"__mvw_{a}") for _, a in dim_keys]
+            ).distinct()
+            dcond = None
+            for e, a in dim_keys:
+                eq = F.expr(e).eqNullSafe(F.col(f"__mvw_{a}"))
+                dcond = eq if dcond is None else dcond & eq
+            jt = next(j for j in plan.joins if j[1] == scope_dim)
+            touched_dims = (
+                dims[scope_dim]
+                .alias(scope_dim)
+                .join(dprobe, dcond, "left_semi")
+                .alias(scope_dim)
+            )
+            scoped = (
+                base.read()
+                .alias(wfa)
+                .join(touched_dims, F.expr(jt[3]), "left_semi")
+            )
         self._asof_seq += 1
         tmp = f"__mv_win_{self._asof_seq}"
         scoped.createOrReplaceTempView(tmp)

@@ -293,17 +293,108 @@ def test_window_over_join_left_and_dim_order(lh):
     assert _rows(lh, "SELECT * FROM wjl") == _rows(lh, q)
 
 
-def test_window_over_join_dim_partition_key_is_full_only(lh):
+def test_window_over_join_dim_partition_key_incremental(lh):
+    # round 12 (extension): PARTITION BY a DIM attribute — touched
+    # keys come from the CDF joined to the pinned dims, the scope is
+    # fact ⟕semi the touched dim rows (a safe superset)
     _mk(lh)
     _mk_dim(lh)
-    # a DIM-side partition key can't be scoped from the fact CDF alone
     q = (
-        "SELECT c.k AS k, c.seq AS seq, dj.lbl AS lbl FROM c "
+        "SELECT dj.lbl AS lbl, c.k AS k, c.seq AS seq FROM c "
         "JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
-        "(PARTITION BY dj.lbl ORDER BY c.seq DESC) = 1"
+        "(PARTITION BY dj.lbl ORDER BY c.seq DESC, c.k) = 1"
     )
     lh.sql(f"CREATE MATERIALIZED VIEW wjf AS {q}")
-    lh.sql("INSERT INTO c VALUES (1, 9, 'z')")
-    r = lh.sql("REFRESH MATERIALIZED VIEW wjf").collect()[0]
-    assert r.mode == "full"
     assert _rows(lh, "SELECT * FROM wjf") == _rows(lh, q)
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z'), (4, 2, 'n')")  # new group
+    lh.sql("DELETE FROM c WHERE k = 3")  # group death
+    lh.sql("UPDATE c SET seq = 8 WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjf").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wjf") == _rows(lh, q)
+
+
+def test_window_over_join_mixed_keys_incremental(lh):
+    # fact + dim key components: the dim side scopes (superset), the
+    # MERGE lands exactly the touched (k, lbl) groups
+    _mk(lh)
+    _mk_dim(lh)
+    q = (
+        "SELECT c.k AS k, dj.lbl AS lbl, c.seq AS seq FROM c "
+        "JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY c.k, dj.lbl ORDER BY c.seq DESC) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW wjm AS {q}")
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z')")
+    lh.sql("DELETE FROM c WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjm").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wjm") == _rows(lh, q)
+
+
+def test_window_over_join_two_dim_keys_full_only(lh):
+    # keys spread across TWO dims: no single-sided scope — full-only
+    _mk(lh)
+    _mk_dim(lh)
+    lh.sql(
+        "CREATE TABLE dj2 AS SELECT col1 AS k, col2 AS z FROM VALUES "
+        "(1, 'p'), (2, 'q'), (3, 'r'), (4, 's')"
+    )
+    q = (
+        "SELECT dj.lbl AS lbl, dj2.z AS z, c.seq AS seq FROM c "
+        "JOIN dj ON c.k = dj.k JOIN dj2 ON c.k = dj2.k "
+        "QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY dj.lbl, dj2.z ORDER BY c.seq DESC) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW wj2 AS {q}")
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z')")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wj2").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM wj2") == _rows(lh, q)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_dim_key_window_over_join_matches_recompute_under_random_dml(
+    spark, tmp_path_factory, ops
+):
+    # round 12: PARTITION BY a DIM attribute — the ORDER BY ties break
+    # on (seq DESC, k) so ROW_NUMBER is deterministic within a lbl
+    # group even when several fact keys share the label
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvdjh")))
+    lh.sql(
+        "CREATE TABLE hjc AS SELECT col1 AS k, col2 AS seq FROM VALUES "
+        "(1, 10), (2, 1), (3, 7)"
+    )
+    lh.sql(
+        "CREATE TABLE hjd AS SELECT col1 AS k, col2 AS lbl FROM VALUES "
+        "(1, 'a'), (2, 'a'), (3, 'b')"
+    )
+    q = (
+        "SELECT d.lbl AS lbl, f.k AS k, f.seq AS seq FROM hjc f "
+        "JOIN hjd d ON f.k = d.k QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY d.lbl ORDER BY f.seq DESC, f.k) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW hjw AS {q}")
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(f"({g}, {x})" for g, x in op[1])
+            lh.sql(f"INSERT INTO hjc VALUES {vals}")
+        elif op[0] == "delete_key":
+            lh.sql(f"DELETE FROM hjc WHERE k = {op[1]}")
+        elif op[0] == "delete_row":
+            lh.sql(f"DELETE FROM hjc WHERE k = {op[1]} AND seq = {op[2]}")
+        else:
+            lh.sql(f"UPDATE hjc SET seq = seq + {op[2]} WHERE k = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW hjw").collect()[0]
+        assert r.mode in ("incremental", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM hjw").collect()),
+            key=str,
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops}"
