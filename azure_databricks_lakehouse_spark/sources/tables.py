@@ -1590,25 +1590,28 @@ class ParquetTable:
             if c not in types:
                 raise ValueError(f"DML references unknown column {c!r}")
         keyset = keys.toDF(*cols)
+        nn = functools.reduce(
+            lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
+        )
+        # ONE aggregate answers every routing question (count, per-col
+        # NULL presence, clean-row count) — the NOT EXISTS route used
+        # to pay a second isEmpty action for the NULL-only case
         row = keyset.agg(
             F.count(F.lit(1)).alias("__n"),
             *[
                 F.max(F.col(c).isNull().cast("int")).alias(f"__nl_{i}")
                 for i, c in enumerate(cols)
             ],
+            F.count(F.when(nn, 1)).alias("__clean"),
         ).first()
         if row["__n"] == 0:
             return "ALL"
         if null_aware and any(row[f"__nl_{i}"] for i in range(len(cols))):
             return "NONE"
-        clean = keyset.where(
-            functools.reduce(
-                lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
-            )
-        ).distinct()
-        if not null_aware and clean.isEmpty():
+        if not null_aware and row["__clean"] == 0:
             # NOT EXISTS: NULL-only subquery keys can equal nothing
             return "ALL"
+        clean = keyset.where(nn).distinct()
         return KeyAntiCondition(tuple(cols), clean, null_aware)
 
     def delete_where_not_in(
