@@ -96,9 +96,14 @@ _MVD_QUERY = "SELECT DISTINCT o_custkey % 500 AS ck FROM fact"
 # averages ~100k apart, so the 200000 HAVING threshold is robust at
 # every SF (sample means vary by a few k, the gap is engineered).
 _MVW_QUERY = (
+    # mixed DIM+fact partition keys (round 12): d.seg is determined by
+    # the equi-join key, so the rows equal the fact-key-only top-1 and
+    # the oracle is unchanged — but the refresh now scopes through the
+    # pinned dim (touched keys from CDF ⋈ dim, fact ⟕semi touched dim
+    # rows), pinning the dim-side rescan path under the mode row
     "SELECT f.o_custkey AS ck, f.o_orderkey AS ok, d.seg AS seg "
     "FROM fact2 f JOIN dimc d ON f.o_custkey = d.c_custkey "
-    "QUALIFY ROW_NUMBER() OVER (PARTITION BY f.o_custkey "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY d.seg, f.o_custkey "
     "ORDER BY f.total DESC, f.o_orderkey) = 1"
 )
 _MVR_QUERY = (

@@ -84,14 +84,17 @@ Incremental eligibility (parsed, never guessed):
   (groups replace wholesale, so ``rn <= k`` keeps k rows; empty groups
   delete).  **Over a join** (round 12) the same rescan applies when
   every partition key is a simple qualified column of the fact or of
-  ONE dim: fact-side keys come straight from the fact CDF and scope a
+  a dim: fact-side keys come straight from the fact CDF and scope a
   fact-only semi-join; dim-side keys (``PARTITION BY d.seg`` — top-k
   per dim attribute) come from the CDF joined to the PINNED dims and
   scope fact ⟕semi the touched dim rows — a safe SUPERSET (the MERGE
-  lands only the touched groups; semi joins never fan out).  ORDER BY
-  / items may reference dim columns — with dims frozen each group is
-  still a pure function of its fact rows.  Keys across two dims,
-  expression keys over a join, table-name/alias capture shapes,
+  lands only the touched groups; semi joins never fan out).  Keys
+  spread across SEVERAL dims chain one fact-semi per key-carrying dim:
+  the scope is the rows whose per-dim attributes each appear in some
+  touched pair — a superset of the touched pairs' rows, with only
+  kdf's exact pairs landed.  ORDER BY / items may reference dim
+  columns — with dims frozen each group is still a pure function of
+  its fact rows.  Expression keys over a join, table-name/alias capture shapes,
   global windows, mixed OVER partitioning, unprojected keys, and NULL
   key components fall back to full refresh.
 - **Anything else** (subqueries, RIGHT/FULL/CROSS joins, global
@@ -480,7 +483,7 @@ def _parse_window_plan(q: str) -> MvPlan | None:
         # joined to the PINNED dims, and the scope is fact ⟕semi the
         # touched dim rows — a SUPERSET of the needed rows (safe: the
         # MERGE replaces only kdf's groups), never a fan-out.  Keys
-        # spread across TWO dims have no single-sided scope: full-only.
+        # spread across SEVERAL dims chain one fact-semi per dim.
         aliasq = _ci(r"^`?(\w+)`?\s*\.\s*`?\w+`?$")
         sides: set[str] = set()
         for pk in pk_exprs:
@@ -490,8 +493,6 @@ def _parse_window_plan(q: str) -> MvPlan | None:
             sides.add(_unquote_ident(am2.group(1)))
         dim_aliases = {a for _, a, _, _ in joins}
         if not sides <= ({fact_alias} | dim_aliases):
-            return None
-        if len(sides & dim_aliases) > 1:
             return None
         # the rescan substitutes TABLE NAMES in the body text: renaming
         # a table captures any OTHER ref's alias spelled the same way

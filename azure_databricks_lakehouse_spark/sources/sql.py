@@ -1710,20 +1710,19 @@ class Lakehouse:
         # alias the frames so qualified partition-key exprs (``f.pk``
         # under ``FROM b f``) resolve
         wfa = plan.fact_alias or plan.table.rsplit(".", 1)[-1]
-        # classify DIM-side partition keys (the parser admits at most
-        # one dim alias): they need the CDF joined to the pinned dims
-        # for the touched-key set, and a dim-semi superset scope
+        # classify DIM-side partition keys (grouped per dim alias —
+        # keys may spread across several dims): they need the CDF
+        # joined to the pinned dims for the touched-key set, and one
+        # dim-semi superset scope per key-carrying dim
         dim_aliases = {a for _, a, _, _ in plan.joins}
-        scope_dim = None
-        dim_keys: list[tuple[str, str]] = []
+        dim_key_map: dict[str, list[tuple[str, str]]] = {}
         for e, a in plan.keys:
             am = re.match(r"^`?(\w+)`?\s*\.", e)
             al = _unquote_ident(am.group(1)) if am else None
             if al and al in dim_aliases:
-                scope_dim = al
-                dim_keys.append((e, a))
+                dim_key_map.setdefault(al, []).append((e, a))
         chg = base.changes_between(dep, cur).alias(wfa)
-        if scope_dim is not None:
+        if dim_key_map:
             for jt_t, jt_a, jt_k, jt_c in plan.joins:
                 chg = chg.join(dims[jt_a].alias(jt_a), F.expr(jt_c), jt_k)
         kdf = (
@@ -1744,7 +1743,7 @@ class Lakehouse:
             nullcond = isnull if nullcond is None else nullcond | isnull
         if not kdf.where(nullcond).isEmpty():
             return "full", None
-        if scope_dim is None:
+        if not dim_key_map:
             # scoped base rows: semi-join on the (fact-side) key exprs
             probe = kdf.select(
                 *[F.col(a).alias(f"__mvw_{a}") for a in key_names]
@@ -1755,39 +1754,42 @@ class Lakehouse:
                 cond = eq if cond is None else cond & eq
             scoped = base.read().alias(wfa).join(probe, cond, "left_semi")
         else:
-            # dim-side keys: touched dim rows = the pinned dim semi the
-            # touched key values; scoped fact = fact semi those dim
-            # rows on the join condition — a SUPERSET of the needed
-            # rows (extra groups recompute identically; the MERGE only
-            # lands kdf's groups), and semi joins can never fan out
-            dprobe = kdf.select(
-                *[F.col(a).alias(f"__mvw_{a}") for _, a in dim_keys]
-            ).distinct()
-            dcond = None
-            for e, a in dim_keys:
-                eq = F.expr(e).eqNullSafe(F.col(f"__mvw_{a}"))
-                dcond = eq if dcond is None else dcond & eq
-            jt = next(j for j in plan.joins if j[1] == scope_dim)
-            touched_dims = (
-                dims[scope_dim]
-                .alias(scope_dim)
-                .join(dprobe, dcond, "left_semi")
-                .alias(scope_dim)
-            )
-            scoped = (
-                base.read()
-                .alias(wfa)
-                .join(touched_dims, F.expr(jt[3]), "left_semi")
-            )
+            # dim-side keys: per key-carrying dim, touched dim rows =
+            # the pinned dim semi that dim's touched key values; scoped
+            # fact = fact chained ⟕semi each dim's touched rows on its
+            # join condition — a SUPERSET of the needed rows (each
+            # touched pair's per-dim attributes are in the per-dim
+            # probes; extra groups recompute identically and the MERGE
+            # only lands kdf's exact groups), and semi joins can never
+            # fan out
+            scoped = base.read().alias(wfa)
+            for scope_dim, dim_keys in dim_key_map.items():
+                dprobe = kdf.select(
+                    *[F.col(a).alias(f"__mvw_{a}") for _, a in dim_keys]
+                ).distinct()
+                dcond = None
+                for e, a in dim_keys:
+                    eq = F.expr(e).eqNullSafe(F.col(f"__mvw_{a}"))
+                    dcond = eq if dcond is None else dcond & eq
+                jt = next(j for j in plan.joins if j[1] == scope_dim)
+                touched_dims = (
+                    dims[scope_dim]
+                    .alias(scope_dim)
+                    .join(dprobe, dcond, "left_semi")
+                    .alias(scope_dim)
+                )
+                scoped = scoped.join(
+                    touched_dims, F.expr(jt[3]), "left_semi"
+                ).alias(wfa)
         self._asof_seq += 1
         tmp = f"__mv_win_{self._asof_seq}"
         scoped.createOrReplaceTempView(tmp)
         sub = self._sub_ident(body, plan.table, tmp)
         if plan.joins:
             # window-over-join: the rescan joins the scoped fact rows
-            # to the PINNED dims (frozen — the caller gates on dims_ok,
-            # and the parser requires fact-side partition keys so the
-            # fact CDF alone names the touched groups)
+            # to the PINNED dims (frozen — the caller gates on dims_ok;
+            # fact-side keys scope from the fact CDF alone, dim-side
+            # keys through the pinned dims above)
             seen: set = set()
             for jt_t, jt_a, _jt_k, _jt_c in plan.joins:
                 if jt_t in seen:

@@ -332,8 +332,10 @@ def test_window_over_join_mixed_keys_incremental(lh):
     assert _rows(lh, "SELECT * FROM wjm") == _rows(lh, q)
 
 
-def test_window_over_join_two_dim_keys_full_only(lh):
-    # keys spread across TWO dims: no single-sided scope — full-only
+def test_window_over_join_two_dim_keys_incremental(lh):
+    # keys spread across TWO dims (round 12): one fact-semi per
+    # key-carrying dim scopes the rescan; the MERGE lands only the
+    # touched pairs
     _mk(lh)
     _mk_dim(lh)
     lh.sql(
@@ -348,8 +350,15 @@ def test_window_over_join_two_dim_keys_full_only(lh):
     )
     lh.sql(f"CREATE MATERIALIZED VIEW wj2 AS {q}")
     lh.sql("INSERT INTO c VALUES (1, 9, 'z')")
+    lh.sql("DELETE FROM c WHERE k = 2")
     r = lh.sql("REFRESH MATERIALIZED VIEW wj2").collect()[0]
-    assert r.mode == "full"
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wj2") == _rows(lh, q)
+    # a second wave touching a different pair, then an update
+    lh.sql("INSERT INTO c VALUES (3, 11, 'w'), (4, 2, 'v')")
+    lh.sql("UPDATE c SET seq = 99 WHERE k = 4")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wj2").collect()[0]
+    assert r.mode == "incremental"
     assert _rows(lh, "SELECT * FROM wj2") == _rows(lh, q)
 
 
