@@ -1113,25 +1113,45 @@ class ParquetTable:
         marked_rw = marked_dv = None
         schema_cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
         try:
+            rw_spec = dv_spec = None
             if rewrite:
                 rt = self._rt_state(m) is not None
                 marked_rw = dec(
                     self._read_files_aligned(rewrite, m, with_row_ids=rt)
                 ).persist()
-                files = _write_files(
+                rw_spec = (
                     _to_physical_df(
                         marked_rw.filter(~hit).drop("__hit"), m
                     ),
-                    self.root,
-                    m["partition_by"],
+                    {"root": self.root, "part_cols": m["partition_by"]},
                 )
             if dv_dest:
                 marked_dv = dec(
                     self._read_files_aligned(dv_dest, m, keep_pos=True)
                 ).persist()
-                dv_rels = self._write_dv_entries(
-                    marked_dv.filter(hit).drop("__hit")
+                dv_spec = (
+                    marked_dv.filter(hit).select(
+                        F.col("__rel").alias("__file"),
+                        F.col("__ri").alias("__row_index"),
+                    ),
+                    {
+                        "root": self.root,
+                        "part_cols": [],
+                        "preserve_layout": True,
+                        "subdir": _DV_DIR,
+                    },
                 )
+            # the rewrite survivors and the DV positions read DISJOINT
+            # marked frames, so the two write actions overlap in driver
+            # threads with no shared cold cache; the CDC sidecar below
+            # then reads both frames warm
+            outs = _write_files_concurrent(
+                *[s for s in (rw_spec, dv_spec) if s is not None]
+            )
+            if rw_spec is not None:
+                files = outs.pop(0)
+            if dv_spec is not None:
+                dv_rels = outs.pop(0)
             if touched:
                 # CDC sidecars store LOGICAL names (they are read
                 # directly, never through the mapping) — partition them
@@ -1408,11 +1428,34 @@ class ParquetTable:
             data_df = data_parts[0]
             for p in data_parts[1:]:
                 data_df = data_df.unionByName(p)
-            files += _write_files(
-                _to_physical_df(data_df, m), self.root, m["partition_by"]
-            )
+            # the CDC write above scanned every partition of both
+            # persisted marked frames, so the data rewrite and the DV
+            # positions read warm cache — overlap the two actions
+            specs = [
+                (
+                    _to_physical_df(data_df, m),
+                    {"root": self.root, "part_cols": m["partition_by"]},
+                )
+            ]
             if matched_dv is not None:
-                dv_rels = self._write_dv_entries(matched_dv)
+                specs.append(
+                    (
+                        matched_dv.select(
+                            F.col("__rel").alias("__file"),
+                            F.col("__ri").alias("__row_index"),
+                        ),
+                        {
+                            "root": self.root,
+                            "part_cols": [],
+                            "preserve_layout": True,
+                            "subdir": _DV_DIR,
+                        },
+                    )
+                )
+            outs = _write_files_concurrent(*specs)
+            files += outs[0]
+            if matched_dv is not None:
+                dv_rels = outs[1]
             return self._commit_dml_rebase(
                 m,
                 "UPDATE",
@@ -4360,7 +4403,6 @@ class ParquetTable:
         )
         if rt:
             merged = merged.withColumnRenamed("_row_id", _ROW_ID_PHYS)
-        files = _write_files(_to_physical_df(merged, m), self.root, part_cols)
         data_root = os.path.join(self.root, _DATA_DIR)
         # CDC sidecar (Delta CDF parity for MERGE): the exact row-level
         # delta — matched target pre-images (update_preimage, or delete
@@ -4421,11 +4463,19 @@ class ParquetTable:
                 F.when(F.col("_change_type") == "delete", 1).otherwise(0)
             ).alias("__d"),
         )
-        cdc_files = _write_files(
-            cdc_df,
-            self.root,
-            lpart,
-            subdir=_CDC_DIR,
+        # the data rewrite and the CDC sidecar both read the persisted
+        # target scan + the caller-materialized source: two independent
+        # actions that overlap in driver threads instead of paying two
+        # serial plan/codegen/schedule floors
+        files, cdc_files = _write_files_concurrent(
+            (
+                _to_physical_df(merged, m),
+                {"root": self.root, "part_cols": part_cols},
+            ),
+            (
+                cdc_df,
+                {"root": self.root, "part_cols": lpart, "subdir": _CDC_DIR},
+            ),
         )
         cdc_counts = cdc_obs.get  # the write above ran the action
         commit_props = m.get("props", {})
@@ -5641,6 +5691,45 @@ def _write_files(
             rels.append(os.path.join(rel_dir, dest_name) if rel_dir else dest_name)
     shutil.rmtree(staging)
     return sorted(rels)
+
+
+def _write_files_concurrent(
+    *specs: tuple[DataFrame, dict],
+) -> list[list[str]]:
+    """Run several independent :func:`_write_files` calls CONCURRENTLY
+    (one driver thread each) and return their rels in call order.
+
+    A DML commit pays one Spark action per sink (data rewrite, CDC
+    sidecar, DV sidecar) and each tiny action costs a near-constant
+    plan/codegen/schedule floor (~0.3–0.5 s, PERF.md round-11 §1);
+    the sinks read the SAME persisted/checkpointed parents, so the
+    actions are independent and overlap almost fully (measured ~3×
+    per pair).  Safe because each call stages into its own
+    uuid-unique ``_staging_*`` directory and Spark schedules
+    concurrent jobs from separate threads as a matter of course; the
+    ONE shared-state hazard is `_write_files`' session-conf mutation
+    (variant shredding / optimize-write advisory size), so any spec
+    whose frame carries a VARIANT column or whose kwargs set
+    ``optimize_write`` demotes the whole batch to the sequential
+    path.  Callers must pass frames whose expensive parents are
+    already materialized (persisted scans touched by the probe /
+    constraint action, or localCheckpointed merge sources) — the
+    engine's DML paths already guarantee that for scan-sharing."""
+    safe = all(
+        not kw.get("optimize_write")
+        and not any(
+            "variant" in f.dataType.simpleString()
+            for f in df.schema.fields
+        )
+        for df, kw in specs
+    )
+    if len(specs) < 2 or not safe:
+        return [_write_files(df, **kw) for df, kw in specs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as ex:
+        futs = [ex.submit(_write_files, df, **kw) for df, kw in specs]
+        return [f.result() for f in futs]
 
 
 def _bloom_cfg_hash(props: dict | None, colmap: dict | None) -> str | None:
