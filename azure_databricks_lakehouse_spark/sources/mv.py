@@ -92,11 +92,16 @@ Incremental eligibility (parsed, never guessed):
   spread across SEVERAL dims chain one fact-semi per key-carrying dim:
   the scope is the rows whose per-dim attributes each appear in some
   touched pair — a superset of the touched pairs' rows, with only
-  kdf's exact pairs landed.  ORDER BY / items may reference dim
-  columns — with dims frozen each group is still a pure function of
-  its fact rows.  Expression keys over a join, table-name/alias capture shapes,
-  global windows, mixed OVER partitioning, unprojected keys, and NULL
-  key components fall back to full refresh.
+  kdf's exact pairs landed.  EXPRESSION keys classify to one side by
+  their single qualified ref (``upper(d.seg)``, ``f.k % 2``) and ride
+  the same machinery — every dim row evaluating to a touched value is
+  in the probe.  ORDER BY / items may reference dim columns — with
+  dims frozen each group is still a pure function of its fact rows.
+  Expression keys that cannot be PROVED single-sided (no qualifier,
+  refs naming two aliases, a bare identifier that could be a column),
+  table-name/alias capture shapes, global windows, mixed OVER
+  partitioning, unprojected keys, and NULL key components fall back
+  to full refresh.
 - **Anything else** (subqueries, RIGHT/FULL/CROSS joins, global
   windows): the MV still works — refresh is always full recompute.
 
@@ -410,6 +415,39 @@ def _over_spans(text: str) -> list[tuple[int, int]] | None:
     return spans
 
 
+# tokens that may legally appear BARE (no qualifier, no call parens)
+# inside a partition-key expression without naming a column: operators,
+# CASE scaffolding, literals, CAST targets and interval units.  Anything
+# else bare could be a column of either join side — ambiguous, so the
+# key refuses toward full-only.
+_BARE_KEYWORDS = frozenset(
+    """AND OR NOT CASE WHEN THEN ELSE END NULL TRUE FALSE IS IN LIKE
+    ESCAPE BETWEEN CAST TRY_CAST AS DIV INTERVAL DATE TIMESTAMP
+    TIMESTAMP_NTZ YEAR YEARS MONTH MONTHS WEEK WEEKS DAY DAYS HOUR
+    HOURS MINUTE MINUTES SECOND SECONDS QUARTER INT INTEGER BIGINT
+    SMALLINT TINYINT LONG FLOAT REAL DOUBLE DECIMAL NUMERIC STRING
+    VARCHAR CHAR BOOLEAN BINARY""".split()
+)
+_REF = _ci(r"`?(\w+)`?\s*\.\s*`?\w+`?")
+
+
+def _key_side(pk: str) -> str | None:
+    """The single alias a partition-key expression resolves against,
+    or None when it cannot be classified to one side: no qualified
+    ref at all, refs naming two aliases, or a bare identifier that
+    could be a column of either side (string literals masked first,
+    call names — ``upper(`` — exempt)."""
+    pm = _mask_strings(pk)
+    aliases = {_unquote_ident(mm.group(1)) for mm in _REF.finditer(pm)}
+    if len(aliases) != 1:
+        return None
+    leftover = _REF.sub(" ", pm)
+    for tok in re.finditer(r"\b([A-Za-z_]\w*)\b(\s*\()?", leftover):
+        if not tok.group(2) and tok.group(1).upper() not in _BARE_KEYWORDS:
+            return None
+    return next(iter(aliases))
+
+
 def _parse_window_plan(q: str) -> MvPlan | None:
     """``SELECT <items> FROM t [WHERE p] QUALIFY <pred>`` where every
     window partitions by the SAME key expressions and each key is
@@ -475,22 +513,25 @@ def _parse_window_plan(q: str) -> MvPlan | None:
     pk_exprs = [p.strip() for p in _split_top(pk_norm, ",")]
     if joins:
         # window-over-join (round 12): maintainable by the scoped
-        # per-key rescan when every partition key is a SIMPLE QUALIFIED
-        # column of the fact or of ONE dim.  Fact-side keys: the fact
-        # CDF alone names the touched groups and the scope is a
-        # fact-only semi-join.  Dim-side keys (PARTITION BY d.seg —
-        # top-k per dim attribute): touched keys come from the CDF
-        # joined to the PINNED dims, and the scope is fact ⟕semi the
-        # touched dim rows — a SUPERSET of the needed rows (safe: the
-        # MERGE replaces only kdf's groups), never a fan-out.  Keys
-        # spread across SEVERAL dims chain one fact-semi per dim.
-        aliasq = _ci(r"^`?(\w+)`?\s*\.\s*`?\w+`?$")
+        # per-key rescan when every partition key resolves against ONE
+        # side (a qualified column, or an EXPRESSION whose qualified
+        # refs all name one alias and whose other tokens are provably
+        # not columns).  Fact-side keys: the fact CDF alone names the
+        # touched groups and the scope is a fact-only semi-join.
+        # Dim-side keys (PARTITION BY d.seg — top-k per dim
+        # attribute): touched keys come from the CDF joined to the
+        # PINNED dims, and the scope is fact ⟕semi the touched dim
+        # rows — a SUPERSET of the needed rows (safe: the MERGE
+        # replaces only kdf's groups; for an expression key EVERY dim
+        # row evaluating to a touched value is in the probe), never a
+        # fan-out.  Keys spread across SEVERAL dims chain one
+        # fact-semi per dim.
         sides: set[str] = set()
         for pk in pk_exprs:
-            am2 = aliasq.match(pk)
-            if not am2:
+            side = _key_side(pk)
+            if side is None:
                 return None
-            sides.add(_unquote_ident(am2.group(1)))
+            sides.add(side)
         dim_aliases = {a for _, a, _, _ in joins}
         if not sides <= ({fact_alias} | dim_aliases):
             return None
@@ -513,7 +554,10 @@ def _parse_window_plan(q: str) -> MvPlan | None:
                 if am
                 else (it, None)
             )
-            if expr == pk or it == pk:
+            # pk is whitespace-normalized (from the OVER clause);
+            # normalize the projected expression the same way so an
+            # expression key matches its item regardless of spacing
+            if " ".join(expr.split()) == pk or " ".join(it.split()) == pk:
                 bare = r"`?[\w]+`?(?:\.`?[\w]+`?)?" if joins else r"`?[\w]+`?"
                 name = alias or (
                     _unquote_ident(pk.rsplit(".", 1)[-1])

@@ -1706,6 +1706,8 @@ class Lakehouse:
         group a pure function of the base rows carrying that key.  A
         NULL key component falls back to a full refresh: MERGE's key
         join is null-unsafe, and NULL forms a real window group."""
+        from azure_databricks_lakehouse_spark.sources import mv as _mv
+
         key_names = [a for _, a in plan.keys]
         # alias the frames so qualified partition-key exprs (``f.pk``
         # under ``FROM b f``) resolve
@@ -1717,8 +1719,10 @@ class Lakehouse:
         dim_aliases = {a for _, a, _, _ in plan.joins}
         dim_key_map: dict[str, list[tuple[str, str]]] = {}
         for e, a in plan.keys:
-            am = re.match(r"^`?(\w+)`?\s*\.", e)
-            al = _unquote_ident(am.group(1)) if am else None
+            # same single-side classification the parser admitted the
+            # key under (expression keys classify by their one
+            # qualified-ref alias, not by a name prefix)
+            al = _mv._key_side(e)
             if al and al in dim_aliases:
                 dim_key_map.setdefault(al, []).append((e, a))
         chg = base.changes_between(dep, cur).alias(wfa)

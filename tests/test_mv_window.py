@@ -332,6 +332,56 @@ def test_window_over_join_mixed_keys_incremental(lh):
     assert _rows(lh, "SELECT * FROM wjm") == _rows(lh, q)
 
 
+def test_window_over_join_expression_keys_incremental(lh):
+    # round 12: EXPRESSION partition keys classify to one side by
+    # their single qualified ref — dim-side upper(dj.lbl) scopes
+    # through the pinned dim, fact-side c.k % 2 scopes from the fact
+    # CDF alone; both must be projected (aliased items)
+    _mk(lh)
+    _mk_dim(lh)
+    q = (
+        "SELECT upper(dj.lbl) AS ulbl, c.k % 2 AS kp, c.seq AS seq "
+        "FROM c JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY upper(dj.lbl), c.k % 2 "
+        "ORDER BY c.seq DESC, c.k) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW wje AS {q}")
+    assert _rows(lh, "SELECT * FROM wje") == _rows(lh, q)
+    lh.sql("INSERT INTO c VALUES (1, 9, 'z'), (4, 2, 'n')")
+    lh.sql("DELETE FROM c WHERE k = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wje").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wje") == _rows(lh, q)
+    lh.sql("UPDATE c SET seq = 77 WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wje").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wje") == _rows(lh, q)
+
+
+def test_window_over_join_ambiguous_expression_keys_full_only(lh):
+    # a BARE identifier in an expression key could be a column of
+    # either side; refs spanning two aliases have no single side —
+    # both refuse toward full refresh
+    _mk(lh)
+    _mk_dim(lh)
+    for name, pk in (
+        # bare identifier (unique to the fact so Spark resolves it,
+        # but this parser cannot PROVE the side without a qualifier)
+        ("wja1", "seq % 2"),
+        ("wja2", "c.k + dj.k"),     # two aliases in one key
+    ):
+        q = (
+            f"SELECT {pk} AS pk1, c.seq AS seq FROM c "
+            "JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
+            f"(PARTITION BY {pk} ORDER BY c.seq DESC, c.k) = 1"
+        )
+        lh.sql(f"CREATE MATERIALIZED VIEW {name} AS {q}")
+        lh.sql(f"INSERT INTO c VALUES ({10 + len(name)}, 1, 'q')")
+        r = lh.sql(f"REFRESH MATERIALIZED VIEW {name}").collect()[0]
+        assert r.mode == "full"
+        assert _rows(lh, f"SELECT * FROM {name}") == _rows(lh, q)
+
+
 def test_window_over_join_two_dim_keys_incremental(lh):
     # keys spread across TWO dims (round 12): one fact-semi per
     # key-carrying dim scopes the rescan; the MERGE lands only the
