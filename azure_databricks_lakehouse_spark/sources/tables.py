@@ -5723,6 +5723,8 @@ def _write_files_concurrent(
         )
         for df, kw in specs
     )
+    if os.environ.get("SPARK_GRAFT_SEQ_WRITES"):
+        safe = False  # operational kill-switch (and the A/B lever)
     if len(specs) < 2 or not safe:
         return [_write_files(df, **kw) for df, kw in specs]
     from concurrent.futures import ThreadPoolExecutor
