@@ -1782,52 +1782,105 @@ class ParquetTable:
         gone = set(drop) | set(rewrite)
         files: list[str] = []
         dv_rels: list[str] = []
-        if rewrite:
-            # kept (non-replaced) rows are the same logical rows — carry
-            # their materialized row ids through the rewrite
-            rt = self._rt_state(m) is not None
-            files = _write_files(
-                _to_physical_df(
-                    self._read_files_aligned(
-                        rewrite, m, with_row_ids=rt
-                    ).filter(~cond),
-                    m,
-                ),
+        new_files: list[str] = []
+        schema_cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
+        # each touched file class is READ exactly once (persisted across
+        # the data and CDC sinks, like UPDATE/DELETE), and the first
+        # write wave overlaps in driver threads: the rewrite survivors,
+        # the DV positions and the incoming region come from three
+        # DISJOINT sources, so the concurrent cold materializations
+        # never duplicate work; the CDC sidecar then reads all three
+        # warm plus the whole-file drops
+        marked_rw = marked_dv = None
+        df = df.persist()
+        try:
+            specs: list[tuple[DataFrame, dict]] = []
+            kinds: list[str] = []
+            if rewrite:
+                # kept (non-replaced) rows are the same logical rows —
+                # carry their materialized row ids through the rewrite
+                rt = self._rt_state(m) is not None
+                marked_rw = self._read_files_aligned(
+                    rewrite, m, with_row_ids=rt
+                ).persist()
+                specs.append(
+                    (
+                        _to_physical_df(marked_rw.filter(~cond), m),
+                        {"root": self.root, "part_cols": m["partition_by"]},
+                    )
+                )
+                kinds.append("rw")
+            if dv_dest:
+                marked_dv = self._read_files_aligned(
+                    dv_dest, m, keep_pos=True
+                ).persist()
+                specs.append(
+                    (
+                        marked_dv.filter(cond).select(
+                            F.col("__rel").alias("__file"),
+                            F.col("__ri").alias("__row_index"),
+                        ),
+                        {
+                            "root": self.root,
+                            "part_cols": [],
+                            "preserve_layout": True,
+                            "subdir": _DV_DIR,
+                        },
+                    )
+                )
+                kinds.append("dv")
+            specs.append(
+                (
+                    _to_physical_df(df, m),
+                    {"root": self.root, "part_cols": m["partition_by"]},
+                )
+            )
+            kinds.append("new")
+            for kind, out in zip(kinds, _write_files_concurrent(*specs)):
+                if kind == "rw":
+                    files = out
+                elif kind == "dv":
+                    dv_rels = out
+                else:
+                    new_files = out
+            n_inserted = _file_rows(
+                os.path.join(self.root, _DATA_DIR), new_files
+            )
+            # one CDC sidecar carries the full row-level diff: the
+            # deleted rows AND the inserted region (same contract
+            # UPDATE uses); deleted rows come from the cached marked
+            # frames — only whole-file drops still scan
+            inv = _logical_inverse(m)
+            del_parts: list[DataFrame] = []
+            if marked_rw is not None:
+                del_parts.append(
+                    marked_rw.filter(cond).select(*schema_cols)
+                )
+            if marked_dv is not None:
+                del_parts.append(
+                    marked_dv.filter(cond).select(*schema_cols)
+                )
+            if drop:
+                del_parts.append(
+                    self._read_files_aligned(drop, m).select(*schema_cols)
+                )
+            cdc_df = df.select(*schema_cols).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            for p in del_parts:
+                cdc_df = p.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(cdc_df)
+            cdc_files = _write_files(
+                cdc_df,
                 self.root,
-                m["partition_by"],
+                [inv.get(c, c) for c in m["partition_by"]],
+                subdir=_CDC_DIR,
             )
-        if dv_dest:
-            dv_rels = self._write_dv_entries(
-                self._read_files_aligned(dv_dest, m, keep_pos=True).filter(cond)
-            )
-        new_files = _write_files(
-            _to_physical_df(df, m), self.root, m["partition_by"]
-        )
-        n_inserted = _file_rows(
-            os.path.join(self.root, _DATA_DIR), new_files
-        )
-        # one CDC sidecar carries the full row-level diff: the deleted
-        # rows AND the inserted region (same contract UPDATE uses)
-        inv = _logical_inverse(m)
-        deleted_rows = (
-            self._read_files_aligned(touched, m)
-            .filter(cond)
-            .withColumn("_change_type", F.lit("delete"))
-            if touched
-            else None
-        )
-        inserted_rows = df.withColumn("_change_type", F.lit("insert"))
-        cdc_df = (
-            deleted_rows.unionByName(inserted_rows)
-            if deleted_rows is not None
-            else inserted_rows
-        )
-        cdc_files = _write_files(
-            cdc_df,
-            self.root,
-            [inv.get(c, c) for c in m["partition_by"]],
-            subdir=_CDC_DIR,
-        )
+        finally:
+            for cached in (marked_rw, marked_dv, df):
+                if cached is not None:
+                    cached.unpersist()
         return self._commit_dml_rebase(
             m,
             "REPLACE_WHERE",
