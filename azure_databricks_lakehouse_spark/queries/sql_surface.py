@@ -183,28 +183,6 @@ def q56_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("metric", "value"),
     )
 
-    # the join-MV refresh outside the script so its MODE lands in the
-    # result: the oracle's constant 'incremental' row turns a silent
-    # full-refresh fallback into a hash mismatch
-    mode = lh.sql("REFRESH MATERIALIZED VIEW mv_seg").select(
-        F.lit("mvjoin").alias("part"),
-        F.lit("_refresh").alias("item"),
-        F.lit("mode").alias("metric"),
-        F.col("mode").alias("value"),
-    )
-    mvj = lh.sql(
-        "SELECT seg, CAST(total_sum AS DECIMAL(38,3)) AS total_sum, "
-        "n_orders FROM mv_seg"
-    ).select(
-        F.lit("mvjoin").alias("part"),
-        F.col("seg").alias("item"),
-        F.explode(
-            F.create_map(
-                F.lit("total_sum"), F.col("total_sum").cast("string"),
-                F.lit("n_orders"), F.col("n_orders").cast("string"),
-            )
-        ).alias("metric", "value"),
-    )
     # DISTINCT MV (round 11): zero-aggregate grouped state — the mode
     # row pins incremental maintenance, the key rows pin the values
     dmode = lh.sql("REFRESH MATERIALIZED VIEW mv_dk").select(
@@ -246,6 +224,33 @@ def q56_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|", "seg", F.col("total").cast("string")
         ).alias("value"),
+    )
+    # the join-MV refresh runs LAST among the refreshes, after a dim
+    # UPDATE (the window/rid views above join the same dim and pinned
+    # their incremental modes against its pre-move state), so mvjoin's
+    # constant 'incremental' oracle row proves BOTH that a silent
+    # full-refresh fallback hash-mismatches AND that the round-12
+    # dim-delta legs fire for a moved dim instead of the old full
+    # fallback
+    lh.sql("UPDATE dimc SET seg = 'DX' WHERE c_custkey % 50 = 7")
+    mode = lh.sql("REFRESH MATERIALIZED VIEW mv_seg").select(
+        F.lit("mvjoin").alias("part"),
+        F.lit("_refresh").alias("item"),
+        F.lit("mode").alias("metric"),
+        F.col("mode").alias("value"),
+    )
+    mvj = lh.sql(
+        "SELECT seg, CAST(total_sum AS DECIMAL(38,3)) AS total_sum, "
+        "n_orders FROM mv_seg"
+    ).select(
+        F.lit("mvjoin").alias("part"),
+        F.col("seg").alias("item"),
+        F.explode(
+            F.create_map(
+                F.lit("total_sum"), F.col("total_sum").cast("string"),
+                F.lit("n_orders"), F.col("n_orders").cast("string"),
+            )
+        ).alias("metric", "value"),
     )
     hmode = _mode_row("mv_havg", "mvhavg")
     mvh = lh.sql(
@@ -325,11 +330,15 @@ mv AS (
   FROM fact GROUP BY status
 ),
 jmv AS (
-  SELECT c.c_mktsegment AS seg,
+  -- the Spark side moves dim rows (UPDATE dimc SET seg='DX' WHERE
+  -- c_custkey % 50 = 7) before the final mvjoin refresh; the oracle
+  -- rebuilds the post-move dim inline
+  SELECT CASE WHEN c.c_custkey % 50 = 7 THEN 'DX'
+              ELSE c.c_mktsegment END AS seg,
          CAST(SUM(f.total) AS DECIMAL(38,3)) AS total_sum,
          COUNT(*) AS n_orders
   FROM fact f JOIN customer c ON f.o_custkey = c.c_custkey
-  GROUP BY c.c_mktsegment
+  GROUP BY 1
 ),
 f2a AS (
   SELECT o_orderkey, o_custkey,

@@ -64,9 +64,21 @@ Incremental eligibility (parsed, never guessed):
   fixed columns (:func:`joined_rows` + :func:`canonical_plan`), and
   folds through the SAME signed-weight machinery as the single-table
   path — MIN/MAX retraction rescans included, scoped to the unsafe
-  groups' join rows.  A dim-side change (pinned version moved) is the
-  documented fallback: full recompute, dims re-pinned.  RIGHT/FULL/
-  CROSS/comma joins are not fact-preserving flatmaps — full-only.
+  groups' join rows.  A dim-side change (pinned version moved) also
+  maintains incrementally for INNER-only chains (round 12): the exact
+  delta under both fact and dim movement is the bilinear telescoping
+  ``Δ(F⋈D1⋈D2) = ΔF⋈D1ᵒ⋈D2ᵒ + Fⁿ⋈ΔD1⋈D2ᵒ + Fⁿ⋈D1ⁿ⋈ΔD2`` (ᵒ pinned,
+  ⁿ current; each ΔDi is that dim's CDF slice signed like any delta,
+  resolved via ``change_alias``), every leg joining ONE delta slice
+  against snapshots — a dim insert/delete changes fact-row
+  matchedness and the algebra prices it exactly; the commit re-pins
+  ``mv_dep_dims`` atomically.  Extrema fold plainly only when EVERY
+  leg's window is append-only, else the retraction rescan runs
+  against the CURRENT dims.  LEFT joins under a dim move (the
+  null-extension flips rows the legs cannot express), unpinned dims,
+  and a VACUUMed dim CDF horizon fall back to full recompute with
+  re-pin.  RIGHT/FULL/CROSS/comma joins are not fact-preserving
+  flatmaps — full-only.
 - **SELECT DISTINCT** (round 11): ``SELECT DISTINCT <items> FROM t
   [joins] [WHERE p]`` is exactly a GROUP BY over the items with ZERO
   aggregates — the state is (keys, live count) and the same signed-
@@ -633,6 +645,7 @@ def joined_rows(
     fact: DataFrame,
     dims: dict[str, DataFrame],
     extra_cols: tuple[str, ...] = (),
+    change_alias: str | None = None,
 ) -> DataFrame:
     """The join plan's pre-aggregation rows, CANONICALIZED: the fact
     frame (a snapshot, or a CDF slice whose ``extra_cols`` ride along
@@ -642,7 +655,12 @@ def joined_rows(
     under their aliases, agg args as ``__mv_e{i}``.  Downstream the
     SINGLE-TABLE machinery (:func:`full_state` / :func:`delta_state` /
     :func:`retraction_delta`) runs unchanged over these rows via
-    :func:`canonical_plan`."""
+    :func:`canonical_plan`.
+
+    ``change_alias`` resolves ``extra_cols`` against a DIM alias
+    instead of the fact — the dim-delta leg of a dim-change refresh
+    passes a dim CDF slice as that alias's frame and rides its
+    ``_change_type`` out as the row sign."""
     fa = plan.fact_alias or plan.table.rsplit(".", 1)[-1]
     df = fact.alias(fa)
     for t, a, jt, cond in plan.joins:
@@ -655,7 +673,9 @@ def joined_rows(
         for i, (_, e, _) in enumerate(plan.aggs)
         if e is not None
     ]
-    sel += [F.col(f"{fa}.{c}").alias(c) for c in extra_cols]
+    sel += [
+        F.col(f"{change_alias or fa}.{c}").alias(c) for c in extra_cols
+    ]
     return df.select(*sel)
 
 

@@ -1664,15 +1664,18 @@ class Lakehouse:
             )
 
     def _mv_write_state(
-        self, table, plan, src, cur, use_merge, dep=None
+        self, table, plan, src, cur, use_merge, dep=None, extra_props=None
     ) -> None:
         """Land per-group state rows + the refresh cursor in ONE commit
         (crash-atomic): keyed MERGE when ``src`` holds the AFFECTED
         groups only (``__mv_dead`` rows delete their target group —
         cost ∝ changed groups' files, the huge-cardinality path), else
         a full-state overwrite.  ``dep`` (when given) re-arms the
-        concurrent-refresh cursor guard at landing time."""
+        concurrent-refresh cursor guard at landing time; ``extra_props``
+        ride the same commit (the dim-change refresh re-pins
+        ``mv_dep_dims`` atomically with the folded state)."""
         self._mv_guard_cursor(table, dep)
+        up = {"mv_dep_version": cur, **(extra_props or {})}
         if use_merge:
             table.merge(
                 src,
@@ -1680,10 +1683,10 @@ class Lakehouse:
                 when_matched_delete=F.col("__mv_dead"),
                 source_meta_cols=("__mv_dead",),
                 validate_source_keys=False,
-                extra_props={"mv_dep_version": cur},
+                extra_props=up,
             )
         else:
-            table.overwrite(src, extra_props={"mv_dep_version": cur})
+            table.overwrite(src, extra_props=up)
 
     def _refresh_window_mv(
         self, table, base, plan, body: str, dep: int, cur: int,
@@ -1861,35 +1864,110 @@ class Lakehouse:
             cur = base.latest_version()
             dep = props.get("mv_dep_version")
             # star-join plans fold a fact-side delta against FROZEN
-            # dims: incremental only while every dim sits at its pinned
-            # version; a moved dim is the documented full-refresh
-            # fallback (dims re-pinned by the full branch below)
+            # dims; a MOVED dim maintains GROUPED plans incrementally
+            # too (the dim-delta legs below) and is the full-refresh
+            # fallback otherwise (dims re-pinned by the full branch)
             dims: dict = {}
             dims_ok = True
+            dim_moves: list[tuple[str, str, int, int]] | None = []
+            dim_versions: dict[str, int] = {}
             if plan.joins:
                 pinned = props.get("mv_dep_dims") or {}
                 for t, a, _jt, _cond in plan.joins:
                     dt = self.table(t)
                     dv = dt.latest_version()
-                    if pinned.get(t) != dv:
-                        dims_ok = False
-                        break
                     dims[a] = dt.read(dv)
+                    dim_versions[t] = dv
+                    pv = pinned.get(t)
+                    if pv != dv:
+                        dims_ok = False
+                        if dim_moves is None or pv is None:
+                            dim_moves = None  # unpinned: no delta source
+                        else:
+                            dim_moves.append((t, a, pv, dv))
             if dep == cur and dims_ok:
                 return self.spark.createDataFrame(
                     [(name, "noop", dep)],
                     "view string, mode string, dep_version long",
                 )
-            if plan.joins and dims_ok:
+            # dim-change delta legs (round 12): for INNER-only grouped
+            # star joins the exact state delta under BOTH fact and dim
+            # movement is the bilinear telescoping
+            #   Δ(F⋈D1⋈D2) = ΔF⋈D1ᵒ⋈D2ᵒ + Fⁿ⋈ΔD1⋈D2ᵒ + Fⁿ⋈D1ⁿ⋈ΔD2
+            # (ᵒ = pinned version, ⁿ = current, ΔDi = the dim's CDF
+            # slice signed like any CDF delta) — each leg is a join of
+            # ONE delta slice against snapshots, so cost ∝ the changed
+            # rows' join fan-out, never the tables.  LEFT joins are
+            # excluded: a dim insert/delete flips fact-row MATCHEDNESS
+            # there, which this algebra does not express.  Fires only
+            # when every moved dim is pinned with a readable CDF
+            # window (a VACUUMed horizon falls back to full).
+            dim_leg = bool(
+                plan.joins
+                and not dims_ok
+                and dim_moves
+                and plan.grouped
+                and not plan.window
+                and all(
+                    jt.lower() == "inner" for _, _, jt, _ in plan.joins
+                )
+            )
+            repin = {"mv_dep_dims": dim_versions} if dim_leg else None
+            moved: dict[str, tuple[str, int]] = {}
+            if plan.joins and (dims_ok or dim_leg):
                 aplan = _mv.canonical_plan(plan)
+                moved = {a: (t, pv) for t, a, pv, _dv in (dim_moves or [])}
+                dims_old = {
+                    a: (
+                        self.table(moved[a][0]).read(moved[a][1])
+                        if a in moved
+                        else dims[a]
+                    )
+                    for _t, a, _j, _c in plan.joins
+                }
 
                 def _chg_rows():
-                    return _mv.joined_rows(
-                        plan,
-                        base.changes_between(dep, cur),
-                        dims,
-                        extra_cols=("_change_type",),
-                    )
+                    legs = []
+                    if cur != dep:
+                        legs.append(
+                            _mv.joined_rows(
+                                plan,
+                                base.changes_between(dep, cur),
+                                dims_old,
+                                extra_cols=("_change_type",),
+                            )
+                        )
+                    if moved:
+                        fact_new = base.read()
+                        for idx, (_t, a, _j, _c) in enumerate(plan.joins):
+                            if a not in moved:
+                                continue
+                            mt, pv = moved[a]
+                            leg_dims = {}
+                            for j, (t2, a2, _j2, _c2) in enumerate(
+                                plan.joins
+                            ):
+                                if a2 == a:
+                                    leg_dims[a2] = self.table(
+                                        mt
+                                    ).changes_between(pv, dim_versions[mt])
+                                elif j < idx:
+                                    leg_dims[a2] = dims[a2]  # current
+                                else:
+                                    leg_dims[a2] = dims_old[a2]
+                            legs.append(
+                                _mv.joined_rows(
+                                    plan,
+                                    fact_new,
+                                    leg_dims,
+                                    extra_cols=("_change_type",),
+                                    change_alias=a,
+                                )
+                            )
+                    out = legs[0]
+                    for leg in legs[1:]:
+                        out = out.unionByName(leg)
+                    return out
 
                 def _base_rows():
                     return _mv.joined_rows(plan, base.read(), dims)
@@ -1907,7 +1985,7 @@ class Lakehouse:
                 def _base_rows():
                     return base.read().alias(fa)
 
-            if dep is not None and dims_ok:
+            if dep is not None and (dims_ok or dim_leg):
                 try:
                     if plan.window:
                         mode, dep_out = self._refresh_window_mv(
@@ -1915,7 +1993,19 @@ class Lakehouse:
                         )
                     elif plan.grouped and (
                         not _mv.has_extrema(plan)
-                        or _mv.append_only_window(base, dep, cur)
+                        or (
+                            _mv.append_only_window(base, dep, cur)
+                            # extrema only fold plainly when EVERY
+                            # delta leg is append-only — a moved dim's
+                            # update/delete retracts joined rows just
+                            # like a fact delete
+                            and all(
+                                _mv.append_only_window(
+                                    self.table(mt), pv, dim_versions[mt]
+                                )
+                                for mt, pv in moved.values()
+                            )
+                        )
                     ):
                         # MIN/MAX under an append-only window folds
                         # directly (no retraction possible); SUM/COUNT
@@ -1949,6 +2039,7 @@ class Lakehouse:
                             cur,
                             use_merge,
                             dep=dep,
+                            extra_props=repin,
                         )
                         mode, dep_out = "incremental", cur
                     elif plan.grouped and plan.keys:
@@ -2020,7 +2111,13 @@ class Lakehouse:
                             else:
                                 final = final.unionByName(recomputed)
                         self._mv_write_state(
-                            table, aplan, final, cur, use_merge, dep=dep
+                            table,
+                            aplan,
+                            final,
+                            cur,
+                            use_merge,
+                            dep=dep,
+                            extra_props=repin,
                         )
                         mode = "incremental_rescan" if rescan else (
                             "incremental"
@@ -2041,14 +2138,20 @@ class Lakehouse:
                                 _mv.global_fold(
                                     table.read(), delta_df, aplan
                                 ),
-                                extra_props={"mv_dep_version": cur},
+                                extra_props={
+                                    "mv_dep_version": cur,
+                                    **(repin or {}),
+                                },
                             )
                             mode, dep_out = "incremental", cur
                         else:
                             self._mv_guard_cursor(table, dep)
                             table.overwrite(
                                 _mv.full_state(_base_rows(), aplan),
-                                extra_props={"mv_dep_version": cur},
+                                extra_props={
+                                    "mv_dep_version": cur,
+                                    **(repin or {}),
+                                },
                             )
                             mode, dep_out = "incremental_rescan", cur
                     elif (

@@ -72,12 +72,15 @@ def test_fact_mixed_dml_refreshes_incrementally(lh):
     assert all(t[0] != "c" for t in _rows(lh, "SELECT * FROM m"))
 
 
-def test_dim_change_falls_back_to_full_and_repins(lh):
+def test_dim_change_maintains_incrementally_and_repins(lh):
+    # round 12 (session 2): a moved dim folds through the dim-delta
+    # legs instead of forcing a full refresh (t:test_mv_dim_change
+    # covers the algebra; this pins the mode + the re-pin)
     _mk(lh)
     lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
     lh.sql("UPDATE d SET name = 'z' WHERE k = 1")
     r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
-    assert r.mode == "full"
+    assert r.mode == "incremental"
     assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
     # re-pinned: fact DML alone is incremental again
     lh.sql("INSERT INTO f VALUES (2, 9)")
@@ -91,7 +94,7 @@ def test_dim_change_with_unchanged_fact_is_not_noop(lh):
     lh.sql(f"CREATE MATERIALIZED VIEW m AS {_Q}")
     lh.sql("DELETE FROM d WHERE k = 3")
     r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
-    assert r.mode == "full"
+    assert r.mode == "incremental"
     assert _rows(lh, "SELECT * FROM m") == _rows(lh, _Q)
     assert lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0].mode == "noop"
 
