@@ -109,6 +109,13 @@ Incremental eligibility (parsed, never guessed):
   the same machinery — every dim row evaluating to a touched value is
   in the probe.  ORDER BY / items may reference dim columns — with
   dims frozen each group is still a pure function of its fact rows.
+  A MOVED dim maintains incrementally too (round 12, INNER-only):
+  the dim CDF INNER-joined to the current fact names the touched
+  groups (pre images the losing group, post the gaining; fact-CDF
+  keys evaluate under old AND new dims), and the rescan runs against
+  the CURRENT dims with ``mv_dep_dims`` re-pinned in the same
+  commit — under LEFT a dim delete shifts rows into the NULL key
+  group no CDF image names, so LEFT + dim move stays full.
   Expression keys that cannot be PROVED single-sided (no qualifier,
   refs naming two aliases, a bare identifier that could be a column),
   table-name/alias capture shapes, global windows, mixed OVER

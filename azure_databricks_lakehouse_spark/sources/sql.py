@@ -1691,6 +1691,10 @@ class Lakehouse:
     def _refresh_window_mv(
         self, table, base, plan, body: str, dep: int, cur: int,
         dims: dict | None = None,
+        moved: dict | None = None,
+        dims_old: dict | None = None,
+        dim_versions: dict | None = None,
+        repin: dict | None = None,
     ) -> tuple[str, int]:
         """Incremental refresh of a per-key WINDOW MV (QUALIFY over
         windows all partitioned by the same keys — dedup-to-latest /
@@ -1728,21 +1732,59 @@ class Lakehouse:
             al = _mv._key_side(e)
             if al and al in dim_aliases:
                 dim_key_map.setdefault(al, []).append((e, a))
-        chg = base.changes_between(dep, cur).alias(wfa)
-        if dim_key_map:
-            for jt_t, jt_a, jt_k, jt_c in plan.joins:
-                chg = chg.join(dims[jt_a].alias(jt_a), F.expr(jt_c), jt_k)
-        kdf = (
-            chg
-            .select([F.expr(e).alias(a) for e, a in plan.keys])
-            .distinct()
-            .localCheckpoint()
-        )
+        moved = moved or {}
+        key_sel = [F.expr(e).alias(a) for e, a in plan.keys]
+        # key frames, each a SAFE superset contributor (the MERGE
+        # lands only kdf's groups, and an untouched group in kdf just
+        # recomputes to its stored rows):
+        #   - the fact CDF names groups the fact movement touched —
+        #     under BOTH the old and new dim versions when dims moved,
+        #     since either version may name the group a row left or
+        #     joined;
+        #   - each moved dim's CDF, INNER-joined to the CURRENT fact,
+        #     names the groups whose DIM side moved (pre images the
+        #     losing group, post images the gaining one; item/ORDER
+        #     BY/WHERE changes ride the same rows).  Only the
+        #     key-referenced dims join — relaxing the other INNER
+        #     joins widens the candidate set, never narrows it.
+        key_frames = []
+        if cur != dep:
+            for ds in (
+                [dims, dims_old] if (dim_key_map and moved) else [dims]
+            ):
+                chg = base.changes_between(dep, cur).alias(wfa)
+                if dim_key_map:
+                    for jt_t, jt_a, jt_k, jt_c in plan.joins:
+                        chg = chg.join(
+                            ds[jt_a].alias(jt_a), F.expr(jt_c), jt_k
+                        )
+                key_frames.append(chg.select(*key_sel))
+        for a_m, (mt, pv) in moved.items():
+            dcdf = self.table(mt).changes_between(pv, dim_versions[mt])
+            for ds in ([dims, dims_old] if len(moved) > 1 else [dims]):
+                leg = base.read().alias(wfa)
+                for jt_t, jt_a, jt_k, jt_c in plan.joins:
+                    if jt_a == a_m:
+                        dframe = dcdf
+                    elif jt_a in dim_key_map:
+                        dframe = ds[jt_a]
+                    else:
+                        continue
+                    leg = leg.join(
+                        dframe.alias(jt_a), F.expr(jt_c), "inner"
+                    )
+                key_frames.append(leg.select(*key_sel))
+        kdf = key_frames[0]
+        for kf in key_frames[1:]:
+            kdf = kdf.unionByName(kf)
+        kdf = kdf.distinct().localCheckpoint()
         if kdf.isEmpty():
             # data-preserving commits only (e.g. OPTIMIZE): nothing to
             # rescan — advance the cursor without touching state
             self._mv_guard_cursor(table, dep)
-            table.set_properties({"mv_dep_version": cur})
+            table.set_properties(
+                {"mv_dep_version": cur, **(repin or {})}
+            )
             return "incremental", cur
         nullcond = None
         for a in key_names:
@@ -1826,7 +1868,7 @@ class Lakehouse:
             when_matched_delete=F.col("__mv_dead"),
             source_meta_cols=("__mv_dead",),
             validate_source_keys=False,
-            extra_props={"mv_dep_version": cur},
+            extra_props={"mv_dep_version": cur, **(repin or {})},
         )
         return "incremental", cur
 
@@ -1902,19 +1944,34 @@ class Lakehouse:
             # there, which this algebra does not express.  Fires only
             # when every moved dim is pinned with a readable CDF
             # window (a VACUUMed horizon falls back to full).
+            inner_only = all(
+                jt.lower() == "inner" for _, _, jt, _ in plan.joins
+            )
             dim_leg = bool(
                 plan.joins
                 and not dims_ok
                 and dim_moves
                 and plan.grouped
                 and not plan.window
-                and all(
-                    jt.lower() == "inner" for _, _, jt, _ in plan.joins
-                )
+                and inner_only
             )
-            repin = {"mv_dep_dims": dim_versions} if dim_leg else None
+            # window MVs rescan touched KEY GROUPS, so a moved dim
+            # maintains incrementally too: the dim CDF (joined to the
+            # current fact) names the groups whose content moved, and
+            # the rescan simply runs against the CURRENT dims.
+            # INNER-only — under LEFT a dim delete shifts rows into
+            # the NULL key group, which no CDF image names.
+            win_dim = bool(
+                plan.window and not dims_ok and dim_moves and inner_only
+            )
+            repin = (
+                {"mv_dep_dims": dim_versions}
+                if (dim_leg or win_dim)
+                else None
+            )
             moved: dict[str, tuple[str, int]] = {}
-            if plan.joins and (dims_ok or dim_leg):
+            dims_old: dict = {}
+            if plan.joins and (dims_ok or dim_leg or win_dim):
                 aplan = _mv.canonical_plan(plan)
                 moved = {a: (t, pv) for t, a, pv, _dv in (dim_moves or [])}
                 dims_old = {
@@ -1985,11 +2042,15 @@ class Lakehouse:
                 def _base_rows():
                     return base.read().alias(fa)
 
-            if dep is not None and (dims_ok or dim_leg):
+            if dep is not None and (dims_ok or dim_leg or win_dim):
                 try:
                     if plan.window:
                         mode, dep_out = self._refresh_window_mv(
-                            table, base, plan, body, dep, cur, dims
+                            table, base, plan, body, dep, cur, dims,
+                            moved=moved,
+                            dims_old=dims_old,
+                            dim_versions=dim_versions,
+                            repin=repin,
                         )
                     elif plan.grouped and (
                         not _mv.has_extrema(plan)

@@ -260,18 +260,62 @@ def test_window_over_join_incremental(lh):
     assert _rows(lh, "SELECT * FROM wj") == _rows(lh, _QJ)
 
 
-def test_window_over_join_dim_change_falls_back_and_repins(lh):
+def test_window_over_join_dim_change_rescans_and_repins(lh):
+    # round 12 (session 2): a moved dim no longer forces full — the
+    # dim CDF joined to the current fact names the touched groups and
+    # the rescan runs against the CURRENT dims, re-pinning them
     _mk(lh)
     _mk_dim(lh)
     lh.sql(f"CREATE MATERIALIZED VIEW wjd AS {_QJ}")
     lh.sql("UPDATE dj SET lbl = 'bb' WHERE k = 2")
     r = lh.sql("REFRESH MATERIALIZED VIEW wjd").collect()[0]
-    assert r.mode == "full"
+    assert r.mode == "incremental"
     assert _rows(lh, "SELECT * FROM wjd") == _rows(lh, _QJ)
     lh.sql("INSERT INTO c VALUES (2, 7, 'q')")  # re-pinned: incremental
     r = lh.sql("REFRESH MATERIALIZED VIEW wjd").collect()[0]
     assert r.mode == "incremental"
     assert _rows(lh, "SELECT * FROM wjd") == _rows(lh, _QJ)
+
+
+def test_window_over_join_dim_and_fact_move_together(lh):
+    # fact DML + dim DML in one window: fact-CDF keys (old AND new
+    # dims) union the dim-CDF keys; dim-side partition key
+    _mk(lh)
+    _mk_dim(lh)
+    q = (
+        "SELECT dj.lbl AS lbl, c.k AS k, c.seq AS seq FROM c "
+        "JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY dj.lbl ORDER BY c.seq DESC, c.k) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW wjdf AS {q}")
+    lh.sql("INSERT INTO c VALUES (4, 20, 'n')")
+    lh.sql("UPDATE dj SET lbl = 'x' WHERE k = 1")
+    lh.sql("DELETE FROM dj WHERE k = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjdf").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wjdf") == _rows(lh, q)
+    # dim insert admits previously-unmatched facts into a new group
+    lh.sql("INSERT INTO dj VALUES (3, 'z')")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjdf").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM wjdf") == _rows(lh, q)
+
+
+def test_window_left_join_dim_change_is_full(lh):
+    # LEFT + dim move: a dim delete shifts rows into the NULL key
+    # group, which no CDF image names — full fallback
+    _mk(lh)
+    _mk_dim(lh)
+    q = (
+        "SELECT c.k AS k, c.seq AS seq, dj.lbl AS lbl FROM c "
+        "LEFT JOIN dj ON c.k = dj.k QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY c.k ORDER BY c.seq DESC) = 1"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW wjlf AS {q}")
+    lh.sql("DELETE FROM dj WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW wjlf").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh, "SELECT * FROM wjlf") == _rows(lh, q)
 
 
 def test_window_over_join_left_and_dim_order(lh):
@@ -412,12 +456,25 @@ def test_window_over_join_two_dim_keys_incremental(lh):
     assert _rows(lh, "SELECT * FROM wj2") == _rows(lh, q)
 
 
+_dim_op = st.sampled_from(
+    [
+        "UPDATE hjd SET lbl = 'c' WHERE k = 1",
+        "UPDATE hjd SET lbl = 'a' WHERE lbl = 'b'",
+        "DELETE FROM hjd WHERE k = 2",
+        "INSERT INTO hjd VALUES (4, 'd')",
+        "INSERT INTO hjd VALUES (5, 'a')",
+    ]
+)
+
+
 @settings(
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(ops=st.lists(_op, min_size=1, max_size=4))
+@given(
+    ops=st.lists(st.one_of(_op, _dim_op), min_size=1, max_size=4)
+)
 def test_dim_key_window_over_join_matches_recompute_under_random_dml(
     spark, tmp_path_factory, ops
 ):
@@ -440,7 +497,9 @@ def test_dim_key_window_over_join_matches_recompute_under_random_dml(
     )
     lh.sql(f"CREATE MATERIALIZED VIEW hjw AS {q}")
     for op in ops:
-        if op[0] == "insert":
+        if isinstance(op, str):  # dim DML (round 12, session 2)
+            lh.sql(op)
+        elif op[0] == "insert":
             vals = ", ".join(f"({g}, {x})" for g, x in op[1])
             lh.sql(f"INSERT INTO hjc VALUES {vals}")
         elif op[0] == "delete_key":
