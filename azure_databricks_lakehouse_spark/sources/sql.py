@@ -1964,14 +1964,28 @@ class Lakehouse:
             win_dim = bool(
                 plan.window and not dims_ok and dim_moves and inner_only
             )
+            # rid-keyed projections: a moved dim's CDF semi-joined to
+            # the current fact names the touched rids; their view rows
+            # re-derive through the CURRENT dims via the same
+            # rids/live/dead machinery (a dim delete INNER-unmatches a
+            # rid → dead row; a dim insert admits one → live row)
+            rid_dim = bool(
+                plan.joins
+                and not dims_ok
+                and dim_moves
+                and inner_only
+                and not plan.grouped
+                and not plan.window
+                and props.get("mv_rid")
+            )
             repin = (
                 {"mv_dep_dims": dim_versions}
-                if (dim_leg or win_dim)
+                if (dim_leg or win_dim or rid_dim)
                 else None
             )
             moved: dict[str, tuple[str, int]] = {}
             dims_old: dict = {}
-            if plan.joins and (dims_ok or dim_leg or win_dim):
+            if plan.joins and (dims_ok or dim_leg or win_dim or rid_dim):
                 aplan = _mv.canonical_plan(plan)
                 moved = {a: (t, pv) for t, a, pv, _dv in (dim_moves or [])}
                 dims_old = {
@@ -2042,7 +2056,7 @@ class Lakehouse:
                 def _base_rows():
                     return base.read().alias(fa)
 
-            if dep is not None and (dims_ok or dim_leg or win_dim):
+            if dep is not None and (dims_ok or dim_leg or win_dim or rid_dim):
                 try:
                     if plan.window:
                         mode, dep_out = self._refresh_window_mv(
@@ -2231,27 +2245,81 @@ class Lakehouse:
                         # commit the post-image outranks its pre-image)
                         # and supplies the image; images failing the
                         # MV's WHERE predicate delete too.
-                        ch = base.changes_between(
-                            dep, cur, with_row_ids=True
-                        )
                         meta = {
                             "_change_type",
                             "_commit_version",
                             "_commit_timestamp",
                             "_row_id",
                         }
-                        base_cols = [
-                            c for c in ch.columns if c not in meta
-                        ]
-                        ev = ch.select(
-                            *base_cols,
-                            F.col("_row_id").alias("__mv_rid"),
-                            "_commit_version",
-                            F.col("_change_type")
-                            .isin("insert", "update_postimage")
-                            .cast("int")
-                            .alias("__ins"),
-                        )
+                        ev = None
+                        base_cols = None
+                        if cur != dep:
+                            ch = base.changes_between(
+                                dep, cur, with_row_ids=True
+                            )
+                            base_cols = [
+                                c for c in ch.columns if c not in meta
+                            ]
+                            ev = ch.select(
+                                *base_cols,
+                                F.col("_row_id").alias("__mv_rid"),
+                                "_commit_version",
+                                F.col("_change_type")
+                                .isin("insert", "update_postimage")
+                                .cast("int")
+                                .alias("__ins"),
+                            )
+                        if moved:
+                            # dim-change (round 12, session 2): rids of
+                            # current fact rows joined to a moved dim's
+                            # CDF images become PSEUDO insert events at
+                            # version -1 — a real CDF event outranks
+                            # them in the per-rid window, and the
+                            # rids/live/dead fold re-derives each
+                            # touched rid through the CURRENT dims
+                            cur_rt = base.read(with_row_ids=True)
+                            if base_cols is None:
+                                base_cols = [
+                                    c
+                                    for c in cur_rt.columns
+                                    if c not in meta
+                                ]
+                            pfa0 = plan.fact_alias or plan.table.rsplit(
+                                ".", 1
+                            )[-1]
+                            touched_f = None
+                            for a_m, (mt, pv) in moved.items():
+                                dcdf = self.table(mt).changes_between(
+                                    pv, dim_versions[mt]
+                                )
+                                jmt = next(
+                                    j
+                                    for j in plan.joins
+                                    if j[1] == a_m
+                                )
+                                part = cur_rt.alias(pfa0).join(
+                                    dcdf.alias(a_m),
+                                    F.expr(jmt[3]),
+                                    "left_semi",
+                                )
+                                touched_f = (
+                                    part
+                                    if touched_f is None
+                                    else touched_f.unionByName(part)
+                                )
+                            pseudo = touched_f.distinct().select(
+                                *base_cols,
+                                F.col("_row_id").alias("__mv_rid"),
+                                F.lit(-1)
+                                .cast("long")
+                                .alias("_commit_version"),
+                                F.lit(1).alias("__ins"),
+                            )
+                            ev = (
+                                pseudo
+                                if ev is None
+                                else ev.unionByName(pseudo)
+                            )
                         from pyspark.sql import Window as _W
 
                         last = (
@@ -2342,7 +2410,10 @@ class Lakehouse:
                             when_matched_delete=F.col("__mv_dead"),
                             source_meta_cols=("__mv_dead",),
                             validate_source_keys=False,
-                            extra_props={"mv_dep_version": cur},
+                            extra_props={
+                                "mv_dep_version": cur,
+                                **(repin or {}),
+                            },
                         )
                         mode, dep_out = "incremental", cur
                     elif not plan.grouped and _mv.append_only_window(

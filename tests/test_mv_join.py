@@ -8,11 +8,14 @@ claims joined to dim_date).  With every dim FROZEN at its pinned
 version the join chain is a per-fact-row flatmap, so
 ``Δ(fact ⋈ dims) = Δfact ⋈ dims`` and the single-table signed-weight
 fold applies verbatim over canonicalized join rows.  A dim-side change
-is the documented full-refresh fallback (dims re-pinned).
+maintains incrementally too (round 12, session 2): grouped INNER-only
+plans fold bilinear dim-delta legs, rid projections re-derive the
+dim-touched rids as pseudo events; LEFT-chain dim moves and
+RIGHT/FULL/CROSS shapes keep the full fallback (dims re-pinned).
 
 Done-criterion, like the single-table sweeps: after ANY random fact
-DML sequence, incremental refresh must leave the MV row-identical to
-recomputing the defining query from scratch.
+AND dim DML sequence, incremental refresh must leave the MV
+row-identical to recomputing the defining query from scratch.
 """
 
 from __future__ import annotations
@@ -222,6 +225,35 @@ def test_join_projection_rid_incremental(lh):
     assert _rows(lh, "SELECT * FROM mp") == _rows(lh, q)
 
 
+def test_join_projection_rid_dim_change_incremental(lh):
+    # round 12 (session 2): a moved dim names its touched rids (dim
+    # CDF semi current fact) as pseudo insert events — re-derived
+    # through the CURRENT dims, with matchedness flips priced (a dim
+    # delete kills the rid's rows, an insert admits them)
+    _mk(lh)
+    lh.sql(
+        "ALTER TABLE f SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    q = "SELECT f.k AS k, f.x AS x, d.name AS nm FROM f JOIN d ON f.k = d.k"
+    lh.sql(f"CREATE MATERIALIZED VIEW mpd AS {q}")
+    lh.sql("UPDATE d SET name = 'zz' WHERE k = 1")
+    lh.sql("DELETE FROM d WHERE k = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mpd").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mpd") == _rows(lh, q)
+    # dim insert admits previously-unmatched facts; fact+dim together
+    lh.sql("INSERT INTO f VALUES (9, 5)")
+    lh.sql("INSERT INTO d VALUES (9, 'nine'), (2, 'two')")
+    r = lh.sql("REFRESH MATERIALIZED VIEW mpd").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh, "SELECT * FROM mpd") == _rows(lh, q)
+    # re-pinned: an immediate refresh noops
+    assert lh.sql("REFRESH MATERIALIZED VIEW mpd").collect()[0].mode == (
+        "noop"
+    )
+
+
 def test_join_projection_rid_fanout_group_replace(lh):
     # a dim with DUPLICATE join keys fans one fact rid into a
     # multi-row group — the MERGE must replace the group wholesale
@@ -263,7 +295,9 @@ def test_join_projection_left_and_where(lh):
     assert _rows(lh, "SELECT * FROM mlw") == _rows(lh, q)
 
 
-def test_join_projection_dim_change_falls_back_and_repins(lh):
+def test_join_projection_dim_change_maintains_and_repins(lh):
+    # round 12 (session 2): the moved dim's touched rids re-derive
+    # incrementally (see test_join_projection_rid_dim_change_*)
     _mk(lh)
     lh.sql(
         "ALTER TABLE f SET TBLPROPERTIES "
@@ -273,7 +307,7 @@ def test_join_projection_dim_change_falls_back_and_repins(lh):
     lh.sql(f"CREATE MATERIALIZED VIEW mdc AS {q}")
     lh.sql("UPDATE d SET name = 'zz' WHERE k = 1")
     r = lh.sql("REFRESH MATERIALIZED VIEW mdc").collect()[0]
-    assert r.mode == "full"
+    assert r.mode == "incremental"
     assert _rows(lh, "SELECT * FROM mdc") == _rows(lh, q)
     lh.sql("INSERT INTO f VALUES (1, 5)")  # re-pinned: incremental again
     r = lh.sql("REFRESH MATERIALIZED VIEW mdc").collect()[0]
@@ -497,6 +531,71 @@ def test_join_projection_rid_matches_recompute_under_random_dml(
         assert r.mode in ("incremental", "noop"), op
         got = sorted(
             (tuple(r) for r in lh.sql("SELECT * FROM jp").collect()),
+            key=str,
+        )
+        want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
+        assert got == want, f"after {op} of {ops}"
+
+
+_rid_dim_op = st.sampled_from(
+    [
+        "UPDATE jd2 SET name = 'z' WHERE k = 1",
+        "DELETE FROM jd2 WHERE k = 2",
+        "INSERT INTO jd2 VALUES (9, 'nine')",
+        "INSERT INTO jd2 VALUES (3, 'ccc')",
+        "UPDATE jd2 SET name = 'w' WHERE name = 'c'",
+    ]
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(st.one_of(_op, _rid_dim_op), min_size=1, max_size=4)
+)
+def test_rid_inner_join_matches_recompute_under_fact_and_dim_dml(
+    spark, tmp_path_factory, ops
+):
+    # round 12 (session 2): INNER rid projection under MIXED fact and
+    # dim DML — dim ops flip matchedness (delete kills rids' rows,
+    # insert admits previously-unmatched rids, 1:N inserts fan out)
+    lh = Lakehouse(spark, warehouse=str(tmp_path_factory.mktemp("mvjd")))
+    lh.sql(
+        "CREATE TABLE jf2 AS SELECT col1 AS k, col2 AS x FROM VALUES "
+        "(1, 10), (2, NULL), (3, 7), (9, 99)"
+    )
+    lh.sql(
+        "ALTER TABLE jf2 SET TBLPROPERTIES "
+        "('delta.enableRowTracking' = 'true')"
+    )
+    lh.sql(
+        "CREATE TABLE jd2 AS SELECT col1 AS k, col2 AS name FROM VALUES "
+        "(1, 'a'), (2, 'b'), (3, 'c'), (3, 'cc')"
+    )
+    q = (
+        "SELECT jf2.k AS k, jf2.x AS x, jd2.name AS nm FROM jf2 "
+        "JOIN jd2 ON jf2.k = jd2.k WHERE jf2.x IS NULL OR jf2.x < 60"
+    )
+    lh.sql(f"CREATE MATERIALIZED VIEW jp2 AS {q}")
+    for op in ops:
+        if isinstance(op, str):  # dim DML
+            lh.sql(op)
+        elif op[0] == "insert":
+            vals = ", ".join(
+                f"({g}, {'NULL' if x is None else x})" for g, x in op[1]
+            )
+            lh.sql(f"INSERT INTO jf2 VALUES {vals}")
+        elif op[0] == "delete":
+            lh.sql(f"DELETE FROM jf2 WHERE k = {op[1]}")
+        else:
+            lh.sql(f"UPDATE jf2 SET x = x + {op[2]} WHERE k = {op[1]}")
+        r = lh.sql("REFRESH MATERIALIZED VIEW jp2").collect()[0]
+        assert r.mode in ("incremental", "noop"), op
+        got = sorted(
+            (tuple(r) for r in lh.sql("SELECT * FROM jp2").collect()),
             key=str,
         )
         want = sorted((tuple(r) for r in lh.sql(q).collect()), key=str)
