@@ -977,6 +977,7 @@ class ParquetTable:
         cdc_files: list[str],
         metrics: dict,
         max_retries: int = 10,
+        cdc_row_ids: bool = False,
     ) -> int:
         """Publish a DELETE/UPDATE commit with logical conflict
         detection: on a version collision the loser checks the winner's
@@ -1017,6 +1018,7 @@ class ParquetTable:
                     colmap=base.get("colmap", {}),
                     retired_cols=base.get("retired_cols", []),
                     metrics=metrics,
+                    cdc_row_ids=cdc_row_ids,
                 )
             except FileExistsError:
                 time.sleep(min(0.05 * (attempt + 1), 0.5))
@@ -1112,10 +1114,15 @@ class ParquetTable:
         # third pass over the rewrite working set at 100 TB
         marked_rw = marked_dv = None
         schema_cols = _schema_from_json(self.spark, m["schema"]).fieldNames()
+        rt = self._rt_state(m) is not None
+        # row-tracked tables thread the stable id into every frame that
+        # feeds the CDC sidecar, so the sidecar can serve
+        # changes_between(with_row_ids=True) directly (see _commit's
+        # cdc_row_ids)
+        cdc_id_cols = [_ROW_ID_PHYS] if rt else []
         try:
             rw_spec = dv_spec = None
             if rewrite:
-                rt = self._rt_state(m) is not None
                 marked_rw = dec(
                     self._read_files_aligned(rewrite, m, with_row_ids=rt)
                 ).persist()
@@ -1127,7 +1134,9 @@ class ParquetTable:
                 )
             if dv_dest:
                 marked_dv = dec(
-                    self._read_files_aligned(dv_dest, m, keep_pos=True)
+                    self._read_files_aligned(
+                        dv_dest, m, keep_pos=True, with_row_ids=rt
+                    )
                 ).persist()
                 dv_spec = (
                     marked_dv.filter(hit).select(
@@ -1161,21 +1170,29 @@ class ParquetTable:
                 parts: list[DataFrame] = []
                 if marked_rw is not None:
                     parts.append(
-                        marked_rw.filter(hit).select(*schema_cols)
+                        marked_rw.filter(hit).select(
+                            *schema_cols, *cdc_id_cols
+                        )
                     )
                 if marked_dv is not None:
                     parts.append(
-                        marked_dv.filter(hit).select(*schema_cols)
+                        marked_dv.filter(hit).select(
+                            *schema_cols, *cdc_id_cols
+                        )
                     )
                 if drop:
                     parts.append(
-                        self._read_files_aligned(drop, m).select(
-                            *schema_cols
-                        )
+                        self._read_files_aligned(
+                            drop, m, with_row_ids=rt
+                        ).select(*schema_cols, *cdc_id_cols)
                     )
                 cdc_df = parts[0]
                 for p in parts[1:]:
                     cdc_df = cdc_df.unionByName(p)
+                if rt:
+                    cdc_df = cdc_df.withColumnRenamed(
+                        _ROW_ID_PHYS, "_row_id"
+                    )
                 cdc_files = _write_files(
                     cdc_df.withColumn("_change_type", F.lit("delete")),
                     self.root,
@@ -1191,6 +1208,7 @@ class ParquetTable:
                 dv_dest=dv_dest,
                 dv_rels=dv_rels,
                 cdc_files=cdc_files,
+                cdc_row_ids=rt,
                 metrics={
                     "rows_deleted": n_rows,
                     "files_dropped": len(drop),
@@ -1353,28 +1371,41 @@ class ParquetTable:
             ).persist()
             matched_dv = marked_dv.filter(hit).drop("__hit")
         try:
+            # row-tracked tables keep the stable id on both images so the
+            # sidecar serves changes_between(with_row_ids=True) directly
+            # (see _commit's cdc_row_ids)
+            cdc_id_cols = [_ROW_ID_PHYS] if rt else []
             pre_parts: list[DataFrame] = []
             if marked_rw is not None:
                 pre_parts.append(
-                    marked_rw.filter(hit).select(*schema_cols, *corr_cols)
+                    marked_rw.filter(hit).select(
+                        *schema_cols, *corr_cols, *cdc_id_cols
+                    )
                 )
             if matched_dv is not None:
                 pre_parts.append(
-                    matched_dv.select(*schema_cols, *corr_cols)
+                    matched_dv.select(
+                        *schema_cols, *corr_cols, *cdc_id_cols
+                    )
                 )
             pre = pre_parts[0]
             for p in pre_parts[1:]:
                 pre = pre.unionByName(p)
             post = _post_image(pre)
-            pre = pre.select(*schema_cols)  # lookup cols: eval-only
+            # lookup cols: eval-only
+            pre = pre.select(*schema_cols, *cdc_id_cols)
             # constraints are checked on the POST-update image of matched
             # rows only — the checked set stays proportional to the change
             self._enforce_current(post, m, "UPDATE")
             cdc = pre.withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
-                post.withColumn("_change_type", F.lit("update_postimage"))
+                post.select(*pre.columns).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
             )
+            if rt:
+                cdc = cdc.withColumnRenamed(_ROW_ID_PHYS, "_row_id")
             inv = _logical_inverse(m)
             cdc_files = _write_files(
                 cdc,
@@ -1465,6 +1496,7 @@ class ParquetTable:
                 dv_dest=dv_dest,
                 dv_rels=dv_rels,
                 cdc_files=cdc_files,
+                cdc_row_ids=rt,
                 metrics={
                     "rows_updated": n_rows,
                     "files_rewritten": len(rewrite),
@@ -4490,8 +4522,14 @@ class ParquetTable:
                 F.lit("update_postimage"),
             ).otherwise(F.lit("insert")),
         )
+        # row-tracked tables keep the stable ``_row_id`` on every sidecar
+        # row (pre-images carry the target's id, post-images/inserts the
+        # id the rewrite materializes) so the sidecar can serve
+        # changes_between(with_row_ids=True) directly — see _commit's
+        # cdc_row_ids
         cdc_df = pre.unionByName(post, allowMissingColumns=True).select(
-            *[c for c in source.columns if c != "_row_id"], "_change_type"
+            *[c for c in source.columns if rt or c != "_row_id"],
+            "_change_type",
         )
         # row-level operation metrics ride the CDC write action itself
         # (observe = CollectMetrics, zero extra Spark actions): the CDC
@@ -4531,6 +4569,12 @@ class ParquetTable:
             ),
         )
         cdc_counts = cdc_obs.get  # the write above ran the action
+        # insert rows' stable ids are assigned by the data write (file
+        # base + row index, _rt_advance) and are NULL in the sidecar —
+        # only an insert-free merge sidecar can serve
+        # changes_between(with_row_ids=True); the observed counts make
+        # that check free
+        cdc_ids_ok = rt and int(cdc_counts.get("__i") or 0) == 0
         commit_props = m.get("props", {})
         if extra_props:
             # caller-supplied props land in the SAME commit as the data
@@ -4573,6 +4617,7 @@ class ParquetTable:
             blooms=self._compute_blooms(files, m),
             parent=m,
             cdc_files=cdc_files,
+            cdc_row_ids=cdc_ids_ok,
             dvs={
                 f: v
                 for f, v in m.get("dvs", {}).items()
@@ -5140,7 +5185,7 @@ class ParquetTable:
                     "from a snapshot at or after this version"
                 )
             cdc = m.get("cdc_files", [])
-            if cdc and not with_row_ids:
+            if cdc and (not with_row_ids or m_v.get("cdc_row_ids")):
                 # DELETE/UPDATE commits record their exact row deltas as
                 # a CDC sidecar — read it directly (cost ∝ changed rows,
                 # zero shuffle) instead of the EXCEPT ALL reconstruction.
@@ -5149,11 +5194,18 @@ class ParquetTable:
                 # delete + insert pair).  One visible difference from
                 # the reconstruction: an identity update (post == pre)
                 # surfaces both rows instead of cancelling — Delta's CDF
-                # behaves the same way.
+                # behaves the same way.  Row-tracked DML sidecars carry
+                # ``_row_id`` (manifest ``cdc_row_ids``), so the
+                # with_row_ids read takes the same zero-shuffle path;
+                # sidecars without ids (or pre-row-tracking history)
+                # fall back to the file-diff reconstruction below, and
+                # non-id readers drop the column to keep the CDF schema.
                 ct = F.col("_change_type")
+                cdc_df = _renamed(m_v, self._read_cdc_files(cdc))
+                if not with_row_ids and "_row_id" in cdc_df.columns:
+                    cdc_df = cdc_df.drop("_row_id")
                 slices.append(
-                    _renamed(m_v, self._read_cdc_files(cdc))
-                    .withColumn(
+                    cdc_df.withColumn(
                         "_change_type",
                         F.when(ct == "update_preimage", F.lit("delete"))
                         .when(ct == "update_postimage", F.lit("insert"))
@@ -6102,6 +6154,7 @@ def _commit(
     retired_cols: list[str] | None = None,
     metrics: dict | None = None,
     parent: dict | None = None,
+    cdc_row_ids: bool = False,
 ) -> int:
     """Atomically publish a manifest version (write-temp + rename — the
     commit point, mirroring Delta's `_delta_log` JSON commit).
@@ -6170,6 +6223,12 @@ def _commit(
         "stats_sidecars": refs,
         "props": props or {},
         "cdc_files": cdc_files or [],
+        # True when the CDC sidecar rows carry the stable ``_row_id``
+        # column (row-tracked tables): changes_between(with_row_ids=True)
+        # can then read the sidecar directly (cost ∝ changed rows, zero
+        # shuffle) instead of the added-EXCEPT ALL-removed file-diff
+        # reconstruction (two shuffles of every touched file per commit)
+        **({"cdc_row_ids": True} if (cdc_row_ids and cdc_files) else {}),
         # merge-on-read deletion vectors: data file -> the DV sidecar
         # parquet files (under _deletion_vectors/) holding its deleted
         # row positions.  A file absent from the map has no masked rows.

@@ -274,3 +274,71 @@ def test_row_ids_stable_under_random_dml(spark, tmp_path_factory, ops):
             assert cur[k] not in seen, f"fresh key {k} reused an id ({op})"
         seen |= set(cur.values())
         prev = cur
+
+
+# -- CDF × row ids via the CDC sidecar (round 12 optimization) --------------
+# Row-tracked DML commits write ``_row_id`` into their CDC sidecar and
+# flag the manifest (``cdc_row_ids``), so changes_between(with_row_ids=
+# True) reads the sidecar directly — zero shuffle, cost ∝ changed rows —
+# instead of the added-EXCEPT ALL-removed file-diff reconstruction.
+
+
+def test_cdf_with_row_ids_takes_sidecar_path(tracked):
+    ids0 = _ids(tracked)
+    v0 = tracked.latest_version()
+    tracked.update("k % 2 = 0", {"v": F.col("v") + 1})
+    tracked.delete("k % 5 = 1")
+    for v in (v0 + 1, v0 + 2):
+        assert tracked._manifest(v).get("cdc_row_ids") is True
+    # plain CDF keeps its schema: no _row_id leaks out of the sidecar
+    assert "_row_id" not in tracked.changes_between(v0).columns
+    ch = tracked.changes_between(v0, with_row_ids=True)
+    # the sidecar path has no EXCEPT ALL reconstruction in the plan
+    assert "Except" not in ch._jdf.queryExecution().optimizedPlan().toString()
+    rows = ch.collect()
+    # every change row carries its key's ORIGINAL stable id
+    for r in rows:
+        assert r._row_id == ids0[r.k], f"key {r.k} id drifted in CDF"
+    upd = {k for k in ids0 if k % 2 == 0}
+    del_ = {k for k in ids0 if k % 5 == 1}
+    assert {r.k for r in rows if r._change_type == "insert"} == upd
+    assert {r.k for r in rows if r._change_type == "delete"} == upd | del_
+
+
+def test_cdf_row_ids_sidecar_matches_reconstruction(tracked):
+    import json as _json
+
+    from azure_databricks_lakehouse_spark.sources.tables import (
+        _manifest_path,
+    )
+
+    v0 = tracked.latest_version()
+    # +7 so NO row is an identity update (v*2 would leave k=0 unchanged
+    # — the one documented sidecar/reconstruction divergence: the
+    # sidecar surfaces identity pairs, EXCEPT ALL cancels them)
+    tracked.update("k % 3 = 0", {"v": F.col("v") + 7})
+    tracked.delete("k >= 15")
+    cols = ["k", "v", "_row_id", "_change_type", "_commit_version"]
+
+    def _snap():
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in tracked.changes_between(
+                v0, with_row_ids=True
+            ).collect()
+        )
+
+    fast = _snap()
+    # strip the flag from both commits: the same call now takes the
+    # file-diff reconstruction — outputs must be identical
+    for v in (v0 + 1, v0 + 2):
+        p = _manifest_path(tracked.root, v)
+        with open(p) as fh:
+            m = _json.load(fh)
+        assert m.pop("cdc_row_ids") is True
+        with open(p + ".tmp", "w") as fh:
+            _json.dump(m, fh)
+        import os as _os
+
+        _os.replace(p + ".tmp", p)
+    assert _snap() == fast
