@@ -156,24 +156,48 @@ def fit_importance_subset(
     dim: int = DEFAULT_DIM,
     bigrams: bool = True,
     smoothing: float = 1.0,
+    features: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> ImportanceModel:
     """Fit when the exemplar corpus is the subset of ``docs`` matching
     ``target_pred`` (a boolean Column) — the common "select more docs
     like these" setup.  One gram explode computes BOTH corpora's bucket
     totals (``count`` for the pool, ``count_if(pred)`` for the target),
     halving the fit's scan cost vs :func:`fit_importance`; the ratio
-    math is identical, verified by the q41 oracle twin."""
+    math is identical, verified by the q41 oracle twin.
+
+    ``features`` (a :func:`feature_counts` frame keyed by ``id_col``)
+    short-circuits the gram explode: bucket totals fold the
+    pre-aggregated per-document counts (``Σ n`` ≡ the occurrence
+    count), with the subset flag attached by one id join.  Fit + score
+    then share ONE explode over the raw text — materialize the frame
+    (``localCheckpoint``) before passing it to both, otherwise each
+    consumer recomputes the common subtree (Spark does not dedupe
+    shared plan fragments within one query)."""
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (the prior keeps every "
                          "bucket's probability finite)")
-    g = _gram_buckets(
-        docs.select(text_col, target_pred.alias("__is_t")),
-        text_col, dim, bigrams,
-    )
-    joint = g.groupBy("__bucket").agg(
-        F.count(F.lit(1)).alias("__rc"),
-        F.count_if(F.col("__is_t")).alias("__tc"),
-    )
+    if features is not None:
+        flags = docs.select(id_col, target_pred.alias("__is_t"))
+        joint = (
+            features.join(flags, id_col)
+            .groupBy(F.col("bucket").alias("__bucket"))
+            .agg(
+                F.sum("n").alias("__rc"),
+                F.sum(
+                    F.when(F.col("__is_t"), F.col("n")).otherwise(F.lit(0))
+                ).alias("__tc"),
+            )
+        )
+    else:
+        g = _gram_buckets(
+            docs.select(text_col, target_pred.alias("__is_t")),
+            text_col, dim, bigrams,
+        )
+        joint = g.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("__rc"),
+            F.count_if(F.col("__is_t")).alias("__tc"),
+        )
     totals = joint.agg(
         F.coalesce(F.sum("__tc"), F.lit(0)).alias("__t_total"),
         F.coalesce(F.sum("__rc"), F.lit(0)).alias("__r_total"),

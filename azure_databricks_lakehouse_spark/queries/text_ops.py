@@ -515,15 +515,25 @@ def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("pipeline").alias("part"), "split", "n_docs",
                 "total_tokens", "sum_doc_id")
     )
-    # subset fit: the en exemplars are a subset of the pool, so ONE gram
-    # explode yields both corpora's bucket totals (count / count_if);
-    # scoring is the second and last pass — 2 corpus scans, not 3
+    # ONE gram explode serves BOTH the subset fit (bucket totals fold
+    # the per-doc counts) and the scoring join: the feature frame is
+    # localCheckpointed so the shared subtree executes once instead of
+    # once per consumer (round 12 — fit+score was 2 corpus explodes).
+    # At 100 TB this is the classic pass-vs-storage trade: materialize
+    # (id, bucket, n) once ∝ corpus tokens, read it twice.
+    from azure_databricks_lakehouse_spark.operators.dsir import feature_counts
+
     docs = bind(spark, sf_dir, "documents")["documents"]
+    feats = feature_counts(
+        docs, id_col="doc_id", text_col="text", dim=_DSIR_DIM
+    ).localCheckpoint()
     model = fit_importance_subset(
-        docs, F.col("lang") == _DSIR_TARGET_LANG, dim=_DSIR_DIM
+        docs, F.col("lang") == _DSIR_TARGET_LANG, dim=_DSIR_DIM,
+        features=feats, id_col="doc_id",
     )
     picked = importance_resample(
-        docs, model, _DSIR_K, id_col="doc_id", text_col="text", seed=_DSIR_SEED
+        docs, model, _DSIR_K, id_col="doc_id", text_col="text",
+        seed=_DSIR_SEED, features=feats,
     )
     sel_toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     dsir = (

@@ -144,6 +144,16 @@ def test_subset_fit_and_features_arg_match_general_path(spark, corpus):
         for r in score_importance(pool, subset, features=feats).collect()
     }
     assert s_pre == s_sub
+    # the features-based FIT (round 12: one shared explode for fit +
+    # score) folds Σn per bucket — identical ratios, identical scores
+    fit_pre = fit_importance_subset(
+        pool, F.col("doc_id") < 150, dim=512, features=feats
+    )
+    s_fit_pre = {
+        (r.doc_id, r.importance)
+        for r in score_importance(pool, fit_pre, features=feats).collect()
+    }
+    assert s_fit_pre == s_sub
     k = 4
     p1 = sorted(r.doc_id for r in importance_resample(pool, subset, k, seed=1).collect())
     p2 = sorted(
