@@ -68,14 +68,23 @@ def remove_duplicate_lines(
     *,
     min_count: int = 2,
     min_line_chars: int = 10,
+    boiler: DataFrame | None = None,
 ) -> DataFrame:
     """Documents with corpus-repeated lines stripped: the input columns
     with ``text_col`` rebuilt from surviving lines (original order and
     line breaks preserved) plus ``n_lines_removed``.  Documents whose
-    lines all survive pass through byte-identical."""
-    boiler = repeated_lines(
-        docs, text_col, min_count=min_count, min_line_chars=min_line_chars
-    )
+    lines all survive pass through byte-identical.
+
+    ``boiler`` short-circuits the internal :func:`repeated_lines` pass
+    with a caller-held ``(line_key, n_occurrences)`` frame (it must
+    come from the same docs/thresholds) — a caller that also reports
+    the boilerplate set can explode the corpus lines once and share
+    the materialized frame with both consumers."""
+    if boiler is None:
+        boiler = repeated_lines(
+            docs, text_col, min_count=min_count,
+            min_line_chars=min_line_chars,
+        )
     other_cols = [c for c in docs.columns if c != text_col]
     lines = docs.select(
         *other_cols,

@@ -41,7 +41,7 @@ from azure_databricks_lakehouse_spark.operators.dq import (
     claims_rules,
 )
 from azure_databricks_lakehouse_spark.queries import QuerySpec
-from azure_databricks_lakehouse_spark.sources.catalog import bind
+from azure_databricks_lakehouse_spark.sources.catalog import bind, spread
 
 _AS_OF = "2000-06-01"  # deterministic stand-in for current_timestamp (R2)
 
@@ -59,9 +59,18 @@ def _claims_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     - billed negative for returned first lines                 -> R5
     """
     t = bind(spark, sf_dir, "lineitem", "orders")
-    j = t["lineitem"].join(
-        t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey
+    # spread the single-file lineitem scan: the broadcast join below and
+    # the whole derived-claims projection + R1–R5 tagging (regex battery
+    # included) stay below the first exchange and would otherwise run in
+    # ONE task (catalog.spread — a no-op on real multi-file tables)
+    li = spread(
+        t["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_shipdate", "l_returnflag", "l_extendedprice",
+        ),
+        "l_orderkey",
     )
+    j = li.join(t["orders"], li.l_orderkey == t["orders"].o_orderkey)
     sd = F.to_date("l_shipdate")
     claim_id = F.when(F.col("l_orderkey") % 97 == 0, F.lit(None).cast("string")).otherwise(
         F.concat(F.lit("C"), (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string"))

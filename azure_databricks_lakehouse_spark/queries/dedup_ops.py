@@ -54,7 +54,7 @@ from azure_databricks_lakehouse_spark.operators.fingerprints import (
     winnow_fingerprints_long,
 )
 from azure_databricks_lakehouse_spark.queries import QuerySpec
-from azure_databricks_lakehouse_spark.sources.catalog import bind
+from azure_databricks_lakehouse_spark.sources.catalog import bind, spread
 
 _N_BANDS = 4
 _JACCARD_MIN = 0.5
@@ -70,9 +70,17 @@ def _norm(col: Column) -> Column:
 
 
 def _variant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ exact copies (%13) ∪ head-truncated near-copies (%11)."""
+    """documents ∪ exact copies (%13) ∪ head-truncated near-copies (%11).
+
+    The scan is spread before the normalization projection (round 12):
+    ``documents`` is one single-row-group file, so everything Catalyst
+    keeps below the first exchange — the norm regex here plus each
+    consumer's shingle/simhash/winnow hashing — otherwise runs in ONE
+    task (``catalog.spread``; a no-op on real multi-file tables)."""
     t = bind(spark, sf_dir, "documents")
-    base = t["documents"].select("doc_id", _norm(F.col("text")).alias("text"))
+    base = spread(t["documents"].select("doc_id", "text"), "doc_id").select(
+        "doc_id", _norm(F.col("text")).alias("text")
+    )
     exact = base.filter(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -115,7 +123,9 @@ _SPAN_TOKENS = 8
 
 def _page_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "documents")
-    return t["documents"].select(
+    # spread before the page concat: the consumers' line explodes and
+    # per-line md5 keys otherwise run in the single-file scan's ONE task
+    return spread(t["documents"].select("doc_id", "text", "source"), "doc_id").select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -192,9 +202,13 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages = _page_corpus(spark, sf_dir)
+    # the boilerplate set feeds BOTH the line_part join and the
+    # rebuilt-text strip below — materialize the (line_key, count)
+    # frame once (it is the repeated-line set, tiny at any scale)
+    # instead of exploding+aggregating the page corpus per consumer
     boiler = repeated_lines(
         pages, min_count=_LINE_MIN_COUNT, min_line_chars=_LINE_MIN_CHARS
-    )
+    ).localCheckpoint()
     keyed = (
         pages.select(
             "doc_id",
@@ -226,7 +240,8 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rebuilt_part = remove_duplicate_lines(
-        pages, min_count=_LINE_MIN_COUNT, min_line_chars=_LINE_MIN_CHARS
+        pages, min_count=_LINE_MIN_COUNT, min_line_chars=_LINE_MIN_CHARS,
+        boiler=boiler,
     ).select(
         F.lit("line_rebuilt").alias("part"),
         F.md5("text").alias("fingerprint"),
@@ -547,7 +562,11 @@ def q47_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the poly fold here is the same ~10-integer-ops-per-gram cost class,
     ~100x cheaper than the round-2 per-position md5."""
     t = bind(spark, sf_dir, "documents")
-    corpus = t["documents"].select("doc_id", _norm(F.col("text")).alias("text"))
+    # spread before the norm+winnow projections: the per-char poly-hash
+    # fold otherwise runs in the single-file scan's ONE task
+    corpus = spread(t["documents"].select("doc_id", "text"), "doc_id").select(
+        "doc_id", _norm(F.col("text")).alias("text")
+    )
     fps_df = winnow_fingerprints(
         corpus, k=_WINNOW_K, w=_WINNOW_W, hash="poly"
     )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from azure_databricks_lakehouse_spark.functions.text import norm_text
 from azure_databricks_lakehouse_spark.operators.c4 import c4_audit
 from azure_databricks_lakehouse_spark.queries import QuerySpec
-from azure_databricks_lakehouse_spark.sources.catalog import bind
+from azure_databricks_lakehouse_spark.sources.catalog import bind, spread
 
 # Tiny English stopword list for the n-gram-free language heuristic: the
 # ratio of stopword tokens is a strong en/other separator on whitespace
@@ -68,7 +68,10 @@ def q24_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens_col()
     n_tokens = F.size(toks)
     compact_len = F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", ""))
-    docs = t["documents"].select(
+    # spread the single-file scan so the tokenize/chunk projections
+    # parallelize (catalog.spread — no-op on real multi-file tables)
+    spread_docs = spread(t["documents"], "doc_id")
+    docs = spread_docs.select(
         "doc_id",
         F.lit("doc").alias("part"),
         F.lit(0).alias("ord"),
@@ -79,7 +82,7 @@ def q24_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (compact_len / n_tokens).alias("avg_token_len"),
     )
     chunks = chunk_documents(
-        t["documents"].select("doc_id", "text"),
+        spread_docs.select("doc_id", "text"),
         chunk_tokens=_CHUNK_TOKENS,
         stride=_CHUNK_STRIDE,
     )
@@ -184,7 +187,10 @@ def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
     stop_ratio = n_stop / n_tokens
     _s, _b, _l = "string", "boolean", "long"
-    heur = t["documents"].select(
+    # spread: the stopword/NB scoring projections otherwise run in the
+    # single-file scan's one task (no-op on real multi-file tables)
+    spread_docs = spread(t["documents"], "doc_id")
+    heur = spread_docs.select(
         F.lit("heuristic").alias("part"),
         "doc_id",
         "lang",
@@ -201,7 +207,7 @@ def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast(_s).alias("cleaned_md5"),
     )
     d = F.col("doc_id")
-    pages = t["documents"].select(
+    pages = spread_docs.select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -376,8 +382,11 @@ def q26_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = bind(spark, sf_dir, "documents")
     _s, _l, _d = "string", "long", "double"
+    # spread: the token explode otherwise runs in the single-file
+    # scan's one task (no-op on real multi-file tables)
+    spread_docs = spread(t["documents"], "doc_id")
     glob = (
-        t["documents"]
+        spread_docs
         .select(F.explode(_tokens_col()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -397,7 +406,7 @@ def q26_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_topk_terms,
     )
 
-    sliced = t["documents"].filter(F.col("doc_id") % 10 == 0)
+    sliced = spread_docs.filter(F.col("doc_id") % 10 == 0)
     tfidf = tfidf_topk_terms(
         sliced, k=_TFIDF_K, tokens=_tokens_col()
     ).select(
@@ -523,7 +532,7 @@ def q41_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (id, bucket, n) once ∝ corpus tokens, read it twice.
     from azure_databricks_lakehouse_spark.operators.dsir import feature_counts
 
-    docs = bind(spark, sf_dir, "documents")["documents"]
+    docs = spread(bind(spark, sf_dir, "documents")["documents"], "doc_id")
     feats = feature_counts(
         docs, id_col="doc_id", text_col="text", dim=_DSIR_DIM
     ).localCheckpoint()
@@ -717,7 +726,9 @@ _DUP_TOK_MAX = 0.60     # 1 - distinct/total tokens
 def q53_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "documents")
     toks = _tokens_col()
-    docs = t["documents"].select(
+    # spread: the bigram explode otherwise runs in the single-file
+    # scan's one task (no-op on real multi-file tables)
+    docs = spread(t["documents"].select("doc_id", "text"), "doc_id").select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_toks")
     )
     grams = docs.select(

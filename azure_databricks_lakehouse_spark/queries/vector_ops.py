@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_databricks_lakehouse_spark.queries import QuerySpec
-from azure_databricks_lakehouse_spark.sources.catalog import bind
+from azure_databricks_lakehouse_spark.sources.catalog import bind, spread
 
 _TOP_K = 5
 _N_PLANES = 4
@@ -92,7 +92,9 @@ def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors as true nearest neighbors and ran the BM25 pipeline twice
     per recall branch)."""
     t = bind(spark, sf_dir, "embeddings")
-    vecs = _with_norm(t["embeddings"])
+    # spread the single-file scan: the Q×N cosine folds below run in
+    # the scan stage and would otherwise use ONE task (catalog.spread)
+    vecs = _with_norm(spread(t["embeddings"], "vec_id"))
     q = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
     c = vecs.alias("c")
     sim = _cosine(F.col("q.emb"), F.col("c.emb"), F.col("q.norm"), F.col("c.norm"))
@@ -138,10 +140,15 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = bind(spark, sf_dir, "embeddings")
-    dense = _dense_topk(spark, sf_dir)
+    # each retriever feeds its own tagged part AND the RRF fusion —
+    # Spark plans shared subtrees twice, so the scan+score+rank
+    # pipelines ran twice per list (round 12).  The top-k lists are
+    # Q×k rows (decision-pass-sized at any scale): materialize each
+    # once and let both consumers read the checkpoint.
+    dense = _dense_topk(spark, sf_dir).localCheckpoint()
 
     td = bind(spark, sf_dir, "documents")
-    docs = td["documents"].select("doc_id", "text")
+    docs = spread(td["documents"].select("doc_id", "text"), "doc_id")
     # keyword-length queries: the first {n} tokens of each query doc.
     # Whole-document queries degenerate on a small-vocabulary corpus
     # (every doc matches on every term — candidate volume Q×N×|doc|);
@@ -163,7 +170,7 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(qtoks, 1, _BM25_QUERY_TOKENS), " ").alias("text"),
         )
     )
-    sparse = bm25_topk(docs, queries, k=_TOP_K, exclude_self=True)
+    sparse = bm25_topk(docs, queries, k=_TOP_K, exclude_self=True).localCheckpoint()
 
     fused = rrf_fuse(
         [dense.select("query_id", F.col("neighbor_id").alias("doc_id"), "rank"), sparse],
@@ -352,7 +359,9 @@ def _bucket_sql(planes: range | None = None) -> str:
 
 def q31_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "embeddings")
-    vecs = _with_norm(t["embeddings"])
+    # spread the single-file scan (catalog.spread): the signature dot
+    # products below otherwise run in the scan's one task
+    vecs = _with_norm(spread(t["embeddings"], "vec_id"))
     vecs = vecs.withColumn(
         "bucket", _bucket(F.col("emb"), _embedding_dim(vecs))
     )
@@ -410,9 +419,11 @@ def q32_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALONE, k=:data:`_TOP_K` per query (round-7 fix: when q30 grew into a
     hybrid union, recall silently became "recall against dense+BM25+RRF
     with duplicate pairs" and the BM25 pipeline ran once per branch).
-    One dense frame feeds both branches; the subplans are identical, so
-    Spark's exchange reuse materializes the shuffle once."""
-    exact = _dense_topk(spark, sf_dir)
+    One dense frame feeds both branches — materialized once
+    (localCheckpoint, Q×k rows) so the scan+score+rank pipeline runs
+    once instead of once per branch (exchange reuse only shared the
+    shuffle, not the broadcast-join stage below it)."""
+    exact = _dense_topk(spark, sf_dir).localCheckpoint()
 
     def recall_of(approx: DataFrame, method: str) -> DataFrame:
         e, a = exact.alias("e"), approx.alias("a")
@@ -540,7 +551,12 @@ def _variant_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.9 detection threshold, far below any unrelated pair."""
     t = bind(spark, sf_dir, "embeddings")
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    base = t["embeddings"].select("vec_id", emb_d.alias("emb"))
+    # spread the single-file scan so the per-vector double-cast and the
+    # consumers' 32 hyperplane dot products parallelize (no-op on real
+    # multi-file tables — see catalog.spread)
+    base = spread(t["embeddings"].select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", emb_d.alias("emb")
+    )
     exact = base.filter(F.col("vec_id") % 13 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "emb"
     )
@@ -677,7 +693,9 @@ def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles on the cell id, and per-query work is bounded by
     nprobe/ncells of the corpus instead of all of it."""
     t = bind(spark, sf_dir, "embeddings")
-    vecs = _with_norm(t["embeddings"])
+    # spread the single-file scan (catalog.spread): the per-vector cell
+    # assignment cosines otherwise run in the scan's one task
+    vecs = _with_norm(spread(t["embeddings"], "vec_id"))
     cents = vecs.filter(F.col("vec_id") <= _N_CELLS).select(
         F.col("vec_id").alias("cent_id"),
         F.col("emb").alias("cemb"),

@@ -73,6 +73,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Parallelize expensive per-row compute over an UNDER-partitioned
+    scan (guide §2.5: a small or unsplittable input — here each corpus
+    table is one single-row-group parquet file, so its scan is ONE task
+    and every projection Catalyst keeps below the first exchange runs
+    single-threaded: regex batteries, shingle md5s, winnow hashes, gram
+    explodes).
+
+    Scale-adaptive, never a constant: repartitions by ``keys`` to the
+    session's default parallelism ONLY when the frame currently has
+    fewer partitions than that.  At production scale a table scan
+    carries ≥ cores partitions (``maxPartitionBytes`` splits real
+    files), so this is a structural no-op — no exchange enters the
+    plan; it fires exactly in the guide's one-huge-gzip /
+    one-tiny-file case.  Keyed repartition (hash on ``keys``) rather
+    than round-robin: deterministic under task retry (SPARK-38388) and
+    no sort-before-repartition pass."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, *keys)
+
+
 def bind(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load + register exactly the tables a query uses (lazy binding).
 

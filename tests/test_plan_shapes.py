@@ -62,8 +62,13 @@ def test_q28_lsh_join_not_allpairs(spark, sf_dir, queries):
 
 
 def test_q30_broadcasts_query_side_only(spark, sf_dir, queries):
-    # brute-force cosine: query set broadcast; corpus side stays a scan
-    assert_broadcast_join(queries["q30_cosine_topk"](spark, sf_dir), 1)
+    # brute-force cosine: query set broadcast; corpus side stays a scan.
+    # Round 12 materializes each retriever's top-k list once (the union
+    # and the RRF fusion both consume it), so the scoring join lives in
+    # the dense subplan, not the final union plan — assert there.
+    from azure_databricks_lakehouse_spark.queries.vector_ops import _dense_topk
+
+    assert_broadcast_join(_dense_topk(spark, sf_dir), 1)
 
 
 def test_events_scan_prunes_columns(spark, sf_dir, queries):
