@@ -1778,7 +1778,17 @@ class Lakehouse:
         for kf in key_frames[1:]:
             kdf = kdf.unionByName(kf)
         kdf = kdf.distinct().localCheckpoint()
-        if kdf.isEmpty():
+        nullcond = None
+        for a in key_names:
+            isnull = F.col(a).isNull()
+            nullcond = isnull if nullcond is None else nullcond | isnull
+        # ONE scalar aggregate over the checkpointed key frame answers
+        # both gates (was two isEmpty actions — round 12 action fold)
+        probe_row = kdf.select(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(nullcond, 1)).alias("__nnull"),
+        ).first()
+        if probe_row["__n"] == 0:
             # data-preserving commits only (e.g. OPTIMIZE): nothing to
             # rescan — advance the cursor without touching state
             self._mv_guard_cursor(table, dep)
@@ -1786,11 +1796,9 @@ class Lakehouse:
                 {"mv_dep_version": cur, **(repin or {})}
             )
             return "incremental", cur
-        nullcond = None
-        for a in key_names:
-            isnull = F.col(a).isNull()
-            nullcond = isnull if nullcond is None else nullcond | isnull
-        if not kdf.where(nullcond).isEmpty():
+        if probe_row["__nnull"] > 0:
+            # a NULL key component: MERGE's key join is null-unsafe and
+            # NULL forms a real window group — full refresh
             return "full", None
         if not dim_key_map:
             # scoped base rows: semi-join on the (fact-side) key exprs

@@ -273,6 +273,12 @@ def _q56_lifecycle(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
         lh.sql("REFRESH MATERIALIZED VIEW mv_status")
         stages["refresh_incremental"] = time.time() - t0
         t0 = time.time()
+        # q56 parity (round 12, session 2): the join MV refreshes AFTER
+        # a dim move, so its dim-delta legs fire here exactly as in the
+        # oracle query
+        lh.sql("UPDATE dimc SET seg = 'DX' WHERE c_custkey % 50 = 7")
+        stages["dml_dim"] = time.time() - t0
+        t0 = time.time()
         lh.sql("REFRESH MATERIALIZED VIEW mv_seg")
         stages["refresh_join"] = time.time() - t0
         t0 = time.time()
