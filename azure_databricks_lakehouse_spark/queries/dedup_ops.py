@@ -179,7 +179,16 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_spans,
     )
 
-    corpus = _variant_corpus(spark, sf_dir)
+    # corpus feeds FOUR reads (doc_part + remove_repeated_spans' window
+    # aggregate, start marks, and final rebuild join); pages feeds THREE
+    # post-boiler (line keys + remove_duplicate_lines' lines and totals).
+    # Spark plans shared subtrees once PER CONSUMER — only the spread
+    # exchange's subtree is reused — so the normalization regex and the
+    # variant/page unions re-ran ~4x/3x.  Materialize each once (§5,
+    # round 13); a production pipeline persists the normalized corpus
+    # before fanning out the same way (cost one corpus write, saves
+    # consumers-1 derivation passes).
+    corpus = _variant_corpus(spark, sf_dir).localCheckpoint()
     doc_part = (
         corpus.select("doc_id", F.md5("text").alias("fingerprint"))
         .groupBy("fingerprint")
@@ -201,7 +210,7 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("doc").alias("part"), "*")
     )
 
-    pages = _page_corpus(spark, sf_dir)
+    pages = _page_corpus(spark, sf_dir).localCheckpoint()
     # the boilerplate set feeds BOTH the line_part join and the
     # rebuilt-text strip below — materialize the (line_key, count)
     # frame once (it is the repeated-line set, tiny at any scale)
@@ -635,76 +644,22 @@ def q51_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _variant_corpus text is already normalized (matches _CORPUS_SQL's
     # base CTE), so no extra normalization layer here.
     corpus = _variant_corpus(spark, sf_dir)
-    # MATERIALIZE the fingerprint table through the versioned table
-    # layer: fingerprint_overlap_pairs reads it FOUR times (doc-freq
-    # cull, both self-join sides, containment counts), and per-consumer
-    # column pruning below the exchange defeats ReuseExchange (measured:
-    # 0 reused, 24 scans when computed inline).  A stored table computes
-    # the winnow projection exactly once, every consumer scans cheap
-    # parquet, and — unlike an executor-memory persist — the artifact is
-    # exactly what a production pipeline shares across overlap /
-    # incremental-dedup / decontamination jobs and maintains via
-    # OPTIMIZE/VACUUM.  cluster_by_fp's hash(fp) layout survives the
-    # write, so fp-keyed scans stay file-localized.
-    # Cache root is DETERMINISTIC per (source data, winnow params) and
-    # reused across invocations: a fresh mkdtemp per run accumulated
-    # orphaned temp tables on bench boxes (round-5 verdict hygiene
-    # finding).  The key includes the documents file's identity
-    # (size + mtime), so a changed source rebuilds instead of serving
-    # stale fingerprints; a stale cache dir for the same sf_dir is
-    # removed on rebuild.
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    from azure_databricks_lakehouse_spark.operators.fingerprints import (
-        materialize_fingerprint_table,
-    )
-    from azure_databricks_lakehouse_spark.sources.tables import (
-        ParquetTable,
-        is_table,
-    )
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"{_WINNOW_K}|{_WINNOW_W}|poly".encode()
-    ).hexdigest()[:16]
-    # per-user root (no cross-user /tmp collisions); one subdir per
-    # content key, PUBLISHED atomically via rename — a concurrent
-    # session either reuses the winner's build or discards its own,
-    # and no rmtree ever touches a directory another reader holds open
-    uid = getattr(os, "getuid", lambda: 0)()
-    fp_root = os.path.join(
-        tempfile.gettempdir(),
-        f"q51_fp_u{uid}_"
-        f"{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]}",
-    )
-    build_dir = os.path.join(fp_root, key)
-    table_dir = os.path.join(build_dir, "fps")
-    if not is_table(table_dir):
-        os.makedirs(fp_root, exist_ok=True)
-        tmp_build = build_dir + f".tmp-{os.getpid()}"
-        materialize_fingerprint_table(
-            corpus,
-            os.path.join(tmp_build, "fps"),
-            k=_WINNOW_K,
-            w=_WINNOW_W,
-            hash="poly",
-        )
-        try:
-            os.rename(tmp_build, build_dir)
-        except OSError:
-            shutil.rmtree(tmp_build, ignore_errors=True)  # lost the race
-        # best-effort sweep of superseded keys (source data changed)
-        for d in os.listdir(fp_root):
-            if d != key and ".tmp-" not in d:
-                shutil.rmtree(os.path.join(fp_root, d), ignore_errors=True)
-    tbl = ParquetTable.for_path(spark, table_dir)
+    # MATERIALIZE the long-format fingerprint frame once per invocation:
+    # fingerprint_overlap_pairs reads it FOUR times (doc-freq cull, both
+    # self-join sides, containment counts), and per-consumer column
+    # pruning below the exchange defeats ReuseExchange (measured: 0
+    # reused, 24 scans when computed inline).  localCheckpoint computes
+    # the winnow projection exactly once INSIDE the timed region — the
+    # round-5..12 versioned-table cache keyed on the source file's
+    # size+mtime persisted the fingerprints ACROSS bench invocations,
+    # which this optimization round's rules treat as cross-run result
+    # caching, so round 13 replaced it with the in-session materialization
+    # (same exchange-sharing benefit, recomputed from parquet every run).
+    flat = winnow_fingerprints_long(
+        corpus, k=_WINNOW_K, w=_WINNOW_W, hash="poly", cluster_by_fp=True
+    ).localCheckpoint()
     return fingerprint_overlap_pairs(
-        tbl.read(),
+        flat,
         min_shared=_OVERLAP_MIN,
         min_containment=_CONTAINMENT_MIN,
         max_doc_freq=_MAX_DOC_FREQ,
