@@ -1663,6 +1663,52 @@ class Lakehouse:
                 "to fold from the new cursor"
             )
 
+    def _mv_land_keyed(
+        self, table, src, on, cur, dep, repin=None
+    ) -> None:
+        """Land AFFECTED-GROUP state rows (``src``: every touched group,
+        ``__mv_dead`` marking groups with no survivors) + the refresh
+        cursor in ONE commit.  Two routes, same policy as the grouped
+        fold's ``_mv_use_merge`` (round 13 extends it to the window/rid
+        landings):
+
+        - keyed MERGE — cost ∝ the changed groups' files, the
+          huge-cardinality path (and the pinned scale contract);
+        - small states (metadata-exact count ≤ 65536, ``mv_fold_mode``
+          'auto'): one OVERWRITE write action — stored-minus-touched ∪
+          survivors.  MERGE pays a touched-file probe + data + CDC
+          actions per refresh; for a state that fits in one file the
+          probe and sidecar buy nothing, and the overwrite collapses
+          the refresh to a single action (guide §1.2 — the per-commit
+          statement floor is the local cost driver; identical rows).
+
+        ``mv_fold_mode='merge'``/'overwrite' force a route.
+        """
+        self._mv_guard_cursor(table, dep)
+        up = {"mv_dep_version": cur, **(repin or {})}
+        mode = str(table.properties().get("mv_fold_mode", "auto")).lower()
+        small = mode != "merge" and (
+            mode == "overwrite" or table.count() <= 65536
+        )
+        if small:
+            keep = table.read().join(
+                src.select(*on).distinct(), on, "left_anti"
+            )
+            live = src.filter(~F.col("__mv_dead")).drop("__mv_dead")
+            table.overwrite(
+                keep.unionByName(live.select(*keep.columns)),
+                extra_props=up,
+            )
+            return
+        table.merge(
+            src,
+            on=on,
+            when_matched_delete=F.col("__mv_dead"),
+            source_meta_cols=("__mv_dead",),
+            validate_source_keys=False,
+            extra_props=up,
+        )
+
     def _mv_write_state(
         self, table, plan, src, cur, use_merge, dep=None, extra_props=None
     ) -> None:
@@ -1869,15 +1915,7 @@ class Lakehouse:
             # rows — exactly the merge source any engine materializes
             .localCheckpoint()
         )
-        self._mv_guard_cursor(table, dep)
-        table.merge(
-            src,
-            on=key_names,
-            when_matched_delete=F.col("__mv_dead"),
-            source_meta_cols=("__mv_dead",),
-            validate_source_keys=False,
-            extra_props={"mv_dep_version": cur, **(repin or {})},
-        )
+        self._mv_land_keyed(table, src, key_names, cur, dep, repin)
         return "incremental", cur
 
     def _refresh_mv_stmt(self, stmt: str) -> DataFrame:
@@ -2411,17 +2449,8 @@ class Lakehouse:
                                 f"SELECT {plan.items}, __mv_rid, "
                                 f"__mv_dead FROM {tmp} AS `{pfa}`"
                             )
-                        self._mv_guard_cursor(table, dep)
-                        table.merge(
-                            src,
-                            on=["__mv_rid"],
-                            when_matched_delete=F.col("__mv_dead"),
-                            source_meta_cols=("__mv_dead",),
-                            validate_source_keys=False,
-                            extra_props={
-                                "mv_dep_version": cur,
-                                **(repin or {}),
-                            },
+                        self._mv_land_keyed(
+                            table, src, ["__mv_rid"], cur, dep, repin
                         )
                         mode, dep_out = "incremental", cur
                     elif not plan.grouped and _mv.append_only_window(

@@ -470,6 +470,10 @@ def test_projection_mv_maintains_under_arbitrary_dml_with_row_ids(lh):
     _mk_tracked_base(lh)
     q = "SELECT g, x * 2 AS x2 FROM rb WHERE x IS NOT NULL"
     lh.sql(f"CREATE MATERIALIZED VIEW rp AS {q}")
+    # pin the keyed-MERGE landing machinery (the huge-cardinality scale
+    # path); the auto route overwrites small states since round 13 —
+    # covered by test_projection_mv_small_state_lands_via_overwrite
+    _force_merge_fold(lh, "rp")
     # the state key never leaks into reads
     assert sorted(lh.sql("SELECT * FROM rp").columns) == ["g", "x2"]
     lh.sql("INSERT INTO rb VALUES (4, 40), (4, NULL)")
@@ -479,6 +483,26 @@ def test_projection_mv_maintains_under_arbitrary_dml_with_row_ids(lh):
     assert r.mode == "incremental"
     assert _mv_rows(lh, "rp") == _recompute(lh, q)
     assert lh.table("rp__mvdata").history(limit=1)[0].operation == "MERGE"
+
+
+def test_projection_mv_small_state_lands_via_overwrite(lh):
+    # round 13: the default (auto) route lands a SMALL rid-keyed state
+    # via one overwrite write action instead of MERGE's probe+data+CDC —
+    # identical rows, one commit, cursor advanced atomically
+    _mk_tracked_base(lh, "rb2")
+    q = "SELECT g, x * 2 AS x2 FROM rb2 WHERE x IS NOT NULL"
+    lh.sql(f"CREATE MATERIALIZED VIEW rp2 AS {q}")
+    lh.sql("INSERT INTO rb2 VALUES (4, 40), (4, NULL)")
+    lh.sql("UPDATE rb2 SET x = 11 WHERE g = 1 AND x = 10")
+    lh.sql("DELETE FROM rb2 WHERE g = 2")
+    r = lh.sql("REFRESH MATERIALIZED VIEW rp2").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(lh, "rp2") == _recompute(lh, q)
+    data = lh.table("rp2__mvdata")
+    assert data.history(limit=1)[0].operation == "OVERWRITE"
+    assert data.properties()["mv_dep_version"] == (
+        lh.table("rb2").latest_version()
+    )
 
 
 def test_projection_mv_predicate_exit_deletes_row(lh):
