@@ -102,12 +102,23 @@ def feature_counts(
     dim: int = DEFAULT_DIM,
     bigrams: bool = True,
 ) -> DataFrame:
-    """Hashed n-gram counts per document: ``(id, bucket, n)``."""
+    """Hashed n-gram counts per document: ``(id, bucket, n)``.
+
+    The ``bucket`` column carries ``(dim, bigrams)`` as field metadata so
+    :func:`fit_importance_subset` can refuse a features frame built under
+    different hashing parameters (a mismatched ``dim`` would silently
+    join buckets >= dim to nothing and skew every ratio)."""
     return (
         _gram_buckets(docs.select(id_col, text_col), text_col, dim, bigrams)
         .groupBy(id_col, "__bucket")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .select(id_col, F.col("__bucket").alias("bucket"), F.col("__n").alias("n"))
+        .select(
+            id_col,
+            F.col("__bucket").alias(
+                "bucket", metadata={"dsir_dim": dim, "dsir_bigrams": bigrams}
+            ),
+            F.col("__n").alias("n"),
+        )
     )
 
 
@@ -178,6 +189,21 @@ def fit_importance_subset(
         raise ValueError("smoothing must be > 0 (the prior keeps every "
                          "bucket's probability finite)")
     if features is not None:
+        # refuse a features frame built under different hashing params
+        # (ADVICE r12): feature_counts stamps (dim, bigrams) on the
+        # bucket column; a mismatched dim would join buckets >= dim to
+        # nothing at scoring and silently skew every ratio
+        fmeta = dict(features.schema["bucket"].metadata or {})
+        if fmeta.get("dsir_dim", dim) != dim or bool(
+            fmeta.get("dsir_bigrams", bigrams)
+        ) != bool(bigrams):
+            raise ValueError(
+                "features frame was built with dim="
+                f"{fmeta.get('dsir_dim')}, bigrams={fmeta.get('dsir_bigrams')} "
+                f"but fit_importance_subset was called with dim={dim}, "
+                f"bigrams={bigrams} — rebuild feature_counts with matching "
+                "parameters"
+            )
         flags = docs.select(id_col, target_pred.alias("__is_t"))
         joint = (
             features.join(flags, id_col)
@@ -187,6 +213,27 @@ def fit_importance_subset(
                 F.sum(
                     F.when(F.col("__is_t"), F.col("n")).otherwise(F.lit(0))
                 ).alias("__tc"),
+            )
+            # unstamped caller-built frames: in-plan range guard on the
+            # AGGREGATED buckets (<= dim+stragglers rows — free), so an
+            # out-of-range bucket fails the job instead of vanishing in
+            # the range(dim) join below
+            .withColumn(
+                "__bucket",
+                F.when(
+                    (F.col("__bucket") >= 0) & (F.col("__bucket") < dim),
+                    F.col("__bucket"),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "fit_importance_subset: features bucket "
+                            ),
+                            F.col("__bucket").cast("string"),
+                            F.lit(f" outside [0, {dim}) — dim mismatch"),
+                        )
+                    ).cast("int")
+                ),
             )
         )
     else:

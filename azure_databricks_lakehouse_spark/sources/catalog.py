@@ -73,6 +73,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# spread() only repartitions inputs it can move cheaply: above this
+# estimated size the exchange costs more than the single-task compute
+# it parallelizes, and a moderately sized multi-file table on a large
+# cluster (fewer splits than total cores) must NOT trigger a
+# corpus-wide shuffle (ADVICE r12).  Env-overridable for deployments
+# whose per-row compute genuinely justifies shuffling more.
+_SPREAD_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(4 << 30))
+)
+
+
 def spread(df: DataFrame, *keys: str) -> DataFrame:
     """Parallelize expensive per-row compute over an UNDER-partitioned
     scan (guide §2.5: a small or unsplittable input — here each corpus
@@ -83,16 +94,30 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
 
     Scale-adaptive, never a constant: repartitions by ``keys`` to the
     session's default parallelism ONLY when the frame currently has
-    fewer partitions than that.  At production scale a table scan
+    fewer partitions than that AND its optimizer-estimated size is
+    small (``_SPREAD_MAX_BYTES``).  At production scale a table scan
     carries ≥ cores partitions (``maxPartitionBytes`` splits real
     files), so this is a structural no-op — no exchange enters the
-    plan; it fires exactly in the guide's one-huge-gzip /
-    one-tiny-file case.  Keyed repartition (hash on ``keys``) rather
-    than round-robin: deterministic under task retry (SPARK-38388) and
-    no sort-before-repartition pass."""
+    plan; and the byte gate keeps a moderately sized multi-file table
+    on a many-core cluster (fewer splits than cores, but real data)
+    from paying an input-wide shuffle.  Keyed repartition (hash on
+    ``keys``) rather than round-robin: deterministic under task retry
+    (SPARK-38388) and no sort-before-repartition pass.
+
+    Intended for (near-)scan frames: the partition-count peek forces
+    physical planning of the subtree, which is cheap for scans but
+    wasteful on deep plans."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= p:
+        return df
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 - stats are advisory
+        est = 0
+    if est > _SPREAD_MAX_BYTES:
         return df
     return df.repartition(p, *keys)
 

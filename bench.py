@@ -237,7 +237,21 @@ def main() -> int:
     }
     if "failed" in best:
         out["failed_count"] = len(best["failed"])
-    print(json.dumps(out, separators=(",", ":")))
+    # Render-length guard (round 13, ADVICE r12): the driver capture
+    # truncated ~2 KB lines for three rounds and recorded parsed:null.
+    # If a future change (longer names, more attempts) pushes the line
+    # past ~1.9 KB, shed the non-contract fields first and the queries
+    # map only as a last resort — a shorter line that parses beats a
+    # complete line the driver cannot read (full detail is always in
+    # bench_attempts.json).
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out.pop("attempts", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out.pop("queries", None)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     return 1 if any("failed" in a for a in attempts) else 0
 
 

@@ -71,6 +71,30 @@ def test_q30_broadcasts_query_side_only(spark, sf_dir, queries):
     assert_broadcast_join(_dense_topk(spark, sf_dir), 1)
 
 
+def test_q30_bm25_subplan_shape(spark, sf_dir):
+    # ADVICE r12: the localCheckpoints truncate the fused q30 plan, so
+    # the BM25 retriever needs its own plan-shape coverage — no
+    # cartesian / unconditioned NLJ may enter the postings join
+    from pyspark.sql import functions as F
+
+    from azure_databricks_lakehouse_spark.operators.retrieval import bm25_topk
+    from azure_databricks_lakehouse_spark.sources.catalog import bind
+
+    docs = bind(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    df = bm25_topk(docs, queries_df, k=5, exclude_self=True)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    # the only nested-loop join allowed is the 1-row broadcast stats
+    # attach (crossJoin(broadcast(stats))); the postings join itself
+    # must stay an equi-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_events_scan_prunes_columns(spark, sf_dir, queries):
     plan = physical_plan(queries["q21_tumbling_window"](spark, sf_dir))
     scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)

@@ -40,3 +40,17 @@ def test_spread_is_noop_on_well_partitioned_input(spark):
         F.col("id").alias("doc_id")
     )
     assert spread(wide, "doc_id") is wide
+
+
+def test_spread_byte_gate_skips_large_underpartitioned_input(
+    spark, sf_dir, monkeypatch
+):
+    # ADVICE r12: a multi-file table with fewer splits than cluster
+    # cores must NOT be shuffled wholesale — spread only moves inputs
+    # whose estimated size is small enough for the exchange to be cheap
+    from azure_databricks_lakehouse_spark.sources import catalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1
+    monkeypatch.setattr(catalog, "_SPREAD_MAX_BYTES", 1)
+    assert catalog.spread(docs, "doc_id") is docs

@@ -1,4 +1,4 @@
-"""Dump ``.explain('formatted')`` for every corpus query to plans/r12/.
+"""Dump ``.explain('formatted')`` for every corpus query to plans/<tag>/ (SPARK_GRAFT_PLANS_TAG, default r13).
 
 Usage:
     python tools/dump_plans.py before [query ...]
@@ -26,7 +26,7 @@ def main() -> int:
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r13")
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans")
