@@ -62,6 +62,18 @@ def train_kmeans(
         .limit(max(256, 4 * k))
         .collect()
     ]
+    centroids = farthest_first_seeds(sample, k)
+    return list(
+        enumerate(_lloyd(vecs, centroids, n_iter, id_col=id_col, emb_col=emb_col))
+    )
+
+
+def farthest_first_seeds(
+    sample: list[list[float]], k: int
+) -> list[list[float]]:
+    """Deterministic farthest-first seeding over an ordered sample
+    (shared by :func:`train_kmeans` and the batched PQ trainer).
+    Raises on an empty sample or fewer than ``k`` distinct vectors."""
     if not sample:
         raise ValueError(
             f"train_kmeans: input frame has no rows (need >= k={k} distinct vectors)"
@@ -88,9 +100,7 @@ def train_kmeans(
         centroids.append(
             max(uniq, key=lambda v: min(_d2(v, c) for c in centroids))
         )
-    return list(
-        enumerate(_lloyd(vecs, centroids, n_iter, id_col=id_col, emb_col=emb_col))
-    )
+    return centroids
 
 
 def _lloyd(
@@ -134,6 +144,65 @@ def _lloyd(
         }
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     return centroids
+
+
+def lloyd_multi(
+    sub_long: DataFrame,
+    seeds: list[list[list[float]]],
+    n_iter: int,
+    *,
+    id_col: str,
+) -> list[list[list[float]]]:
+    """Lloyd iterations for SEVERAL independent k-means problems in ONE
+    Spark job per round (round 13 — the PQ trainer ran one k-means per
+    subspace, m×n_iter serial actions for work that is embarrassingly
+    parallel across subspaces).  ``sub_long`` is ``(id_col, mi, sv)``
+    — one row per (vector, problem); ``seeds[mi]`` the per-problem
+    initial centroids (equal lengths).  Per round: one broadcast of all
+    problems' centroids, one assignment window keyed (id, mi), one hash
+    aggregate grouped (mi, cell); only m×k centroid sums reach the
+    driver.  Empty cells keep their previous centroid."""
+    spark = sub_long.sparkSession
+    dsub = len(seeds[0][0])
+    cents = [list(s) for s in seeds]
+    for _ in range(n_iter):
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (mi, ci, c)
+                    for mi, book in enumerate(cents)
+                    for ci, c in enumerate(book)
+                ],
+                "mi int, cell int, cemb array<double>",
+            )
+        )
+        dist = _sq_dist(F.col("sv"), F.col("cemb"))
+        w = Window.partitionBy(id_col, "mi").orderBy("dist", "cell")
+        assigned = (
+            sub_long.join(cent_df, "mi")
+            .select(id_col, "mi", "sv", dist.alias("dist"), "cell")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+        sums = assigned.groupBy("mi", "cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("sv"), i + 1)).alias(f"s{i}")
+                for i in range(dsub)
+            ],
+        )
+        new = {
+            (r["mi"], r["cell"]): [r[f"s{i}"] / r["n"] for i in range(dsub)]
+            for r in sums.collect()
+        }
+        cents = [
+            [
+                new.get((mi, ci), cents[mi][ci])
+                for ci in range(len(cents[mi]))
+            ]
+            for mi in range(len(cents))
+        ]
+    return cents
 
 
 def train_kmeans_parallel(

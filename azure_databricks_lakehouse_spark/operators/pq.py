@@ -12,7 +12,8 @@ distance computation, ADC) without ever touching the original vectors.
 
 Spark-first shape:
 
-- **Training** reuses `operators/ann.train_kmeans` once per subspace
+- **Training** batches the per-subspace k-means into one Lloyd job
+  per round (`operators/ann.lloyd_multi`)
   over the SLICED vector column — m bounded k-means runs on bounded
   samples; the codebook is ``m × ks × (dim/m)`` doubles of driver
   metadata (8 KB at m=8, ks=16, dim=64).
@@ -47,7 +48,8 @@ from pyspark.sql import functions as F
 from azure_databricks_lakehouse_spark.operators.ann import (
     _sq_dist,
     build_ivf,
-    train_kmeans,
+    farthest_first_seeds,
+    lloyd_multi,
 )
 
 
@@ -93,15 +95,41 @@ def train_pq(
         base = _residuals(vecs, coarse_centroids, id_col, emb_col).select(
             id_col, F.col("__res").alias(emb_col)
         )
-    books = []
-    for mi in range(m):
-        sub = base.select(
-            F.col(id_col), _subvec(F.col(emb_col), mi, dsub).alias(emb_col)
+    # Round 13: the m per-subspace k-means problems train TOGETHER —
+    # one hash-ordered seed sample of FULL vectors sliced per subspace
+    # on the driver (identical per-subspace samples to m separate
+    # collects, since the hash order ignores the subvector), then
+    # lloyd_multi runs one assignment + one aggregate job per round for
+    # ALL subspaces.  Action count drops from m×(1 + n_iter) to
+    # 1 + n_iter; the math per subspace is unchanged.
+    sample = [
+        list(r[emb_col])
+        for r in base.select(emb_col, F.xxhash64(id_col).alias("__h"))
+        .orderBy("__h")
+        .limit(max(256, 4 * ks))
+        .collect()
+    ]
+    seeds = [
+        farthest_first_seeds(
+            [v[mi * dsub : (mi + 1) * dsub] for v in sample], ks
         )
-        cents = train_kmeans(
-            sub, k=ks, n_iter=n_iter, id_col=id_col, emb_col=emb_col
-        )
-        books.append([c for _cell, c in sorted(cents)])
+        for mi in range(m)
+    ]
+    sub_long = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("mi"),
+                        _subvec(F.col(emb_col), mi, dsub).alias("sv"),
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, "__s.mi", "__s.sv")
+    books = lloyd_multi(sub_long, seeds, n_iter, id_col=id_col)
     return PQCodebook(m=m, ks=ks, dsub=dsub, centroids=books)
 
 

@@ -361,9 +361,11 @@ def q31_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bind(spark, sf_dir, "embeddings")
     # spread the single-file scan (catalog.spread): the signature dot
     # products below otherwise run in the scan's one task
-    vecs = _with_norm(spread(t["embeddings"], "vec_id"))
-    # dim probe reads ONE row of the raw scan (not through the spread
-    # exchange — limit(1) there pays the repartition at plan-build time)
+    # round 13: spread removed — same-session alternating A/B (min of 4)
+    # read 0.90 s without vs 1.17 s with; the 4-plane signature dots are
+    # ~N×4×dim multiply-adds, too light to buy the repartition exchange
+    vecs = _with_norm(t["embeddings"])
+    # dim probe reads ONE row of the raw scan (not through an exchange)
     vecs = vecs.withColumn(
         "bucket",
         _bucket(F.col("emb"), _embedding_dim(t["embeddings"], "embedding")),
@@ -554,12 +556,11 @@ def _variant_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.9 detection threshold, far below any unrelated pair."""
     t = bind(spark, sf_dir, "embeddings")
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    # spread the single-file scan so the per-vector double-cast and the
-    # consumers' 32 hyperplane dot products parallelize (no-op on real
-    # multi-file tables — see catalog.spread)
-    base = spread(t["embeddings"].select("vec_id", "embedding"), "vec_id").select(
-        "vec_id", emb_d.alias("emb")
-    )
+    # round 13: spread removed — q46 repartitions the variant frame by
+    # vec_id anyway (the multi-consumer sharing exchange), so the inner
+    # spread was a SECOND exchange; same-session A/B (min of 4) read
+    # 4.26 s without vs 4.77 s with
+    base = t["embeddings"].select("vec_id", emb_d.alias("emb"))
     exact = base.filter(F.col("vec_id") % 13 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "emb"
     )

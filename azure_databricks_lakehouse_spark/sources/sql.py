@@ -1664,22 +1664,29 @@ class Lakehouse:
             )
 
     def _mv_land_keyed(
-        self, table, src, on, cur, dep, repin=None
+        self, table, on, cur, dep, repin=None, *, keys_df, live_df
     ) -> None:
-        """Land AFFECTED-GROUP state rows (``src``: every touched group,
-        ``__mv_dead`` marking groups with no survivors) + the refresh
-        cursor in ONE commit.  Two routes, same policy as the grouped
-        fold's ``_mv_use_merge`` (round 13 extends it to the window/rid
+        """Land AFFECTED-GROUP state rows + the refresh cursor in ONE
+        commit.  ``keys_df``: the touched group keys (already cheap —
+        callers derive it from a materialized frame); ``live_df``: the
+        surviving rows for those groups (LAZY — each route evaluates it
+        exactly once).  Two routes, same policy as the grouped fold's
+        ``_mv_use_merge`` (round 13 extends it to the window/rid
         landings):
 
         - keyed MERGE — cost ∝ the changed groups' files, the
-          huge-cardinality path (and the pinned scale contract);
+          huge-cardinality path (and the pinned scale contract).  The
+          merge source (keys ⟕ survivors with ``__mv_dead`` marking
+          groups that died) is built and ``localCheckpoint``ed HERE:
+          merge's probe/write/CDC actions would each re-run the rescan
+          otherwise;
         - small states (metadata-exact count ≤ 65536, ``mv_fold_mode``
           'auto'): one OVERWRITE write action — stored-minus-touched ∪
           survivors.  MERGE pays a touched-file probe + data + CDC
           actions per refresh; for a state that fits in one file the
           probe and sidecar buy nothing, and the overwrite collapses
-          the refresh to a single action (guide §1.2 — the per-commit
+          the refresh to a single action AND skips the merge-source
+          join + checkpoint entirely (guide §1.2 — the per-commit
           statement floor is the local cost driver; identical rows).
 
         ``mv_fold_mode='merge'``/'overwrite' force a route.
@@ -1691,15 +1698,26 @@ class Lakehouse:
             mode == "overwrite" or table.count() <= 65536
         )
         if small:
-            keep = table.read().join(
-                src.select(*on).distinct(), on, "left_anti"
-            )
-            live = src.filter(~F.col("__mv_dead")).drop("__mv_dead")
+            # live rows may be a SUPERSET of the touched groups (the
+            # window path's dim-key scope rescans a superset and relies
+            # on the landing to restrict to kdf's exact groups) — the
+            # semi keeps only touched groups, mirroring what the keyed
+            # MERGE's source join does
+            live = live_df.join(keys_df, on, "left_semi")
+            keep = table.read().join(keys_df, on, "left_anti")
             table.overwrite(
                 keep.unionByName(live.select(*keep.columns)),
                 extra_props=up,
             )
             return
+        src = (
+            keys_df.join(
+                live_df.withColumn("__mv_alive", F.lit(True)), on, "left"
+            )
+            .withColumn("__mv_dead", F.col("__mv_alive").isNull())
+            .drop("__mv_alive")
+            .localCheckpoint()
+        )
         table.merge(
             src,
             on=on,
@@ -1902,20 +1920,14 @@ class Lakehouse:
                 dview = f"__mv_dim_{self._asof_seq}"
                 dims[jt_a].createOrReplaceTempView(dview)
                 sub = self._sub_ident(sub, jt_t, dview)
-        survivors = self._run_query(sub).withColumn(
-            "__mv_alive", F.lit(True)
+        # survivors stays LAZY: the overwrite route evaluates it once
+        # inside its single write action; the merge route builds (and
+        # checkpoints) the keys ⟕ survivors source itself
+        survivors = self._run_query(sub)
+        self._mv_land_keyed(
+            table, key_names, cur, dep, repin,
+            keys_df=kdf, live_df=survivors,
         )
-        src = (
-            kdf.join(survivors, key_names, "left")
-            .withColumn("__mv_dead", F.col("__mv_alive").isNull())
-            .drop("__mv_alive")
-            # materialize once: the MERGE's probe/write/CDC actions
-            # would each re-run the scoped rescan (base semi-join +
-            # window) otherwise; size = the touched groups' output
-            # rows — exactly the merge source any engine materializes
-            .localCheckpoint()
-        )
-        self._mv_land_keyed(table, src, key_names, cur, dep, repin)
         return "incremental", cur
 
     def _refresh_mv_stmt(self, stmt: str) -> DataFrame:
@@ -2414,23 +2426,16 @@ class Lakehouse:
                                 )
                             if plan.where:
                                 jf = jf.filter(F.expr(plan.where))
+                            # live stays LAZY over the checkpointed
+                            # `last`: the overwrite route evaluates it
+                            # once in its single write; the merge route
+                            # builds + checkpoints rids ⟕ live itself
                             live = jf.selectExpr(
                                 *[
                                     i.strip()
                                     for i in _split_top(plan.items, ",")
                                 ],
                                 "__mv_rid",
-                            ).withColumn("__mv_alive", F.lit(True))
-                            src = (
-                                rids.join(live, "__mv_rid", "left")
-                                .withColumn(
-                                    "__mv_dead",
-                                    F.col("__mv_alive").isNull(),
-                                )
-                                .drop("__mv_alive")
-                                # one dim join, not one per MERGE
-                                # action; size ∝ changed rids ⋈ dims
-                                .localCheckpoint()
                             )
                         else:
                             last = last.alias(pfa)
@@ -2445,12 +2450,16 @@ class Lakehouse:
                             self._asof_seq += 1
                             tmp = f"__mv_rid_{self._asof_seq}"
                             last.createOrReplaceTempView(tmp)
-                            src = self.spark.sql(
+                            rids = self.spark.sql(
+                                f"SELECT __mv_rid FROM {tmp}"
+                            )
+                            live = self.spark.sql(
                                 f"SELECT {plan.items}, __mv_rid, "
                                 f"__mv_dead FROM {tmp} AS `{pfa}`"
-                            )
+                            ).filter(~F.col("__mv_dead")).drop("__mv_dead")
                         self._mv_land_keyed(
-                            table, src, ["__mv_rid"], cur, dep, repin
+                            table, ["__mv_rid"], cur, dep, repin,
+                            keys_df=rids, live_df=live,
                         )
                         mode, dep_out = "incremental", cur
                     elif not plan.grouped and _mv.append_only_window(
