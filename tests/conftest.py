@@ -19,7 +19,20 @@ def spark(tmp_path_factory):
         "tests",
         master="local[4]",
         shuffle_partitions="4",
-        extra_conf={"spark.sql.warehouse.dir": warehouse},
+        extra_conf={
+            "spark.sql.warehouse.dir": warehouse,
+            # Interpreted expression/operator mode for the TEST session
+            # only (round 13): the suite runs thousands of unique tiny
+            # plans, so Janino whole-stage/expression compilation
+            # dominates per-query latency (A-B-A on test_dvs.py:
+            # 153s/121s with codegen vs 87s without — ~1.5-1.75x).
+            # Production/bench sessions keep codegen on; the oracle
+            # gate runs the 50 declared queries under a bare codegen-on
+            # session, so a codegen-specific regression still surfaces
+            # there.
+            "spark.sql.codegen.wholeStage": "false",
+            "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        },
     )
     yield s
 

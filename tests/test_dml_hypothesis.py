@@ -79,7 +79,7 @@ def _apply_table(spark, t: ParquetTable, op, seq: int) -> None:
 
 
 @settings(
-    max_examples=12,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

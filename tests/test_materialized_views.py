@@ -228,7 +228,7 @@ _op = st.one_of(
 
 
 @settings(
-    max_examples=6,
+    max_examples=3,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -358,7 +358,7 @@ def test_incremental_refresh_is_one_atomic_commit(lh):
 
 
 @settings(
-    max_examples=6,
+    max_examples=3,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -531,7 +531,7 @@ def test_projection_mv_rt_disabled_midway_falls_back(lh):
 
 
 @settings(
-    max_examples=5,
+    max_examples=3,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -711,7 +711,7 @@ def test_having_projected_avg_is_incremental(lh):
 
 
 @settings(
-    max_examples=6,
+    max_examples=3,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

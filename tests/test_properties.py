@@ -23,7 +23,7 @@ from azure_databricks_lakehouse_spark.operators.packing import pack_manifest
 from azure_databricks_lakehouse_spark.operators.redaction import redact
 
 _SETTINGS = dict(
-    max_examples=12,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
     derandomize=True,  # CI determinism: same examples every run
@@ -157,7 +157,7 @@ def test_redaction_audit_consistent_with_rewrite(spark, text):
     ),
     n_merges=st.integers(min_value=1, max_value=4),
 )
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture],
           derandomize=True)
 def test_bpe_matches_sequential_reference(spark, words, n_merges):
