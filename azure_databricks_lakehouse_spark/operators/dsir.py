@@ -253,7 +253,10 @@ def fit_importance_subset(
     ratios = (
         docs.sparkSession.range(dim)
         .select(F.col("id").cast("int").alias("bucket"))
-        .join(joint, F.col("bucket") == F.col("__bucket"), "left")
+        # joint is <= dim aggregated rows — structurally broadcastable,
+        # and the hint matters because a features= caller may hand a
+        # localCheckpointed frame whose size estimate defeats AQE
+        .join(F.broadcast(joint), F.col("bucket") == F.col("__bucket"), "left")
         .drop("__bucket")
         .crossJoin(F.broadcast(totals))
         .select("bucket", _log_ratio_expr(a, dim))
@@ -296,9 +299,9 @@ def _fit_from_bucket_counts(
     ratios = (
         spark.range(dim)
         .select(F.col("id").cast("int").alias("bucket"))
-        .join(t.withColumnRenamed("cnt", "__tc"), F.col("bucket") == F.col("__bucket"), "left")
+        .join(F.broadcast(t.withColumnRenamed("cnt", "__tc")), F.col("bucket") == F.col("__bucket"), "left")
         .drop("__bucket")
-        .join(r.withColumnRenamed("cnt", "__rc"), F.col("bucket") == F.col("__bucket"), "left")
+        .join(F.broadcast(r.withColumnRenamed("cnt", "__rc")), F.col("bucket") == F.col("__bucket"), "left")
         .drop("__bucket")
         .crossJoin(F.broadcast(t_tot))
         .crossJoin(F.broadcast(r_tot))

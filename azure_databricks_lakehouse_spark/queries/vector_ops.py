@@ -434,8 +434,12 @@ def q32_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, a = exact.alias("e"), approx.alias("a")
         hit = F.when(F.col("a.neighbor_id").isNotNull(), 1).otherwise(0)
         return (
+            # the approx list is Q×k rows at ANY scale (rank <= k per
+            # query) — broadcast it; the checkpointed exact side's size
+            # estimate would otherwise push the planner to sort-merge
+            # (plans/r13/q32_*_before.txt shows 4 SMJs on 200-row sides)
             e.join(
-                a,
+                F.broadcast(a),
                 (F.col("e.query_id") == F.col("a.query_id"))
                 & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
                 "left",
