@@ -189,3 +189,30 @@ def test_compression_ratio_is_real(spark, corpus):
     # codebook is driver metadata, not corpus-sized
     n_floats = sum(len(c) for book in cb.centroids for c in book)
     assert n_floats == cb.m * cb.ks * cb.dsub == 4 * 16 * 4
+
+
+def test_batched_training_matches_per_subspace_kmeans(spark, corpus):
+    # round 13: train_pq batches the m per-subspace k-means into one
+    # Lloyd job per round (ann.lloyd_multi).  Equivalence pin: the
+    # batched codebook must match running ann.train_kmeans per sliced
+    # subspace exactly (same seed sample by construction; the only
+    # tolerated difference is float summation order inside the per-cell
+    # means, so compare with a tight tolerance).
+    from azure_databricks_lakehouse_spark.operators.ann import train_kmeans
+    from azure_databricks_lakehouse_spark.operators.pq import _subvec
+
+    from pyspark.sql import functions as F
+
+    _rows, df = corpus
+    m, ks = 4, 8
+    dsub = _DIM // m
+    cb = train_pq(df, m=m, ks=ks, n_iter=3)
+    for mi in range(m):
+        sub = df.select(
+            "vec_id", _subvec(F.col("emb"), mi, dsub).alias("emb")
+        )
+        ref = train_kmeans(sub, k=ks, n_iter=3)
+        ref_books = [c for _cell, c in sorted(ref)]
+        assert len(cb.centroids[mi]) == len(ref_books)
+        for got_c, ref_c in zip(cb.centroids[mi], ref_books):
+            assert got_c == pytest.approx(ref_c, rel=1e-9, abs=1e-9)
